@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution posture so every entry point
+(tests, bench, driver contract) runs the same way:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing) —
+  this is the 100 TB insurance policy: plans authored here are re-sized at
+  runtime instead of hand-tuned per scale factor.
+- ``spark.sql.shuffle.partitions`` defaults sized for local[32] test runs;
+  AQE coalesces down when partitions are small and a real cluster overrides
+  via ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (which reads parquet timestamps as-is).
+- Arrow enabled for the pandas-interop escape hatch (pandas_udf /
+  applyInPandas / toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "ftdw-spark") -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local test posture: ``local[$SPARK_GRAFT_CPUS]`` single JVM. On a real
+    cluster the master/executor settings come from spark-submit; everything
+    set here is safe cluster-side too.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small-dim broadcast is the backbone of the star-join plans; keep
+        # the default 10 MB threshold explicit so it is documented here.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

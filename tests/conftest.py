@@ -1,0 +1,46 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle connection."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.session import (
+    get_spark,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("ftdw-spark-tests")
+    yield s
+    s.stop()
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Mimic the driver: register each parquet table as a DuckDB view."""
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck_oracle():
+    con = make_duck(SF_ORACLE)
+    yield con
+    con.close()

@@ -1,0 +1,86 @@
+"""Driver-mimic correctness gate: every registered query vs its DuckDB oracle.
+
+Stricter than the driver's value-hash — compares the actual sorted cell
+values (with a tight float tolerance to expose any nondeterminism early).
+Run at sf0.01, the driver's correctness scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+    REGISTRY,
+)
+
+from conftest import SF_ORACLE
+
+
+def normalize(rows, columns):
+    """Sort columns by name (driver semantics), then sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        out.append(tuple(row[i] for i in order))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r)), [
+        columns[i] for i in order
+    ]
+
+
+def cells_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-12)
+    return str(a) == str(b)
+
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck_oracle, name):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck_oracle.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+
+    s_norm, cols = normalize(spark_rows, spark_cols)
+    d_norm, _ = normalize(duck_rows, duck_cols)
+    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
+        for c, (sv, dv) in enumerate(zip(sr, dr)):
+            assert cells_equal(sv, dv), (
+                f"{name}: row {i} col {cols[c]}: spark={sv!r} duck={dv!r}"
+            )
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["segment", "n"]
+
+
+def test_registry_oracle_coverage():
+    """Every query either has an oracle or is explicitly rows-only."""
+    for name, q in REGISTRY.items():
+        assert q.spark is not None
+        assert q.oracle is None or "SELECT" in q.oracle.upper()
