@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.inline import inline_table
 from ..sources.registry import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -546,12 +547,15 @@ def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: etl.ipynb:61-68,126-127 (Taiwan/Turkey country-name remap via
     map().fillna(original)). Spark-native: broadcast join against the tiny
     mapping table + coalesce(new, old) — scales to remaps of any size,
-    unlike a when/otherwise chain.
+    unlike a when/otherwise chain. The mapping is a JVM-side VALUES relation
+    (sources.inline) — a Python-RDD-backed createDataFrame costs ~10 s of
+    Python worker launches on local[32] for 2 rows.
     """
     nation = _t(spark, sf_dir, "nation")
-    mapping = spark.createDataFrame(
+    mapping = inline_table(
+        spark,
         [("JAPAN", "NIPPON"), ("FRANCE", "REPUBLIQUE FRANCAISE")],
-        "old_name string, new_name string",
+        ["old_name", "new_name"],
     )
     return (
         nation.join(F.broadcast(mapping), nation.n_name == mapping.old_name, "left")

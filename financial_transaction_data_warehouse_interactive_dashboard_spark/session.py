@@ -41,6 +41,9 @@ def get_spark(app_name: str = "ftdw-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+        # type, so read as long and convert on load (sources.registry).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Small-dim broadcast is the backbone of the star-join plans; keep
         # the default 10 MB threshold explicit so it is documented here.
