@@ -1,0 +1,123 @@
+"""Portable (Spark <-> DuckDB bit-identical) hashing and array primitives.
+
+The driver's correctness gate hashes query outputs from Spark and from a
+DuckDB oracle and compares them. Anything hash-based (minhash, simhash,
+fingerprints, LSH buckets) therefore needs a hash function that produces
+the SAME integer in both engines. Spark's ``hash``/``xxhash64`` and
+DuckDB's ``hash`` are different algorithms, so we build one from the only
+cryptographic primitive both ship with identical semantics: ``md5`` over
+UTF-8 bytes, hex-decoded to a 60-bit integer (15 hex chars — fits a signed
+BIGINT in both engines, no overflow, no sign games).
+
+Each helper here returns a Spark ``Column`` and has a ``sql_*`` twin that
+emits the equivalent DuckDB SQL fragment, so a query and its oracle are
+authored side by side and cannot drift.
+
+Parity of every primitive in this module is pinned by
+tests/test_beyond_ops.py::test_portable_hash_parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for rolling/polynomial hashes: large prime, products stay < 2^63.
+ROLL_MOD = 1_000_000_007
+
+
+def md5_long(col: Column | str, nhex: int = 15) -> Column:
+    """60-bit (default) portable hash of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("bigint")
+
+
+def sql_md5_long(expr: str, nhex: int = 15) -> str:
+    """DuckDB twin of :func:`md5_long`."""
+    return f"('0x' || substr(md5({expr}), 1, {nhex}))::BIGINT"
+
+
+# Inline Spark-SQL fragment (for use inside higher-order-function lambdas,
+# where python Column objects can't reach).
+def expr_md5_long(expr: str, nhex: int = 15) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, {nhex}), 16, 10) as bigint)"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization. The documents fixture is single-space
+    separated; ``split`` on one space is identical in both engines."""
+    return F.split(F.col(col), " ")
+
+
+def sql_tokens(expr: str = "text") -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct — set semantics for
+    jaccard). Spark: slice(words, i, n) over sequence(1, len-n+1)."""
+    w = f"split({col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({w}, i, {n}))))"
+    )
+
+
+def sql_shingles(words: str = "w", n: int = 3) -> str:
+    """DuckDB twin; ``words`` must name a token-list column (define it in a
+    CTE — a bare expression would be re-evaluated per comprehension step).
+    DuckDB list slicing x[i:j] is inclusive and 1-based; range(a, b) is
+    exclusive of b — x[i:i+n-1] over range(1, len-n+2)."""
+    return (
+        f"list_distinct([array_to_string({words}[i:i+{n - 1}], ' ')"
+        f" for i in range(1, len({words}) - {n - 2})])"
+    )
+
+
+def jaccard(a: str, b: str) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) array columns."""
+    return (
+        F.size(F.array_intersect(F.col(a), F.col(b)))
+        / F.size(F.array_union(F.col(a), F.col(b)))
+    ).cast("double")
+
+
+def sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"len(list_intersect({a}, {b}))::DOUBLE"
+        f" / len(list_distinct(list_concat({a}, {b})))"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side (no UDF):
+    zip_with dot product + aggregate norms. Summation is in array order in
+    both Spark and DuckDB, so results are bit-identical; outputs should
+    still be rounded before crossing the oracle boundary (last-ulp hygiene
+    for any future engine change)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        f" / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
+        f"    * sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x)))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"list_cosine_similarity({a}, {b})"
+
+
+def rolling_hash(arr_expr: str, mod: int = ROLL_MOD) -> Column:
+    """Order-sensitive polynomial hash of a string-array column:
+    fold(acc*31 + md5_long(x)) mod p. Spark higher-order aggregate."""
+    return F.expr(
+        f"aggregate({arr_expr}, 0L,"
+        f" (acc, x) -> (acc * 31 + {expr_md5_long('x')} % {mod}) % {mod})"
+    )
+
+
+def sql_rolling_hash(arr_expr: str, mod: int = ROLL_MOD) -> str:
+    """DuckDB twin via list_reduce (seeded by prepending 0)."""
+    return (
+        f"list_reduce(list_prepend(0, [{sql_md5_long('x')} % {mod}"
+        f" for x in {arr_expr}]), (a, b) -> (a * 31 + b) % {mod})"
+    )

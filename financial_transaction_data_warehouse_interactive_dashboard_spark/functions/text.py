@@ -1,0 +1,128 @@
+"""Text-analysis column builders over the ``documents`` table.
+
+Beyond-reference scope (the reference's only string analytics is the
+contains-'DIVID' predicate, streamlit.py:114). Everything here is a pure
+JVM-side Column expression (no UDFs in the hot path) with a bit-identical
+DuckDB oracle twin in plans.beyond:
+
+- language ID: lexicon-overlap heuristic (argmax of per-language marker
+  hits, ties broken by language code). Lexicons are pluggable; the bundled
+  ones are tiny demo sets over the fixture vocabulary.
+- quality scoring: token/char stats, stopword ratio, distinct-token ratio
+  folded into one [0,1] score — the shape of a Gopher/C4-style filter.
+- token counting: whitespace tokens + regex word/number runs (a BPE-ish
+  proxy: letter runs, digit runs, and symbols count separately).
+- fingerprinting: order-sensitive rolling hash of the token stream, plus a
+  winnowing-style min-hash over 4-token windows (robust to local edits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import portable as P
+
+# Demo marker lexicons (fixture vocabulary is ~31 tech words + articles).
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("data", "table", "row"),
+    "zh": ("spark", "stream", "window"),
+}
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"array_contains(array({lst}), {var})"
+
+
+def lexicon_hits(col: str, words: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in ``words``."""
+    return F.expr(
+        f"size(filter(split({col}, ' '), t -> {_in_list('t', words)}))"
+    )
+
+
+def lang_scores(col: str = "text") -> list[Column]:
+    return [
+        lexicon_hits(col, words).alias(f"hits_{lang}")
+        for lang, words in sorted(LEXICONS.items())
+    ]
+
+
+def predicted_lang() -> Column:
+    """argmax over hits_<lang> columns, tie-break by language code asc —
+    expressed as a greatest() + case chain so it is portable SQL."""
+    langs = sorted(LEXICONS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    expr = F.lit(None).cast("string")
+    # Build the case chain in reverse so earlier languages win ties.
+    for lg in reversed(langs):
+        expr = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def quality_columns(col: str = "text") -> dict[str, Column]:
+    """Component metrics (rounded doubles — ratios of exact ints, safe to
+    round) + a composite score in INTEGER arithmetic (0..100 points).
+
+    Rationale for the integer composite: a float-weighted sum rounds
+    nondeterministically across engines when the exact rational lands on a
+    .5 ulp at the rounding scale (observed 2-in-500 at 6 dp); integer
+    division is exact and portable by construction. Components: length
+    (0..25), distinct-token ratio (0..35), stopword ratio (0..20, capped),
+    mean token length vs 8 chars (0..20, capped).
+    """
+    toks = f"split({col}, ' ')"
+    stop_list = _in_list("t", STOPWORDS)
+    n_tokens = F.expr(f"size({toks})")
+    n_distinct = F.expr(f"size(array_distinct({toks}))")
+    stop_hits = lexicon_hits(col, STOPWORDS)
+    char_sum_e = f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+    mean_len = F.expr(char_sum_e) / n_tokens
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    score_pts = F.expr(
+        f"(least(size({toks}), 100) * 25) div 100"
+        f" + (size(array_distinct({toks})) * 35) div size({toks})"
+        f" + least((size(filter({toks}, t -> {stop_list})) * 100)"
+        f"          div size({toks}), 20)"
+        f" + least(({char_sum_e} * 20) div (8 * size({toks})), 20)"
+    )
+    return {
+        "n_tokens": n_tokens.cast("bigint"),
+        "distinct_ratio": F.round(distinct_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "mean_token_len": F.round(mean_len, 6),
+        "quality_pts": score_pts.cast("bigint"),
+    }
+
+
+def token_counts(col: str = "text") -> dict[str, Column]:
+    """Whitespace + regex-run token counts (shared RE2/Java-safe regexes)."""
+    return {
+        "ws_tokens": F.expr(f"size(split({col}, ' '))").cast("bigint"),
+        "word_runs": F.expr(
+            f"size(regexp_extract_all({col}, '[a-z]+', 0))"
+        ).cast("bigint"),
+        "digit_runs": F.expr(
+            f"size(regexp_extract_all({col}, '[0-9]+', 0))"
+        ).cast("bigint"),
+        "n_chars_seen": F.length(col).cast("bigint"),
+    }
+
+
+def fingerprint_columns(col: str = "text") -> dict[str, Column]:
+    """Whole-doc rolling hash + winnowing-style min window hash."""
+    toks = f"split({col}, ' ')"
+    win = (
+        f"transform(sequence(1, size({toks}) - 3), i -> "
+        f" aggregate(slice({toks}, i, 4), 0L,"
+        f"  (acc, x) -> (acc * 31 + {P.expr_md5_long('x')} % {P.ROLL_MOD})"
+        f"   % {P.ROLL_MOD}))"
+    )
+    return {
+        "doc_hash": P.rolling_hash(toks),
+        "min_window_hash": F.expr(f"array_min({win})"),
+    }

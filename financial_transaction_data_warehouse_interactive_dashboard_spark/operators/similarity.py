@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (array<float>).
+
+Beyond-reference scope (the reference has no vector data; its closest
+analogue is the LIDA NL page, streamlit.py:473-542, which is retrieval by
+LLM, not by geometry). Two tiers:
+
+- brute-force cosine top-k: the exactness baseline. Query side is tiny and
+  broadcast; the corpus is scanned once; per-query top-k via a window over
+  the (queries x corpus) score frame. Linear in corpus size — the right
+  answer up to ~10^7 vectors per query batch.
+- sign-LSH bucketed ANN: random-hyperplane-style LSH degenerated to
+  coordinate signs (deterministic, portable to the DuckDB oracle). Buckets
+  partition the corpus 2^SIGN_BITS ways; each query probes exactly its own
+  bucket. The scale path: probe cost ~ corpus/2^bits, recall traded
+  explicitly. Swap the bucket fn for true random hyperplanes (seeded
+  broadcast matrix) on a real cluster without changing the plan shape.
+
+Cosine is computed JVM-side (zip_with/aggregate — functions.portable); no
+Python in the hot path. Scores are rounded to 6 dp before ranking so the
+top-k frontier is reproducible across engines (last-ulp hygiene)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import portable as P
+
+SIGN_BITS = 8
+
+
+def _vecs(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+def topk_bruteforce(
+    emb: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each of the first ``n_queries``
+    vectors (deterministic query set: vec_id < n_queries), self excluded.
+
+    Rank key: (rounded cosine desc, neighbor id asc) — total order, so the
+    selected k rows are engine-independent.
+    """
+    vecs = _vecs(emb)
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(P.cosine("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def sign_bucket(vec_col: str, bits: int = SIGN_BITS) -> F.Column:
+    """LSH bucket id: sign bits of the first ``bits`` coordinates."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f" acc + case when element_at({vec_col}, i + 1) > 0"
+        f"  then shiftleft(1L, i) else 0L end)"
+    )
+
+
+def topk_ann_signlsh(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's sign-LSH bucket.
+
+    The bucket equi-join replaces the cross join — at 10^9 vectors the
+    probe set shrinks ~2^bits-fold; the bucket column is also the natural
+    partitioning/bucketing key for the stored corpus, making the probe a
+    co-located (shuffle-free) join after one `repartition(bucket)` write.
+    """
+    vecs = _vecs(emb).withColumn("bkt", sign_bucket("v"))
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bkt").alias("qbkt"),
+    )
+    scored = (
+        vecs.join(
+            F.broadcast(q),
+            (F.col("bkt") == F.col("qbkt")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(P.cosine("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,477 @@
+"""Beyond-reference named queries: dedup, similarity, text, events, multimodal.
+
+Each entry pairs an operator from operators/ / functions/ / streaming/ with
+a DuckDB oracle that implements the SAME algorithm on the same portable
+md5-based hash (functions.portable), so the driver's value-hash comparison
+is exact — including for LSH/banding steps, where the oracle reproduces the
+blocking (candidate generation is part of the contract, not just the final
+similarity).
+
+DuckDB dialect notes encoded here (mirrors functions.portable docstrings):
+list slicing is 1-based inclusive; range(a,b) is exclusive; sum(BIGINT) is
+HUGEINT (cast back); `/` on integers is float division in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..streaming import stream as ST
+from ..streaming import windows as W
+from .queries import _t, query
+
+# Shared DuckDB fragments -----------------------------------------------------
+
+SQL_DOCS_SHINGLES = """
+  d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  sh AS (SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in range(1, len(w) - 1)]) AS sh
+         FROM d)
+"""
+
+SQL_JACCARD = (
+    "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+    " / len(list_distinct(list_concat(sa.sh, sb.sh))), 6)"
+)
+
+SQL_SIMHASH = """
+  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+  th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+  bits AS (SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, range(0, 32) AS r(b)
+           GROUP BY 1, 2),
+  simh AS (SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+               AS simhash
+           FROM bits GROUP BY doc_id)
+"""
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@query(
+    "dd_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY doc_id
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (operators.dedup.exact_dedup)."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "dd_ngram_jaccard",
+    f"""
+    WITH {SQL_DOCS_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
+    SELECT id_a, id_b,
+           round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM co JOIN sz sa ON co.id_a = sa.doc_id
+            JOIN sz sb ON co.id_b = sb.doc_id
+    WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive word-3-gram Jaccard near-dup pairs (shared-shingle block)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dd_minhash_lsh",
+    f"""
+    WITH {SQL_DOCS_SHINGLES},
+    sig AS (SELECT doc_id, sh,
+              [list_min([('0x' || substr(md5(j::VARCHAR || '_' || s), 1, 15))::BIGINT
+                         for s in sh])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',') AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, {SQL_JACCARD} AS jaccard
+    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+              JOIN sh sb ON cand.id_b = sb.doc_id
+    WHERE {SQL_JACCARD} >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands x 2) candidates, exact-Jaccard verified.
+
+    The oracle reproduces the banding, so candidate generation itself is
+    correctness-checked; recall vs the exhaustive baseline is pinned by
+    tests/test_beyond_ops.py::test_minhash_lsh_recall.
+    """
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dd_simhash",
+    f"""
+    WITH {SQL_SIMHASH}
+    SELECT doc_id, simhash FROM simh ORDER BY doc_id
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (operators.dedup.simhash)."""
+    return D.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "dd_simhash_pairs",
+    f"""
+    WITH {SQL_SIMHASH},
+    chunks AS (SELECT doc_id, simhash, c, (simhash >> (c*8)) & 255 AS ck
+               FROM simh, range(0, 4) AS r(c))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3), 8-bit-chunk blocked —
+    lossless blocking by pigeonhole (see operators.dedup.simhash_pairs)."""
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "dd_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked."""
+    return D.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)
+    SELECT query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 6) AS cosine
+    FROM q JOIN e ON e.vec_id != q.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, e.vec_id ASC
+    ) <= 10
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 8 vectors (brute-force baseline)."""
+    return S.topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=10
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+@query(
+    "sim_ann_signlsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+            list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+                      for i in range(0, {S.SIGN_BITS})])::BIGINT AS bkt
+          FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt FROM b WHERE vec_id < 8)
+    SELECT query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 6) AS cosine
+    FROM q JOIN b ON b.bkt = q.qbkt AND b.vec_id != q.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, b.vec_id ASC
+    ) <= 5
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within the query's sign-LSH bucket (the scale path)."""
+    return S.topk_ann_signlsh(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+def _sql_lexicon(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{x}'" for x in words)
+    return f"len(list_filter(w, t -> list_contains([{lst}], t)))"
+
+
+_HITS = {lg: _sql_lexicon(ws) for lg, ws in sorted(T.LEXICONS.items())}
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN hits_{lg} = greatest(hits_en, hits_es, hits_zh) THEN '{lg}'"
+        for lg in sorted(T.LEXICONS)
+    )
+    + " END"
+)
+
+
+@query(
+    "tx_lang_id",
+    f"""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    h AS (SELECT doc_id, lang,
+            {_HITS['en']}::BIGINT AS hits_en,
+            {_HITS['es']}::BIGINT AS hits_es,
+            {_HITS['zh']}::BIGINT AS hits_zh
+          FROM d)
+    SELECT doc_id, hits_en, hits_es, hits_zh,
+           {_LANG_CASE} AS predicted_lang,
+           lang AS labeled_lang
+    FROM h ORDER BY doc_id
+    """,
+)
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID (functions.text): argmax of marker hits,
+    ties to the alphabetically-first language."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            T.lexicon_hits("text", T.LEXICONS[lg]).cast("bigint").alias(f"hits_{lg}")
+            for lg in sorted(T.LEXICONS)
+        ],
+        F.col("lang").alias("labeled_lang"),
+    )
+    return scored.select(
+        "doc_id", "hits_en", "hits_es", "hits_zh",
+        T.predicted_lang().alias("predicted_lang"),
+        "labeled_lang",
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = _sql_lexicon(T.STOPWORDS)
+
+
+@query(
+    "tx_quality_score",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w)::BIGINT AS n_tokens,
+           round(len(list_distinct(w)) / len(w), 6) AS distinct_ratio,
+           round({_STOP_SQL} / len(w), 6) AS stop_ratio,
+           round(list_sum([length(t) for t in w]) / len(w), 6) AS mean_token_len,
+           ( (least(len(w), 100) * 25) // 100
+             + (len(list_distinct(w)) * 35) // len(w)
+             + least(({_STOP_SQL} * 100) // len(w), 20)
+             + least((list_sum([length(t) for t in w]) * 20) // (8 * len(w)), 20)
+           )::BIGINT AS quality_pts
+    FROM d ORDER BY doc_id
+    """,
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score (C4/Gopher-filter shape)."""
+    cols = T.quality_columns("text")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS word_runs,
+           len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS digit_runs,
+           length(text)::BIGINT AS n_chars_seen
+    FROM documents ORDER BY doc_id
+    """,
+)
+def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex letter/digit runs."""
+    cols = T.token_counts("text")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    hw AS (SELECT doc_id, w,
+             [('0x' || substr(md5(x), 1, 15))::BIGINT % {1_000_000_007}
+              for x in w] AS hs
+           FROM d)
+    SELECT doc_id,
+           list_reduce(list_prepend(0, hs),
+                       (a, b) -> (a * 31 + b) % {1_000_000_007})::BIGINT
+             AS doc_hash,
+           list_min([list_reduce(list_prepend(0, hs[i:i+3]),
+                                 (a, b) -> (a * 31 + b) % {1_000_000_007})
+                     for i in range(1, len(w) - 2)])::BIGINT
+             AS min_window_hash
+    FROM hw ORDER BY doc_id
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash doc fingerprint + winnowing-style min 4-token window."""
+    cols = T.fingerprint_columns("text")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", *[c.alias(n) for n, c in cols.items()])
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Event-time windows (batch form; streaming lift in streaming.stream)
+# ===========================================================================
+
+
+@query(
+    "ev_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (streaming.windows.tumbling)."""
+    return W.tumbling(_t(spark, sf_dir, "events"), "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "ev_sliding_1h_15m",
+    """
+    SELECT make_timestamp(((floor(epoch(ts) / 900) - k) * 900 * 1000000)::BIGINT)
+             AS window_start,
+           count(*) AS n,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM events, range(0, 4) AS r(k)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15m windows (each event in 4 windows; the oracle expands
+    the same 4 epoch-aligned starts explicitly)."""
+    return W.sliding(_t(spark, sf_dir, "events"), "1 hour", "15 minutes").orderBy(
+        "window_start"
+    )
+
+
+@query(
+    "ev_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes'
+             THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, first_ts
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user via F.session_window; the oracle is the
+    classic gaps-and-islands formulation (strict '<' matches Spark's
+    overlap-merge semantics: a gap of exactly the timeout starts a new
+    session)."""
+    return W.sessionize(_t(spark, sf_dir, "events"), "30 minutes").orderBy(
+        "user_id", "first_ts"
+    )
+
+
+# ===========================================================================
+# Multimodal + streaming (rows-only entries)
+# ===========================================================================
+
+
+@query(
+    "mm_blob_meta",
+    """
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           (('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 + 1) AS width,
+           (('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 + 1) AS height,
+           'fake' AS format
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: binary payload -> mapInPandas metadata.
+
+    The Spark side runs the REAL plumbing (Arrow-batched mapInPandas over a
+    pruned (doc_id, blob) projection); the decoder is the deterministic
+    md5 stand-in, which the oracle reproduces over the same UTF-8 bytes.
+    """
+    docs = M.attach_blob(_t(spark, sf_dir, "documents"))
+    return M.blob_metadata(docs).orderBy("doc_id")
+
+
+@query("st_tumbling_hourly", None)  # rows-only: Structured Streaming execution
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.windows.tumbling executed as a real Structured Streaming
+    job (file source -> watermark -> complete mode -> memory sink). Batch
+    twin ev_tumbling_hourly is the oracle-checked equivalent; the batch ==
+    stream equality is asserted in tests/test_beyond_ops.py."""
+    return ST.run_tumbling_stream(spark, sf_dir)

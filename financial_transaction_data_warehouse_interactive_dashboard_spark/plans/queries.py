@@ -718,3 +718,8 @@ def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+# Beyond-reference queries register themselves on import (bottom import on
+# purpose: beyond.py needs the `query` decorator defined above).
+from . import beyond  # noqa: E402,F401

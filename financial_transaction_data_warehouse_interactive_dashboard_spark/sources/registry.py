@@ -14,6 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import schemas
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on. Our session factory
+    sets it, but the driver contract runs under an EXTERNAL session — set
+    the (runtime-settable) conf defensively before any events read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
@@ -23,6 +31,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TESTDATA:
         raise KeyError(f"unknown testdata table {name!r}")
+    if name == "events":
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as nanos-since-epoch long (legacy

@@ -1,0 +1,150 @@
+"""Structured Streaming lifts of the batch window operators.
+
+Design rule (SURVEY.md section 7.4): window semantics are authored ONCE in
+streaming.windows on static DataFrames and oracle-checked there; this
+module only changes the source (readStream), adds watermarks, and picks a
+sink — the aggregation expressions are the same objects, so batch and
+stream cannot drift. tests/test_beyond_ops.py asserts stream == batch.
+
+Also here: the custom stateful operator the built-in API lacks — an
+incremental sessionizer on applyInPandasWithState with event-time timeout
+(the reference has nothing remotely like this; it is the pattern for any
+custom per-key streaming state at scale: state is per-user O(1), shuffled
+once on user_id, timeouts fire off the watermark)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import windows as W
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource needs a DIRECTORY; testdata ships single parquet
+    files (read-only). Expose the file through a symlink in a session-lived
+    temp dir."""
+    if path not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STREAM_DIRS[path] = d
+    return _STREAM_DIRS[path]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema must be declared
+    for streaming reads; reuse the batch-read schema, including the
+    nanos-as-long ts which we convert exactly as sources.registry does)."""
+    from ..sources.registry import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def run_tumbling_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+    query_name: str = "st_tumbling_hourly",
+) -> DataFrame:
+    """Run the tumbling aggregation as a streaming job to completion
+    (availableNow) and return the result table.
+
+    complete-mode memory sink: fine for an aggregate whose cardinality is
+    (hours x event_types); a production job would use update mode into an
+    idempotent store keyed by (window_start, event_type)."""
+    src = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = W.tumbling(src, width)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, first_ts timestamp, last_ts timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "first bigint, last bigint, n bigint"
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionizer: applyInPandasWithState, event-time
+    timeout. Emits a session when the watermark passes last_ts + gap.
+
+    Semantics match streaming.windows.sessionize / the ev_sessionize
+    oracle: an event at exactly last + gap starts a NEW session (strict
+    overlap merge). State per user is three longs — at 10^9 users this is
+    ~24 GB of state across the cluster, hashed on user_id; RocksDB state
+    store handles spill."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(first: int, last: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "first_ts": pd.to_datetime([first], unit="us"),
+                    "last_ts": pd.to_datetime([last], unit="us"),
+                    "n_events": pd.Series([n], dtype="int64"),
+                }
+            )
+
+        if state.hasTimedOut:
+            first, last, n = state.get
+            state.remove()
+            yield emit(first, last, n)
+            return
+
+        batch = pd.concat(list(pdfs))
+        ts_us = (batch["ts"].astype("int64") // 1000).sort_values().tolist()
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 0)
+            first, last, n = cur
+            if t - last >= gap_us:
+                yield emit(first, last, n)
+                cur = (t, t, 1)
+            else:
+                # min() guards late-but-within-watermark events that precede
+                # the session's current start.
+                cur = (min(first, t), max(last, t), n + 1)
+        first, last, n = cur
+        state.update((first, last, n))
+        # Close the open session once the watermark passes last + gap.
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

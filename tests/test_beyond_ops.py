@@ -1,0 +1,192 @@
+"""Beyond-reference operator tests: portable-hash parity pins, LSH recall,
+streaming == batch equivalence, the stateful sessionizer, and the
+multimodal decode plumbing. (Oracle parity for every registered query is
+covered generically by test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+    portable as P,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+    dedup as D,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+    multimodal as M,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+    load_table,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.streaming import (
+    stream as ST,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.streaming import (
+    windows as W,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_portable_hash_parity(spark):
+    """The md5-based 60-bit hash must be bit-identical Spark vs DuckDB —
+    every hash-bearing oracle (minhash, simhash, fingerprints) rests on
+    this."""
+    words = ["hello", "a b c", "DIVIDENT", "", "Türkiye", "0", "x" * 500]
+    sdf = spark.createDataFrame([(w,) for w in words], ["s"])
+    got = [r[0] for r in sdf.select(P.md5_long("s")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute("select " + P.sql_md5_long("?"), [w]).fetchone()[0]
+        for w in words
+    ]
+    assert got == want
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover the high-similarity pairs the exhaustive
+    n-gram join finds: recall >= 0.9 at jaccard >= 0.5 (theoretical
+    candidate probability at j=0.5 is 0.90 with 8 bands x 2 rows; the
+    fixture's planted dups sit well above 0.5 so observed recall should be
+    ~1.0). Precision is not asserted — LSH verifies candidates exactly, so
+    every emitted pair is correct by construction (oracle-checked)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_blocking_is_lossless(spark):
+    """hamming <= 3 over 4 chunks: chunk blocking must equal the unblocked
+    all-pairs filter (pigeonhole)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    sh = D.simhash(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]) for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert blocked == brute
+
+
+def test_stream_equals_batch_tumbling(spark):
+    """The streaming lift must produce exactly the batch result (same
+    aggregation expressions, availableNow over the same file)."""
+    batch = sorted(
+        tuple(r) for r in W.tumbling(load_table(spark, SF_SMOKE, "events")).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in ST.run_tumbling_stream(
+            spark, SF_SMOKE, query_name="t_stream_eq_batch"
+        ).collect()
+    )
+    assert stream == batch
+
+
+def test_stateful_sessionizer(spark, tmp_path):
+    """applyInPandasWithState sessionizer: feed the events in 3 time-ordered
+    file chunks (so the watermark advances across micro-batches) and check
+    every emitted session matches the batch gaps-and-islands result."""
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "user_id")
+    src_dir = str(tmp_path / "chunks")
+    os.makedirs(src_dir)
+    bounds = events.select(
+        F.expr("percentile(cast(ts as double), array(0.33, 0.66))").alias("p")
+    ).collect()[0]["p"]
+    chunks = [
+        events.filter(F.col("ts").cast("double") <= bounds[0]),
+        events.filter(
+            (F.col("ts").cast("double") > bounds[0])
+            & (F.col("ts").cast("double") <= bounds[1])
+        ),
+        events.filter(F.col("ts").cast("double") > bounds[1]),
+    ]
+    for chunk in chunks:  # sequential writes => increasing modification time
+        chunk.coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(1.1)
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        ST.sessionize_stateful(src)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        (r["user_id"], r["first_ts"], r["last_ts"], r["n_events"])
+        for r in spark.table("t_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["first_ts"], r["last_ts"], r["n_events"])
+        for r in W.sessionize(events.withColumn("value", F.lit(0.0)))
+        .select("user_id", "first_ts", "last_ts", "n_events")
+        .collect()
+    }
+    assert emitted, "watermark should have closed at least one session"
+    assert emitted <= batch
+
+
+def test_multimodal_plumbing(spark):
+    """Binary column + mapInPandas metadata: deterministic fake decode,
+    real Arrow batching; the real-decoder hook must be an explicit stub."""
+    docs = M.attach_blob(load_table(spark, SF_SMOKE, "documents").limit(10))
+    assert dict(docs.dtypes)["blob"] == "binary"
+    meta = M.blob_metadata(docs).collect()
+    assert len(meta) == 10
+    for r in meta:
+        assert 1 <= r["width"] <= 1024 and 1 <= r["height"] <= 1024
+        assert r["format"] == "fake" and r["n_bytes"] > 0
+    with pytest.raises(NotImplementedError):
+        M.decode_blob_meta(b"\x89PNG")
+
+
+def test_quality_pts_range(spark):
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cols = T.quality_columns("text")
+    rows = docs.select(*[c.alias(n) for n, c in cols.items()]).collect()
+    assert all(0 <= r["quality_pts"] <= 100 for r in rows)
+    assert all(0.0 <= r["distinct_ratio"] <= 1.0 for r in rows)
