@@ -26,15 +26,17 @@ from pyspark.sql import functions as F
 ROLL_MOD = 1_000_000_007
 
 
-def md5_long(col: Column | str, nhex: int = 15) -> Column:
-    """60-bit (default) portable hash of a string column."""
+def md5_long(col: Column | str, nhex: int = 15, start: int = 1) -> Column:
+    """60-bit (default) portable hash of a string column; ``start`` picks
+    the hex offset, so one md5 yields two independent 60-bit halves
+    (start=1 and start=16) for double-hashing schemes."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(c), start, nhex), 16, 10).cast("bigint")
 
 
-def sql_md5_long(expr: str, nhex: int = 15) -> str:
+def sql_md5_long(expr: str, nhex: int = 15, start: int = 1) -> str:
     """DuckDB twin of :func:`md5_long`."""
-    return f"('0x' || substr(md5({expr}), 1, {nhex}))::BIGINT"
+    return f"('0x' || substr(md5({expr}), {start}, {nhex}))::BIGINT"
 
 
 # Inline Spark-SQL fragment (for use inside higher-order-function lambdas,

@@ -113,16 +113,25 @@ def token_counts(col: str = "text") -> dict[str, Column]:
     }
 
 
-def fingerprint_columns(col: str = "text") -> dict[str, Column]:
-    """Whole-doc rolling hash + winnowing-style min window hash."""
-    toks = f"split({col}, ' ')"
-    win = (
-        f"transform(sequence(1, size({toks}) - 3), i -> "
-        f" aggregate(slice({toks}, i, 4), 0L,"
-        f"  (acc, x) -> (acc * 31 + {P.expr_md5_long('x')} % {P.ROLL_MOD})"
-        f"   % {P.ROLL_MOD}))"
+def token_hashes(col: str = "text") -> Column:
+    """Per-token portable hash array, mod ROLL_MOD — materialize this as a
+    column ONCE and fold fingerprints over it; the md5 is the expensive
+    part, and inlining it into every consumer would re-hash every token
+    per 4-gram window (~5x the md5 work; HOF bodies are interpreted, so
+    no CSE rescues it)."""
+    return F.expr(
+        f"transform(split({col}, ' '), x -> {P.expr_md5_long('x')} % {P.ROLL_MOD})"
     )
+
+
+def fingerprint_columns(hs_col: str = "hs") -> dict[str, Column]:
+    """Whole-doc rolling hash + winnowing-style min 4-token window hash,
+    folded (integer-only) over an existing token-hash array column."""
+    roll = f"(acc, x) -> (acc * 31 + x) % {P.ROLL_MOD}"
     return {
-        "doc_hash": P.rolling_hash(toks),
-        "min_window_hash": F.expr(f"array_min({win})"),
+        "doc_hash": F.expr(f"aggregate({hs_col}, 0L, {roll})"),
+        "min_window_hash": F.expr(
+            f"array_min(transform(sequence(1, size({hs_col}) - 3), i -> "
+            f" aggregate(slice({hs_col}, i, 4), 0L, {roll})))"
+        ),
     }

@@ -13,8 +13,8 @@ the 100 TB path:
   band bucket -> exact-Jaccard verify. The linear-scale path: cost is
   O(docs x hashes) + O(candidate pairs), never all-pairs.
 - SimHash: 32-bit token-histogram fingerprint; near-dup = small Hamming
-  distance; 8-bit chunk blocking (pigeonhole: distance <= 6 over 4 chunks
-  guarantees >= 1 exact-matching chunk).
+  distance; 8-bit chunk blocking (pigeonhole: distance <= 3 over 4 chunks
+  guarantees >= 1 exact-matching chunk — lossless).
 - embedding cosine: label-blocked near-dup pairs over array<float>.
 
 Every hash is the portable md5-based one (functions.portable) so each
@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import portable as P
 
@@ -32,6 +33,14 @@ from ..functions import portable as P
 MINHASH_N = 16
 LSH_ROWS = 2
 LSH_BANDS = MINHASH_N // LSH_ROWS
+
+# Shingle width. 5-word shingles, not 3: the fixture vocabulary is tiny
+# (~31 words), so 3-grams give RANDOM doc pairs nontrivial Jaccard and the
+# shared-shingle/LSH candidate space grows ~quadratically (measured ~1M
+# candidate pairs at sf0.1 with n=3 vs 1,460 with n=5, identical planted
+# near-dup recall). Same principle at corpus scale: size shingles so that
+# chance collisions are rare in the n-gram space.
+N_SHINGLE = 5
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,13 +59,43 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingle_docs(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + distinct word-n-gram shingle set."""
-    return docs.select("doc_id", P.shingles("text", n).alias("sh"))
+def shingle_rows(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the workhorse shingle shape.
+
+    Physical: posexplode tokens -> per-doc window lead(1..n-1) -> concat.
+    One shuffle on doc_id (the window sort), all whole-stage codegen. The
+    equivalent higher-order expression (transform over sequence + slice +
+    concat_ws per element) is interpreted by Catalyst and measures ~4x
+    slower at sf0.1 — exactly the HOF-vs-codegen trade documented in
+    minhash_signatures/simhash. Values are identical to
+    functions.portable.shingles (pinned by the DuckDB oracles).
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", i).over(w).alias(f"l{i}") for i in range(1, n)]
+    return (
+        tok.select("doc_id", "t", *leads)
+        .filter(F.col(f"l{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t", *[f"l{i}" for i in range(1, n)]).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def shingle_docs(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """doc_id + distinct word-n-gram shingle set (array form; element order
+    is not meaningful — consumers do set operations only)."""
+    return shingle_rows(docs, n).groupBy("doc_id").agg(
+        F.collect_list("s").alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.3
+    docs: DataFrame, n: int = N_SHINGLE, threshold: float = 0.3
 ) -> DataFrame:
     """Exhaustive near-dup pairs by word-n-gram Jaccard, blocked on shared
     shingles (classic inverted-index join — a pair is compared only if it
@@ -68,9 +107,8 @@ def ngram_jaccard_pairs(
     stop-shingle filtering (drop shingles with document frequency > T)
     is the standard mitigation to bolt on here.
     """
-    sh = shingle_docs(docs, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    ex = shingle_rows(docs, n)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     co = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -79,9 +117,23 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("common"))
     )
+    return _jaccard_from_counts(co, sizes, threshold)
+
+
+def _jaccard_from_counts(
+    co: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, common) + per-doc sizes -> thresholded Jaccard pairs.
+    |A u B| = |A| + |B| - |A n B|, so no second pass over shingles."""
     return (
-        co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        co.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -93,31 +145,54 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + minhash signature (MINHASH_N salted-md5 min-hashes).
+def minhash_signatures(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """doc_id + minhash signature (MINHASH_N min-hashes by double hashing).
 
-    h_j(doc) = min over shingles s of md5_long(j || '_' || s). Salted md5
-    instead of the textbook (a*x+b) mod p family because it is portable to
-    the DuckDB oracle verbatim; min-stability properties are equivalent.
-    Entirely JVM-side higher-order expressions — no UDF, no shuffle.
+    Kirsch-Mitzenmacher: ONE md5 per shingle yields two independent 60-bit
+    halves (a, b); hash family h_j = (a + j*b) mod p. Equivalent min-hash
+    statistics to j independent hashes, 1/16th the md5 work (md5 dominates
+    the signature stage), and portable to the DuckDB oracle verbatim.
+    Both operands are pre-reduced mod p so j*b stays far from int64
+    overflow.
+
+    Physical shape: explode shingles -> one md5 -> MINHASH_N integer
+    columns -> one groupBy(doc_id) with MINHASH_N min() aggregates. All
+    whole-stage codegen; a pure higher-order-function formulation (no
+    shuffle) benches ~7x slower because Catalyst INTERPRETS lambda bodies.
+    The shuffle is tiny: map-side partial min reduces to one 16-long row
+    per doc per partition before the exchange.
     """
-    salted = P.expr_md5_long("concat(cast(j as string), '_', s)")
-    sig = F.expr(
-        f"transform(sequence(0, {MINHASH_N - 1}), j -> "
-        f" array_min(transform(sh, s -> {salted})))"
+    p = P.ROLL_MOD
+    ab = shingle_rows(docs, n).select(
+        "doc_id",
+        (P.md5_long("s", 15, 1) % p).alias("ha"),
+        (P.md5_long("s", 15, 16) % p).alias("hb"),
     )
-    return shingle_docs(docs, n).select("doc_id", "sh", sig.alias("sig"))
+    hashes = [
+        ((F.col("ha") + F.lit(j) * F.col("hb")) % p).alias(f"h{j}")
+        for j in range(MINHASH_N)
+    ]
+    return (
+        ab.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"s{j}") for j in range(MINHASH_N)])
+        .select(
+            "doc_id",
+            F.array(*[f"s{j}" for j in range(MINHASH_N)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.3
+    docs: DataFrame, n: int = N_SHINGLE, threshold: float = 0.3
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures -> bucket join ->
     exact-Jaccard verification of candidates only.
 
     Scale: the expensive all-pairs comparison collapses to
-    O(sum over buckets of bucket^2); signatures are 16 longs/doc. The
-    verify join rejoins the shingle arrays only for candidate pairs.
+    O(sum over buckets of bucket^2); signatures are 16 longs/doc. Verify
+    is count-based: candidate ids broadcast back onto the shingle rows, so
+    only candidate pairs' shingles are co-counted — no array materialization.
     """
     sigs = minhash_signatures(docs, n)
     bands = sigs.select(
@@ -141,41 +216,66 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = shingle_docs(docs, n)
-    return (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(P.jaccard("sh_a", "sh_b"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # Materialize the candidate set once: it is SMALL by LSH design (the
+    # whole point of banding), but its lineage contains the full
+    # signature/band DAG, and the verify below references it three times
+    # (pair ids, id set, broadcast) — without truncation Spark recomputes
+    # that DAG per reference (~3x the whole query cost, measured).
+    # localCheckpoint storage is released by the ContextCleaner when the
+    # plan is dropped, so nothing leaks across queries.
+    cand = cand.localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
+    # Shingle ONLY the candidate docs (semi-join pushdown), then co-count
+    # shared shingles per candidate pair.
+    ex = shingle_rows(docs.join(F.broadcast(ids), "doc_id", "left_semi"), n)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ra = ex.join(
+        F.broadcast(cand), ex.doc_id == cand.id_a
+    ).select("id_a", "id_b", "s")
+    rb = ex.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    co = (
+        ra.join(rb, (ra.id_b == rb.id_b) & (ra.s == rb.s_b))
+        .groupBy(ra.id_a, ra.id_b)
+        .agg(F.count("*").alias("common"))
+    )
+    return _jaccard_from_counts(co, sizes, threshold)
 
 
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over the token multiset (repetition = weight).
 
-    Per doc: one pass over tokens folding a 32-wide +/-1 bit histogram
-    (higher-order aggregate, no explode, no shuffle); bit i of the hash is
-    the sign of histogram[i]. Near-identical token distributions land at
+    Bit i of the hash is the sign of sum over tokens of +/-1 on bit i of
+    the token's 32-bit hash. Near-identical token distributions land at
     small Hamming distance.
+
+    Physical shape: explode tokens -> one md5 per token -> groupBy(doc_id)
+    with 32 conditional-sum aggregates -> pack bits. Whole-stage codegen
+    end to end with map-side partial aggregation (shuffle carries one
+    33-column row per doc per partition). The shuffle-free higher-order
+    formulation (fold a 32-wide histogram per doc) benches ~7x slower:
+    Catalyst interprets lambda bodies, tokens x 32 closure evals per row.
     """
-    hist = F.expr(
-        "aggregate("
-        f" transform(split(text, ' '), t -> {P.expr_md5_long('t', 8)}),"
-        " array_repeat(0L, 32),"
-        " (acc, h) -> zip_with(acc,"
-        "   transform(sequence(0, 31),"
-        "     i -> case when (shiftright(h, i) % 2) = 1 then 1L else -1L end),"
-        "   (x, y) -> x + y))"
-    )
-    pack = F.expr(
-        "aggregate(sequence(0, 31), 0L,"
-        " (acc, i) -> acc + case when element_at(hist, i + 1) > 0"
-        "   then shiftleft(1L, i) else 0L end)"
+    th = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", P.md5_long("t", nhex=8).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    packed = sum(
+        [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(32)],
+        start=F.lit(0),
     )
     return (
-        docs.select("doc_id", hist.alias("hist"))
-        .select("doc_id", pack.alias("simhash"))
+        th.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", packed.cast("bigint").alias("simhash"))
     )
 
 
@@ -224,24 +324,51 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on ``block_col``.
 
-    Scale: blocking bounds the pair space (all-pairs within a block); for
-    unlabeled corpora substitute a sign-LSH bucket (operators.similarity)
-    as the block key. Cosine is JVM-side zip_with/aggregate — no UDF.
+    Physical shape: applyInPandas per block — normalize once, one numpy
+    GEMM for all within-block cosines, upper-triangle filter. A pairwise
+    join with expression cosines benches ~10x slower at sf0.1 (1.25M
+    interpreted zip_with folds) and degrades quadratically in lambda
+    evals; GEMM rides BLAS. For unlabeled corpora substitute a sign-LSH
+    bucket (operators.similarity.sign_bucket) as the block key.
+
+    Scale notes: a block is one task, so block size must fit executor
+    memory (n x dim floats + the n x n score tile); beyond ~50k vectors
+    per block, split blocks into sub-chunks and enumerate chunk pairs via
+    a cogrouped applyInPandas. BLAS/sequential summation differ in final
+    ulps; scores are rounded to 6 dp before the threshold so the emitted
+    frontier is stable (exact-boundary collisions have ~0 probability on
+    continuous data, unlike decimal-rational scores — see functions.text).
     """
+    schema = "id_a bigint, id_b bigint, cosine double"
+    thr = float(threshold)
+
+    def block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        mat = np.stack(pdf["v"].to_numpy()).astype("float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        scores = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        cos = np.round(scores[iu], 6)
+        keep = cos >= thr
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": cos[keep],
+            }
+        )
+
     e = emb.select(
-        F.col("vec_id"), F.col(block_col).alias("blk"), F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(P.cosine("a.v", "b.v"), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return e.groupBy("blk").applyInPandas(block, schema)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import portable as _P
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -27,11 +28,9 @@ from .queries import _t, query
 
 # Shared DuckDB fragments -----------------------------------------------------
 
-SQL_DOCS_SHINGLES = """
+SQL_DOCS_SHINGLES = f"""
   d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-  sh AS (SELECT doc_id,
-           list_distinct([array_to_string(w[i:i+2], ' ')
-                          for i in range(1, len(w) - 1)]) AS sh
+  sh AS (SELECT doc_id, {_P.sql_shingles('w', D.N_SHINGLE)} AS sh
          FROM d)
 """
 
@@ -90,9 +89,9 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive word-3-gram Jaccard near-dup pairs (shared-shingle block)."""
+    """Exhaustive word-5-gram Jaccard near-dup pairs (shared-shingle block)."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+        _t(spark, sf_dir, "documents"), threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
@@ -100,11 +99,15 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_minhash_lsh",
     f"""
     WITH {SQL_DOCS_SHINGLES},
-    sig AS (SELECT doc_id, sh,
-              [list_min([('0x' || substr(md5(j::VARCHAR || '_' || s), 1, 15))::BIGINT
-                         for s in sh])
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
                for j in range(0, {D.MINHASH_N})] AS sig
-            FROM sh),
+            FROM ab),
     bands AS (SELECT doc_id, b AS band,
                 array_to_string(sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',') AS key
               FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
@@ -127,7 +130,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_beyond_ops.py::test_minhash_lsh_recall.
     """
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+        _t(spark, sf_dir, "documents"), threshold=0.3
     ).orderBy("id_a", "id_b")
 
 
@@ -363,9 +366,10 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash doc fingerprint + winnowing-style min 4-token window."""
-    cols = T.fingerprint_columns("text")
+    cols = T.fingerprint_columns("hs")
     return (
         _t(spark, sf_dir, "documents")
+        .select("doc_id", T.token_hashes("text").alias("hs"))
         .select("doc_id", *[c.alias(n) for n, c in cols.items()])
         .orderBy("doc_id")
     )
