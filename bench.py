@@ -32,8 +32,23 @@ from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.re
     load_tables,
 )
 
-# Queries whose result set scales with the fact table: sink to noop.
-LARGE_RESULT = {"j1_fact_build", "j3_gold_denorm"}
+# Queries whose result set scales with an input table: sink to noop so the
+# bench measures distributed compute + write path, not single-threaded
+# driver materialization of a large collect().
+LARGE_RESULT = {
+    "j1_fact_build",
+    "j3_gold_denorm",
+    "dd_exact_dedup",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "ev_sessionize",
+    "mm_blob_meta",
+    "tx_fingerprint",
+    "tx_lang_id",
+    "tx_quality_score",
+    "tx_token_count",
+    "tx_tfidf_top_terms",
+}
 
 
 def main() -> None:

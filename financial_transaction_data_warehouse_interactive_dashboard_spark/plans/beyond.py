@@ -375,6 +375,53 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tx_tfidf_top_terms",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY round(tf * ln(n_docs / df), 6) DESC, term ASC
+    ) <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-3 terms per document.
+
+    Scale shape: two shuffles (tf groupBy, df groupBy); document frequency
+    is a tiny vocabulary-sized table -> broadcast back onto tf; N arrives
+    as a broadcast 1-row count, not a collected literal. Tie-break (term
+    asc) makes the per-doc top-3 engine-independent.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
 # ===========================================================================
 # Event-time windows (batch form; streaming lift in streaming.stream)
 # ===========================================================================

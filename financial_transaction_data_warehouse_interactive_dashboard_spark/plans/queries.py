@@ -720,6 +720,109 @@ def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a1_count_by_segment",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key group-by count (A1) — the dashboard's most common shape.
+
+    Reference: streamlit.py:152,249,287,331 (groupby(k).size() per chart).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "a8_rollup_region_nation",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           count(*) AS n,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS lvl
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY lvl, region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
+)
+def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region -> nation -> grand total in ONE pass.
+
+    Reference: report.pdf p.4-5 claims roll-up/drill-down but realizes them
+    as separate group-bys at each level (streamlit.py:249/287/331 —
+    symbol -> sector -> industry). df.rollup computes every level in one
+    shuffle (partial aggregation applies per grouping set) — the idiomatic
+    Spark upgrade SURVEY.md section 2.4 calls out. lvl = grouping_id
+    disambiguates a real NULL key from a subtotal row.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .rollup("region_name", "nation_name")
+        .agg(F.count("*").alias("n"), F.grouping_id().cast("int").alias("lvl"))
+        .orderBy(
+            "lvl",
+            F.col("region_name").asc_nulls_first(),
+            F.col("nation_name").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "a9_cube_status_quarter",
+    """
+    SELECT o_orderstatus AS status,
+           'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           count(*) AS n,
+           CAST(GROUPING(o_orderstatus) * 2
+                + GROUPING('Q' || CAST(quarter(o_orderdate) AS VARCHAR))
+             AS INTEGER) AS lvl
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, 'Q' || CAST(quarter(o_orderdate) AS VARCHAR))
+    ORDER BY lvl, status NULLS FIRST, quarter NULLS FIRST
+    """,
+)
+def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, quarter): all four grouping sets in one pass
+    (SURVEY.md section 2.4 — grouping sets absent from the reference;
+    df.cube is the built-in upgrade)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.concat(F.lit("Q"), F.quarter("o_orderdate").cast("string")).alias(
+                "quarter"
+            ),
+        )
+        .cube("status", "quarter")
+        .agg(F.count("*").alias("n"), F.grouping_id().cast("int").alias("lvl"))
+        .orderBy(
+            "lvl",
+            F.col("status").asc_nulls_first(),
+            F.col("quarter").asc_nulls_first(),
+        )
+    )
+
+
 # Beyond-reference queries register themselves on import (bottom import on
 # purpose: beyond.py needs the `query` decorator defined above).
 from . import beyond  # noqa: E402,F401
