@@ -78,6 +78,17 @@ def run_tumbling_stream(
     return spark.table(query_name)
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup on event_id: dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes, so state size is
+    bounded by the watermark horizon instead of growing with the stream —
+    the streaming twin of operators.dedup.exact_dedup. (Plain
+    dropDuplicates on a stream would accumulate every key forever.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, first_ts timestamp, last_ts timestamp, n_events bigint"
 )

@@ -166,6 +166,24 @@ def test_stateful_sessionizer(spark, tmp_path):
     assert emitted <= batch
 
 
+def test_stream_dedup_within_watermark(spark):
+    """Duplicated source (stream unioned with itself) -> watermarked dedup
+    must restore exactly the distinct event set."""
+    src = ST.read_events_stream(spark, SF_SMOKE)
+    q = (
+        ST.dedup_stream(src.union(src))
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup_stream").count()
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert got == want
+
+
 def test_multimodal_plumbing(spark):
     """Binary column + mapInPandas metadata: deterministic fake decode,
     real Arrow batching; the real-decoder hook must be an explicit stub."""

@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the scale posture is part of the
+contract. A refactor that silently turns a broadcast star join into a
+sort-merge join, or un-pushes a scan filter, would still pass value
+checks — these tests pin the plan shape itself."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+    dense_ids,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+    REGISTRY,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+    load_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+STAR_QUERIES = ["q1_top_segments", "j1_fact_build", "j3_gold_denorm", "o2_top5_types"]
+
+
+@pytest.mark.parametrize("name", STAR_QUERIES)
+def test_star_joins_broadcast(spark, name):
+    """Every dim join must be a broadcast hash join — a sort-merge join
+    here means a full fact shuffle per dimension at 100 TB."""
+    plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q1's status equality must land in the parquet scan's PushedFilters
+    (row-group skipping), not a post-scan Filter only."""
+    plan = plan_of(REGISTRY["q1_top_segments"].spark(spark, SF_SMOKE))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "EqualTo(o_orderstatus,F)" in pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q1 touches 4 of orders' 9 columns; the scan schema must not read the
+    rest (wide reads are the classic 100 TB scan mistake)."""
+    plan = plan_of(REGISTRY["q1_top_segments"].spark(spark, SF_SMOKE))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    orders_schema = next(s for s in schemas if "o_orderstatus" in s)
+    assert "o_totalprice" not in orders_schema
+    assert "o_comment" not in orders_schema
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    top-k + merge), never a global sort."""
+    plan = plan_of(REGISTRY["q1_top_segments"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dense_ids_matches_global_row_number(spark):
+    """Two-phase parallel id assignment == the single-partition row_number
+    the reference semantics define (SURVEY.md W4), on a dim and on a
+    larger shuffled range."""
+    nation = load_table(spark, SF_SMOKE, "nation")
+    got = {
+        r["n_name"]: r["id"]
+        for r in dense_ids(nation, "n_name", num_partitions=4).collect()
+    }
+    want = {
+        r["n_name"]: i + 1
+        for i, r in enumerate(nation.orderBy("n_name").collect())
+    }
+    assert got == want
+
+    big = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 99991).alias("k")
+    ).distinct()
+    rows = dense_ids(big, "k", num_partitions=16).collect()
+    ordered = sorted(r["k"] for r in rows)
+    by_key = {r["k"]: r["id"] for r in rows}
+    assert [by_key[k] for k in ordered] == list(range(1, len(ordered) + 1))
