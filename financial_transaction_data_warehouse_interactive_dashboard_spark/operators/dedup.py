@@ -107,7 +107,12 @@ def ngram_jaccard_pairs(
     stop-shingle filtering (drop shingles with document frequency > T)
     is the standard mitigation to bolt on here.
     """
-    ex = shingle_rows(docs, n)
+    # The shingle rows feed three plan branches (sizes, both join sides);
+    # materialize once instead of recomputing the tokenize+window DAG 3x.
+    # Note the scale trade: this pins the full shingle set (~rows x n
+    # words) to executor storage — right for the exhaustive baseline,
+    # which is itself O(pairs); the linear-scale path is minhash_lsh_pairs.
+    ex = shingle_rows(docs, n).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     co = (
@@ -288,7 +293,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     3 would turn blocking into a recall trade — keep <= chunks-1 to stay
     exact.
     """
-    sh = simhash(docs)
+    # One row per doc — materialize so the self-join below doesn't run the
+    # token-explode aggregation DAG once per side.
+    sh = simhash(docs).localCheckpoint(eager=True)
     chunks = sh.select(
         "doc_id",
         "simhash",
