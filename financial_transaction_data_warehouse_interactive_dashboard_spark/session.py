@@ -50,5 +50,11 @@ def get_spark(app_name: str = "ftdw-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Managed-table storage (sources.warehouse saveAsTable) + derby
+        # metastore live under /tmp, never the repo working directory.
+        .config("spark.sql.warehouse.dir", "/tmp/ftdw-spark-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/ftdw-derby"
+        )
     )
     return builder.getOrCreate()

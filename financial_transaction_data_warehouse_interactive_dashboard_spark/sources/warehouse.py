@@ -1,0 +1,74 @@
+"""Warehouse layout: partitioned + bucketed tables, stats for the CBO.
+
+The reference pre-joins its star into one gold CSV so the dashboard never
+joins at query time (etl.ipynb:210 — its one real optimization). At 100 TB
+the same idea splits into three storage-level decisions, all encoded here:
+
+- **partition columns** for coarse pruning (a dashboard's quarter/date
+  filter should skip files, not read-and-drop rows);
+- **bucketing on the join key** so repeated fact<->dim or fact<->fact
+  joins are co-located: both sides hash-partitioned identically at WRITE
+  time, so the join plans with zero Exchange — the shuffle is paid once,
+  not per query (verified by tests/test_warehouse.py on the plan);
+- **column statistics** (ANALYZE TABLE) so the cost-based optimizer can
+  reorder star joins and pick broadcast sides from real row counts.
+
+Bucketing metadata lives in the session catalog (saveAsTable); on a real
+cluster back it with a shared metastore so every session sees the layout.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_stale(spark: SparkSession, table: str) -> None:
+    """DROP the catalog entry AND any orphaned location. A managed-table
+    location can outlive its catalog entry when a previous session (with
+    its own in-memory catalog) wrote it; saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh_dir}/{table}", ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) parquet table. Sorting
+    within buckets lets sort-merge joins skip their sort stage too."""
+    _drop_stale(df.sparkSession, table)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, table: str, partition_cols: list[str]
+) -> None:
+    """Persist partitioned by low-cardinality filter columns (quarter,
+    date, event_type ...) for static + dynamic partition pruning."""
+    _drop_stale(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").partitionBy(
+        *partition_cols
+    ).saveAsTable(table)
+
+
+def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Collect table + column stats for the cost-based optimizer."""
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(columns)
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")

@@ -67,6 +67,34 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite: same rows out, hot key's
+    rows spread across multiple salt values."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.skew import (
+        salted_join,
+    )
+
+    # 90%-skewed probe side: key 1 dominates.
+    probe = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    build = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    plain = probe.join(build, "k").select("row_id", "attr")
+    salted = salted_join(probe, build, "k", "row_id").select("row_id", "attr")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    spread = (
+        probe.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread == 8, "hot key should spread across all salt values"
+
+
 def test_dense_ids_matches_global_row_number(spark):
     """Two-phase parallel id assignment == the single-partition row_number
     the reference semantics define (SURVEY.md W4), on a dim and on a
