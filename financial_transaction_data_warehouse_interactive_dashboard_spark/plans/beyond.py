@@ -492,6 +492,75 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ev_funnel_vcp",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+           count(*) FILTER (WHERE t_click > t_view) AS clicked_after_view,
+           count(*) FILTER (WHERE t_purchase > t_click AND t_click > t_view)
+             AS purchased_after_click
+    FROM firsts
+    """,
+)
+def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel by first-occurrence ordering.
+
+    One shuffle (user groupBy with conditional min aggregates), then a
+    single-row conditional count — the canonical event-funnel shape. NULL
+    semantics do the stage gating: a comparison with a missing stage is
+    NULL -> not counted, identical in both engines.
+    """
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@query("a5_unique_customers_approx", None)  # rows-only: HLL sketch values
+def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,
+    2% rsd) per segment next to the exact count. Rows-only: sketch
+    estimates are implementation-specific, so there is no cross-engine
+    oracle — the exact twin lives in a4_kpis/a1_count_by_segment. The
+    scale point: the exact distinct needs a per-(segment,custkey) shuffle;
+    the sketch merges fixed-size registers map-side.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("status")
+    )
+
+
 # ===========================================================================
 # Multimodal + streaming (rows-only entries)
 # ===========================================================================

@@ -158,7 +158,7 @@ def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_quarter_ranking",
     """
-    SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+    SELECT 'Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter,
            count(*) AS n
     FROM orders
     WHERE o_orderstatus IN ('F', 'O')
@@ -220,7 +220,7 @@ def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a2_quarter_status_matrix",
     """
-    SELECT 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+    SELECT 'Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter,
            o_orderstatus AS status, count(*) AS n
     FROM orders
     GROUP BY 1, 2
@@ -277,13 +277,13 @@ def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT quarter(o_orderdate) AS qnum, count(*) AS focus_n
       FROM orders WHERE o_orderstatus IN ('F','O') GROUP BY 1
     )
-    SELECT 'Q' || CAST(t.qnum AS VARCHAR) AS quarter,
+    SELECT 'Q' || CAST(t.qnum AS STRING) AS quarter,
            t.total_n,
            COALESCE(f.focus_n, 0) AS focus_n,
-           ROUND(COALESCE(f.focus_n, 0) * 100.0 / t.total_n, 1) AS focus_pct,
+           ROUND(COALESCE(f.focus_n, 0) * CAST(100.0 AS DOUBLE) / t.total_n, 1) AS focus_pct,
            CAST(ROUND(
              (COALESCE(f.focus_n,0) - LAG(COALESCE(f.focus_n,0)) OVER (ORDER BY t.qnum))
-             * 100.0 / LAG(COALESCE(f.focus_n,0)) OVER (ORDER BY t.qnum), 1
+             * CAST(100.0 AS DOUBLE) / LAG(COALESCE(f.focus_n,0)) OVER (ORDER BY t.qnum), 1
            ) AS DOUBLE) AS qoq_pct
     FROM totals t LEFT JOIN focus f ON t.qnum = f.qnum
     ORDER BY quarter
@@ -361,7 +361,7 @@ def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_fact_build",
     """
     SELECT o_orderkey, c_custkey, n_nationkey, r_regionkey,
-           'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter
+           'Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -402,7 +402,7 @@ def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_gold_denorm",
     """
     SELECT o_orderkey,
-           'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           'Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter,
            n.n_name AS nation_name,
            r.r_name AS region_name,
            c.c_mktsegment AS segment,
@@ -691,7 +691,7 @@ def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS ts_text,
            'Q' || CAST(quarter(strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M:%S'),
-                                        '%d/%m/%Y %H:%M:%S')) AS VARCHAR) AS quarter
+                                        '%d/%m/%Y %H:%M:%S')) AS STRING) AS quarter
     FROM orders
     ORDER BY o_orderkey
     LIMIT 100
@@ -791,13 +791,13 @@ def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_cube_status_quarter",
     """
     SELECT o_orderstatus AS status,
-           'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           'Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter,
            count(*) AS n,
            CAST(GROUPING(o_orderstatus) * 2
-                + GROUPING('Q' || CAST(quarter(o_orderdate) AS VARCHAR))
+                + GROUPING('Q' || CAST(quarter(o_orderdate) AS STRING))
              AS INTEGER) AS lvl
     FROM orders
-    GROUP BY CUBE (o_orderstatus, 'Q' || CAST(quarter(o_orderdate) AS VARCHAR))
+    GROUP BY CUBE (o_orderstatus, 'Q' || CAST(quarter(o_orderdate) AS STRING))
     ORDER BY lvl, status NULLS FIRST, quarter NULLS FIRST
     """,
 )

@@ -38,7 +38,14 @@ def test_portable_hash_parity(spark):
     """The md5-based 60-bit hash must be bit-identical Spark vs DuckDB —
     every hash-bearing oracle (minhash, simhash, fingerprints) rests on
     this."""
-    words = ["hello", "a b c", "DIVIDENT", "", "Türkiye", "0", "x" * 500]
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abz019 _-;,ÄüßéΩ☃"
+    words = ["hello", "a b c", "DIVIDENT", "", "Türkiye", "0", "x" * 500] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
     sdf = spark.createDataFrame([(w,) for w in words], ["s"])
     got = [r[0] for r in sdf.select(P.md5_long("s")).collect()]
     con = duckdb.connect()

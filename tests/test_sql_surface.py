@@ -1,0 +1,65 @@
+"""SQL-surface equivalence (SURVEY.md section 7.1): every testdata table is
+exposed as a temp view, and for queries whose oracle SQL is
+dialect-portable, Spark itself must produce the same result from the SQL
+text as from the DataFrame API. This pins that the engine's two query
+surfaces cannot drift — a user can switch between them freely."""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+    REGISTRY,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+    register_views,
+)
+
+from conftest import SF_ORACLE
+
+# Oracles written in the ANSI subset both Spark SQL and DuckDB parse.
+# Excluded by dialect: DuckDB list comprehensions/lambdas (dd_*, tx_* except
+# token_count's regexp_extract_all arity, sim_*), strftime/strptime (c1),
+# GROUP BY ROLLUP/CUBE syntax position (a8/a9 use Spark's own rollup test),
+# make_timestamp/epoch signatures (ev_sliding), FILTER-less engines: none.
+PORTABLE = [
+    "q1_top_segments",
+    "q2_top_priorities_q4",
+    "q3_quarter_ranking",
+    "a1_count_by_segment",
+    "a2_quarter_status_matrix",
+    "a4_kpis",
+    "a6_distinct_dims",
+    "j1_fact_build",
+    "j3_gold_denorm",
+    "j5_anti_join",
+    "j6_topk_semi",
+    "j7_name_remap",
+    "f4_contains",
+    "o2_top5_types",
+    "o4_group_total_order",
+    "w1_quarter_trend",
+    "w4_surrogate_keys",
+    "x1_except",
+    "ev_tumbling_hourly",
+    "ev_sessionize",
+    "ev_funnel_vcp",
+]
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    register_views(spark, SF_ORACLE)
+    return spark
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_sql_text_matches_dataframe(views, name):
+    spark = views
+    q = REGISTRY[name]
+    df_api = q.spark(spark, SF_ORACLE)
+    df_sql = spark.sql(q.oracle)
+    assert sorted(df_api.columns) == sorted(df_sql.columns)
+    a = sorted(map(str, (tuple(r) for r in df_api.collect())))
+    b = sorted(map(str, (tuple(r) for r in df_sql.collect())))
+    assert a == b, f"{name}: spark.sql(oracle) != DataFrame result"
