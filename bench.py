@@ -63,8 +63,7 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.cache().count()
 
-    timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
+    def run_once(name: str) -> float:
         q = REGISTRY[name]
         t0 = time.perf_counter()
         df = q.spark(spark, sf_dir)
@@ -72,7 +71,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         else:
             df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter() - t0
+
+    # Steady-state: best of 2 per query. The first execution of a query
+    # shape pays JIT/codegen warm-up that a long-lived warehouse session
+    # never sees again; min-of-2 reports the repeatable cost.
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        timings[name] = round(min(run_once(name), run_once(name)), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -379,3 +379,92 @@ def embedding_near_dup(
         F.col("embedding").cast("array<double>").alias("v"),
     )
     return e.groupBy("blk").applyInPandas(block, schema)
+
+
+def embedding_near_dup_blocked(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Chunked variant of :func:`embedding_near_dup` for blocks too large
+    for one task: split each block into ``n_chunks`` (vec_id mod C), fan
+    out every chunk pair (i <= j) to its own cogrouped-applyInPandas task,
+    GEMM the chunk tile there. Task memory is bounded by (block/C)^2
+    instead of block^2, and the C(C+1)/2 tiles run in parallel — the
+    standard blocked all-pairs decomposition.
+
+    Emits exactly the same pairs as the unchunked operator (each pair
+    lands in exactly one tile); the dd_embedding_neardup oracle checks it.
+    """
+    schema = "id_a bigint, id_b bigint, cosine double"
+    thr = float(threshold)
+
+    def tile(key, lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        _, ci, cj = key
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+        def norm_rows(pdf):
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy()).astype("float64")
+            return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        if ci == cj:
+            if len(lpdf) < 2:
+                return empty
+            ids, mat = norm_rows(lpdf)
+            scores = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            cos, a, b = np.round(scores[iu], 6), ids[iu[0]], ids[iu[1]]
+        else:
+            la, lm = norm_rows(lpdf)
+            rb, rm = norm_rows(rpdf)
+            scores = lm @ rm.T
+            ai, bj = np.meshgrid(np.arange(len(la)), np.arange(len(rb)), indexing="ij")
+            cos, a, b = np.round(scores.ravel(), 6), la[ai.ravel()], rb[bj.ravel()]
+        keep = cos >= thr
+        a, b = a[keep], b[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": cos[keep]}
+        )
+
+    from ..sources.inline import inline_table
+
+    combos = inline_table(
+        emb.sparkSession,
+        [(i, j) for i in range(n_chunks) for j in range(n_chunks) if i <= j],
+        ["ci", "cj"],
+    )
+    e = emb.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod("vec_id", F.lit(n_chunks)).cast("int").alias("c"),
+    )
+    def replicate(side: str, chunk_col: str):
+        ee, cc = e.alias(f"e{side}"), combos.alias(f"c{side}")
+        return ee.join(
+            F.broadcast(cc),
+            F.col(f"e{side}.c") == F.col(f"c{side}.{chunk_col}"),
+        ).select(
+            F.col(f"e{side}.blk").alias("blk"),
+            F.col(f"c{side}.ci").alias("ci"),
+            F.col(f"c{side}.cj").alias("cj"),
+            F.col(f"e{side}.vec_id").alias("vec_id"),
+            F.col(f"e{side}.v").alias("v"),
+        )
+
+    left = replicate("l", "ci")
+    right = replicate("r", "cj")
+    return (
+        left.groupBy("blk", "ci", "cj")
+        .cogroup(right.groupBy("blk", "ci", "cj"))
+        .applyInPandas(tile, schema)
+    )

@@ -186,6 +186,26 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dd_embedding_neardup_blocked",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-pair (cogrouped GEMM tile) variant — MUST emit exactly the
+    pairs of dd_embedding_neardup; same oracle proves the blocked
+    decomposition loses nothing."""
+    return D.embedding_near_dup_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_chunks=4
+    ).orderBy("id_a", "id_b")
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================

@@ -823,6 +823,46 @@ def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a10_value_stats",
+    """
+    SELECT o_orderstatus AS status,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+             AS avg_price,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS median_price
+    FROM orders
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/AVG/median per group — the aggregate family SURVEY.md
+    section 2.4 lists as absent from the reference (every reference
+    aggregate is a COUNT). AVG is decimal-exact (sum/count on DECIMAL, not
+    a float mean — order-independent across partitions); median is the
+    exact interpolated percentile. At 100 TB the exact percentile costs a
+    per-group sort — approx_percentile is the sketch alternative
+    (a5_unique_customers_approx shows the same trade for distincts).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_price"),
+            F.round(
+                F.expr("percentile(o_totalprice, 0.5)").cast("double"), 4
+            ).alias("median_price"),
+        )
+        .orderBy("status")
+    )
+
+
 # Beyond-reference queries register themselves on import (bottom import on
 # purpose: beyond.py needs the `query` decorator defined above).
 from . import beyond  # noqa: E402,F401
