@@ -561,6 +561,92 @@ def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ev_rolling_7d",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+             count(*) AS n,
+             sum(value::DECIMAL(30,6))::DOUBLE AS day_value
+      FROM events GROUP BY 1)
+    SELECT make_timestamp(d * 86400 * 1000000)::DATE AS day, n,
+           sum(n) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS n_7d,
+           day_value
+    FROM daily ORDER BY day
+    """,
+)
+def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling event count — a RANGE window frame over epoch
+    days (frame specs are absent from the reference, SURVEY.md section
+    2.5; this is the rolling-KPI shape every dashboard grows into).
+
+    RANGE (not ROWS) so missing days still widen the frame correctly.
+    Daily pre-aggregation first: the window runs over ~days rows, not raw
+    events — at 100 TB the rolling pass is over a tiny frame.
+    """
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value"),
+    )
+    w = Window.orderBy("d").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("n_7d", F.sum("n").over(w))
+        .select(
+            F.timestamp_seconds(F.col("d") * 86400).cast("date").alias("day"),
+            "n",
+            "n_7d",
+            "day_value",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "w5_rank_functions",
+    """
+    WITH counts AS (
+      SELECT n_name AS nation, count(*) AS n
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1)
+    SELECT nation, n,
+           CAST(rank()       OVER (ORDER BY n DESC, nation) AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER (ORDER BY n DESC, nation) AS INTEGER) AS drnk,
+           CAST(ntile(4)     OVER (ORDER BY n DESC, nation) AS INTEGER) AS quartile
+    FROM counts ORDER BY rnk
+    """,
+)
+def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over grouped counts (SURVEY.md section 2.5
+    notes these are absent from the reference — its 'ranking' is a bare
+    ORDER BY). Total order in the window spec keeps all three functions
+    engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    counts = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("nation"))
+    return counts.select(
+        "nation",
+        "n",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    ).orderBy("rnk")
+
+
 @query("a5_unique_customers_approx", None)  # rows-only: HLL sketch values
 def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,
