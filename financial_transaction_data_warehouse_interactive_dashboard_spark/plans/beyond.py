@@ -647,6 +647,42 @@ def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
+@query(
+    "ev_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column and aggregate it — the shape every event pipeline
+    needs (properties bags are never fully schematized).
+
+    get_json_object evaluates JVM-side per row; for hot multi-field
+    extraction prefer one from_json(schema) projecting a struct so the
+    JSON is parsed once — with explicit schema the parse also prunes
+    unreferenced fields.
+    """
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("a5_unique_customers_approx", None)  # rows-only: HLL sketch values
 def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,

@@ -1,0 +1,71 @@
+"""Natural-language query hook — the engine-side half of the reference's
+LIDA page (streamlit.py:473-542; SURVEY.md section 2.10 entry point D).
+
+The reference ships NL->visualization by calling OpenAI and exec-ing the
+generated pandas code. That is an application choice, not an engine
+capability; the ENGINE's obligations are (1) a catalog of named,
+parameterized, tested queries, (2) a SQL surface over registered views,
+and (3) a routing hook an NL layer can target. This module provides the
+hook with a deterministic keyword router (no network, no codegen, fully
+testable); an LLM-backed router can replace `route` without touching
+anything downstream, and free-form SQL from such a layer runs through
+`run_sql` against the same registered views.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.registry import register_views
+from . import queries as Q
+
+# Keyword profiles per registry query: every listed term scores 1; the
+# highest total wins (ties -> lexicographically first name, deterministic).
+ROUTES: dict[str, tuple[str, ...]] = {
+    "q1_top_segments": ("top", "segment", "nation", "best", "sector"),
+    "q2_top_priorities_q4": ("priority", "priorities", "q4", "quarter4"),
+    "q3_quarter_ranking": ("rank", "ranking", "quarter", "quarters"),
+    "a4_kpis": ("kpi", "kpis", "summary", "overview", "totals"),
+    "a10_value_stats": ("average", "median", "min", "max", "price", "stats"),
+    "w1_quarter_trend": ("trend", "growth", "change", "over", "time"),
+    "o2_top5_types": ("part", "type", "types", "popular"),
+    "dd_exact_dedup": ("duplicate", "duplicates", "dedup", "exact"),
+    "dd_minhash_lsh": ("near", "similar", "documents", "minhash"),
+    "sim_topk_bruteforce": ("nearest", "neighbors", "embedding", "vector"),
+    "ev_tumbling_hourly": ("hourly", "events", "window"),
+    "ev_sessionize": ("session", "sessions", "user", "activity"),
+    "ev_funnel_vcp": ("funnel", "conversion", "purchase"),
+    "ev_rolling_7d": ("rolling", "weekly", "7", "day", "daily"),
+    "tx_tfidf_top_terms": ("keywords", "terms", "tfidf", "important", "words"),
+}
+
+
+def route(text: str) -> str:
+    """Deterministic keyword routing: NL text -> registry query name."""
+    toks = set(re.findall(r"[a-z0-9]+", text.lower()))
+    scored = sorted(
+        ((sum(t in toks for t in kws), name) for name, kws in ROUTES.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    best_score, best_name = scored[0]
+    if best_score == 0:
+        raise ValueError(
+            f"no query route for {text!r}; known intents: {sorted(ROUTES)}"
+        )
+    return best_name
+
+
+def answer(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """NL text -> routed named query -> DataFrame."""
+    return Q.REGISTRY[route(text)].spark(spark, sf_dir)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Free-form SQL surface: register the warehouse views, run the text.
+    This is the sanctioned target for an LLM NL->SQL layer — generated SQL
+    executes on the same governed views as everything else, instead of
+    exec-ing generated host code like the reference does."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

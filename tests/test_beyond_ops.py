@@ -205,6 +205,27 @@ def test_multimodal_plumbing(spark):
         M.decode_blob_meta(b"\x89PNG")
 
 
+def test_nlq_routing(spark):
+    """Deterministic NL routing + SQL surface (the LIDA-analogue hook)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
+        nlq,
+    )
+
+    assert nlq.route("show me the top segments by nation") == "q1_top_segments"
+    assert nlq.route("find duplicate documents") == "dd_exact_dedup"
+    assert nlq.route("user session activity") == "ev_sessionize"
+    assert nlq.route("conversion funnel to purchase") == "ev_funnel_vcp"
+    with pytest.raises(ValueError):
+        nlq.route("completely unrelated gibberish xyzzy")
+
+    df = nlq.answer(spark, SF_SMOKE, "quarter ranking")
+    assert df.columns == ["quarter", "n"]
+    sql_df = nlq.run_sql(
+        spark, SF_SMOKE, "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'"
+    )
+    assert sql_df.collect()[0]["n"] > 0
+
+
 def test_quality_pts_range(spark):
     from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
         text as T,
