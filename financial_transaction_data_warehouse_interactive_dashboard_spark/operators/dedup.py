@@ -95,7 +95,10 @@ def shingle_docs(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = N_SHINGLE, threshold: float = 0.3
+    docs: DataFrame,
+    n: int = N_SHINGLE,
+    threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exhaustive near-dup pairs by word-n-gram Jaccard, blocked on shared
     shingles (classic inverted-index join — a pair is compared only if it
@@ -104,8 +107,12 @@ def ngram_jaccard_pairs(
 
     Scale: explode is linear; the self-join groups by shingle, so skewed
     (very common) shingles are the hazard — AQE skew-join splits them, and
-    stop-shingle filtering (drop shingles with document frequency > T)
-    is the standard mitigation to bolt on here.
+    ``max_df`` is the standard stop-shingle mitigation: shingles appearing
+    in more than ``max_df`` documents are dropped from CANDIDATE
+    GENERATION only (they pair everything with everything while carrying
+    no near-dup signal). Sizes keep counting them, so computed Jaccard
+    becomes a slight underestimate for affected pairs — the usual
+    recall/cost dial, off by default.
     """
     # The shingle rows feed three plan branches (sizes, both join sides);
     # materialize once instead of recomputing the tokenize+window DAG 3x.
@@ -114,7 +121,16 @@ def ngram_jaccard_pairs(
     # which is itself O(pairs); the linear-scale path is minhash_lsh_pairs.
     ex = shingle_rows(docs, n).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
+    join_side = ex
+    if max_df is not None:
+        rare = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        join_side = ex.join(rare, "s", "left_semi")
+    a, b = join_side.alias("a"), join_side.alias("b")
     co = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(

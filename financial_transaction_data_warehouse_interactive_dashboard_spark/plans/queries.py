@@ -422,7 +422,7 @@ def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactions_merged.csv — the pre-joined 'gold' table the dashboard
     reads). Left semantics preserved: an unmatched FK yields NULL attributes,
     not a dropped row. At scale this is the materialize-once table: written
-    partitioned (see plans.etl.write_gold) so dashboards prune partitions.
+    partitioned (see plans.etl.write_warehouse) so dashboards prune partitions.
     """
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")

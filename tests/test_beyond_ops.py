@@ -85,6 +85,27 @@ def test_minhash_lsh_recall(spark):
     assert len(lsh & exact) / len(exact) >= 0.9
 
 
+def test_ngram_stop_shingle_filter(spark):
+    """max_df drops only pairs whose overlap was carried by ubiquitous
+    shingles: with a permissive cap the result is unchanged; with an
+    aggressive cap it is a subset."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    permissive = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10_000).collect()
+    }
+    aggressive = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=1).collect()
+    }
+    assert permissive == base
+    assert aggressive <= base
+
+
 def test_simhash_blocking_is_lossless(spark):
     """hamming <= 3 over 4 chunks: chunk blocking must equal the unblocked
     all-pairs filter (pigeonhole)."""
