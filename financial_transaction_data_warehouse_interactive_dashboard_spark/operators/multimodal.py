@@ -93,3 +93,93 @@ def blob_metadata(
 
     pruned = docs_with_blob.select("doc_id", "blob")
     return pruned.mapInPandas(run, schema=BLOB_META_SCHEMA)
+
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = (
+    "doc_id bigint, features array<double>, out_w bigint, out_h bigint"
+)
+
+
+def extract_features(docs_with_blob: DataFrame, fit: int = 256) -> DataFrame:
+    """Feature-extraction + resize-planning stage over the binary payload.
+
+    Real pipeline shape: decode -> embed -> compute the resize geometry,
+    one Arrow batch at a time, vector column out (`array<double>` — the
+    schema the similarity operators consume). The embedding itself is the
+    deterministic md5 stand-in (feature i = md5(blob || '_i') scaled to
+    [0,1)); the resize plan is integer arithmetic on the decoded
+    dimensions: fit the long side to ``fit`` px, floor-scale the short
+    side (integer div — engine-portable, no float rounding).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        def feats(blob: bytes) -> list[float]:
+            out = []
+            for i in range(FEATURE_DIM):
+                h = _hl.md5(blob + f"_{i}".encode()).hexdigest()
+                out.append(int(h[:8], 16) % 1000 / 1000.0)
+            return out
+
+        def dims(blob: bytes) -> tuple[int, int]:
+            h = _hl.md5(blob).hexdigest()
+            return int(h[:8], 16) % 1024 + 1, int(h[8:16], 16) % 1024 + 1
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h = dims(blob)
+                if w >= h:
+                    out_w, out_h = fit, (h * fit) // w
+                else:
+                    out_w, out_h = (w * fit) // h, fit
+                rows.append((int(doc_id), feats(blob), out_w, out_h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "features", "out_w", "out_h"]
+            )
+
+    return docs_with_blob.select("doc_id", "blob").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"
+
+
+def frame_sample(
+    docs_with_blob: DataFrame, frame_bytes: int = 64, every: int = 2
+) -> DataFrame:
+    """Frame-sampling stage: treat the payload as fixed-size frames and
+    keep every ``every``-th — the video-keyframe access pattern. One input
+    row fans out to many output rows (mapInPandas is a generator over
+    batches, so the fan-out never materializes per-document lists on the
+    driver)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = (len(blob) + frame_bytes - 1) // frame_bytes
+                for j in range(0, n, every):
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    hashes.append(
+                        _hl.md5(
+                            blob[j * frame_bytes : (j + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return docs_with_blob.select("doc_id", "blob").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

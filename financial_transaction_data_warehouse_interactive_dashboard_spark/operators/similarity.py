@@ -74,6 +74,73 @@ def sign_bucket(vec_col: str, bits: int = SIGN_BITS) -> F.Column:
     )
 
 
+def topk_ann_ivf(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> inverted cells -> probe the
+    query's ``nprobe`` nearest cells only.
+
+    Quantizer: the first ``n_cells`` corpus vectors serve as deterministic
+    seed centroids (an IVF-flat layout; swapping in k-means-refined
+    centroids changes only the `cells` frame, not the plan shape). Every
+    vector is assigned to its max-cosine centroid (ties -> lowest cell
+    id); a query scores n_cells centroids, probes nprobe cells, ranks
+    candidates there. Probe cost ~ corpus * nprobe / n_cells.
+
+    Scale: the assignment column is the storage partitioning key (write
+    the corpus partitioned/bucketed by cell); probing is then partition
+    pruning, and each query touches nprobe partitions of a 10^9-vector
+    corpus. All ranking keys are rounded -> engine-deterministic (the
+    dd/sim oracle convention).
+    """
+    vecs = _vecs(emb)
+    cells = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell")
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(cells))
+        .withColumn("cell_cos", F.round(P.cosine("v", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("probe_cos", F.round(P.cosine("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(P.cosine("qv", "v"), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def topk_ann_signlsh(
     emb: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:

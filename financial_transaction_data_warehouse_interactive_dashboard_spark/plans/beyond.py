@@ -259,6 +259,45 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
+@query(
+    "sim_ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, cell
+      FROM e, c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell ASC
+      ) = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (
+      SELECT query_id, qv, cell
+      FROM q, c
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell ASC
+      ) <= 2)
+    SELECT query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, a.v), 6) AS cosine
+    FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, a.v), 6) DESC, a.vec_id ASC
+    ) <= 5
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse cells + nprobe probing) — the oracle reproduces the
+    quantizer, cell assignment, and probing, so the index STRUCTURE is
+    correctness-checked, not just final scores."""
+    return S.topk_ann_ivf(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_cells=16, nprobe=2
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -728,6 +767,53 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = M.attach_blob(_t(spark, sf_dir, "documents"))
     return M.blob_metadata(docs).orderBy("doc_id")
+
+
+@query(
+    "mm_features_resize",
+    f"""
+    SELECT doc_id,
+           [(('0x' || substr(md5(text || '_' || i), 1, 8))::BIGINT % 1000)
+              / 1000.0
+            for i in range(0, {M.FEATURE_DIM})] AS features,
+           CASE WHEN w >= h THEN 256 ELSE (w * 256) // h END AS out_w,
+           CASE WHEN w >= h THEN (h * 256) // w ELSE 256 END AS out_h
+    FROM (SELECT doc_id, text,
+                 ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 + 1 AS w,
+                 ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 + 1 AS h
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction + resize-planning (mapInPandas vector
+    output; operators.multimodal.extract_features). The oracle recomputes
+    the md5-derived embedding and the integer resize geometry over the
+    same bytes."""
+    docs = M.attach_blob(_t(spark, sf_dir, "documents"))
+    return M.extract_features(docs).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, j AS frame_idx,
+           md5(substr(text, j * 64 + 1, 64)) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 2))
+                   AS j
+          FROM documents)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 2nd 64-byte frame) —
+    mapInPandas row fan-out; the oracle slices the same bytes with
+    substr (fixture text is ASCII, so char and byte offsets coincide)."""
+    docs = M.attach_blob(_t(spark, sf_dir, "documents"))
+    return M.frame_sample(docs, frame_bytes=64, every=2).orderBy(
+        "doc_id", "frame_idx"
+    )
 
 
 @query("st_tumbling_hourly", None)  # rows-only: Structured Streaming execution
