@@ -1,0 +1,73 @@
+"""Temporal joins Spark lacks as primitives, composed from built-ins.
+
+As-of join (backward): for each left row, attach the latest right row with
+right.ts <= left.ts within the same ``by`` key — the canonical
+"state at event time" lookup (last quote before a trade, last view before
+a purchase). Spark has no ASOF JOIN operator; the composition here is the
+standard union + carry-forward:
+
+1. tag both inputs and union them on (by, ts) with the right payload as a
+   nullable struct;
+2. one window per key ordered by (ts, tag) — right rows sort BEFORE left
+   rows at equal ts, giving inclusive <= semantics exactly like DuckDB's
+   ASOF JOIN (which oracles the registry query);
+3. last(payload, ignoreNulls) over rows UNBOUNDED PRECEDING..CURRENT
+   carries the most recent right payload onto every left row.
+
+Scale: ONE shuffle on the key + a sort — same cost class as a sort-merge
+join, with no range-explosion (a naive t1 >= t2 theta-join is quadratic
+per key). State is O(1) per window frame (running last), so skew degrades
+to sort cost, not memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join; right payload columns come back ``right_prefix``ed
+    (including the matched right ``ts``), NULL when no prior right row
+    exists. Right (by, ts) pairs should be unique — pre-aggregate
+    otherwise, or the carried row among ties is sort-order dependent."""
+    payload_cols = [c for c in right.columns if c not in (by, ts_col)]
+    payload = F.struct(
+        F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload_cols]
+    )
+    r = right.select(
+        F.col(by), F.col(ts_col), payload.alias("_p"), F.lit(0).alias("_tag")
+    )
+    l = left.select(
+        F.col(by),
+        F.col(ts_col),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(1).alias("_tag"),
+    )
+    r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
+    l = l.withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts_col, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l.select(by, ts_col, "_l", "_p", "_tag")
+        .unionByName(r.select(by, ts_col, "_l", "_p", "_tag"))
+        .withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    out_left = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"_match.{ts_col}").alias(f"{right_prefix}{ts_col}"),
+        *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols],
+    ]
+    return carried.select(*out_left, *out_right)

@@ -816,6 +816,52 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ev_asof_view_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS r_ts,
+           round(v.view_value, 6) AS r_view_value,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY event_id
+    """,
+)
+def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase to the user's latest prior-or-equal view
+    (operators.temporal.asof_join_backward — union + carry-forward window;
+    DuckDB's native ASOF JOIN is the oracle, so the composed operator's
+    inclusive-<= tie semantics are pinned against a reference
+    implementation)."""
+    from ..operators.temporal import asof_join_backward
+
+    events = _t(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(purchases, views, by="user_id", ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "r_ts",
+        "r_view_value",
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
 @query("st_tumbling_hourly", None)  # rows-only: Structured Streaming execution
 def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.windows.tumbling executed as a real Structured Streaming

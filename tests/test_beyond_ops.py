@@ -226,6 +226,33 @@ def test_multimodal_plumbing(spark):
         M.decode_blob_meta(b"\x89PNG")
 
 
+def test_asof_join_edges(spark):
+    """Equal-ts inclusive match, no-prior NULL, key isolation."""
+    from datetime import datetime as dt
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.temporal import (
+        asof_join_backward,
+    )
+
+    t = lambda s: dt(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "l1"), (1, t(5), "l2"), (2, t(10), "l3")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), "r_at_5"), (1, t(8), "r_at_8"), (2, t(11), "r_at_11")],
+        ["k", "ts", "rv"],
+    )
+    got = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join_backward(left, right, by="k").collect()
+    }
+    # l1 (k=1, ts=10) -> latest right <= 10 is r_at_8;
+    # l2 (k=1, ts=5)  -> equal-ts inclusive -> r_at_5;
+    # l3 (k=2, ts=10) -> only right is at 11 (future) -> NULL.
+    assert got == {"l1": "r_at_8", "l2": "r_at_5", "l3": None}
+
+
 def test_nlq_routing(spark):
     """Deterministic NL routing + SQL surface (the LIDA-analogue hook)."""
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
