@@ -27,6 +27,53 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join_trailing(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    window_seconds: int,
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: pair each left row with every right row in the same
+    ``by`` key whose ts lies in (left.ts - window, left.ts) — the trailing
+    context lookup (all views in the hour before a purchase).
+
+    A direct inequality join is a per-key NESTED LOOP (Spark can only
+    plan theta predicates as broadcast-nested-loop after the equi part) —
+    quadratic per key. The standard decomposition here buckets time by the
+    window width: a right row lives in exactly one bucket, a left row
+    probes its own and the previous bucket; the join becomes an EQUI join
+    on (key, bucket) — hash-partitionable, AQE-skew-splittable — and the
+    exact interval predicate filters the (at most 2-bucket-wide) candidate
+    set. Cost: one shuffle, candidates ~ 2x the true matches for uniform
+    data, regardless of key fan-in.
+    """
+    w_us = window_seconds * 1_000_000
+    r = right.withColumn("_bkt", (F.unix_micros(F.col(ts_col)) / w_us).cast("long"))
+    l = left.withColumn(
+        "_b0", (F.unix_micros(F.col(ts_col)) / w_us).cast("long")
+    ).withColumn("_bkt", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"))))
+    la, ra = l.alias("l"), r.alias("r")
+    pairs = la.join(
+        ra,
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (F.col("l._bkt") == F.col("r._bkt"))
+        & (
+            F.col(f"r.{ts_col}")
+            >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {window_seconds} SECOND")
+        )
+        & (F.col(f"r.{ts_col}") < F.col(f"l.{ts_col}")),
+    )
+    out_left = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"r.{c}").alias(f"{right_prefix}{c}")
+        for c in right.columns
+        if c != by
+    ]
+    return pairs.select(*out_left, *out_right)
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

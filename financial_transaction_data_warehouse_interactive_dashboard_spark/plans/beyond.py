@@ -862,6 +862,58 @@ def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@query(
+    "ev_range_views_before_purchase",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           count(v.ts) AS n_views_1h,
+           round(max(v.value), 6) AS max_view_value
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts < p.ts
+    GROUP BY 1, 2
+    ORDER BY event_id
+    """,
+)
+def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: views in the hour before each purchase,
+    via the bucketed equi-join decomposition
+    (operators.temporal.range_join_trailing) instead of a per-key nested
+    loop; aggregated per purchase. Purchases with no prior views survive
+    with count 0 (left semantics restored by the final left join)."""
+    from ..operators.temporal import range_join_trailing
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    matched = (
+        range_join_trailing(purchases, views, by="user_id", window_seconds=3600)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("*").alias("n_views_1h"),
+            F.round(F.max("r_value"), 6).alias("max_view_value"),
+        )
+    )
+    return (
+        purchases.join(matched, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_views_1h", F.lit(0)).alias("n_views_1h"),
+            "max_view_value",
+        )
+        .orderBy("event_id")
+    )
+
+
 @query("st_tumbling_hourly", None)  # rows-only: Structured Streaming execution
 def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.windows.tumbling executed as a real Structured Streaming
