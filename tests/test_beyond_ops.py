@@ -129,6 +129,34 @@ def test_simhash_blocking_is_lossless(spark):
     assert blocked == brute
 
 
+def test_ann_recall_vs_bruteforce(spark):
+    """Approximation quality is part of the contract: both ANN variants
+    must recover a reasonable fraction of the true top-5 (they probe a
+    fraction of the corpus; on random fixture vectors the true neighbors
+    concentrate in no bucket, so recall here is a floor, not a showcase).
+    Exactness of what they DO return is oracle-checked elsewhere."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    true5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_bruteforce(emb, n_queries=8, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & true5) / len(true5)
+
+    r_lsh = recall(S.topk_ann_signlsh(emb, n_queries=8, k=5))
+    r_ivf = recall(S.topk_ann_ivf(emb, n_queries=8, k=5))
+    assert r_lsh > 0.0 and r_ivf > 0.0
+    # IVF probes nprobe/n_cells = 1/8 of the corpus; sign-LSH one of 2^8
+    # buckets. Sanity floor only — structure quality needs structured data.
+    assert r_ivf >= 0.1
+
+
 def test_stream_equals_batch_tumbling(spark):
     """The streaming lift must produce exactly the batch result (same
     aggregation expressions, availableNow over the same file)."""
