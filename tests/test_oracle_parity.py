@@ -36,7 +36,12 @@ def cells_equal(a, b) -> bool:
         fa, fb = float(a), float(b)
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
-        return math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-12)
+        # BIT-exact, deliberately: every query's determinism rules
+        # (decimal sums, portable hashing, rounded continuous scores)
+        # exist precisely so Spark and DuckDB emit identical doubles, and
+        # the driver's value-hash comparison is exact. A tolerance here
+        # would hide regressions until the driver catches them.
+        return fa == fb
     return str(a) == str(b)
 
 
