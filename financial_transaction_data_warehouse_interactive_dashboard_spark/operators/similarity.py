@@ -101,16 +101,92 @@ def topk_ann_ivf(
     cells = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("cell")
+    assign = _assign_cells(vecs, cells)
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    assign = (
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("probe_cos", F.round(P.cosine("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(P.cosine("qv", "v"), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _assign_cells(vecs: DataFrame, cells: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by rounded cosine (ties -> lowest cell)."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (
         vecs.crossJoin(F.broadcast(cells))
         .withColumn("cell_cos", F.round(P.cosine("v", "cv"), 6))
-        .withColumn("rn", F.row_number().over(w_assign))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cell")
     )
+
+
+def refine_centroids(vecs: DataFrame, cells: DataFrame) -> DataFrame:
+    """One Lloyd iteration: assign, then per-cell per-dimension mean.
+
+    Means are DECIMAL-exact (sum cast to decimal(38,12), divide after the
+    deterministic cast back to double) so the refined centroids are
+    bit-identical across engines and partitionings — float means would
+    differ in final ulps by summation order and flip boundary
+    assignments downstream. Cells that capture no vectors disappear
+    (consistent everywhere, since assignment itself is deterministic).
+    """
+    assign = _assign_cells(vecs, cells)
+    pos = assign.select("cell", F.posexplode("v").alias("pos", "val"))
+    cent = pos.groupBy("cell", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("cv_e")
+    )
+    return (
+        cent.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv_e"))).alias("pc"))
+        .select("cell", F.expr("transform(pc, x -> x.cv_e)").alias("cv"))
+    )
+
+
+def topk_ann_ivf_kmeans(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF with a k-means-refined quantizer: seed centroids (first
+    n_cells vectors) -> one Lloyd iteration (refine_centroids) -> assign /
+    probe / rank against the refined cells. Better-balanced cells than the
+    raw-seed quantizer at identical plan shape; more iterations = loop the
+    refine step (each is one shuffle over exploded dimensions)."""
+    vecs = _vecs(emb)
+    seeds = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = refine_centroids(vecs, seeds)
+    assign = _assign_cells(vecs, cells)
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

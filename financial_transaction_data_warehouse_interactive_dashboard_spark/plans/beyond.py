@@ -298,6 +298,56 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
+@query(
+    "sim_ann_ivf_kmeans",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+    a0 AS (SELECT e.vec_id, e.v, cell FROM e, c0
+           QUALIFY row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell ASC
+           ) = 1),
+    px AS (SELECT cell, u.p AS pos, u.x AS val
+           FROM a0,
+                unnest([{'p': i, 'x': v[i]} for i in range(1, len(v) + 1)])
+                  AS t(u)),
+    cent AS (SELECT cell, pos,
+               CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                 AS cv_e
+             FROM px GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv FROM cent GROUP BY 1),
+    a1 AS (SELECT e.vec_id, e.v, cell FROM e, c1
+           QUALIFY row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell ASC
+           ) = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (SELECT query_id, qv, cell FROM q, c1
+              QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell ASC
+              ) <= 2)
+    SELECT query_id, a1.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, a1.v), 6) AS cosine
+    FROM probe p JOIN a1 ON a1.cell = p.cell AND a1.vec_id != p.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, a1.v), 6) DESC, a1.vec_id ASC
+    ) <= 5
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
+    exact centroid means). The oracle reproduces seeding, assignment, the
+    refinement arithmetic, and probing — the full index build is
+    correctness-checked bit-for-bit."""
+    return S.topk_ann_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_cells=16, nprobe=2
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
