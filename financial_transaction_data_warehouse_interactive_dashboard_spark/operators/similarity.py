@@ -185,7 +185,9 @@ def topk_ann_ivf_kmeans(
     seeds = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    cells = refine_centroids(vecs, seeds)
+    # n_cells rows, but the lineage is the whole Lloyd pass over the
+    # corpus; assignment and probing both reference it — materialize once.
+    cells = refine_centroids(vecs, seeds).localCheckpoint(eager=True)
     assign = _assign_cells(vecs, cells)
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
