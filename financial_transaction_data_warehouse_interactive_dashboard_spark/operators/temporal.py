@@ -74,17 +74,21 @@ def range_join_trailing(
     return pairs.select(*out_left, *out_right)
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     by: str,
     ts_col: str = "ts",
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; right payload columns come back ``right_prefix``ed
-    (including the matched right ``ts``), NULL when no prior right row
-    exists. Right (by, ts) pairs should be unique — pre-aggregate
-    otherwise, or the carried row among ties is sort-order dependent."""
+    (including the matched right ``ts``), NULL when no match exists.
+    ``direction``: 'backward' attaches the latest right row with
+    right.ts <= left.ts; 'forward' the earliest with right.ts >= left.ts
+    (both inclusive, matching DuckDB ASOF with >= / <=). Right (by, ts)
+    pairs should be unique — pre-aggregate otherwise, or the carried row
+    among ties is sort-order dependent."""
     payload_cols = [c for c in right.columns if c not in (by, ts_col)]
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload_cols]
@@ -101,15 +105,29 @@ def asof_join_backward(
     r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
     l = l.withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
 
-    w = (
-        Window.partitionBy(by)
-        .orderBy(ts_col, "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # Right rows sort BEFORE left at equal ts (inclusive <=); carry
+        # the last right payload seen so far forward onto each left row.
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.asc(ts_col), F.asc("_tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("_p", ignorenulls=True).over(w)
+    elif direction == "forward":
+        # Mirror image: earliest right row at-or-after each left row.
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.asc(ts_col), F.desc("_tag"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("_p", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
     carried = (
         l.select(by, ts_col, "_l", "_p", "_tag")
         .unionByName(r.select(by, ts_col, "_l", "_p", "_tag"))
-        .withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+        .withColumn("_match", carry)
         .filter(F.col("_tag") == 1)
     )
     out_left = [F.col(f"_l.{c}").alias(c) for c in left.columns]
@@ -118,3 +136,7 @@ def asof_join_backward(
         *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols],
     ]
     return carried.select(*out_left, *out_right)
+
+
+# Back-compat name from before the direction parameter existed.
+asof_join_backward = asof_join

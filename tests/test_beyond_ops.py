@@ -280,6 +280,16 @@ def test_asof_join_edges(spark):
     # l3 (k=2, ts=10) -> only right is at 11 (future) -> NULL.
     assert got == {"l1": "r_at_8", "l2": "r_at_5", "l3": None}
 
+    fwd = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join_backward(
+            left, right, by="k", direction="forward"
+        ).collect()
+    }
+    # Forward mirror: l1 -> nothing at/after ts=10 in k=1 -> NULL;
+    # l2 -> equal-ts inclusive -> r_at_5; l3 -> r_at_11.
+    assert fwd == {"l1": None, "l2": "r_at_5", "l3": "r_at_11"}
+
 
 def test_nlq_routing(spark):
     """Deterministic NL routing + SQL surface (the LIDA-analogue hook)."""
