@@ -57,11 +57,18 @@ def sql_tokens(expr: str = "text") -> str:
 
 def shingles(col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as strings (distinct — set semantics for
-    jaccard). Spark: slice(words, i, n) over sequence(1, len-n+1)."""
+    jaccard). Spark: slice(words, i, n) over sequence(1, len-n+1).
+
+    Documents shorter than ``n`` tokens yield an empty array via an
+    explicit guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (never
+    empty) and slice(w, 0, n) then raises — so short docs must never
+    reach the transform. The DuckDB twin needs no guard (its range() is
+    empty when the bound inverts)."""
     w = f"split({col}, ' ')"
     return F.expr(
-        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({w}, i, {n}))))"
+        f"if(size({w}) < {n}, array(),"
+        f" array_distinct(transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({w}, i, {n})))))"
     )
 
 
@@ -69,7 +76,10 @@ def sql_shingles(words: str = "w", n: int = 3) -> str:
     """DuckDB twin; ``words`` must name a token-list column (define it in a
     CTE — a bare expression would be re-evaluated per comprehension step).
     DuckDB list slicing x[i:j] is inclusive and 1-based; range(a, b) is
-    exclusive of b — x[i:i+n-1] over range(1, len-n+2)."""
+    exclusive of b — x[i:i+n-1] over range(1, len-n+2). Short docs:
+    range(1, <1) is empty, matching the Spark guard's empty array — except
+    sequence(1, 1) vs range(1, 1): for len == n both produce exactly one
+    shingle, pinned in test_portable_hash_parity."""
     return (
         f"list_distinct([array_to_string({words}[i:i+{n - 1}], ' ')"
         f" for i in range(1, len({words}) - {n - 2})])"

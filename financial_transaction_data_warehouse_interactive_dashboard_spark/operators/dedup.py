@@ -98,7 +98,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = N_SHINGLE,
     threshold: float = 0.3,
-    max_df: int | None = None,
+    max_df: int | float | None = 0.5,
 ) -> DataFrame:
     """Exhaustive near-dup pairs by word-n-gram Jaccard, blocked on shared
     shingles (classic inverted-index join — a pair is compared only if it
@@ -112,7 +112,17 @@ def ngram_jaccard_pairs(
     GENERATION only (they pair everything with everything while carrying
     no near-dup signal). Sizes keep counting them, so computed Jaccard
     becomes a slight underestimate for affected pairs — the usual
-    recall/cost dial, off by default.
+    recall/cost dial.
+
+    ``max_df`` accepts an absolute document count (int), a corpus fraction
+    (float in (0, 1]; the cap is ``max(2, floor(frac * n_docs))``,
+    computed IN-PLAN via a broadcast scalar aggregate — no eager count
+    job), or ``None`` to disable. The default is 0.5: a shingle present
+    in over half the corpus is definitionally a stop-shingle, pairs
+    everything with everything (a single such shingle makes the self-join
+    quadratic in corpus size), and carries no near-dup signal. ``None``
+    is the explicit opt-in for tiny corpora where the quadratic blow-up
+    can't happen.
     """
     # The shingle rows feed three plan branches (sizes, both join sides);
     # materialize once instead of recomputing the tokenize+window DAG 3x.
@@ -123,12 +133,22 @@ def ngram_jaccard_pairs(
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     join_side = ex
     if max_df is not None:
-        rare = (
-            ex.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("s")
-        )
+        df = ex.groupBy("s").agg(F.count("*").alias("df"))
+        if isinstance(max_df, float):
+            # Fraction of corpus: resolve the cap lazily against a 1-row
+            # broadcast aggregate so the operator stays a single lazy plan.
+            ndocs = docs.agg(F.count("*").alias("n_docs"))
+            cap = F.greatest(
+                F.lit(2).cast("bigint"),
+                F.floor(F.lit(max_df) * F.col("n_docs")),
+            )
+            rare = (
+                df.crossJoin(F.broadcast(ndocs))
+                .filter(F.col("df") <= cap)
+                .select("s")
+            )
+        else:
+            rare = df.filter(F.col("df") <= F.lit(int(max_df))).select("s")
         join_side = ex.join(rare, "s", "left_semi")
     a, b = join_side.alias("a"), join_side.alias("b")
     co = (

@@ -76,8 +76,12 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {SQL_DOCS_SHINGLES},
     ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    rare AS (SELECT s FROM ex GROUP BY s
+             HAVING count(*) <= greatest(2,
+               floor(0.5 * (SELECT count(*) FROM documents)))),
+    exf AS (SELECT ex.* FROM ex JOIN rare USING (s)),
     co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
     sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
     SELECT id_a, id_b,
@@ -89,7 +93,12 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive word-5-gram Jaccard near-dup pairs (shared-shingle block)."""
+    """Exhaustive word-5-gram Jaccard near-dup pairs (shared-shingle block).
+
+    Runs the operator's scale-safe default (max_df=0.5: stop-shingles
+    present in over half the corpus are excluded from candidate
+    generation); the oracle mirrors the same df cap, so the contract is
+    exact whether or not the cap fires at a given scale."""
     return D.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.3
     ).orderBy("id_a", "id_b")
@@ -659,8 +668,8 @@ def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(value::DECIMAL(30,6))::DOUBLE AS day_value
       FROM events GROUP BY 1)
     SELECT make_timestamp(d * 86400 * 1000000)::DATE AS day, n,
-           sum(n) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             AS n_7d,
+           CAST(sum(n) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_7d,
            day_value
     FROM daily ORDER BY day
     """,
@@ -741,7 +750,8 @@ def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events
@@ -772,21 +782,45 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a5_unique_customers_approx", None)  # rows-only: HLL sketch values
+@query(
+    "a5_unique_customers_approx",
+    """
+    SELECT o_orderstatus AS status,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_in_bound
+    FROM orders GROUP BY 1 ORDER BY status
+    """,
+)
 def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,
-    2% rsd) per segment next to the exact count. Rows-only: sketch
-    estimates are implementation-specific, so there is no cross-engine
-    oracle — the exact twin lives in a4_kpis/a1_count_by_segment. The
-    scale point: the exact distinct needs a per-(segment,custkey) shuffle;
-    the sketch merges fixed-size registers map-side.
+    2% rsd) per segment next to the exact count. The scale point: the
+    exact distinct needs a per-(segment,custkey) shuffle; the sketch
+    merges fixed-size registers map-side.
+
+    Checkable contract: the raw sketch estimate is
+    implementation-specific, so the registry projection emits the exact
+    count plus ``approx_in_bound`` = |approx - exact| <= 3*rsd*exact. The
+    oracle pins the exact half and asserts the bound holds (TRUE) — HLL++
+    is deterministic for a given input set, so the boolean is stable, and
+    a sketch regression now FAILS the gate instead of hiding behind a
+    rows-only entry. tests/test_beyond_ops.py asserts the numeric bound
+    locally as well.
     """
     orders = _t(spark, sf_dir, "orders")
+    rsd = 0.02
     return (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
-            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.approx_count_distinct("o_custkey", rsd).alias("approx_customers"),
             F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "status",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 3 * rsd * F.col("exact_customers")
+            ).alias("approx_in_bound"),
         )
         .orderBy("status")
     )
@@ -823,9 +857,9 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_features_resize",
     f"""
     SELECT doc_id,
-           [(('0x' || substr(md5(text || '_' || i), 1, 8))::BIGINT % 1000)
-              / 1000.0
-            for i in range(0, {M.FEATURE_DIM})] AS features,
+           array_to_string(
+             [(('0x' || substr(md5(text || '_' || i), 1, 8))::BIGINT % 1000)
+              for i in range(0, {M.FEATURE_DIM})], ',') AS features_csv,
            CASE WHEN w >= h THEN 256 ELSE (w * 256) // h END AS out_w,
            CASE WHEN w >= h THEN (h * 256) // w ELSE 256 END AS out_h
     FROM (SELECT doc_id, text,
@@ -839,9 +873,27 @@ def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature-extraction + resize-planning (mapInPandas vector
     output; operators.multimodal.extract_features). The oracle recomputes
     the md5-derived embedding and the integer resize geometry over the
-    same bytes."""
+    same bytes.
+
+    The operator's API output is ``array<double>`` (the schema the
+    similarity operators consume); the checked registry projection
+    serializes it to canonical integer milli-values (features are exactly
+    k/1000, k in 0..999) because the driver's comparator hashes scalar
+    columns only — arrays are unhashable in its pandas canonicalizer.
+    """
     docs = M.attach_blob(_t(spark, sf_dir, "documents"))
-    return M.extract_features(docs).orderBy("doc_id")
+    feats = M.extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.round(x * 1000).cast("int").cast("string")
+            ),
+        ).alias("features_csv"),
+        "out_w",
+        "out_h",
+    ).orderBy("doc_id")
 
 
 @query(

@@ -626,7 +626,8 @@ def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment AS segment, o_orderstatus AS status,
            count(*) AS n,
-           sum(count(*)) OVER (PARTITION BY c_mktsegment) AS segment_total
+           CAST(sum(count(*)) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+             AS segment_total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1, 2
     ORDER BY segment_total DESC, segment ASC, status ASC

@@ -31,7 +31,7 @@ from financial_transaction_data_warehouse_interactive_dashboard_spark.streaming 
     windows as W,
 )
 
-from conftest import SF_SMOKE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_portable_hash_parity(spark):
@@ -322,3 +322,71 @@ def test_quality_pts_range(spark):
     rows = docs.select(*[c.alias(n) for n, c in cols.items()]).collect()
     assert all(0 <= r["quality_pts"] <= 100 for r in rows)
     assert all(0.0 <= r["distinct_ratio"] <= 1.0 for r in rows)
+
+
+def test_shingles_short_doc_parity(spark):
+    """Docs shorter than the shingle width must yield an EMPTY set in both
+    engines (Spark sequence(1,0) descends — the guard in
+    functions.portable.shingles must catch it, not crash), and len == n
+    must yield exactly one shingle."""
+    texts = ["", "one", "one two", "a b c", "a b c d", "w " * 99 + "w"]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        sorted(r[0]) for r in sdf.select(P.shingles("text", 3)).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        sorted(
+            con.execute(
+                "WITH d AS (SELECT string_split(?, ' ') AS w) "
+                f"SELECT {P.sql_shingles('w', 3)} FROM d",
+                [t],
+            ).fetchone()[0]
+        )
+        for t in texts
+    ]
+    assert got == want
+    assert got[0] == [] or got[0] == [""]  # degenerate empty-string doc
+    assert got[1] == []  # 1 token < n=3 -> empty
+    assert got[2] == []  # 2 tokens < n=3 -> empty
+    assert got[3] == ["a b c"]  # len == n -> exactly one shingle
+
+
+def test_ngram_ubiquitous_shingle_no_explosion(spark):
+    """A single planted stop-shingle must NOT pair everything with
+    everything under the scale-safe default df cap: with max_df=None the
+    candidate space is quadratic (all C(n,2) pairs), with the default
+    fractional cap it collapses to zero — the exact 100 TB skew hazard
+    VERDICT r1 flagged, pinned at test scale."""
+    n_docs = 60
+    rows = [
+        (
+            i,
+            "c1 c2 c3 c4 c5 "  # one shingle shared by EVERY doc
+            + " ".join(f"u{i}x{j}" for j in range(5)),  # rest unique
+        )
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    quadratic = D.ngram_jaccard_pairs(docs, threshold=0.01, max_df=None).count()
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.01).count()
+    assert quadratic == n_docs * (n_docs - 1) // 2  # stop-shingle pairs all
+    assert capped == 0  # default cap removes the quadratic blow-up
+
+
+def test_hll_approx_bound(spark):
+    """The HLL sketch must sit within 3*rsd of the exact distinct count per
+    group — the numeric contract behind a5's approx_in_bound oracle
+    column."""
+    orders = load_table(spark, SF_ORACLE, "orders")
+    rows = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 3 * 0.02 * r["exact"], r
