@@ -81,17 +81,56 @@ def main() -> None:
         timings[name] = round(min(run_once(name), run_once(name)), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "named_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
+    out = {
+        "metric": "named_query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+
+    # Regression diff vs the previous round's driver-recorded bench (same
+    # sf only — cross-scale deltas are meaningless). Informational: bench
+    # noise on a loaded box is 2-4x, so the flag threshold is generous and
+    # regressions should be confirmed with median-of-3 before acting.
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if prev_path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = sorted(
+            f for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
         )
-    )
+        prev_path = os.path.join(here, rounds[-1]) if rounds else None
+    if prev_path and os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            # Driver-recorded BENCH_r{N}.json wraps our line under "parsed".
+            if "parsed" in prev and isinstance(prev["parsed"], dict):
+                prev = prev["parsed"]
+            if prev.get("sf") == out["sf"]:
+                pq = prev.get("queries", {})
+                deltas = {
+                    n: round(timings[n] / pq[n], 2)
+                    for n in timings
+                    if n in pq and pq[n] > 0
+                }
+                out["vs_prev"] = {
+                    "file": os.path.basename(prev_path),
+                    "total_ratio": round(total / prev["value"], 3)
+                    if prev.get("value")
+                    else None,
+                    "regressed_1_3x": {
+                        n: r for n, r in sorted(deltas.items()) if r > 1.3
+                    },
+                    "improved_0_7x": {
+                        n: r for n, r in sorted(deltas.items()) if r < 0.7
+                    },
+                }
+        except (json.JSONDecodeError, OSError, KeyError):
+            pass  # diff is best-effort; never break the bench contract
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -164,14 +164,25 @@ def build_fact(
     dim_geography: DataFrame,
     dim_symbol: DataFrame,
     dim_transaction_type: DataFrame,
+    keep_measures: bool = False,
 ) -> DataFrame:
     """J1/J2: resolve every natural key to its surrogate id via inner
     broadcast joins, then project + cast (P1/P3/P4, etl.ipynb:101-165).
 
     The physical plan is one fact scan through four BroadcastHashJoins —
     no shuffle at any scale, because dims broadcast.
+
+    ``keep_measures=True`` retains the raw ``Unit`` quantity column
+    (raw_file col 5) as the fact measure ``unit`` — the reference drops it
+    at etl.ipynb:151, leaving a degenerate COUNT-only fact, but SURVEY
+    section 1.2 commits to keeping it available: a measure-carrying fact
+    is what makes SUM/AVG aggregation over the star possible at all.
+    Default False preserves byte-parity with the reference's output.
     """
     sym_country = symbols_mapped.select("symbol", "country_name")
+    measure_cols = (
+        [F.col("Unit").cast("long").alias("unit")] if keep_measures else []
+    )
     return (
         account_clean.join(F.broadcast(sym_country), "symbol")
         .join(F.broadcast(dim_time), "quarter")
@@ -189,6 +200,7 @@ def build_fact(
             F.col("geography_id").cast("int").alias("geography_id"),
             F.col("symbol_id").cast("int").alias("symbol_id"),
             F.col("transaction_type_id").cast("int").alias("transaction_type_id"),
+            *measure_cols,
         )
     )
 
@@ -204,8 +216,10 @@ def build_gold(
 
     Reference: etl.ipynb:174-192 -> transactions_merged.csv, the only table
     the dashboard reads (streamlit.py:40). Left joins: unmatched FKs keep
-    the row with NULL attributes.
+    the row with NULL attributes. If the fact carries the ``unit`` measure
+    (build_fact(keep_measures=True)), it rides along into the gold table.
     """
+    measure_cols = ["unit"] if "unit" in fact.columns else []
     return (
         fact.join(F.broadcast(dim_time), "time_id", "left")
         .join(F.broadcast(dim_geography), "geography_id", "left")
@@ -219,21 +233,32 @@ def build_gold(
             "sector",
             "industry",
             "transaction_type",
+            *measure_cols,
         )
     )
 
 
 def run_etl(
-    spark: SparkSession, account_path: str, symbols_path: str, country_path: str
+    spark: SparkSession,
+    account_path: str,
+    symbols_path: str,
+    country_path: str,
+    keep_measures: bool = False,
 ) -> Warehouse:
-    """Full pipeline: raw CSVs -> star schema -> gold (all lazy)."""
+    """Full pipeline: raw CSVs -> star schema -> gold (all lazy).
+
+    ``keep_measures=True`` carries the raw Unit quantity through fact and
+    gold as the ``unit`` measure column (see build_fact); the default
+    reproduces the reference's measureless star byte-for-byte."""
     account, symbols, _country = read_raw(
         spark, account_path, symbols_path, country_path
     )
     account_clean = clean_account(account, symbols)
     symbols_mapped = remap_country(symbols, spark)
     dt, dg, ds, dtt = build_dims(account_clean, symbols_mapped, spark)
-    fact = build_fact(account_clean, symbols_mapped, dt, dg, ds, dtt)
+    fact = build_fact(
+        account_clean, symbols_mapped, dt, dg, ds, dtt, keep_measures=keep_measures
+    )
     gold = build_gold(fact, dt, dg, ds, dtt)
     return Warehouse(dt, dg, ds, dtt, fact, gold)
 

@@ -902,6 +902,60 @@ def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a12_star_measures",
+    """
+    SELECT n_name AS nation, p_type AS part_type,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*)
+             AS avg_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, part_type
+    """,
+)
+def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG of fact MEASURES through a multi-dim star join — the
+    measure-aggregation path the reference's degenerate COUNT-only fact
+    never exercises (Unit is dropped at etl.ipynb:151; SURVEY section 1.2
+    keeps it — plans.etl.build_fact(keep_measures=True) is the
+    reference-schema twin of this query, golden-tested against the raw
+    CSV in tests/test_etl_golden.py).
+
+    Plan shape: one fact scan through three BroadcastHashJoins (dims
+    broadcast, fact never shuffles pre-aggregation), decimal-exact sums
+    (order-independent across partitions), AVG as decimal-sum/count.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_type").alias("part_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty"),
+        )
+        .orderBy("nation", "part_type")
+    )
+
+
+@query(
     "x2_union_intersect",
     """
     WITH big_buyers AS (

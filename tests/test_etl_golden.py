@@ -193,3 +193,51 @@ def test_golden_business_queries(warehouse):
         ("Q3", 242),
         ("Q4", 241),
     ]
+
+
+def test_measure_fact_variant(spark):
+    """keep_measures=True carries the raw Unit quantity through fact and
+    gold (SURVEY 1.2's commitment; the reference drops it at
+    etl.ipynb:151). Golden check: per-quarter SUM(unit) must equal DuckDB
+    aggregating the raw CSV directly (same symbol anti-filter), and the
+    default (measureless) gold stays schema-identical to the reference.
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.etl import (
+        run_etl,
+    )
+
+    wh = run_etl(spark, ACCOUNT, SYMBOLS, COUNTRY, keep_measures=True)
+    assert "unit" in wh.fact_transactions.columns
+    assert "unit" in wh.gold.columns
+
+    got = {
+        (r["quarter"], r["total_units"])
+        for r in wh.gold.groupBy("quarter")
+        .agg(F.sum("unit").alias("total_units"))
+        .collect()
+    }
+    want = set(
+        duckdb.sql(
+            f"""
+            WITH raw AS (
+              SELECT * FROM read_csv('{ACCOUNT}', header=true, delim=';',
+                                     all_varchar=true)
+            ), syms AS (
+              SELECT * FROM read_csv('{SYMBOLS}', header=true, delim=';')
+            )
+            SELECT 'Q' || quarter(strptime(raw.Date, '%d/%m/%Y %H:%M:%S'))
+                     AS quarter,
+                   CAST(sum(CAST(raw.Unit AS BIGINT)) AS BIGINT) AS total_units
+            FROM raw SEMI JOIN syms ON raw.Symbol = syms.Symbol
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+    default_gold = run_etl(spark, ACCOUNT, SYMBOLS, COUNTRY).gold
+    assert "unit" not in default_gold.columns
+    assert len(default_gold.columns) == 7
