@@ -42,6 +42,7 @@ LARGE_RESULT = {
     "dd_simhash",
     "dd_simhash_pairs",
     "ev_sessionize",
+    "st_sessionize",
     "mm_blob_meta",
     "tx_fingerprint",
     "tx_lang_id",

@@ -1016,10 +1016,54 @@ def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("st_tumbling_hourly", None)  # rows-only: Structured Streaming execution
+@query(
+    "st_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
 def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.windows.tumbling executed as a real Structured Streaming
-    job (file source -> watermark -> complete mode -> memory sink). Batch
-    twin ev_tumbling_hourly is the oracle-checked equivalent; the batch ==
-    stream equality is asserted in tests/test_beyond_ops.py."""
-    return ST.run_tumbling_stream(spark, sf_dir)
+    job (file source -> watermark -> complete mode -> memory sink).
+
+    Oracle: identical to batch twin ev_tumbling_hourly — the design rule
+    (window expressions authored once, lifted to streaming unchanged)
+    makes stream == batch an exact contract, so the streaming execution
+    gets the same DuckDB oracle instead of a rows-only blind spot. The
+    equality is also asserted directly in tests/test_beyond_ops.py."""
+    return ST.run_tumbling_stream(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "st_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes'
+             THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, first_ts
+    """,
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming session windows (the hard case: a session is
+    emitted only when the watermark proves it closed) — multi-batch file
+    source, sentinel-driven watermark advance, availableNow; see
+    streaming.stream.run_session_stream. Oracle: the same gaps-and-islands
+    SQL as batch twin ev_sessionize, because append-mode flush emits
+    exactly the batch session set once the watermark passes the tail."""
+    return ST.run_session_stream(spark, sf_dir).orderBy("user_id", "first_ts")

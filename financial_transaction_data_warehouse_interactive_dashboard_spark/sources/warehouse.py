@@ -22,6 +22,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _drop_stale(spark: SparkSession, table: str) -> None:
@@ -92,6 +93,31 @@ def upsert_overwrite(
     # Rename via CTAS-free catalog swap: parquet tables support ALTER
     # RENAME in the session catalog.
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+
+
+def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:
+    """Cell-partitioned ANN corpus: the IVF nearest-centroid assignment
+    (operators.similarity._assign_cells) becomes the STORAGE partition
+    column, making probe-time cell selection partition pruning — a query
+    probing nprobe of n_cells cells reads nprobe/n_cells of the corpus
+    files, whether the probe set is a static IN-list (static pruning) or
+    the output of a centroid-scoring join (dynamic partition pruning).
+    tests/test_plan_quality.py asserts both on the actual file counts and
+    plan.
+
+    The corpus is repartitioned by cell before the write so each cell
+    directory holds one file per occupied cell, not one file per (write
+    task x cell) — the small-files failure mode of naive partitioned
+    writes at 10^9 vectors.
+    """
+    from ..operators.similarity import _assign_cells, _vecs
+
+    vecs = _vecs(emb)
+    cells = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    assign = _assign_cells(vecs, cells).repartition("cell")
+    write_partitioned(assign, table, ["cell"])
 
 
 def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:

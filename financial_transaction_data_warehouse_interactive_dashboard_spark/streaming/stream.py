@@ -15,6 +15,7 @@ once on user_id, timeouts fire off the watermark)."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 
@@ -76,6 +77,98 @@ def run_tumbling_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+SENTINEL_USER = -999
+
+
+def run_session_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "st_sessionize",
+) -> DataFrame:
+    """Append-mode session windows as a real Structured Streaming job —
+    the hard streaming case: a session can only be EMITTED once the
+    watermark proves no more events can join it (append mode), so the
+    stream's tail sessions never flush on their own when the input ends.
+
+    Mechanics demonstrated here:
+    - multi-batch file source (maxFilesPerTrigger=1) so the watermark
+      actually advances between microbatches rather than jumping once;
+    - a far-future SENTINEL event (user_id=-999, +10 days) appended as a
+      second file: its batch advances the watermark past every real
+      session's end + gap, flushing them all; the sentinel's own open
+      session is the only state left unemitted and is filtered out of
+      the returned table;
+    - availableNow trigger: processes all files, runs the no-data flush
+      batches, terminates — the batch-job posture for a streaming
+      pipeline.
+
+    Output is exactly streaming.windows.sessionize's batch semantics
+    (asserted in tests; ev_sessionize's DuckDB oracle doubles as this
+    query's oracle in the registry).
+    """
+    from ..sources.registry import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    # Session-lived two-file stream dir: the real events + the sentinel.
+    key = f"{path}::session"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-sess-")
+        os.symlink(path, os.path.join(d, "0-events.parquet"))
+        raw = spark.read.schema(raw_schema).parquet(path)
+        ts_is_long = dict(raw.dtypes).get("ts") == "bigint"
+        shift = (
+            F.lit(10 * 86400 * 1_000_000_000)  # +10 days, nanos
+            if ts_is_long
+            else F.expr("INTERVAL 10 DAYS")
+        )
+        sentinel = (
+            raw.orderBy(F.desc("ts"))
+            .limit(1)
+            .withColumn("ts", F.col("ts") + shift)
+            .withColumn("user_id", F.lit(SENTINEL_USER).cast("bigint"))
+            .withColumn("event_id", F.lit(-1).cast("bigint"))
+        )
+        # Write to a scratch dir, then move the single part-file into the
+        # stream dir as a FLAT file (the file source lists files, not
+        # nested write directories).
+        scratch = os.path.join(d, "_scratch")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(scratch, part), os.path.join(d, "1-sentinel.parquet")
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        _STREAM_DIRS[key] = d
+
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = W.sessionize(
+        src.withWatermark("ts", f"{gap_minutes} minutes"),
+        f"{gap_minutes} minutes",
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
 
 
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -390,3 +390,13 @@ def test_hll_approx_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= 3 * 0.02 * r["exact"], r
+
+
+def test_session_stream_equals_batch(spark):
+    """Append-mode streaming session windows (sentinel-flushed watermark)
+    must emit exactly the batch session set."""
+    got = sorted(map(tuple, ST.run_session_stream(spark, SF_SMOKE).collect()))
+    want = sorted(
+        map(tuple, W.sessionize(load_table(spark, SF_SMOKE, "events")).collect())
+    )
+    assert got and got == want
