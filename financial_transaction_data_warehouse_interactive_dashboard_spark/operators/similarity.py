@@ -175,19 +175,31 @@ def topk_ann_ivf_kmeans(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 2,
+    iterations: int = 1,
 ) -> DataFrame:
     """IVF with a k-means-refined quantizer: seed centroids (first
-    n_cells vectors) -> one Lloyd iteration (refine_centroids) -> assign /
-    probe / rank against the refined cells. Better-balanced cells than the
-    raw-seed quantizer at identical plan shape; more iterations = loop the
-    refine step (each is one shuffle over exploded dimensions)."""
+    n_cells vectors) -> ``iterations`` Lloyd iterations (refine_centroids)
+    -> assign / probe / rank against the refined cells. Better-balanced
+    cells than the raw-seed quantizer at identical plan shape.
+
+    Each iteration is one shuffle over exploded dimensions and is
+    materialized (localCheckpoint) before the next: the alternative is a
+    lineage that stacks a full corpus pass per iteration and gets
+    re-executed by both the assignment and the probe branch — at 10^9
+    vectors that's iterations x 2 redundant corpus scans. Decimal-exact
+    means keep every iteration bit-reproducible across engines and
+    partitionings, so the whole index build is oracle-checkable at any
+    iteration count."""
     vecs = _vecs(emb)
     seeds = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    # n_cells rows, but the lineage is the whole Lloyd pass over the
-    # corpus; assignment and probing both reference it — materialize once.
-    cells = refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+    cells = seeds
+    for _ in range(iterations):
+        # n_cells rows, but the lineage is a whole Lloyd pass over the
+        # corpus; the next iteration, assignment, and probing all
+        # reference it — materialize once per iteration.
+        cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
     assign = _assign_cells(vecs, cells)
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

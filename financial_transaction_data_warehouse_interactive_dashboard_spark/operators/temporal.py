@@ -86,9 +86,14 @@ def asof_join(
     (including the matched right ``ts``), NULL when no match exists.
     ``direction``: 'backward' attaches the latest right row with
     right.ts <= left.ts; 'forward' the earliest with right.ts >= left.ts
-    (both inclusive, matching DuckDB ASOF with >= / <=). Right (by, ts)
-    pairs should be unique — pre-aggregate otherwise, or the carried row
-    among ties is sort-order dependent."""
+    (both inclusive, matching DuckDB ASOF with >= / <=); 'nearest' the
+    right row minimizing |right.ts - left.ts| (ties -> the backward
+    match). Right (by, ts) pairs should be unique — pre-aggregate
+    otherwise, or the carried row among ties is sort-order dependent.
+
+    'nearest' costs the same single shuffle: both directional carries run
+    over the SAME unioned, key-partitioned frame (two window sorts, one
+    exchange) and a CASE picks the closer side per row."""
     payload_cols = [c for c in right.columns if c not in (by, ts_col)]
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload_cols]
@@ -105,31 +110,45 @@ def asof_join(
     r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
     l = l.withColumn("_p", F.lit(None).cast(r.schema["_p"].dataType))
 
+    # Right rows sort BEFORE left at equal ts (inclusive <=); carry the
+    # last right payload seen so far forward onto each left row.
+    w_back = (
+        Window.partitionBy(by)
+        .orderBy(F.asc(ts_col), F.asc("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    back = F.last("_p", ignorenulls=True).over(w_back)
+    # Mirror image: earliest right row at-or-after each left row.
+    w_fwd = (
+        Window.partitionBy(by)
+        .orderBy(F.asc(ts_col), F.desc("_tag"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fwd = F.first("_p", ignorenulls=True).over(w_fwd)
+
+    unioned = l.select(by, ts_col, "_l", "_p", "_tag").unionByName(
+        r.select(by, ts_col, "_l", "_p", "_tag")
+    )
     if direction == "backward":
-        # Right rows sort BEFORE left at equal ts (inclusive <=); carry
-        # the last right payload seen so far forward onto each left row.
-        w = (
-            Window.partitionBy(by)
-            .orderBy(F.asc(ts_col), F.asc("_tag"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carry = F.last("_p", ignorenulls=True).over(w)
+        carried = unioned.withColumn("_match", back)
     elif direction == "forward":
-        # Mirror image: earliest right row at-or-after each left row.
-        w = (
-            Window.partitionBy(by)
-            .orderBy(F.asc(ts_col), F.desc("_tag"))
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = unioned.withColumn("_match", fwd)
+    elif direction == "nearest":
+        # Materialize each directional carry ONCE as a column (one Window
+        # operator per spec), then pick the closer side per row.
+        both = unioned.withColumn("_b", back).withColumn("_f", fwd)
+        b_gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"_b.{ts_col}"))
+        f_gap = F.unix_micros(F.col(f"_f.{ts_col}")) - F.unix_micros(F.col(ts_col))
+        carried = both.withColumn(
+            "_match",
+            F.when(F.col("_f").isNull(), F.col("_b"))
+            .when(F.col("_b").isNull(), F.col("_f"))
+            .when(b_gap <= f_gap, F.col("_b"))  # tie -> backward
+            .otherwise(F.col("_f")),
         )
-        carry = F.first("_p", ignorenulls=True).over(w)
     else:
         raise ValueError(f"unknown direction {direction!r}")
-    carried = (
-        l.select(by, ts_col, "_l", "_p", "_tag")
-        .unionByName(r.select(by, ts_col, "_l", "_p", "_tag"))
-        .withColumn("_match", carry)
-        .filter(F.col("_tag") == 1)
-    )
+    carried = carried.filter(F.col("_tag") == 1)
     out_left = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_right = [
         F.col(f"_match.{ts_col}").alias(f"{right_prefix}{ts_col}"),

@@ -236,7 +236,13 @@ def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for the first 8 vectors (brute-force baseline)."""
+    """Exact cosine top-10 for the first 8 vectors.
+
+    SCALE NOTE — exactness BASELINE, not the 100 TB path: this is a full
+    linear corpus scan per query batch (right up to ~10^7 vectors, and
+    the recall yardstick for the ANN tests). Route large-corpus serving
+    to sim_ann_ivf / sim_ann_ivf_kmeans* (partition-pruned probes over
+    the write_ivf_layout cell layout) or sim_ann_signlsh."""
     return S.topk_bruteforce(
         _t(spark, sf_dir, "embeddings"), n_queries=8, k=10
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
@@ -357,6 +363,130 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
+def _sql_ivf_kmeans(iters: int) -> str:
+    """Generate the DuckDB oracle for an ``iters``-iteration Lloyd refine:
+    the same CTE block (assign -> explode dims -> decimal-exact means ->
+    regroup) stacked once per iteration — the SQL mirror of the operator's
+    materialize-per-iteration loop."""
+    assign = (
+        "(SELECT e.vec_id, e.v, cell FROM e, {cells}\n"
+        "       QUALIFY row_number() OVER (\n"
+        "         PARTITION BY e.vec_id\n"
+        "         ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,"
+        " cell ASC) = 1)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16)",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"a{i} AS " + assign.format(cells=f"c{i}"),
+            f"px{i} AS (SELECT cell, u.p AS pos, u.x AS val\n"
+            f"       FROM a{i},\n"
+            "            unnest([{'p': i, 'x': v[i]}"
+            " for i in range(1, len(v) + 1)]) AS t(u))",
+            f"cent{i} AS (SELECT cell, pos,\n"
+            "           CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)"
+            " / count(*) AS cv_e\n"
+            f"         FROM px{i} GROUP BY 1, 2)",
+            f"c{i + 1} AS (SELECT cell, list(cv_e ORDER BY pos) AS cv"
+            f" FROM cent{i} GROUP BY 1)",
+        ]
+    fin = f"c{iters}"
+    ctes += [
+        "af AS " + assign.format(cells=fin),
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)",
+        f"probe AS (SELECT query_id, qv, cell FROM q, {fin}\n"
+        "      QUALIFY row_number() OVER (\n"
+        "        PARTITION BY query_id\n"
+        "        ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,"
+        " cell ASC) <= 2)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, af.vec_id AS neighbor_id,\n"
+        "       round(list_cosine_similarity(qv, af.v), 6) AS cosine\n"
+        "FROM probe p JOIN af ON af.cell = p.cell AND af.vec_id != p.query_id\n"
+        "QUALIFY row_number() OVER (\n"
+        "  PARTITION BY query_id\n"
+        "  ORDER BY round(list_cosine_similarity(qv, af.v), 6) DESC,"
+        " af.vec_id ASC) <= 5\n"
+        "ORDER BY query_id, cosine DESC, neighbor_id"
+    )
+
+
+@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3))
+def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration Lloyd refinement (3 iterations, each materialized
+    once and decimal-exact): the converged-quantizer path. The oracle SQL
+    is GENERATED for the same iteration count (_sql_ivf_kmeans), so Spark
+    and DuckDB run the identical iteration-unrolled algorithm — every
+    intermediate centroid set is implicitly pinned."""
+    return S.topk_ann_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=8,
+        k=5,
+        n_cells=16,
+        nprobe=2,
+        iterations=3,
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+@query(
+    "dd_corpus_clean",
+    None,  # oracle defined below, after the lexicon fragments exist
+)
+def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-training-data pipeline, end to end: language
+    filter -> quality filter -> exact dedup -> MinHash-LSH near-dup
+    removal -> surviving corpus. Every stage is one of the engine's
+    oracle-checked operators composed lazily into a single Catalyst plan
+    (the filters run BEFORE the expensive shingle/LSH stages, so the
+    near-dup pass sees only the quality-English subset — the order a
+    100 TB curation run must use).
+
+    Near-dup policy: from each LSH-verified pair (jaccard >= 0.5) the
+    higher doc_id is dropped ("keep first seen") — deterministic,
+    single-pass, and the standard greedy choice when full
+    connected-component resolution isn't worth a transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    qc = T.quality_columns("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        *T.lang_scores("text"),
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_pts"].alias("quality_pts"),
+    ).select(
+        "doc_id", "text", "n_tokens", "quality_pts",
+        T.predicted_lang().alias("plang"),
+    )
+    filt = scored.filter(
+        (F.col("plang") == "en") & (F.col("quality_pts") >= 45)
+    )
+    reps = D.exact_dedup(filt).select("doc_id")
+    # NOT materialized, deliberately: the LSH pipeline references this
+    # frame several times, but every branch needs only (doc_id, text) —
+    # Catalyst's column pruning strips the interpreted-HOF quality/lang
+    # expressions out of those branches, so recomputation is just the
+    # parquet scan + cheap filters. An eager localCheckpoint here was
+    # MEASURED 8x SLOWER at sf0.1 (4.6s -> 38s): it forces one wide
+    # materialization and then defeats pruning/pushdown for every
+    # downstream branch. (Contrast minhash_lsh_pairs' internal candidate
+    # checkpoint, which wins because candidates are tiny and their
+    # lineage is the whole signature DAG.)
+    s2 = filt.join(reps, "doc_id", "left_semi")
+    near = D.minhash_lsh_pairs(
+        s2.select("doc_id", "text"), threshold=0.5
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        s2.join(near, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality_pts")
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -413,6 +543,67 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_SQL = _sql_lexicon(T.STOPWORDS)
+
+# dd_corpus_clean's oracle composes the lexicon/quality/shingle/LSH
+# fragments, so it is attached here (after they exist) onto the entry
+# registered above — same SQL fragments as the per-stage oracles, so the
+# pipeline and its stages cannot drift apart.
+_SQL_QUALITY_PTS = f"""( (least(len(w), 100) * 25) // 100
+           + (len(list_distinct(w)) * 35) // len(w)
+           + least(({_STOP_SQL} * 100) // len(w), 20)
+           + least((list_sum([length(t) for t in w]) * 20) // (8 * len(w)), 20)
+         )::BIGINT"""
+
+_SQL_CORPUS_CLEAN = f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                  FROM documents),
+    sc AS (SELECT doc_id, text, w,
+             len(w)::BIGINT AS n_tokens,
+             {_HITS['en']}::BIGINT AS hits_en,
+             {_HITS['es']}::BIGINT AS hits_es,
+             {_HITS['zh']}::BIGINT AS hits_zh,
+             {_SQL_QUALITY_PTS} AS quality_pts
+           FROM base),
+    filt AS (SELECT doc_id, text, w, n_tokens, quality_pts FROM sc
+             WHERE {_LANG_CASE} = 'en' AND quality_pts >= 45),
+    s2 AS (SELECT * FROM filt
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+    sh AS (SELECT doc_id, {_P.sql_shingles('w', D.N_SHINGLE)} AS sh FROM s2),
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(
+                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
+                  AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id),
+    nd AS (SELECT DISTINCT id_b
+           FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                     JOIN sh sb ON cand.id_b = sb.doc_id
+           WHERE {SQL_JACCARD} >= 0.5)
+    SELECT doc_id, n_tokens, quality_pts FROM s2
+    WHERE doc_id NOT IN (SELECT id_b FROM nd)
+    ORDER BY doc_id
+"""
+
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from .queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["dd_corpus_clean"] = _dc_replace(
+    _REGISTRY["dd_corpus_clean"], oracle=_SQL_CORPUS_CLEAN
+)
 
 
 @query(
@@ -961,6 +1152,69 @@ def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_ts",
         "r_view_value",
         (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "ev_asof_nearest_error",
+    """
+    WITH e2 AS (
+      SELECT user_id, ts, max(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT p.event_id, p.user_id, p.ts, e2.ts AS b_ts
+      FROM p ASOF LEFT JOIN e2 ON p.user_id = e2.user_id AND p.ts >= e2.ts
+    ), f AS (
+      SELECT p.event_id, e2.ts AS f_ts
+      FROM p ASOF LEFT JOIN e2 ON p.user_id = e2.user_id AND p.ts <= e2.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN f_ts IS NULL THEN b_ts
+                WHEN b_ts IS NULL THEN f_ts
+                WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_ts
+                ELSE f_ts END AS r_ts,
+           CASE WHEN f_ts IS NULL THEN epoch_us(b.ts) - epoch_us(b_ts)
+                WHEN b_ts IS NULL THEN epoch_us(b.ts) - epoch_us(f_ts)
+                WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(b.ts)
+                  THEN epoch_us(b.ts) - epoch_us(b_ts)
+                ELSE epoch_us(b.ts) - epoch_us(f_ts) END AS signed_gap_us
+    FROM b JOIN f USING (event_id)
+    ORDER BY event_id
+    """,
+)
+def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each purchase to the user's closest
+    error event in either time direction (ties -> the earlier/backward
+    match) — the sensor-alignment semantics pandas merge_asof calls
+    direction='nearest' and DuckDB has no primitive for. The oracle
+    composes DuckDB's two directional ASOF joins with the same
+    tie-breaking CASE, so the composed operator is pinned against a
+    reference implementation of each direction."""
+    from ..operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+        .select("user_id", "ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, errors, by="user_id", ts_col="ts", direction="nearest"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "r_ts",
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("signed_gap_us"),
     ).orderBy("event_id")
 
 

@@ -95,6 +95,54 @@ def upsert_overwrite(
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
 
 
+def upsert_partition_overwrite(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> None:
+    """Fact-scale SCD-1 MERGE on a PARTITIONED parquet table: rewrite only
+    the partitions that contain update keys, via dynamic partition
+    overwrite — the upgrade path the full-rewrite ``upsert_overwrite``
+    docstring promises.
+
+    Mechanics:
+    1. touched = distinct partition values in the updates (broadcast);
+    2. read ONLY those partitions of the current table (semi-join on the
+       partition column -> partition pruning, not a full scan);
+    3. anti-join away the updated keys, union the updates;
+    4. ``insertInto`` with partitionOverwriteMode=dynamic: Spark replaces
+       exactly the partitions present in the written data, leaving every
+       untouched partition's files in place (asserted on file mtimes in
+       tests/test_warehouse.py).
+
+    The merged frame is localCheckpoint-ed before the write because it
+    reads the same table it overwrites (Spark's read-write conflict check
+    is lineage-based; the checkpoint truncates lineage and, more to the
+    point, the source files being replaced must be fully read before
+    deletion). Its size is bounded by the TOUCHED partitions only. A real
+    deployment upgrades to Delta/Iceberg MERGE; this maps 1:1.
+    """
+    current = spark.table(table)
+    cols = current.columns
+    touched = updates.select(partition_col).distinct()
+    cur_touched = current.join(F.broadcast(touched), partition_col, "left_semi")
+    keys = updates.select(key).distinct()
+    merged = (
+        cur_touched.join(F.broadcast(keys), key, "left_anti")
+        .unionByName(updates.select(*cols))
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto is positional: project to the table's column order.
+        merged.select(*cols).write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:
     """Cell-partitioned ANN corpus: the IVF nearest-centroid assignment
     (operators.similarity._assign_cells) becomes the STORAGE partition

@@ -290,6 +290,27 @@ def test_asof_join_edges(spark):
     # l2 -> equal-ts inclusive -> r_at_5; l3 -> r_at_11.
     assert fwd == {"l1": None, "l2": "r_at_5", "l3": "r_at_11"}
 
+    # Nearest: one-sided fallbacks + the equidistant tie -> backward.
+    near_left = spark.createDataFrame(
+        [(1, t(10), "only_back"), (1, t(2), "only_fwd"), (3, t(10), "tied")],
+        ["k", "ts", "lv"],
+    )
+    near_right = spark.createDataFrame(
+        [(1, t(8), "r_at_8"), (1, t(3), "r_at_3"), (3, t(7), "r_back"),
+         (3, t(13), "r_fwd")],
+        ["k", "ts", "rv"],
+    )
+    near = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join_backward(
+            near_left, near_right, by="k", direction="nearest"
+        ).collect()
+    }
+    # only_back (ts=10): back r_at_8 gap 2 < fwd none -> r_at_8;
+    # only_fwd (ts=2): no prior -> forward r_at_3;
+    # tied (ts=10): r_back gap 3 == r_fwd gap 3 -> backward wins.
+    assert near == {"only_back": "r_at_8", "only_fwd": "r_at_3", "tied": "r_back"}
+
 
 def test_nlq_routing(spark):
     """Deterministic NL routing + SQL surface (the LIDA-analogue hook)."""

@@ -29,7 +29,13 @@ def plan_of(df) -> str:
     )
 
 
-STAR_QUERIES = ["q1_top_segments", "j1_fact_build", "j3_gold_denorm", "o2_top5_types"]
+STAR_QUERIES = [
+    "q1_top_segments",
+    "j1_fact_build",
+    "j3_gold_denorm",
+    "o2_top5_types",
+    "a12_star_measures",
+]
 
 
 @pytest.mark.parametrize("name", STAR_QUERIES)

@@ -73,3 +73,54 @@ def test_partition_pruning(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
     assert df.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_upsert_partition_overwrite(spark):
+    """Partition-scoped MERGE: only partitions containing update keys are
+    rewritten — untouched partitions' files must remain byte-identical on
+    disk (mtime+path), while matched keys are replaced and new keys
+    inserted."""
+    import glob
+    import os
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "q", F.quarter("o_orderdate")
+    )
+    WH.write_partitioned(orders, "wh_orders_po", ["q"])
+
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    def files():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{wh_dir}/wh_orders_po/q=*/*.parquet")
+        }
+
+    before = files()
+    sample = spark.table("wh_orders_po").filter(F.col("q") == 2).limit(2).collect()
+    assert len(sample) == 2
+    upd_key = sample[0]["o_orderkey"]
+    schema = spark.table("wh_orders_po").schema
+    new_row = dict(sample[1].asDict())
+    new_row["o_orderkey"] = -42  # brand-new key, same (q=2) partition
+    upd_row = dict(sample[0].asDict())
+    upd_row["o_orderpriority"] = "X-MERGED"
+    updates = spark.createDataFrame([upd_row, new_row], schema)
+
+    WH.upsert_partition_overwrite(
+        spark, "wh_orders_po", updates, key="o_orderkey", partition_col="q"
+    )
+    after = files()
+
+    untouched_before = {p: t for p, t in before.items() if "/q=2/" not in p}
+    untouched_after = {p: t for p, t in after.items() if "/q=2/" not in p}
+    assert untouched_before == untouched_after, "non-q2 partitions rewritten"
+    assert any("/q=2/" in p and p not in before for p in after), (
+        "q=2 partition should have new files"
+    )
+
+    t = spark.table("wh_orders_po")
+    assert t.filter(F.col("o_orderkey") == -42).count() == 1
+    got = t.filter(F.col("o_orderkey") == upd_key).collect()
+    assert len(got) == 1 and got[0]["o_orderpriority"] == "X-MERGED"
+    # Row conservation: original count + 1 insert.
+    assert t.count() == orders.count() + 1
