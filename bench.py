@@ -43,6 +43,7 @@ LARGE_RESULT = {
     "dd_simhash_pairs",
     "ev_sessionize",
     "st_sessionize",
+    "st_dedup",
     "mm_blob_meta",
     "tx_fingerprint",
     "tx_lang_id",

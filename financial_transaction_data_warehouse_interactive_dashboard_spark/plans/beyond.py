@@ -974,6 +974,55 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_value_histogram",
+    """
+    WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    b AS (SELECT least(floor((value - vmin) * 20 / (vmax - vmin)), 19)::INTEGER
+            AS bucket, vmin, vmax
+          FROM events, s)
+    SELECT bucket, count(*) AS n,
+           round(min(vmin) + bucket * ((min(vmax) - min(vmin)) / 20), 6)
+             AS bucket_lo
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a continuous measure — the dashboard
+    distribution-panel shape. Two-pass: a 1-row min/max aggregate
+    broadcast back over the fact (no driver round-trip, stays one lazy
+    plan), then floor-bucketing and a 20-group count. Bucket arithmetic
+    is written with identical operation ORDER in both engines — IEEE
+    double ops are deterministic, so the bucket ids agree exactly; the
+    max value is clamped into the last bucket with least()."""
+    events = _t(spark, sf_dir, "events")
+    stats = events.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = events.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin")) * 20 / (F.col("vmax") - F.col("vmin"))
+            ),
+            F.lit(19),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "vmin",
+        "vmax",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.min("vmin")
+                + F.col("bucket") * ((F.min("vmax") - F.min("vmin")) / 20),
+                6,
+            ).alias("bucket_lo"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "a5_unique_customers_approx",
     """
     SELECT o_orderstatus AS status,
@@ -1291,6 +1340,23 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_tumbling_stream(spark, sf_dir).orderBy(
         "window_start", "event_type"
     )
+
+
+@query(
+    "st_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events ORDER BY event_id
+    """,
+)
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark) against an
+    input that really contains duplicates: the source replays the final
+    hour of events in a second microbatch (streaming.stream.
+    run_dedup_stream). The every-event-exactly-once oracle only holds if
+    the dedup state actually drops the replay — a missing or expired
+    dedup would fail on row count."""
+    return ST.run_dedup_stream(spark, sf_dir).orderBy("event_id")
 
 
 @query(

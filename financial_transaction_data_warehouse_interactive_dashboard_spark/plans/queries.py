@@ -956,6 +956,78 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a13_percentile_sketch",
+    """
+    SELECT o_orderstatus AS status,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.5)  AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75
+    FROM orders GROUP BY 1 ORDER BY status
+    """,
+)
+def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles by SKETCH: percentile_approx (Greenwald-Khanna) — the
+    100 TB alternative to a10's exact per-group sort, mergeable map-side
+    like the a5 HLL. Checkable contract: with accuracy >= group size the
+    GK sketch retains every element and degenerates to the exact discrete
+    quantile, which DuckDB's quantile_disc reproduces value-for-value —
+    so at the driver's correctness scale the sketch path is pinned
+    exactly, while at larger scales the same plan approximates with rank
+    error 1/accuracy. (Verified: all three quantiles bit-equal at
+    sf0.01.)"""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr("percentile_approx(o_totalprice, 0.25, 100000)").alias("p25"),
+            F.expr("percentile_approx(o_totalprice, 0.5, 100000)").alias("p50"),
+            F.expr("percentile_approx(o_totalprice, 0.75, 100000)").alias("p75"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "a14_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS INTEGER) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    ORDER BY gid, status, priority
+    """,
+)
+def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond a8's rollup / a9's cube): three
+    chosen aggregation levels in ONE pass over the fact — Spark expands
+    the sets into a single Expand + hash-aggregate plan (one shuffle
+    total, vs one scan+shuffle per level if issued separately).
+    grouping() disambiguates real NULL keys from superaggregate rows.
+    Expressed via spark.sql: GROUPING SETS has no DataFrame-API
+    equivalent, and SQL-vs-DataFrame interop over the same session IS the
+    engine surface (test_sql_surface pins the equivalence family)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_a14_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS INT) AS gid
+        FROM _a14_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY gid, status, priority
+        """
+    )
+
+
+@query(
     "x2_union_intersect",
     """
     WITH big_buyers AS (

@@ -182,6 +182,74 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "st_dedup",
+) -> DataFrame:
+    """Streaming exact-dedup executed against an input that REALLY
+    contains duplicates: the stream source is the events file plus a
+    second file replaying the final hour of events verbatim (same
+    event_ids, same timestamps — the at-least-once-delivery scenario
+    dedup exists for). With maxFilesPerTrigger=1 the replay arrives in a
+    later microbatch while the originals' dedup state is still inside the
+    2-hour watermark horizon, so every replayed row is dropped and the
+    output is each event exactly once — which is why the plain
+    ``SELECT * FROM events`` oracle is a REAL check: without the dedup
+    (or with the state expired) the row count would be wrong."""
+    from ..sources.registry import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    key = f"{path}::dedup"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-dedup-")
+        os.symlink(path, os.path.join(d, "0-events.parquet"))
+        raw = spark.read.schema(raw_schema).parquet(path)
+        ts_is_long = dict(raw.dtypes).get("ts") == "bigint"
+        hour = 3600 * 1_000_000_000 if ts_is_long else F.expr("INTERVAL 1 HOUR")
+        max_ts = raw.agg(F.max("ts").alias("m"))
+        replay = (
+            raw.crossJoin(F.broadcast(max_ts))
+            .filter(
+                F.col("ts")
+                >= (F.col("m") - (F.lit(hour) if ts_is_long else hour))
+            )
+            .select(*raw.columns)
+        )
+        scratch = os.path.join(d, "_scratch")
+        replay.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(scratch, part), os.path.join(d, "1-replay.parquet")
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        _STREAM_DIRS[key] = d
+
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        dedup_stream(src, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, first_ts timestamp, last_ts timestamp, n_events bigint"
 )
