@@ -73,7 +73,18 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         else:
             df.collect()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # Release dropped plans NOW: queries that localCheckpoint (LSH
+        # candidates, IVF centroids, curation pipeline) leave executor
+        # storage blocks that only Spark's ContextCleaner frees, and it
+        # only learns about them when Python GC drops the references.
+        # Without this, orphaned blocks evict the cached input tables and
+        # the NEXT queries pay a re-scan (measured: 9-16x spikes on the
+        # two queries following the dedup block at sf0.1).
+        import gc
+
+        gc.collect()
+        return dt
 
     # Steady-state: best of 2 per query. The first execution of a query
     # shape pays JIT/codegen warm-up that a long-lived warehouse session

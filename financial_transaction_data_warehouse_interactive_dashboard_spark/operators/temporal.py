@@ -135,10 +135,19 @@ def asof_join(
         carried = unioned.withColumn("_match", fwd)
     elif direction == "nearest":
         # Materialize each directional carry ONCE as a column (one Window
-        # operator per spec), then pick the closer side per row.
+        # operator per spec), then pick the closer side per row. Gap
+        # arithmetic adapts to the event-time type: timestamps go through
+        # unix_micros, numeric event times subtract directly — so
+        # 'nearest' accepts the same orderable ts types the directional
+        # modes do.
         both = unioned.withColumn("_b", back).withColumn("_f", fwd)
-        b_gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"_b.{ts_col}"))
-        f_gap = F.unix_micros(F.col(f"_f.{ts_col}")) - F.unix_micros(F.col(ts_col))
+        is_ts = dict(left.dtypes).get(ts_col, "").startswith("timestamp")
+
+        def _num(c):
+            return F.unix_micros(c) if is_ts else c
+
+        b_gap = _num(F.col(ts_col)) - _num(F.col(f"_b.{ts_col}"))
+        f_gap = _num(F.col(f"_f.{ts_col}")) - _num(F.col(ts_col))
         carried = both.withColumn(
             "_match",
             F.when(F.col("_f").isNull(), F.col("_b"))

@@ -52,6 +52,112 @@ SQL_SIMHASH = """
            FROM bits GROUP BY doc_id)
 """
 
+
+def _sql_lexicon(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{x}'" for x in words)
+    return f"len(list_filter(w, t -> list_contains([{lst}], t)))"
+
+
+_HITS = {lg: _sql_lexicon(ws) for lg, ws in sorted(T.LEXICONS.items())}
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN hits_{lg} = greatest(hits_en, hits_es, hits_zh) THEN '{lg}'"
+        for lg in sorted(T.LEXICONS)
+    )
+    + " END"
+)
+
+
+@query(
+    "tx_lang_id",
+    f"""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    h AS (SELECT doc_id, lang,
+            {_HITS['en']}::BIGINT AS hits_en,
+            {_HITS['es']}::BIGINT AS hits_es,
+            {_HITS['zh']}::BIGINT AS hits_zh
+          FROM d)
+    SELECT doc_id, hits_en, hits_es, hits_zh,
+           {_LANG_CASE} AS predicted_lang,
+           lang AS labeled_lang
+    FROM h ORDER BY doc_id
+    """,
+)
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID (functions.text): argmax of marker hits,
+    ties to the alphabetically-first language."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            T.lexicon_hits("text", T.LEXICONS[lg]).cast("bigint").alias(f"hits_{lg}")
+            for lg in sorted(T.LEXICONS)
+        ],
+        F.col("lang").alias("labeled_lang"),
+    )
+    return scored.select(
+        "doc_id", "hits_en", "hits_es", "hits_zh",
+        T.predicted_lang().alias("predicted_lang"),
+        "labeled_lang",
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = _sql_lexicon(T.STOPWORDS)
+
+# dd_corpus_clean's oracle composes the lexicon/quality/shingle/LSH
+# fragments — same SQL fragments as the per-stage oracles, so the
+# pipeline and its stages cannot drift apart.
+_SQL_QUALITY_PTS = f"""( (least(len(w), 100) * 25) // 100
+           + (len(list_distinct(w)) * 35) // len(w)
+           + least(({_STOP_SQL} * 100) // len(w), 20)
+           + least((list_sum([length(t) for t in w]) * 20) // (8 * len(w)), 20)
+         )::BIGINT"""
+
+_SQL_CORPUS_CLEAN = f"""
+    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                  FROM documents),
+    sc AS (SELECT doc_id, text, w,
+             len(w)::BIGINT AS n_tokens,
+             {_HITS['en']}::BIGINT AS hits_en,
+             {_HITS['es']}::BIGINT AS hits_es,
+             {_HITS['zh']}::BIGINT AS hits_zh,
+             {_SQL_QUALITY_PTS} AS quality_pts
+           FROM base),
+    filt AS (SELECT doc_id, text, w, n_tokens, quality_pts FROM sc
+             WHERE {_LANG_CASE} = 'en' AND quality_pts >= 45),
+    s2 AS (SELECT * FROM filt
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+    sh AS (SELECT doc_id, {_P.sql_shingles('w', D.N_SHINGLE)} AS sh FROM s2),
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(
+                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
+                  AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id),
+    nd AS (SELECT DISTINCT id_b
+           FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                     JOIN sh sb ON cand.id_b = sb.doc_id
+           WHERE {SQL_JACCARD} >= 0.5)
+    SELECT doc_id, n_tokens, quality_pts FROM s2
+    WHERE doc_id NOT IN (SELECT id_b FROM nd)
+    ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================
@@ -313,56 +419,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
-@query(
-    "sim_ann_ivf_kmeans",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
-    a0 AS (SELECT e.vec_id, e.v, cell FROM e, c0
-           QUALIFY row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell ASC
-           ) = 1),
-    px AS (SELECT cell, u.p AS pos, u.x AS val
-           FROM a0,
-                unnest([{'p': i, 'x': v[i]} for i in range(1, len(v) + 1)])
-                  AS t(u)),
-    cent AS (SELECT cell, pos,
-               CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*)
-                 AS cv_e
-             FROM px GROUP BY 1, 2),
-    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv FROM cent GROUP BY 1),
-    a1 AS (SELECT e.vec_id, e.v, cell FROM e, c1
-           QUALIFY row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell ASC
-           ) = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-    probe AS (SELECT query_id, qv, cell FROM q, c1
-              QUALIFY row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell ASC
-              ) <= 2)
-    SELECT query_id, a1.vec_id AS neighbor_id,
-           round(list_cosine_similarity(qv, a1.v), 6) AS cosine
-    FROM probe p JOIN a1 ON a1.cell = p.cell AND a1.vec_id != p.query_id
-    QUALIFY row_number() OVER (
-      PARTITION BY query_id
-      ORDER BY round(list_cosine_similarity(qv, a1.v), 6) DESC, a1.vec_id ASC
-    ) <= 5
-    ORDER BY query_id, cosine DESC, neighbor_id
-    """,
-)
-def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
-    exact centroid means). The oracle reproduces seeding, assignment, the
-    refinement arithmetic, and probing — the full index build is
-    correctness-checked bit-for-bit."""
-    return S.topk_ann_ivf_kmeans(
-        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_cells=16, nprobe=2
-    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
-
-
 def _sql_ivf_kmeans(iters: int) -> str:
     """Generate the DuckDB oracle for an ``iters``-iteration Lloyd refine:
     the same CTE block (assign -> explode dims -> decimal-exact means ->
@@ -416,6 +472,18 @@ def _sql_ivf_kmeans(iters: int) -> str:
     )
 
 
+@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1))
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
+    exact centroid means). The oracle reproduces seeding, assignment, the
+    refinement arithmetic, and probing — the full index build is
+    correctness-checked bit-for-bit."""
+    return S.topk_ann_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_cells=16, nprobe=2
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+
 @query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3))
 def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration Lloyd refinement (3 iterations, each materialized
@@ -433,10 +501,7 @@ def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
-@query(
-    "dd_corpus_clean",
-    None,  # oracle defined below, after the lexicon fragments exist
-)
+@query("dd_corpus_clean", _SQL_CORPUS_CLEAN)
 def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship LLM-training-data pipeline, end to end: language
     filter -> quality filter -> exact dedup -> MinHash-LSH near-dup
@@ -492,118 +557,8 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _sql_lexicon(words: tuple[str, ...]) -> str:
-    lst = ", ".join(f"'{x}'" for x in words)
-    return f"len(list_filter(w, t -> list_contains([{lst}], t)))"
 
 
-_HITS = {lg: _sql_lexicon(ws) for lg, ws in sorted(T.LEXICONS.items())}
-_LANG_CASE = (
-    "CASE "
-    + " ".join(
-        f"WHEN hits_{lg} = greatest(hits_en, hits_es, hits_zh) THEN '{lg}'"
-        for lg in sorted(T.LEXICONS)
-    )
-    + " END"
-)
-
-
-@query(
-    "tx_lang_id",
-    f"""
-    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-    h AS (SELECT doc_id, lang,
-            {_HITS['en']}::BIGINT AS hits_en,
-            {_HITS['es']}::BIGINT AS hits_es,
-            {_HITS['zh']}::BIGINT AS hits_zh
-          FROM d)
-    SELECT doc_id, hits_en, hits_es, hits_zh,
-           {_LANG_CASE} AS predicted_lang,
-           lang AS labeled_lang
-    FROM h ORDER BY doc_id
-    """,
-)
-def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-overlap language ID (functions.text): argmax of marker hits,
-    ties to the alphabetically-first language."""
-    docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        *[
-            T.lexicon_hits("text", T.LEXICONS[lg]).cast("bigint").alias(f"hits_{lg}")
-            for lg in sorted(T.LEXICONS)
-        ],
-        F.col("lang").alias("labeled_lang"),
-    )
-    return scored.select(
-        "doc_id", "hits_en", "hits_es", "hits_zh",
-        T.predicted_lang().alias("predicted_lang"),
-        "labeled_lang",
-    ).orderBy("doc_id")
-
-
-_STOP_SQL = _sql_lexicon(T.STOPWORDS)
-
-# dd_corpus_clean's oracle composes the lexicon/quality/shingle/LSH
-# fragments, so it is attached here (after they exist) onto the entry
-# registered above — same SQL fragments as the per-stage oracles, so the
-# pipeline and its stages cannot drift apart.
-_SQL_QUALITY_PTS = f"""( (least(len(w), 100) * 25) // 100
-           + (len(list_distinct(w)) * 35) // len(w)
-           + least(({_STOP_SQL} * 100) // len(w), 20)
-           + least((list_sum([length(t) for t in w]) * 20) // (8 * len(w)), 20)
-         )::BIGINT"""
-
-_SQL_CORPUS_CLEAN = f"""
-    WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w
-                  FROM documents),
-    sc AS (SELECT doc_id, text, w,
-             len(w)::BIGINT AS n_tokens,
-             {_HITS['en']}::BIGINT AS hits_en,
-             {_HITS['es']}::BIGINT AS hits_es,
-             {_HITS['zh']}::BIGINT AS hits_zh,
-             {_SQL_QUALITY_PTS} AS quality_pts
-           FROM base),
-    filt AS (SELECT doc_id, text, w, n_tokens, quality_pts FROM sc
-             WHERE {_LANG_CASE} = 'en' AND quality_pts >= 45),
-    s2 AS (SELECT * FROM filt
-           QUALIFY row_number() OVER (PARTITION BY md5(text)
-                                      ORDER BY doc_id) = 1),
-    sh AS (SELECT doc_id, {_P.sql_shingles('w', D.N_SHINGLE)} AS sh FROM s2),
-    ab AS (SELECT doc_id,
-             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
-             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
-           FROM sh),
-    sig AS (SELECT doc_id,
-              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
-                         for i in range(1, len(ha) + 1)])
-               for j in range(0, {D.MINHASH_N})] AS sig
-            FROM ab),
-    bands AS (SELECT doc_id, b AS band,
-                array_to_string(
-                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
-                  AS key
-              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a
-             JOIN bands b ON a.band = b.band AND a.key = b.key
-                         AND a.doc_id < b.doc_id),
-    nd AS (SELECT DISTINCT id_b
-           FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
-                     JOIN sh sb ON cand.id_b = sb.doc_id
-           WHERE {SQL_JACCARD} >= 0.5)
-    SELECT doc_id, n_tokens, quality_pts FROM s2
-    WHERE doc_id NOT IN (SELECT id_b FROM nd)
-    ORDER BY doc_id
-"""
-
-from dataclasses import replace as _dc_replace  # noqa: E402
-
-from .queries import REGISTRY as _REGISTRY  # noqa: E402
-
-_REGISTRY["dd_corpus_clean"] = _dc_replace(
-    _REGISTRY["dd_corpus_clean"], oracle=_SQL_CORPUS_CLEAN
-)
 
 
 @query(
@@ -1357,6 +1312,38 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup state actually drops the replay — a missing or expired
     dedup would fail on row count."""
     return ST.run_dedup_stream(spark, sf_dir).orderBy("event_id")
+
+
+@query(
+    "st_sessionize_stateful",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes'
+             THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, first_ts
+    """,
+)
+def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator (applyInPandasWithState +
+    event-time timeout, streaming.stream.sessionize_stateful) run
+    end-to-end: per-user O(1) state (three longs), sessions emitted when
+    the watermark fires the timeout, sentinel-flushed tail. Same
+    gaps-and-islands oracle as the built-in session_window twins — the
+    hand-rolled state machine must agree with both the batch operator
+    and DuckDB."""
+    return ST.run_session_stream_stateful(spark, sf_dir).orderBy(
+        "user_id", "first_ts"
+    )
 
 
 @query(

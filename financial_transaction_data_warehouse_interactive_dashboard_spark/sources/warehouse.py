@@ -108,7 +108,10 @@ def upsert_partition_overwrite(
     docstring promises.
 
     Mechanics:
-    1. touched = distinct partition values in the updates (broadcast);
+    1. touched = partitions named by the updates UNION partitions where
+       the updated keys CURRENTLY live (a column-pruned (key, partition)
+       scan — so an update that MOVES a key across partitions rewrites
+       both its old and new partition, leaving no stale duplicate);
     2. read ONLY those partitions of the current table (semi-join on the
        partition column -> partition pruning, not a full scan);
     3. anti-join away the updated keys, union the updates;
@@ -126,9 +129,24 @@ def upsert_partition_overwrite(
     """
     current = spark.table(table)
     cols = current.columns
-    touched = updates.select(partition_col).distinct()
-    cur_touched = current.join(F.broadcast(touched), partition_col, "left_semi")
     keys = updates.select(key).distinct()
+    moved_from = (
+        current.select(key, partition_col)
+        .join(F.broadcast(keys), key, "left_semi")
+        .select(partition_col)
+    )
+    # Materialize the touched partition VALUES now (a handful by
+    # definition): every later step must see the PRE-write state, and a
+    # lazy frame over spark.table(table) would re-read the table after
+    # the overwrite below.
+    touched_vals = [
+        r[0]
+        for r in updates.select(partition_col)
+        .union(moved_from)
+        .distinct()
+        .collect()
+    ]
+    cur_touched = current.filter(F.col(partition_col).isin(touched_vals))
     merged = (
         cur_touched.join(F.broadcast(keys), key, "left_anti")
         .unionByName(updates.select(*cols))
@@ -141,6 +159,17 @@ def upsert_partition_overwrite(
         merged.select(*cols).write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite only replaces partitions PRESENT in the written
+    # data: a touched partition left with zero rows (its only row moved
+    # away) would keep its stale files. Drop those explicitly. merged is
+    # checkpointed above, so this reads pre-write state.
+    written = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    emptied = [v for v in touched_vals if v not in written]
+    for v in emptied:
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({partition_col}={lit})"
+        )
 
 
 def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:

@@ -109,13 +109,47 @@ def run_session_stream(
     (asserted in tests; ev_sessionize's DuckDB oracle doubles as this
     query's oracle in the registry).
     """
+    src = _sentinel_session_source(spark, sf_dir)
+    sessions = W.sessionize(
+        src.withWatermark("ts", f"{gap_minutes} minutes"),
+        f"{gap_minutes} minutes",
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).filter(F.col("user_id") != SENTINEL_USER)
+
+
+def _write_single_parquet(df, target_dir: str, filename: str) -> None:
+    """Write ``df`` as ONE flat parquet file in ``target_dir`` (the file
+    stream source lists files, not nested write directories): write to a
+    scratch dir, move the single part-file out, drop the scratch."""
+    scratch = os.path.join(target_dir, "_scratch")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = next(
+        f for f in os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.rename(os.path.join(scratch, part), os.path.join(target_dir, filename))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _sentinel_session_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch streaming source over events + a far-future sentinel
+    event (see run_session_stream's docstring): batch 2's sentinel pushes
+    the watermark past every real session close, so append-mode /
+    event-time-timeout operators flush everything real."""
     from ..sources.registry import ensure_nanos_conf
 
     ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
 
-    # Session-lived two-file stream dir: the real events + the sentinel.
     key = f"{path}::session"
     if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="ftdw-stream-sess-")
@@ -134,19 +168,7 @@ def run_session_stream(
             .withColumn("user_id", F.lit(SENTINEL_USER).cast("bigint"))
             .withColumn("event_id", F.lit(-1).cast("bigint"))
         )
-        # Write to a scratch dir, then move the single part-file into the
-        # stream dir as a FLAT file (the file source lists files, not
-        # nested write directories).
-        scratch = os.path.join(d, "_scratch")
-        sentinel.coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(
-            f for f in os.listdir(scratch)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        os.rename(
-            os.path.join(scratch, part), os.path.join(d, "1-sentinel.parquet")
-        )
-        shutil.rmtree(scratch, ignore_errors=True)
+        _write_single_parquet(sentinel, d, "1-sentinel.parquet")
         _STREAM_DIRS[key] = d
 
     src = (
@@ -156,10 +178,24 @@ def run_session_stream(
     )
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    sessions = W.sessionize(
-        src.withWatermark("ts", f"{gap_minutes} minutes"),
-        f"{gap_minutes} minutes",
-    )
+    return src
+
+
+def run_session_stream_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "st_sessionize_stateful",
+) -> DataFrame:
+    """The CUSTOM stateful sessionizer (applyInPandasWithState, event-time
+    timeout) executed end-to-end as a streaming job, on the same
+    sentinel-flushed multi-batch source as run_session_stream: the
+    sentinel batch advances the watermark past last_ts + gap for every
+    real session, firing each user's timeout and emitting the closed
+    session. Same oracle family as ev_sessionize minus the value sum
+    (the stateful operator tracks (first, last, n) — three longs/user)."""
+    src = _sentinel_session_source(spark, sf_dir)
+    sessions = sessionize_stateful(src, gap_minutes=gap_minutes)
     q = (
         sessions.writeStream.format("memory")
         .queryName(query_name)
@@ -219,16 +255,7 @@ def run_dedup_stream(
             )
             .select(*raw.columns)
         )
-        scratch = os.path.join(d, "_scratch")
-        replay.coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(
-            f for f in os.listdir(scratch)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        os.rename(
-            os.path.join(scratch, part), os.path.join(d, "1-replay.parquet")
-        )
-        shutil.rmtree(scratch, ignore_errors=True)
+        _write_single_parquet(replay, d, "1-replay.parquet")
         _STREAM_DIRS[key] = d
 
     src = (
@@ -256,9 +283,14 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "first bigint, last bigint, n bigint"
 
 
-def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, watermark: str | None = None
+) -> DataFrame:
     """Custom stateful sessionizer: applyInPandasWithState, event-time
     timeout. Emits a session when the watermark passes last_ts + gap.
+    ``watermark`` (allowed lateness) defaults to the session gap — a
+    smaller watermark than the gap would drop in-gap late events that the
+    batch twin would merge.
 
     Semantics match streaming.windows.sessionize / the ev_sessionize
     oracle: an event at exactly last + gap starts a NEW session (strict
@@ -310,7 +342,7 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         state.setTimeoutTimestamp((last + gap_us) // 1000)
 
     return (
-        events.withWatermark("ts", "30 minutes")
+        events.withWatermark("ts", watermark or f"{gap_minutes} minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -124,3 +124,27 @@ def test_upsert_partition_overwrite(spark):
     assert len(got) == 1 and got[0]["o_orderpriority"] == "X-MERGED"
     # Row conservation: original count + 1 insert.
     assert t.count() == orders.count() + 1
+
+
+def test_upsert_partition_overwrite_moves_key(spark):
+    """An update that CHANGES a key's partition value must rewrite both the
+    old and new partition — no stale duplicate left behind."""
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "q", F.quarter("o_orderdate")
+    )
+    WH.write_partitioned(orders, "wh_orders_mv", ["q"])
+    t = spark.table("wh_orders_mv")
+
+    row = t.filter(F.col("q") == 1).limit(1).collect()[0].asDict()
+    mv_key = row["o_orderkey"]
+    row["q"] = 3  # move the key from q=1 to q=3
+    updates = spark.createDataFrame([row], t.schema)
+
+    WH.upsert_partition_overwrite(
+        spark, "wh_orders_mv", updates, key="o_orderkey", partition_col="q"
+    )
+    t = spark.table("wh_orders_mv")
+    got = t.filter(F.col("o_orderkey") == mv_key).collect()
+    assert len(got) == 1, "moved key must not be duplicated across partitions"
+    assert got[0]["q"] == 3
+    assert t.count() == orders.count()
