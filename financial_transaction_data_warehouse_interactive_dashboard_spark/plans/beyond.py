@@ -85,21 +85,16 @@ _LANG_CASE = (
     """,
 )
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-overlap language ID (functions.text): argmax of marker hits,
-    ties to the alphabetically-first language."""
+    """Lexicon-overlap language ID: argmax of marker hits, ties to the
+    alphabetically-first language. Runs on the explode+codegen profile
+    (functions.text.text_profile) — the lang label rides through the
+    groupBy as a carried key."""
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        *[
-            T.lexicon_hits("text", T.LEXICONS[lg]).cast("bigint").alias(f"hits_{lg}")
-            for lg in sorted(T.LEXICONS)
-        ],
-        F.col("lang").alias("labeled_lang"),
-    )
-    return scored.select(
+    prof = T.text_profile(docs, carry=("lang",))
+    return prof.select(
         "doc_id", "hits_en", "hits_es", "hits_zh",
         T.predicted_lang().alias("predicted_lang"),
-        "labeled_lang",
+        F.col("lang").alias("labeled_lang"),
     ).orderBy("doc_id")
 
 
@@ -516,37 +511,39 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass, and the standard greedy choice when full
     connected-component resolution isn't worth a transitive closure."""
     docs = _t(spark, sf_dir, "documents")
-    qc = T.quality_columns("text")
-    scored = docs.select(
-        "doc_id",
-        "text",
-        *T.lang_scores("text"),
-        qc["n_tokens"].alias("n_tokens"),
-        qc["quality_pts"].alias("quality_pts"),
-    ).select(
-        "doc_id", "text", "n_tokens", "quality_pts",
-        T.predicted_lang().alias("plang"),
+    prof = T.text_profile(docs).select(
+        "doc_id", "n_tokens", "quality_pts", T.predicted_lang().alias("plang")
     )
-    filt = scored.filter(
-        (F.col("plang") == "en") & (F.col("quality_pts") >= 45)
+    kept = (
+        prof.filter((F.col("plang") == "en") & (F.col("quality_pts") >= 45))
+        .select("doc_id", "n_tokens", "quality_pts")
+        # Tiny frame (surviving ids + 2 stat columns), huge lineage (the
+        # full explode+aggregate profile) referenced by every downstream
+        # branch — the GOOD localCheckpoint pattern: materialize the ids
+        # once, then each branch filters the corpus with a broadcast
+        # semi-join instead of re-running the profile shuffle. (Contrast
+        # the measured-8x-slower checkpoint of the WIDE text-carrying
+        # frame, which this replaces.)
+        .localCheckpoint(eager=True)
+    )
+    # Re-attach the payload by id for the dedup/LSH stages — text must
+    # never ride through the profile's groupBy shuffle.
+    filt = docs.select("doc_id", "text").join(
+        F.broadcast(kept.select("doc_id")), "doc_id", "left_semi"
     )
     reps = D.exact_dedup(filt).select("doc_id")
-    # NOT materialized, deliberately: the LSH pipeline references this
-    # frame several times, but every branch needs only (doc_id, text) —
-    # Catalyst's column pruning strips the interpreted-HOF quality/lang
-    # expressions out of those branches, so recomputation is just the
-    # parquet scan + cheap filters. An eager localCheckpoint here was
-    # MEASURED 8x SLOWER at sf0.1 (4.6s -> 38s): it forces one wide
-    # materialization and then defeats pruning/pushdown for every
-    # downstream branch. (Contrast minhash_lsh_pairs' internal candidate
-    # checkpoint, which wins because candidates are tiny and their
-    # lineage is the whole signature DAG.)
+    # filt/s2 themselves stay LAZY: each re-evaluation is just a parquet
+    # scan + broadcast semi-join against the checkpointed id set. (An
+    # eager checkpoint of the WIDE text-carrying frame here was measured
+    # 8x slower — materialize small id/stat frames, never payloads.)
     s2 = filt.join(reps, "doc_id", "left_semi")
     near = D.minhash_lsh_pairs(
         s2.select("doc_id", "text"), threshold=0.5
     ).select(F.col("id_b").alias("doc_id")).distinct()
     return (
-        s2.join(near, "doc_id", "left_anti")
+        s2.select("doc_id")
+        .join(near, "doc_id", "left_anti")
+        .join(kept, "doc_id")
         .select("doc_id", "n_tokens", "quality_pts")
         .orderBy("doc_id")
     )
@@ -579,13 +576,19 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite document-quality score (C4/Gopher-filter shape)."""
-    cols = T.quality_columns("text")
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", *[c.alias(n) for n, c in cols.items()])
-        .orderBy("doc_id")
-    )
+    """Composite document-quality score (C4/Gopher-filter shape), computed
+    on the explode+codegen profile (functions.text.text_profile; the
+    column-expression twin quality_columns stays for shuffle-averse
+    callers — same integers, pinned by this oracle)."""
+    prof = T.text_profile(_t(spark, sf_dir, "documents"))
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "stop_ratio",
+        "mean_token_len",
+        "quality_pts",
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1322,7 +1325,7 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                   < INTERVAL '30 minutes'
              THEN 0 ELSE 1 END AS brk
-      FROM events),
+      FROM events WHERE user_id % 10 = 0),
     s AS (SELECT user_id, ts,
             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS sid
@@ -1340,8 +1343,15 @@ def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark fires the timeout, sentinel-flushed tail. Same
     gaps-and-islands oracle as the built-in session_window twins — the
     hand-rolled state machine must agree with both the batch operator
-    and DuckDB."""
-    return ST.run_session_stream_stateful(spark, sf_dir).orderBy(
+    and DuckDB.
+
+    Runs on a deterministic 10% key-domain sample (user_id % 10 == 0,
+    mirrored in the oracle): the operator's cost is one Python call per
+    key per microbatch, so the full key domain belongs on a cluster, not
+    in the correctness loop — see run_session_stream_stateful's
+    docstring for the measured overhead rate. The built-in session_window
+    twin (st_sessionize) covers the full domain."""
+    return ST.run_session_stream_stateful(spark, sf_dir, user_mod=10).orderBy(
         "user_id", "first_ts"
     )
 

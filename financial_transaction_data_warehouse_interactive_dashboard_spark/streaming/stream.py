@@ -186,6 +186,7 @@ def run_session_stream_stateful(
     sf_dir: str,
     gap_minutes: int = 30,
     query_name: str = "st_sessionize_stateful",
+    user_mod: int | None = None,
 ) -> DataFrame:
     """The CUSTOM stateful sessionizer (applyInPandasWithState, event-time
     timeout) executed end-to-end as a streaming job, on the same
@@ -193,8 +194,23 @@ def run_session_stream_stateful(
     sentinel batch advances the watermark past last_ts + gap for every
     real session, firing each user's timeout and emitting the closed
     session. Same oracle family as ev_sessionize minus the value sum
-    (the stateful operator tracks (first, last, n) — three longs/user)."""
+    (the stateful operator tracks (first, last, n) — three longs/user).
+
+    ``user_mod``: keep only users with user_id % user_mod == 0 — a
+    deterministic key-domain sample. applyInPandasWithState's cost model
+    is ONE Python call per key per microbatch (~1 ms harness overhead
+    each; measured 31 s for ~10k users at sf0.1 on local[32]), so the
+    registry entry samples the key space to keep the correctness/bench
+    loop proportionate while running the identical code path. On a
+    cluster the calls parallelize per key; the overhead rate is the
+    number to capacity-plan with. The sentinel user is always kept — it
+    must pass the watermark node or nothing flushes."""
     src = _sentinel_session_source(spark, sf_dir)
+    if user_mod is not None:
+        src = src.filter(
+            (F.col("user_id") % user_mod == 0)
+            | (F.col("user_id") == SENTINEL_USER)
+        )
     sessions = sessionize_stateful(src, gap_minutes=gap_minutes)
     q = (
         sessions.writeStream.format("memory")
