@@ -632,11 +632,12 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash doc fingerprint + winnowing-style min 4-token window."""
+    """Rolling-hash doc fingerprint + winnowing-style min 4-token window.
+    Hashing runs codegen-side (functions.text.token_hash_frame); only the
+    integer fold is interpreted."""
     cols = T.fingerprint_columns("hs")
     return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", T.token_hashes("text").alias("hs"))
+        T.token_hash_frame(_t(spark, sf_dir, "documents"))
         .select("doc_id", *[c.alias(n) for n, c in cols.items()])
         .orderBy("doc_id")
     )

@@ -421,3 +421,29 @@ def test_session_stream_equals_batch(spark):
         map(tuple, W.sessionize(load_table(spark, SF_SMOKE, "events")).collect())
     )
     assert got and got == want
+
+
+def test_text_profile_matches_column_builders(spark):
+    """The explode+codegen text_profile and the shuffle-free column
+    builders (quality_columns/lang_scores) are two physical plans for ONE
+    logical operator — their values must be identical so callers can pick
+    by cost model, not by semantics."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out_cols = [
+        "doc_id", "n_tokens", "distinct_ratio", "stop_ratio",
+        "mean_token_len", "quality_pts", "hits_en", "hits_es", "hits_zh",
+    ]
+    qc = T.quality_columns("text")
+    via_columns = docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in qc.items()],
+        *T.lang_scores("text"),
+    ).select(*out_cols)
+    via_profile = T.text_profile(docs).select(*out_cols)
+    a = sorted(map(tuple, via_columns.collect()))
+    b = sorted(map(tuple, via_profile.collect()))
+    assert a == b
