@@ -959,32 +959,51 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a13_percentile_sketch",
     """
     SELECT o_orderstatus AS status,
-           quantile_disc(o_totalprice, 0.25) AS p25,
-           quantile_disc(o_totalprice, 0.5)  AS p50,
-           quantile_disc(o_totalprice, 0.75) AS p75
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5),  4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           TRUE AS sketch_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
 )
 def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantiles by SKETCH: percentile_approx (Greenwald-Khanna) — the
-    100 TB alternative to a10's exact per-group sort, mergeable map-side
-    like the a5 HLL. Checkable contract: with accuracy >= group size the
-    GK sketch retains every element and degenerates to the exact discrete
-    quantile, which DuckDB's quantile_disc reproduces value-for-value —
-    so at the driver's correctness scale the sketch path is pinned
-    exactly, while at larger scales the same plan approximates with rank
-    error 1/accuracy. (Verified: all three quantiles bit-equal at
-    sf0.01.)"""
+    """Quantiles by SKETCH next to the exact answer: percentile_approx
+    (Greenwald-Khanna) is the 100 TB alternative to a10's exact per-group
+    sort, mergeable map-side like the a5 HLL.
+
+    Checkable contract, scale-robust (the a5 pattern): the EXACT
+    interpolated quantiles are oracled value-for-value (quantile_cont
+    twin), and ``sketch_in_bound`` pins each sketch value inside the
+    exact quantile envelope at p±0.002 (rank tolerance) — ~30x the
+    sketch's observed rank error at accuracy=100000, and deterministic
+    for a given input. A naive exact-equality contract holds only below
+    the sketch's 50k-row head buffer (verified: bit-equal at sf0.01,
+    ~0.006% rank error at sf0.1) — this one survives any scale.
+    """
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(
-            F.expr("percentile_approx(o_totalprice, 0.25, 100000)").alias("p25"),
-            F.expr("percentile_approx(o_totalprice, 0.5, 100000)").alias("p50"),
-            F.expr("percentile_approx(o_totalprice, 0.75, 100000)").alias("p75"),
-        )
-        .orderBy("status")
+    ps = [0.25, 0.5, 0.75]
+    env = [p + d for p in ps for d in (-0.002, 0.0, 0.002)]
+    agg = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, env))}))"
+        ).alias("ex"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 100000)"
+        ).alias("ap"),
     )
+    in_bound = None
+    for i in range(3):
+        ok = (F.col("ap")[i] >= F.col("ex")[3 * i]) & (
+            F.col("ap")[i] <= F.col("ex")[3 * i + 2]
+        )
+        in_bound = ok if in_bound is None else (in_bound & ok)
+    return agg.select(
+        "status",
+        F.round(F.col("ex")[1], 4).alias("p25"),
+        F.round(F.col("ex")[4], 4).alias("p50"),
+        F.round(F.col("ex")[7], 4).alias("p75"),
+        in_bound.alias("sketch_in_bound"),
+    ).orderBy("status")
 
 
 @query(
