@@ -21,6 +21,7 @@ from ..functions import portable as _P
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import sampling as SP
 from ..operators import similarity as S
 from ..streaming import stream as ST
 from ..streaming import windows as W
@@ -687,6 +688,38 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "tx_hash_split",
+    f"""
+    SELECT {SP.sql_split_column('doc_id', _SPLIT_WEIGHTS)} AS split,
+           lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY 1, 2 ORDER BY split, lang
+    """,
+)
+def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key hash
+    (operators.sampling.split_column) — reproducible dataset splitting as
+    a pure function of doc_id: stable under repartitioning, task
+    retries, engines (the oracle runs the SAME md5 arithmetic), and
+    incremental data arrival (new docs join a split without moving old
+    ones — the property seeded-RNG sample() lacks). Output: per
+    (split, lang) doc counts and total chars."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", SP.split_column("doc_id", _SPLIT_WEIGHTS))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("split", "lang")
     )
 
 

@@ -39,6 +39,14 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_funnel_vcp": ("funnel", "conversion", "purchase"),
     "ev_rolling_7d": ("rolling", "weekly", "7", "day", "daily"),
     "tx_tfidf_top_terms": ("keywords", "terms", "tfidf", "important", "words"),
+    "a12_star_measures": ("revenue", "measure", "sum", "sales", "amount"),
+    "a13_percentile_sketch": ("percentile", "quantile", "p50", "p75", "sketch"),
+    "a14_grouping_sets": ("grouping", "sets", "levels", "subtotal", "subtotals"),
+    "ev_value_histogram": ("histogram", "distribution", "bins", "buckets"),
+    "ev_asof_nearest_error": ("closest", "error", "asof", "before", "after"),
+    "dd_corpus_clean": ("clean", "curate", "corpus", "filter", "quality", "pipeline"),
+    "tx_hash_split": ("split", "train", "test", "validation", "holdout"),
+    "st_sessionize": ("streaming", "stream", "live", "realtime"),
 }
 
 

@@ -447,3 +447,54 @@ def test_text_profile_matches_column_builders(spark):
     a = sorted(map(tuple, via_columns.collect()))
     b = sorted(map(tuple, via_profile.collect()))
     assert a == b
+
+
+def test_hash_split_properties(spark):
+    """Hash-based splits: total coverage, repartition-invariance, realized
+    fractions near the weights, salt independence, and hash_sample
+    consistency with its bucket definition."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        sampling as SP,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assign = docs.withColumn("split", SP.split_column("doc_id", w)).select(
+        "doc_id", "split"
+    )
+    s1 = {r["doc_id"]: r["split"] for r in assign.collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(17)
+        .withColumn("split", SP.split_column("doc_id", w))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert s1 == s2, "split must be invariant under repartitioning"
+    assert set(s1.values()) <= set(w), "every row lands in a named split"
+    n = len(s1)
+    train_frac = sum(1 for v in s1.values() if v == "train") / n
+    assert abs(train_frac - 0.8) < 0.1, train_frac
+
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in docs.withColumn(
+            "split", SP.split_column("doc_id", w, salt="epoch2")
+        )
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert salted != s1, "a different salt must derive a different split"
+
+    kept = {
+        r["doc_id"]
+        for r in SP.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()
+    }
+    kept_again = {
+        r["doc_id"]
+        for r in SP.hash_sample(docs.repartition(7), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == kept_again
+    assert abs(len(kept) / n - 0.3) < 0.1
