@@ -317,6 +317,63 @@ def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dd_neardup_components",
+    f"""
+    WITH RECURSIVE {SQL_DOCS_SHINGLES},
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(
+                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
+                  AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                        JOIN sh sb ON cand.id_b = sb.doc_id
+              WHERE {SQL_JACCARD} >= 0.5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM e),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.dst AS m FROM reach r JOIN e ON e.src = r.m
+    )
+    SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
+    FROM reach GROUP BY n ORDER BY doc_id
+    """,
+)
+def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE dedup clusters: connected components over the MinHash-LSH
+    near-dup pair graph (operators.graph.connected_components, the
+    iterative min-label-propagation loop) — transitive merging that
+    pair-at-a-time dropping can't do (A~B, B~C puts A,B,C in ONE cluster
+    even when A!~C directly). The oracle computes the same components by
+    recursive transitive closure in DuckDB, so the iterative Spark loop
+    is pinned end-to-end: LSH candidate generation, verification, AND
+    the fixpoint."""
+    from ..operators.graph import connected_components
+
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================

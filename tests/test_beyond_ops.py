@@ -498,3 +498,29 @@ def test_hash_split_properties(spark):
     }
     assert kept == kept_again
     assert abs(len(kept) / n - 0.3) < 0.1
+
+
+def test_connected_components_shapes(spark):
+    """Min-label propagation on known topologies: a 4-chain (diameter 3 —
+    needs multiple rounds), a triangle, and a detached pair must resolve
+    to exactly three components labeled by their min ids."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),      # chain: {1,2,3,4} -> 1
+            (10, 11), (11, 12), (10, 12),  # triangle -> 10
+            (20, 21),                     # pair -> 20
+        ],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
