@@ -41,10 +41,15 @@ def connected_components(
     composition of joins/aggregations — no RDDs, no Python row code.
     Raises if the loop fails to converge within ``max_iterations``
     (diameter > iterations — raise the cap for chain-shaped graphs)."""
+    # The symmetric edge list joins into EVERY round — materialize it once
+    # (tiny: 2x|pairs| of two longs) or each round re-executes the entire
+    # upstream pair-finding DAG (for LSH edges, the whole verify pipeline;
+    # measured ~2x the query cost at sf0.1).
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
