@@ -114,10 +114,15 @@ def text_profile(docs, col: str = "text", carry: tuple[str, ...] = ()):
     back on doc_id instead.
 
     Values are integer/ratio-identical to the column builders above
-    (pinned by the same DuckDB oracles).
+    (pinned by the same DuckDB oracles), INCLUDING the NULL-text edge:
+    explode would silently DROP a NULL-text document (split(NULL) is
+    NULL), while the column builders and the SQL oracles emit the row
+    with NULL stats — so the profile is left-joined back onto the
+    document id set to restore those rows.
     """
     from pyspark.sql import functions as F
 
+    base = docs.select("doc_id", *carry)
     tok = docs.select(
         "doc_id", *carry, F.explode(F.split(F.col(col), " ")).alias("t")
     )
@@ -132,6 +137,7 @@ def text_profile(docs, col: str = "text", carry: tuple[str, ...] = ()):
         F.sum(F.length("t")).alias("char_sum"),
         *lex_aggs,
     )
+    prof = base.join(prof, ["doc_id", *carry], "left")
     return prof.select(
         "doc_id",
         *carry,
@@ -189,19 +195,23 @@ def token_hash_frame(docs, col: str = "text"):
     fold consumers (fingerprint_columns) then run their interpreted
     lambdas over cheap integer arithmetic only — measured ~3x faster
     end-to-end than hashing inside the lambda (token_hashes), which
-    interprets one md5 call per token per closure eval."""
+    interprets one md5 call per token per closure eval. NULL-text docs
+    keep a row with hs = NULL (left join back onto the id set), matching
+    the column formulation where transform(NULL) is NULL."""
     from pyspark.sql import functions as F
 
+    base = docs.select("doc_id")
     tok = docs.select(
         "doc_id", F.posexplode(F.split(F.col(col), " ")).alias("pos", "t")
     )
     hashed = tok.select(
         "doc_id", "pos", (P.md5_long("t") % P.ROLL_MOD).alias("h")
     )
-    return hashed.groupBy("doc_id").agg(
+    grouped = hashed.groupBy("doc_id").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, h))), x -> x.h)")
         .alias("hs")
     )
+    return base.join(grouped, "doc_id", "left")
 
 
 def fingerprint_columns(hs_col: str = "hs") -> dict[str, Column]:

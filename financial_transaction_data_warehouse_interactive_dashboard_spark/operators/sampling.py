@@ -38,9 +38,7 @@ def split_column(
     bucket count, so the realized fractions are exact multiples of
     1/SPLIT_BUCKETS.
     """
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    _validate_weights(weights)
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
     bucket = P.md5_long(key) % SPLIT_BUCKETS
     expr = None
@@ -53,17 +51,40 @@ def split_column(
     return expr
 
 
+def _validate_weights(weights: dict[str, float]) -> None:
+    for name, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"split weight {name!r} must be in [0, 1], got {w}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal with quote doubling — Python
+    repr() switches to double quotes when the value contains a single
+    quote, which SQL parses as an identifier."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def sql_split_column(
     key_expr: str, weights: dict[str, float], salt: str = ""
 ) -> str:
     """DuckDB twin of :func:`split_column` (same md5 arithmetic, same
-    cumulative integer bounds)."""
-    bucket = f"({P.sql_md5_long(f'{key_expr}::VARCHAR || {salt!r}')} % {SPLIT_BUCKETS})"
+    cumulative integer bounds, same validation)."""
+    _validate_weights(weights)
+    bucket = (
+        f"({P.sql_md5_long(f'{key_expr}::VARCHAR || {_sql_str(salt)}')}"
+        f" % {SPLIT_BUCKETS})"
+    )
     acc = 0.0
     arms = []
     for name, w in weights.items():
         acc += w
-        arms.append(f"WHEN {bucket} < {round(acc * SPLIT_BUCKETS)} THEN '{name}'")
+        arms.append(
+            f"WHEN {bucket} < {round(acc * SPLIT_BUCKETS)}"
+            f" THEN {_sql_str(name)}"
+        )
     return "CASE " + " ".join(arms) + " END"
 
 

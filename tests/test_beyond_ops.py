@@ -524,3 +524,73 @@ def test_connected_components_shapes(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_token_hash_formulations_match(spark):
+    """token_hashes (HOF column) and token_hash_frame (explode+codegen)
+    must produce identical hash arrays — same two-formulation contract as
+    the text profile."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    via_col = {
+        r["doc_id"]: r["hs"]
+        for r in docs.select("doc_id", T.token_hashes("text").alias("hs")).collect()
+    }
+    via_frame = {
+        r["doc_id"]: r["hs"] for r in T.token_hash_frame(docs).collect()
+    }
+    assert via_col == via_frame
+
+
+def test_text_profile_null_text_row_survives(spark):
+    """A NULL-text document must appear in the profile with NULL stats
+    (explode alone would drop it; the column builders and the DuckDB
+    oracles keep it)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, None)], ["doc_id", "text"]
+    )
+    prof = {r["doc_id"]: r for r in T.text_profile(docs).collect()}
+    assert set(prof) == {1, 2}
+    assert prof[2]["n_tokens"] is None and prof[2]["quality_pts"] is None
+    assert prof[1]["n_tokens"] == 3
+
+    hs = {r["doc_id"]: r["hs"] for r in T.token_hash_frame(docs).collect()}
+    assert set(hs) == {1, 2}
+    assert hs[2] is None and len(hs[1]) == 3
+
+
+def test_sampling_validation_and_quoting(spark):
+    """Bad weights raise; quote-bearing salts/names produce valid DuckDB
+    SQL that matches the Spark side."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        sampling as SP,
+    )
+
+    with pytest.raises(ValueError):
+        SP.split_column("doc_id", {"a": 1.1, "b": -0.1})
+    with pytest.raises(ValueError):
+        SP.sql_split_column("doc_id", {"a": 0.7})
+
+    w = {"tr'ain": 0.5, "rest": 0.5}
+    docs = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in docs.withColumn(
+            "split", SP.split_column("doc_id", w, salt="s'alt")
+        ).collect()
+    }
+    sql = SP.sql_split_column("doc_id", w, salt="s'alt")
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {sql} AS split FROM (SELECT unnest(range(50)) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
