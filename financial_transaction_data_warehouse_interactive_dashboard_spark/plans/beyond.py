@@ -84,6 +84,7 @@ _LANG_CASE = (
            lang AS labeled_lang
     FROM h ORDER BY doc_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-overlap language ID: argmax of marker hits, ties to the
@@ -251,6 +252,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {SQL_SIMHASH}
     SELECT doc_id, simhash FROM simh ORDER BY doc_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (operators.dedup.simhash)."""
@@ -289,6 +291,7 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     ORDER BY id_a, id_b
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked."""
@@ -462,6 +465,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 5
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
+    driver=False,  # folded: iter3 kmeans variant supersets the IVF mechanics
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse cells + nprobe probing) — the oracle reproduces the
@@ -525,7 +529,7 @@ def _sql_ivf_kmeans(iters: int) -> str:
     )
 
 
-@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1))
+@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1), driver=False)
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
     exact centroid means). The oracle reproduces seeding, assignment, the
@@ -632,6 +636,7 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            )::BIGINT AS quality_pts
     FROM d ORDER BY doc_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score (C4/Gopher-filter shape), computed
@@ -659,6 +664,7 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)::BIGINT AS n_chars_seen
     FROM documents ORDER BY doc_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex letter/digit runs."""
@@ -688,6 +694,7 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS min_window_hash
     FROM hw ORDER BY doc_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash doc fingerprint + winnowing-style min 4-token window.
@@ -793,6 +800,7 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(value::DECIMAL(30,6))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type (streaming.windows.tumbling)."""
@@ -839,6 +847,7 @@ def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessions per user via F.session_window; the oracle is the
@@ -1130,6 +1139,7 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            'fake' AS format
     FROM documents ORDER BY doc_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline: binary payload -> mapInPandas metadata.
@@ -1224,6 +1234,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY event_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase to the user's latest prior-or-equal view
@@ -1283,6 +1294,7 @@ def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b JOIN f USING (event_id)
     ORDER BY event_id
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-direction as-of join: each purchase to the user's closest

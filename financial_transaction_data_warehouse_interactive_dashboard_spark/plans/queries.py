@@ -40,27 +40,50 @@ class NamedQuery:
     name: str
     spark: SparkQuery
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    driver: bool = True  # exposed through __spark_entry__? (see below)
 
 
 REGISTRY: dict[str, NamedQuery] = {}
 
 
-def query(name: str, oracle: str | None):
-    """Register a (spark_fn, oracle_sql) pair under ``name``."""
+def query(name: str, oracle: str | None, driver: bool = True):
+    """Register a (spark_fn, oracle_sql) pair under ``name``.
+
+    ``driver=False`` keeps the entry fully registered (runnable, NLQ
+    routable, swept by tests/test_oracle_parity.py against its oracle)
+    but leaves it OUT of the driver-facing ``spark_queries()`` surface.
+    The external driver caps its per-round correctness sweep at 50
+    queries and samples beyond that, so the driver surface holds one
+    entry per operator family; strict-subset/sibling variants (e.g. the
+    1-iteration Lloyd next to the 3-iteration one, or the per-metric
+    text queries folded into tx_text_profile) are demoted to
+    locally-pinned status so every driver-facing query gets a
+    CORRECTNESS row every round.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        REGISTRY[name] = NamedQuery(name, fn, oracle)
+        REGISTRY[name] = NamedQuery(name, fn, oracle, driver)
         return fn
 
     return deco
 
 
 def spark_queries() -> dict[str, SparkQuery]:
-    return {n: q.spark for n, q in REGISTRY.items()}
+    """Driver-facing surface: <= 50 entries, one per operator family."""
+    return {n: q.spark for n, q in REGISTRY.items() if q.driver}
 
 
 def oracle_queries() -> dict[str, str]:
-    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        n: q.oracle
+        for n, q in REGISTRY.items()
+        if q.driver and q.oracle is not None
+    }
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    """Full registry including locally-pinned (driver=False) variants."""
+    return {n: q.spark for n, q in REGISTRY.items()}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -226,6 +249,7 @@ def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY quarter, status
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def a2_quarter_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key group-by count (stacked-bar input).
@@ -602,6 +626,7 @@ def f4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, part_type ASC
     LIMIT 5
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over a fact-dim join (O2 on the biggest table).
@@ -664,6 +689,7 @@ def o4_group_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     ORDER BY c_custkey
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference of key sets (X1) — high-balance customers with no
@@ -728,6 +754,7 @@ def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY segment
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-key group-by count (A1) — the dashboard's most common shape.
@@ -801,6 +828,7 @@ def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, 'Q' || CAST(quarter(o_orderdate) AS STRING))
     ORDER BY lvl, status NULLS FIRST, quarter NULLS FIRST
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, quarter): all four grouping sets in one pass
@@ -836,6 +864,7 @@ def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1 ORDER BY status
     """,
+    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
 )
 def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX/AVG/median per group — the aggregate family SURVEY.md
@@ -959,6 +988,10 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a13_percentile_sketch",
     """
     SELECT o_orderstatus AS status,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+             AS avg_price,
            round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
            round(quantile_cont(o_totalprice, 0.5),  4) AS p50,
            round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
@@ -967,8 +1000,10 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantiles by SKETCH next to the exact answer: percentile_approx
-    (Greenwald-Khanna) is the 100 TB alternative to a10's exact per-group
+    """Per-group value stats (MIN/MAX/decimal-exact AVG — a10_value_stats'
+    aggregate family, folded in here so one driver row pins it) plus
+    quantiles by SKETCH next to the exact answer: percentile_approx
+    (Greenwald-Khanna) is the 100 TB alternative to the exact per-group
     sort, mergeable map-side like the a5 HLL.
 
     Checkable contract, scale-robust (the a5 pattern): the EXACT
@@ -984,6 +1019,12 @@ def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = [0.25, 0.5, 0.75]
     env = [p + d for p in ps for d in (-0.002, 0.0, 0.002)]
     agg = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
         F.expr(
             f"percentile(o_totalprice, array({', '.join(map(str, env))}))"
         ).alias("ex"),
@@ -999,6 +1040,9 @@ def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_bound = ok if in_bound is None else (in_bound & ok)
     return agg.select(
         "status",
+        "min_price",
+        "max_price",
+        "avg_price",
         F.round(F.col("ex")[1], 4).alias("p25"),
         F.round(F.col("ex")[4], 4).alias("p50"),
         F.round(F.col("ex")[7], 4).alias("p75"),
@@ -1015,17 +1059,20 @@ def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
                 AS INTEGER) AS gid
     FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                            (o_orderstatus, o_orderpriority))
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
     ORDER BY gid, status, priority
     """,
 )
 def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (beyond a8's rollup / a9's cube): three
-    chosen aggregation levels in ONE pass over the fact — Spark expands
-    the sets into a single Expand + hash-aggregate plan (one shuffle
-    total, vs one scan+shuffle per level if issued separately).
-    grouping() disambiguates real NULL keys from superaggregate rows.
+    """Arbitrary GROUPING SETS: all four aggregation levels of
+    (status, priority) in ONE pass over the fact — the spec equals
+    CUBE(status, priority), so this driver row also pins the cube
+    operator family (the df.cube API spelling stays locally oracled via
+    the demoted a9_cube_status_quarter). Spark expands the sets into a
+    single Expand + hash-aggregate plan (one shuffle total, vs one
+    scan+shuffle per level if issued separately). grouping()
+    disambiguates real NULL keys from superaggregate rows.
     Expressed via spark.sql: GROUPING SETS has no DataFrame-API
     equivalent, and SQL-vs-DataFrame interop over the same session IS the
     engine surface (test_sql_surface pins the equivalence family)."""
@@ -1039,8 +1086,8 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
                     AS INT) AS gid
         FROM _a14_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                (o_orderstatus, o_orderpriority))
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
         ORDER BY gid, status, priority
         """
     )
@@ -1056,18 +1103,28 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_custkey AS custkey FROM orders
       WHERE o_orderpriority = '1-URGENT'
     )
-    SELECT 'union' AS set_op, count(*) AS n
-    FROM (SELECT custkey FROM big_buyers UNION SELECT custkey FROM urgent_buyers)
+    SELECT 'except' AS set_op, count(*) AS n
+    FROM (SELECT custkey FROM big_buyers EXCEPT SELECT custkey FROM urgent_buyers)
     UNION ALL
     SELECT 'intersect', count(*)
     FROM (SELECT custkey FROM big_buyers INTERSECT SELECT custkey FROM urgent_buyers)
+    UNION ALL
+    SELECT 'union', count(*)
+    FROM (SELECT custkey FROM big_buyers UNION SELECT custkey FROM urgent_buyers)
     ORDER BY set_op
     """,
 )
 def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) and INTERSECT over key sets — the set-op family
-    SURVEY.md section 2.7 notes as unused by the reference. Both are
-    single-shuffle distinct-aggregate plans in Spark.
+    """UNION (distinct) / INTERSECT / EXCEPT over key sets — the whole
+    set-op family SURVEY.md section 2.7 notes as unused by the reference
+    (EXCEPT is x1_except's operator, folded in here so one driver row
+    pins all three). Each leg is a single-shuffle distinct-aggregate plan.
+
+    ONE LAZY PLAN: each leg becomes a 1-row aggregate frame and the
+    three are unioned — nothing executes until the caller acts on the
+    returned DataFrame (round-2 review: the previous formulation ran two
+    eager .count() jobs at plan-construction time, breaking the lazy
+    contract and double-charging any composing caller).
     """
     orders = _t(spark, sf_dir, "orders")
     big = (
@@ -1080,11 +1137,18 @@ def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    u = big.union(urgent).distinct().count()
-    i = big.intersect(urgent).count()
-    return inline_table(
-        spark, [("intersect", i), ("union", u)], ["set_op", "n"]
-    ).orderBy("set_op")
+
+    def leg(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("set_op"), "n"
+        )
+
+    return (
+        leg(big.subtract(urgent), "except")
+        .unionByName(leg(big.intersect(urgent), "intersect"))
+        .unionByName(leg(big.union(urgent).distinct(), "union"))
+        .orderBy("set_op")
+    )
 
 
 # Beyond-reference queries register themselves on import (bottom import on
