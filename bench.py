@@ -113,6 +113,25 @@ def main() -> None:
             f for f in os.listdir(here)
             if f.startswith("BENCH_r") and f.endswith(".json")
         )
+        # Guard against self-comparison (round-2 review): if the driver
+        # has already recorded THIS round's bench file (re-runs within a
+        # round), the lexicographically-last file is our own output and
+        # every delta would read 1.0. The current round is always one
+        # past the round named in VERDICT.md, so drop any bench file at
+        # or beyond it.
+        verdict = os.path.join(here, "VERDICT.md")
+        if rounds and os.path.exists(verdict):
+            import re
+
+            with open(verdict) as fh:
+                m = re.search(r"Round\s+(\d+)", fh.readline())
+            if m:
+                cur = int(m.group(1)) + 1
+                rounds = [
+                    f
+                    for f in rounds
+                    if int(re.search(r"BENCH_r(\d+)", f).group(1)) < cur
+                ]
         prev_path = os.path.join(here, rounds[-1]) if rounds else None
     if prev_path and os.path.exists(prev_path):
         try:

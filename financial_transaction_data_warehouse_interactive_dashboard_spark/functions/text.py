@@ -108,10 +108,12 @@ def text_profile(docs, col: str = "text", carry: tuple[str, ...] = ()):
     Physical shape: explode tokens -> one hash-aggregate on doc_id with
     conditional counts; map-side partial aggregation reduces the shuffle
     to one stats row per doc per partition (countDistinct adds the usual
-    two-phase expand). ``carry`` names doc-level columns to keep through
-    the groupBy (functionally dependent on doc_id — e.g. the lang label);
-    do NOT carry wide payload columns (text) through the shuffle — join
-    back on doc_id instead.
+    two-phase expand). ``carry`` names doc-level columns (functionally
+    dependent on doc_id — e.g. the lang label) to return alongside the
+    stats; they ride on the BASE side of the doc_id re-join, never
+    through the shuffle and never in the join condition (NULL-safe by
+    construction). Do NOT carry wide payload columns (text) — join back
+    on doc_id instead.
 
     Values are integer/ratio-identical to the column builders above
     (pinned by the same DuckDB oracles), INCLUDING the NULL-text edge:
@@ -123,21 +125,25 @@ def text_profile(docs, col: str = "text", carry: tuple[str, ...] = ()):
     from pyspark.sql import functions as F
 
     base = docs.select("doc_id", *carry)
-    tok = docs.select(
-        "doc_id", *carry, F.explode(F.split(F.col(col), " ")).alias("t")
-    )
+    tok = docs.select("doc_id", F.explode(F.split(F.col(col), " ")).alias("t"))
     lex_aggs = [
         F.count(F.when(F.col("t").isin(*words), 1)).alias(f"hits_{lang}")
         for lang, words in sorted(LEXICONS.items())
     ]
-    prof = tok.groupBy("doc_id", *carry).agg(
+    prof = tok.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("t").alias("n_distinct"),
         F.count(F.when(F.col("t").isin(*STOPWORDS), 1)).alias("stop_hits"),
         F.sum(F.length("t")).alias("char_sum"),
         *lex_aggs,
     )
-    prof = base.join(prof, ["doc_id", *carry], "left")
+    # Join back on doc_id ONLY: carry columns ride on the base side, never
+    # into the join condition — a NULL carry value (e.g. lang) would fail
+    # an equi-join against itself and silently NULL the doc's stats
+    # (round-2 review finding; eqNullSafe would also work but would put a
+    # redundant condition in the plan — carry columns are functionally
+    # dependent on doc_id by contract).
+    prof = base.join(prof, "doc_id", "left")
     return prof.select(
         "doc_id",
         *carry,

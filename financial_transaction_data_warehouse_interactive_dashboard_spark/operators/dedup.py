@@ -114,6 +114,13 @@ def ngram_jaccard_pairs(
     becomes a slight underestimate for affected pairs — the usual
     recall/cost dial.
 
+    .. versionchanged:: round 2
+       The default changed from ``max_df=None`` (exhaustive) to
+       ``max_df=0.5``. Callers relying on exhaustive semantics must now
+       pass ``max_df=None`` explicitly; with the default, pairs sharing
+       stop-shingles get slightly fewer candidates and a slightly
+       underestimated Jaccard (see above).
+
     ``max_df`` accepts an absolute document count (int), a corpus fraction
     (float in (0, 1]; the cap is ``max(2, floor(frac * n_docs))``,
     computed IN-PLAN via a broadcast scalar aggregate — no eager count

@@ -616,6 +616,86 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+@query(
+    "tx_text_profile",
+    f"""
+    WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+               FROM documents),
+    h AS (SELECT doc_id, lang, text, w,
+            {_HITS['en']}::BIGINT AS hits_en,
+            {_HITS['es']}::BIGINT AS hits_es,
+            {_HITS['zh']}::BIGINT AS hits_zh,
+            len(w)::BIGINT AS n_tokens,
+            round(len(list_distinct(w)) / len(w), 6) AS distinct_ratio,
+            round({_STOP_SQL} / len(w), 6) AS stop_ratio,
+            round(list_sum([length(t) for t in w]) / len(w), 6)
+              AS mean_token_len,
+            {_SQL_QUALITY_PTS} AS quality_pts
+          FROM d),
+    hw AS (SELECT doc_id, w,
+             [('0x' || substr(md5(x), 1, 15))::BIGINT % {1_000_000_007}
+              for x in w] AS hs
+           FROM d)
+    SELECT h.doc_id, lang AS labeled_lang, hits_en, hits_es, hits_zh,
+           {_LANG_CASE} AS predicted_lang,
+           n_tokens, distinct_ratio, stop_ratio, mean_token_len, quality_pts,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS word_runs,
+           len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS digit_runs,
+           length(text)::BIGINT AS n_chars_seen,
+           list_reduce(list_prepend(0, hs),
+                       (a, b) -> (a * 31 + b) % {1_000_000_007})::BIGINT
+             AS doc_hash,
+           list_min([list_reduce(list_prepend(0, hs[i:i+3]),
+                                 (a, b) -> (a * 31 + b) % {1_000_000_007})
+                     for i in range(1, len(hw.w) - 2)])::BIGINT
+             AS min_window_hash
+    FROM h JOIN hw USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis profile in ONE driver row:
+    language-ID (lexicon argmax), quality scoring, token counting, and
+    rolling-hash fingerprinting — the four operators the demoted
+    tx_lang_id / tx_quality_score / tx_token_count / tx_fingerprint
+    entries pin individually (each still locally oracle-checked; this
+    merged projection is what the capped driver sweep verifies).
+
+    Plan shape: three branches over one documents scan — the
+    explode+codegen profile shuffle (functions.text.text_profile), a
+    map-only token-count projection, and the codegen-hashed fingerprint
+    regroup (token_hash_frame) — joined back on doc_id. Two shuffles
+    total; payload text never rides through either groupBy.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    prof = T.text_profile(docs, carry=("lang",))
+    counts = docs.select(
+        "doc_id", *[c.alias(n) for n, c in T.token_counts("text").items()]
+    )
+    fp = T.token_hash_frame(docs).select(
+        "doc_id", *[c.alias(n) for n, c in T.fingerprint_columns("hs").items()]
+    )
+    return (
+        prof.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            "hits_en",
+            "hits_es",
+            "hits_zh",
+            T.predicted_lang().alias("predicted_lang"),
+            "n_tokens",
+            "distinct_ratio",
+            "stop_ratio",
+            "mean_token_len",
+            "quality_pts",
+        )
+        .join(counts, "doc_id")
+        .join(fp, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 
 
 
@@ -997,35 +1077,48 @@ def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ev_props_extract",
     """
+    WITH px AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             json_extract_string(props, '$.missing') AS missing
+      FROM events)
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS k_sum,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-    FROM events
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           count(missing) AS missing_present
+    FROM px
     GROUP BY 1 ORDER BY event_type
     """,
 )
 def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: pull a typed field out of the JSON
-    ``props`` column and aggregate it — the shape every event pipeline
-    needs (properties bags are never fully schematized).
+    """Semi-structured extraction via ONE schematized parse: from_json
+    projects the JSON ``props`` bag into a typed struct — the JSON text
+    is parsed once per row regardless of how many fields downstream
+    expressions touch (vs one get_json_object walk per field), and the
+    explicit schema prunes unreferenced fields at parse time. The plan
+    shows a single JsonToStructs (pinned in tests/test_plan_quality.py).
 
-    get_json_object evaluates JVM-side per row; for hot multi-field
-    extraction prefer one from_json(schema) projecting a struct so the
-    JSON is parsed once — with explicit schema the parse also prunes
-    unreferenced fields.
+    Two fields come out of the one parse: the typed ``k`` measure
+    (aggregated) and a deliberately-absent ``missing`` field —
+    schema-declared fields missing from the document are NULL, and the
+    oracle pins that contract (missing_present = 0) alongside the k
+    aggregates.
     """
     events = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    p = F.from_json("props", "k BIGINT, missing STRING").alias("p")
+    px = events.select("event_type", p).select(
+        "event_type", F.col("p.k").alias("k"), F.col("p.missing").alias("missing")
+    )
     return (
-        events.groupBy("event_type")
+        px.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(k).alias("k_sum"),
-            F.min(k).alias("k_min"),
-            F.max(k).alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("missing").alias("missing_present"),
         )
         .orderBy("event_type")
     )
@@ -1035,8 +1128,9 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_value_histogram",
     """
     WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
-    b AS (SELECT least(floor((value - vmin) * 20 / (vmax - vmin)), 19)::INTEGER
-            AS bucket, vmin, vmax
+    b AS (SELECT CASE WHEN vmax = vmin THEN 0
+                 ELSE least(floor((value - vmin) * 20 / (vmax - vmin)), 19)
+                 END::INTEGER AS bucket, vmin, vmax
           FROM events, s)
     SELECT bucket, count(*) AS n,
            round(min(vmin) + bucket * ((min(vmax) - min(vmin)) / 20), 6)
@@ -1051,15 +1145,24 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan), then floor-bucketing and a 20-group count. Bucket arithmetic
     is written with identical operation ORDER in both engines — IEEE
     double ops are deterministic, so the bucket ids agree exactly; the
-    max value is clamped into the last bucket with least()."""
+    max value is clamped into the last bucket with least(). Degenerate
+    range guard (round-2 review): a single-valued or empty measure makes
+    (vmax - vmin) zero and 0/0 diverges across engines (Spark non-ANSI
+    NULL vs DuckDB NaN) — both plan and oracle put all rows in bucket 0
+    explicitly when vmax = vmin."""
     events = _t(spark, sf_dir, "events")
     stats = events.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     b = events.crossJoin(F.broadcast(stats)).select(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vmin")) * 20 / (F.col("vmax") - F.col("vmin"))
-            ),
-            F.lit(19),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 20
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(19),
+            )
         )
         .cast("int")
         .alias("bucket"),
@@ -1160,7 +1263,9 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              [(('0x' || substr(md5(text || '_' || i), 1, 8))::BIGINT % 1000)
               for i in range(0, {M.FEATURE_DIM})], ',') AS features_csv,
            CASE WHEN w >= h THEN 256 ELSE (w * 256) // h END AS out_w,
-           CASE WHEN w >= h THEN (h * 256) // w ELSE 256 END AS out_h
+           CASE WHEN w >= h THEN (h * 256) // w ELSE 256 END AS out_h,
+           strlen(text)::BIGINT AS n_bytes,
+           w AS width, h AS height, 'fake' AS format
     FROM (SELECT doc_id, text,
                  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 + 1 AS w,
                  ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 + 1 AS h
@@ -1169,10 +1274,12 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature-extraction + resize-planning (mapInPandas vector
-    output; operators.multimodal.extract_features). The oracle recomputes
-    the md5-derived embedding and the integer resize geometry over the
-    same bytes.
+    """Multimodal decode + feature-extraction + resize-planning in one
+    driver row: BOTH Arrow mapInPandas stages run — blob_metadata (the
+    decode stage the demoted mm_blob_meta entry pins individually) and
+    extract_features — joined on doc_id. The oracle recomputes the
+    md5-derived metadata, embedding, and integer resize geometry over
+    the same bytes.
 
     The operator's API output is ``array<double>`` (the schema the
     similarity operators consume); the checked registry projection
@@ -1182,17 +1289,23 @@ def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = M.attach_blob(_t(spark, sf_dir, "documents"))
     feats = M.extract_features(docs)
-    return feats.select(
-        "doc_id",
-        F.concat_ws(
-            ",",
-            F.transform(
-                "features", lambda x: F.round(x * 1000).cast("int").cast("string")
-            ),
-        ).alias("features_csv"),
-        "out_w",
-        "out_h",
-    ).orderBy("doc_id")
+    meta = M.blob_metadata(docs)
+    return (
+        feats.select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "features",
+                    lambda x: F.round(x * 1000).cast("int").cast("string"),
+                ),
+            ).alias("features_csv"),
+            "out_w",
+            "out_h",
+        )
+        .join(meta, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -1329,6 +1442,96 @@ def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_asof_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), e2 AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), bv AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             v.ts AS view_ts,
+             round(v.view_value, 6) AS view_value,
+             epoch_us(p.ts) - epoch_us(v.ts) AS view_gap_us
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ), b AS (
+      SELECT p.event_id, p.ts, e2.ts AS b_ts
+      FROM p ASOF LEFT JOIN e2 ON p.user_id = e2.user_id AND p.ts >= e2.ts
+    ), f AS (
+      SELECT p.event_id, e2.ts AS f_ts
+      FROM p ASOF LEFT JOIN e2 ON p.user_id = e2.user_id AND p.ts <= e2.ts
+    ), ne AS (
+      SELECT b.event_id,
+             CASE WHEN f_ts IS NULL THEN b_ts
+                  WHEN b_ts IS NULL THEN f_ts
+                  WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_ts
+                  ELSE f_ts END AS err_ts,
+             CASE WHEN f_ts IS NULL THEN epoch_us(b.ts) - epoch_us(b_ts)
+                  WHEN b_ts IS NULL THEN epoch_us(b.ts) - epoch_us(f_ts)
+                  WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(b.ts)
+                    THEN epoch_us(b.ts) - epoch_us(b_ts)
+                  ELSE epoch_us(b.ts) - epoch_us(f_ts) END AS err_signed_gap_us
+      FROM b JOIN f USING (event_id)
+    )
+    SELECT bv.event_id, bv.user_id, bv.ts, view_ts, view_value, view_gap_us,
+           err_ts, err_signed_gap_us
+    FROM bv JOIN ne USING (event_id)
+    ORDER BY event_id
+    """,
+)
+def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH as-of directions on one driver row: each purchase gets (a) the
+    user's latest prior-or-equal view (backward as-of — the demoted
+    ev_asof_view_purchase operator) and (b) the user's closest error
+    event in either time direction, ties to backward (nearest as-of —
+    the demoted ev_asof_nearest_error operator). Two invocations of
+    operators.temporal.asof_join (union + carry-forward window; one
+    shuffle each), merged on event_id. The oracle composes DuckDB's
+    native directional ASOF joins with the same tie-break CASE, so both
+    direction semantics stay pinned against a reference implementation.
+    """
+    from ..operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    back = asof_join(purchases, views, by="user_id", ts_col="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_view_value").alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("view_gap_us"),
+    )
+    near = asof_join(
+        purchases, errors, by="user_id", ts_col="ts", direction="nearest"
+    ).select(
+        "event_id",
+        F.col("r_ts").alias("err_ts"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("err_signed_gap_us"),
+    )
+    return back.join(near, "event_id").orderBy("event_id")
+
+
+@query(
     "ev_range_views_before_purchase",
     """
     WITH p AS (SELECT event_id, user_id, ts FROM events
@@ -1377,6 +1580,90 @@ def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
             "max_view_value",
         )
         .orderBy("event_id")
+    )
+
+
+@query(
+    "wh_gold_maintenance",
+    """
+    WITH gold AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(quarter(o_orderdate) AS INTEGER) AS q
+      FROM orders),
+    upd AS (
+      SELECT o_orderkey, 'F' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) + 500 AS DOUBLE)
+               AS o_totalprice,
+             3 AS q
+      FROM gold WHERE q = 2 AND o_orderkey % 97 = 0),
+    final AS (
+      SELECT * FROM gold
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd)
+    SELECT CAST(q AS INTEGER) AS quarter, o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_price
+    FROM final GROUP BY 1, 2 ORDER BY quarter, status
+    """,
+)
+def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORAGE layer under the driver's correctness gate: build a
+    quarter-partitioned gold table (sources.warehouse.write_partitioned),
+    apply a partition-scoped SCD-1 MERGE (upsert_partition_overwrite —
+    dynamic partition overwrite; the update batch corrects ~1% of Q2
+    orders, finalizes their status, adds a 500.00 price adjustment, and
+    MOVES them to Q3, so both the source and destination partitions
+    rewrite while Q1/Q4 files stay untouched), then re-aggregate the
+    maintained table. The oracle recomputes the post-merge state from
+    the raw inputs in DuckDB, so the returned aggregate is only right if
+    the merge replaced exactly the right rows in exactly the right
+    partitions — lineage-level verification of the dynamic-overwrite
+    path (round-2 ask). File-level invariants (untouched partitions
+    byte-identical, moved keys leave no stale duplicate) are pinned in
+    tests/test_warehouse.py.
+
+    NOTE: deliberately NOT a lazy plan — this entry is a maintenance JOB
+    (its side effect on the table is the semantics); the returned frame
+    is the post-maintenance audit aggregate.
+    """
+    from ..sources.warehouse import upsert_partition_overwrite, write_partitioned
+
+    orders = _t(spark, sf_dir, "orders")
+    gold = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.quarter("o_orderdate").alias("q"),
+    )
+    table = "wh_gold_maint"
+    write_partitioned(gold, table, ["q"])
+    updates = gold.filter(
+        (F.col("q") == 2) & (F.col("o_orderkey") % 97 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(30,2)") + 500)
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit(3).alias("q"),
+    )
+    upsert_partition_overwrite(
+        spark, table, updates, key="o_orderkey", partition_col="q"
+    )
+    return (
+        spark.table(table)
+        .groupBy(
+            F.col("q").cast("int").alias("quarter"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("quarter", "status")
     )
 
 

@@ -33,7 +33,15 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "o2_top5_types": ("part", "type", "types", "popular"),
     "dd_exact_dedup": ("duplicate", "duplicates", "dedup", "exact"),
     "dd_minhash_lsh": ("near", "similar", "documents", "minhash"),
-    "sim_topk_bruteforce": ("nearest", "neighbors", "embedding", "vector"),
+    # Vector-search intent routes to the SCALE path (partition-pruned IVF
+    # over the k-means-refined quantizer) by default; the brute-force
+    # linear scan is reachable only by explicitly asking for exactness
+    # (round-1/2 review: never route a 100 TB user to a full corpus scan).
+    "sim_ann_ivf_kmeans_iter3": ("nearest", "neighbors", "embedding", "vector"),
+    # Shares the intent terms so "exact nearest neighbors" outscores the
+    # ANN route (3 vs 2); without an exactness term the tie breaks to the
+    # lexicographically-first name — the ANN scale path.
+    "sim_topk_bruteforce": ("exact", "exhaustive", "bruteforce", "nearest", "neighbors"),
     "ev_tumbling_hourly": ("hourly", "events", "window"),
     "ev_sessionize": ("session", "sessions", "user", "activity"),
     "ev_funnel_vcp": ("funnel", "conversion", "purchase"),

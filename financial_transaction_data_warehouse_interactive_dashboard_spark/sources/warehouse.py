@@ -146,6 +146,14 @@ def upsert_partition_overwrite(
         .distinct()
         .collect()
     ]
+    if any(v is None for v in touched_vals):
+        # isin() below would silently skip NULL partition rows and the
+        # DROP PARTITION DDL cannot name them — refuse loudly (round-2
+        # review) rather than half-merge.
+        raise ValueError(
+            f"NULL {partition_col} partition value in updates/current; "
+            "filter NULL partition values out before the merge"
+        )
     cur_touched = current.filter(F.col(partition_col).isin(touched_vals))
     merged = (
         cur_touched.join(F.broadcast(keys), key, "left_anti")
@@ -166,7 +174,9 @@ def upsert_partition_overwrite(
     written = {r[0] for r in merged.select(partition_col).distinct().collect()}
     emptied = [v for v in touched_vals if v not in written]
     for v in emptied:
-        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        # Escape embedded quotes (matches sampling._sql_str) — a partition
+        # value containing ' must not break or inject into the DDL.
+        lit = "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
         spark.sql(
             f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({partition_col}={lit})"
         )

@@ -322,6 +322,12 @@ def test_nlq_routing(spark):
     assert nlq.route("find duplicate documents") == "dd_exact_dedup"
     assert nlq.route("user session activity") == "ev_sessionize"
     assert nlq.route("conversion funnel to purchase") == "ev_funnel_vcp"
+    # Vector-search intent defaults to the ANN SCALE path; the linear
+    # brute-force scan requires an explicit exactness term (round-2 ask).
+    assert nlq.route("nearest neighbors of this embedding vector") == (
+        "sim_ann_ivf_kmeans_iter3"
+    )
+    assert nlq.route("exact nearest neighbors") == "sim_topk_bruteforce"
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
