@@ -89,9 +89,18 @@ def main() -> None:
     # Steady-state: best of 2 per query. The first execution of a query
     # shape pays JIT/codegen warm-up that a long-lived warehouse session
     # never sees again; min-of-2 reports the repeatable cost.
+    #
+    # Per-query isolation: one broken query must NOT zero the round's
+    # entire perf signal (round 3 lost every number to a single
+    # AnalysisException). Errors are recorded per query and the suite
+    # keeps going; the process still exits 0 with the JSON line emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(REGISTRY):
-        timings[name] = round(min(run_once(name), run_once(name)), 4)
+        try:
+            timings[name] = round(min(run_once(name), run_once(name)), 4)
+        except Exception as exc:  # noqa: BLE001 — perf harness must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -101,6 +110,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
     }
+    if errors:
+        out["errors"] = errors
 
     # Regression diff vs the previous round's driver-recorded bench (same
     # sf only — cross-scale deltas are meaningless). Informational: bench
@@ -162,8 +173,11 @@ def main() -> None:
         except (json.JSONDecodeError, OSError, KeyError):
             pass  # diff is best-effort; never break the bench contract
 
-    print(json.dumps(out))
+    # Emit the contract line LAST and flushed, after spark.stop(), so no
+    # trailing JVM/log output can follow it on stdout (both r2 and r3
+    # recorded parsed=null driver-side from interleaved console noise).
     spark.stop()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -22,9 +22,24 @@ to sort cost, not memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _event_micros(col: Column, dtype: str) -> Column:
+    """Numeric event time for bucket/gap arithmetic, for ANY orderable
+    event-time type a caller might hand us: TIMESTAMP -> unix_micros;
+    TIMESTAMP_NTZ -> cast to TIMESTAMP first (session-tz interpretation —
+    a constant offset per session, so bucket widths and gap differences
+    are unaffected; ``unix_micros`` itself rejects NTZ); DATE -> cast
+    through TIMESTAMP; numerics pass through. Keeps the operators robust
+    to upstream schema drift with no session conf required."""
+    if dtype == "timestamp_ntz" or dtype == "date":
+        return F.unix_micros(col.cast("timestamp"))
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col)
+    return col
 
 
 def range_join_trailing(
@@ -50,20 +65,23 @@ def range_join_trailing(
     data, regardless of key fan-in.
     """
     w_us = window_seconds * 1_000_000
-    r = right.withColumn("_bkt", (F.unix_micros(F.col(ts_col)) / w_us).cast("long"))
-    l = left.withColumn(
-        "_b0", (F.unix_micros(F.col(ts_col)) / w_us).cast("long")
-    ).withColumn("_bkt", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"))))
+    r_us = _event_micros(F.col(ts_col), dict(right.dtypes).get(ts_col, ""))
+    l_us = _event_micros(F.col(ts_col), dict(left.dtypes).get(ts_col, ""))
+    r = right.withColumn("_us", r_us).withColumn(
+        "_bkt", (F.col("_us") / w_us).cast("long")
+    )
+    l = (
+        left.withColumn("_us", l_us)
+        .withColumn("_b0", (F.col("_us") / w_us).cast("long"))
+        .withColumn("_bkt", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"))))
+    )
     la, ra = l.alias("l"), r.alias("r")
     pairs = la.join(
         ra,
         (F.col(f"l.{by}") == F.col(f"r.{by}"))
         & (F.col("l._bkt") == F.col("r._bkt"))
-        & (
-            F.col(f"r.{ts_col}")
-            >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {window_seconds} SECOND")
-        )
-        & (F.col(f"r.{ts_col}") < F.col(f"l.{ts_col}")),
+        & (F.col("r._us") >= F.col("l._us") - F.lit(w_us))
+        & (F.col("r._us") < F.col("l._us")),
     )
     out_left = [F.col(f"l.{c}").alias(c) for c in left.columns]
     out_right = [
@@ -141,10 +159,10 @@ def asof_join(
         # 'nearest' accepts the same orderable ts types the directional
         # modes do.
         both = unioned.withColumn("_b", back).withColumn("_f", fwd)
-        is_ts = dict(left.dtypes).get(ts_col, "").startswith("timestamp")
+        ts_dtype = dict(left.dtypes).get(ts_col, "")
 
         def _num(c):
-            return F.unix_micros(c) if is_ts else c
+            return _event_micros(c, ts_dtype)
 
         b_gap = _num(F.col(ts_col)) - _num(F.col(f"_b.{ts_col}"))
         f_gap = _num(F.col(f"_f.{ts_col}")) - _num(F.col(ts_col))

@@ -1319,6 +1319,10 @@ def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents)
     ORDER BY doc_id, frame_idx
     """,
+    # Demoted r4 to fund sk_salted_hot_join under the 50-row driver cap:
+    # sibling of mm_features_resize (same Arrow mapInPandas multimodal
+    # plumbing, driver-green r3); locally oracle-pinned.
+    driver=False,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 2nd 64-byte frame) —
@@ -1774,3 +1778,89 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL as batch twin ev_sessionize, because append-mode flush emits
     exactly the batch session set once the watermark passes the tail."""
     return ST.run_session_stream(spark, sf_dir).orderBy("user_id", "first_ts")
+
+
+@query(
+    "st_foreach_batch_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
+def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming egress through foreachBatch into a PARQUET sink (the
+    production write path; the other streaming rows use test-only memory
+    sinks): the sentinel multi-batch source streams events through 2+
+    microbatches, each appended to parquet by a plain batch writer
+    (streaming.stream.run_foreach_batch_sink), and the sink is read BACK
+    and aggregated. The every-event-exactly-once oracle fails on row
+    count if any microbatch is dropped or written twice — it checks the
+    sink's contents, not the stream's in-memory state."""
+    sink = ST.run_foreach_batch_sink(spark, sf_dir)
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sk_salted_hot_join",
+    """
+    WITH probe AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS uid,
+             value
+      FROM events),
+    build AS (SELECT c_custkey AS uid, c_mktsegment FROM customer)
+    SELECT c_mktsegment AS segment, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM probe JOIN build USING (uid)
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def sk_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salted join under the correctness gate: the probe
+    side is made DELIBERATELY hot by collapsing every even user_id onto
+    key 0 (half the events land on one key — the power-law hot key at
+    100 TB), then joined to the customer dim via operators.skew.
+    salted_join: build side replicated once per salt, probe salt derived
+    deterministically from event_id, join on (uid, _salt) so the hot
+    key's rows fan out over 8 shuffle partitions instead of one straggler
+    task. The build side carries a shuffle_hash hint — broadcast would
+    erase the shuffle the salting exists to fix (and at real scale the
+    dim may not broadcast); tests/test_plan_quality.py asserts the
+    salted-shuffle plan shape. Oracle: the equivalent PLAIN join — the
+    salt must be semantics-free."""
+    from ..operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    probe = events.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("uid"),
+        "event_id",
+        "value",
+    )
+    build = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("uid"), "c_mktsegment")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(probe, build, key="uid", salt_source="event_id")
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("segment")
+    )

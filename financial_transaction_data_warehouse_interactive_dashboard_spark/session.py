@@ -41,15 +41,24 @@ def get_spark(app_name: str = "ftdw-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
-        # type, so read as long and convert on load (sources.registry).
+        # events.parquet's ts encoding varies by writer: TIMESTAMP(NANOS)
+        # needs nanosAsLong (Spark has no nanos type; read long, convert on
+        # load — sources.registry), and pandas/pyarrow's unadjusted-UTC
+        # micros must NOT infer as TIMESTAMP_NTZ (unix_micros/withWatermark
+        # reject NTZ; under the UTC session the conf-off read yields the
+        # same instants as DuckDB's naive read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Small-dim broadcast is the backbone of the star-join plans; keep
         # the default 10 MB threshold explicit so it is documented here.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No carriage-return progress bars on stdout: the bench contract
+        # is ONE parseable JSON line, and console progress interleaves
+        # with it (r2/r3 both recorded parsed=null driver-side).
+        .config("spark.ui.showConsoleProgress", "false")
         # Managed-table storage (sources.warehouse saveAsTable) + derby
         # metastore live under /tmp, never the repo working directory.
         .config("spark.sql.warehouse.dir", "/tmp/ftdw-spark-warehouse")

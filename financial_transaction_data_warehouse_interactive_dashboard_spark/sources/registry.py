@@ -15,11 +15,24 @@ from .. import schemas
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark rejects unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on. Our session factory
-    sets it, but the driver contract runs under an EXTERNAL session — set
-    the (runtime-settable) conf defensively before any events read."""
+    """events.parquet's ``ts`` encoding has drifted across driver rounds;
+    handle every shape a parquet writer produces in the wild:
+
+    - TIMESTAMP(NANOS): Spark rejects it unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is on; we read the long and
+      convert on load (``load_table``).
+    - Timestamp(isAdjustedToUTC=false, us) — the pandas/pyarrow default and
+      the most common encoding in the wild: Spark 4 infers TIMESTAMP_NTZ,
+      which ``unix_micros`` and ``withWatermark`` both reject. Turn NTZ
+      inference OFF so the unadjusted micros read directly as TIMESTAMP;
+      under our UTC session this yields the same instants DuckDB's naive
+      read does, keeping oracle semantics aligned.
+
+    Our session factory sets both confs, but the driver contract runs under
+    an EXTERNAL session — set the (runtime-settable) confs defensively
+    before any events read."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,13 +47,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as nanos-since-epoch long (legacy
-        # nanosAsLong). Truncate to micros with integer division — the
-        # same floor DuckDB applies when narrowing ns -> its us TIMESTAMP.
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize whatever shape ``ts`` arrived in to a plain TIMESTAMP.
+
+    - bigint: TIMESTAMP(NANOS) read as nanos-since-epoch long (legacy
+      nanosAsLong). Truncate to micros with integer division — the same
+      floor DuckDB applies when narrowing ns -> its us TIMESTAMP.
+    - timestamp_ntz: belt-and-braces for sessions where the NTZ-inference
+      conf was set AFTER a read cached the NTZ footer schema. The cast
+      interprets the wall clock in the session timezone (UTC here), the
+      same instants the conf-off read produces.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

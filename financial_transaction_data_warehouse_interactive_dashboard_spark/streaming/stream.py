@@ -40,17 +40,16 @@ def _as_stream_dir(path: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema must be declared
-    for streaming reads; reuse the batch-read schema, including the
-    nanos-as-long ts which we convert exactly as sources.registry does)."""
-    from ..sources.registry import ensure_nanos_conf
+    for streaming reads; reuse the batch-read schema, normalizing the ts
+    encoding — nanos-as-long or TIMESTAMP_NTZ — exactly as
+    sources.registry does)."""
+    from ..sources.registry import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    return normalize_event_ts(src)
 
 
 def run_tumbling_stream(
@@ -144,7 +143,7 @@ def _sentinel_session_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     event (see run_session_stream's docstring): batch 2's sentinel pushes
     the watermark past every real session close, so append-mode /
     event-time-timeout operators flush everything real."""
-    from ..sources.registry import ensure_nanos_conf
+    from ..sources.registry import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
@@ -176,9 +175,7 @@ def _sentinel_session_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_STREAM_DIRS[key])
     )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    return normalize_event_ts(src)
 
 
 def run_session_stream_stateful(
@@ -249,7 +246,7 @@ def run_dedup_stream(
     output is each event exactly once — which is why the plain
     ``SELECT * FROM events`` oracle is a REAL check: without the dedup
     (or with the state expired) the row count would be wrong."""
-    from ..sources.registry import ensure_nanos_conf
+    from ..sources.registry import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     path = os.path.join(sf_dir, "events.parquet")
@@ -279,8 +276,7 @@ def run_dedup_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(_STREAM_DIRS[key])
     )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_event_ts(src)
     q = (
         dedup_stream(src, watermark="2 hours")
         .writeStream.format("memory")
@@ -291,6 +287,51 @@ def run_dedup_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_foreach_batch_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch parquet sink — the production egress pattern the
+    memory-sink demos deliberately avoid: each microbatch DataFrame is
+    handed to a plain batch writer, so a stream can target ANY batch sink
+    (parquet/JDBC/MERGE) and batch/stream write paths share one code
+    path. Runs the sentinel multi-batch source (2+ microbatches, so the
+    append really exercises multiple foreachBatch invocations), appends
+    each batch to a fresh parquet sink dir, then reads the sink BACK and
+    returns it — the returned frame is only correct if every microbatch
+    landed exactly once (a dropped or doubled batch fails the
+    every-event-exactly-once oracle on row count).
+
+    Idempotence note: availableNow + checkpoint gives at-least-once into
+    foreachBatch; the epoch_id parameter is the dedup token a production
+    writer would record transactionally (Delta MERGE / txn log). The
+    plain parquet append here is the minimal demo, so the checkpoint dir
+    is fresh per invocation — every run is a complete, exactly-once
+    replay (same eager-JOB posture as wh_gold_maintenance, documented).
+
+    Reference analogue: none (reference is batch-only; streamlit.py:38-41
+    caches a static CSV load).
+    """
+    src = _sentinel_session_source(spark, sf_dir)
+    real = src.filter(F.col("user_id") != SENTINEL_USER)
+    sink_dir = tempfile.mkdtemp(prefix="ftdw-fbsink-")
+    chk_dir = tempfile.mkdtemp(prefix="ftdw-fbchk-")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch_id is the idempotence token (see docstring); with a fresh
+        # checkpoint each epoch arrives exactly once, so a plain append
+        # is sufficient here.
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        real.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
 
 
 SESSION_OUT_SCHEMA = (

@@ -312,6 +312,50 @@ def test_asof_join_edges(spark):
     assert near == {"only_back": "r_at_8", "only_fwd": "r_at_3", "tied": "r_back"}
 
 
+def test_temporal_ops_accept_timestamp_ntz(spark):
+    """Schema-drift armor (round-3 regression): events parquet written by
+    pandas/pyarrow arrives as TIMESTAMP_NTZ; asof_join (all directions)
+    and range_join_trailing must normalize internally — no session conf,
+    no caller-side cast — and produce the same matches as the TIMESTAMP
+    run."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.temporal import (
+        asof_join,
+        range_join_trailing,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"  # registry normalized
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+
+    def as_ntz(df):
+        out = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        want = asof_join(pur, views, by="user_id", direction=direction)
+        got = asof_join(
+            as_ntz(pur), as_ntz(views), by="user_id", direction=direction
+        )
+        key = lambda r: (r["event_id"], r["r_value"])  # noqa: E731
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, want.collect())
+        ), direction
+
+    want = range_join_trailing(pur, views, by="user_id", window_seconds=3600)
+    got = range_join_trailing(
+        as_ntz(pur), as_ntz(views), by="user_id", window_seconds=3600
+    )
+    key = lambda r: (r["event_id"], r["r_value"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert want.count() > 0  # the window actually matches something
+
+
 def test_nlq_routing(spark):
     """Deterministic NL routing + SQL surface (the LIDA-analogue hook)."""
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
