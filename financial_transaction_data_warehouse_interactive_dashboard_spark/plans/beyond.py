@@ -1137,6 +1137,11 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS bucket_lo
     FROM b GROUP BY bucket ORDER BY bucket
     """,
+    # Demoted r4 to fund st_foreach_batch_sink under the 50-row driver
+    # cap: the distribution-summary family keeps a13_percentile_sketch
+    # driver-green (and this entry went driver-green r3); locally
+    # oracle-pinned.
+    driver=False,
 )
 def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of a continuous measure — the dashboard

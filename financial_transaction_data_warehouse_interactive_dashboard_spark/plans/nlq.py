@@ -55,6 +55,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_corpus_clean": ("clean", "curate", "corpus", "filter", "quality", "pipeline"),
     "tx_hash_split": ("split", "train", "test", "validation", "holdout"),
     "st_sessionize": ("streaming", "stream", "live", "realtime"),
+    "sk_salted_hot_join": ("skew", "skewed", "hot", "salted", "straggler"),
+    "st_foreach_batch_sink": ("sink", "write", "egress", "export", "foreachbatch"),
 }
 
 

@@ -101,6 +101,20 @@ def test_salted_join_equals_plain_join(spark):
     assert spread == 8, "hot key should spread across all salt values"
 
 
+def test_salted_registry_query_plan_is_salted_shuffle(spark):
+    """sk_salted_hot_join's physical plan must actually BE the skew
+    mitigation it claims: a shuffled (non-broadcast) hash join whose join
+    key includes the salt — broadcast would erase the shuffle, and a join
+    on uid alone would put the hot key back on one task."""
+    plan = plan_of(REGISTRY["sk_salted_hot_join"].spark(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # The equi-join keys carry the salt column alongside the hot key.
+    join_keys = re.search(r"Left keys \[2\]: \[([^\]]*)\]", plan)
+    assert join_keys is not None
+    assert "uid" in join_keys.group(1) and "_salt" in join_keys.group(1)
+
+
 def test_dense_ids_matches_global_row_number(spark):
     """Two-phase parallel id assignment == the single-partition row_number
     the reference semantics define (SURVEY.md W4), on a dim and on a
