@@ -143,7 +143,21 @@ def main() -> None:
                     for f in rounds
                     if int(re.search(r"BENCH_r(\d+)", f).group(1)) < cur
                 ]
-        prev_path = os.path.join(here, rounds[-1]) if rounds else None
+        # Walk backwards to the newest file with USABLE numbers: a crashed
+        # round records parsed=null (r3), and comparing against it would
+        # silently drop the regression signal for every query.
+        prev_path = None
+        for f in reversed(rounds):
+            try:
+                with open(os.path.join(here, f)) as fh:
+                    cand = json.load(fh)
+                if "parsed" in cand:
+                    cand = cand["parsed"]
+                if isinstance(cand, dict) and cand.get("queries"):
+                    prev_path = os.path.join(here, f)
+                    break
+            except (json.JSONDecodeError, OSError):
+                continue
     if prev_path and os.path.exists(prev_path):
         try:
             with open(prev_path) as fh:

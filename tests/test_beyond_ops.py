@@ -356,6 +356,38 @@ def test_temporal_ops_accept_timestamp_ntz(spark):
     assert want.count() > 0  # the window actually matches something
 
 
+def test_event_ts_encoding_roundtrips(spark, tmp_path):
+    """The events load path must deliver plain TIMESTAMP for every ts
+    encoding a parquet writer produces in the wild: TIMESTAMP(NANOS)
+    (legacy nanosAsLong long), unadjusted-UTC micros (Spark 4's
+    TIMESTAMP_NTZ — the pandas/pyarrow default and the round-3 breaker),
+    and adjusted-UTC micros. Same wall-clock instants out of each."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        ensure_nanos_conf,
+        normalize_event_ts,
+    )
+
+    ensure_nanos_conf(spark)
+    us = [1704067200_000000, 1704070800_123456]  # 2024-01-01T00/+1h UTC
+    variants = {
+        "nanos": pa.table({"ts": pa.array([u * 1000 for u in us], pa.timestamp("ns"))}),
+        "ntz_us": pa.table({"ts": pa.array(us, pa.timestamp("us"))}),
+        "utc_us": pa.table({"ts": pa.array(us, pa.timestamp("us", tz="UTC"))}),
+    }
+    expected = None
+    for name, tbl in variants.items():
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(tbl, p)
+        df = normalize_event_ts(spark.read.parquet(p))
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got = [r["ts"] for r in df.orderBy("ts").collect()]
+        expected = expected or got
+        assert got == expected, name
+
+
 def test_nlq_routing(spark):
     """Deterministic NL routing + SQL surface (the LIDA-analogue hook)."""
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
