@@ -65,23 +65,22 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # Carry the previous label through the round frame so convergence
+        # is a filter+count over the checkpoint we materialize anyway —
+        # not an extra labels-vs-new join (one fewer shuffle per round).
         new = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("lbl").alias("_prev"),
                 F.least(
                     F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("_prev")).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("component"))
     raise RuntimeError(

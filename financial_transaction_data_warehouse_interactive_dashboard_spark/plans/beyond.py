@@ -867,6 +867,132 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d-]{7,}\d"
+
+
+@query(
+    "tx_pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                  || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' now' AS text2
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>',
+                                             'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
+    FROM injected ORDER BY doc_id
+    """,
+    # Locally-pinned (driver surface capped at 50): the scrub is pure
+    # codegen'd regexp expressions, fully pinned by the md5 oracle below.
+    driver=False,
+)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every LLM training pipeline
+    runs before text leaves the curation layer: email/phone patterns
+    masked with typed placeholders, entirely in JVM regexp expressions
+    (no Python in the hot path; at 100 TB this is a map-only stage with
+    zero shuffle).
+
+    The fixture text is a synthetic word salad with NO PII, so the query
+    first INJECTS deterministic PII derived from doc_id (same expression
+    in the oracle) — otherwise the scrub would pass vacuously on text it
+    never touched. The md5 of the scrubbed text pins every byte of the
+    rewrite; the extract_all counts pin the detector itself.
+
+    Reference analogue: none (reference has no text pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now"),
+        ).alias("text2"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text2", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text2", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text2", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "tx_repetition_ratio",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, ' +') AS ws FROM documents),
+    b AS (
+      SELECT doc_id,
+             [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bg
+      FROM t)
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+             AS rep_ratio
+    FROM b WHERE len(bg) > 0 ORDER BY doc_id
+    """,
+    # Locally-pinned (driver surface capped at 50): same explode-free
+    # array-expression family as tx_text_profile, which is driver-green.
+    driver=False,
+)
+def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of duplicate
+    word 2-grams per document (boilerplate and degenerate generations
+    score high and get filtered before training). Built from array
+    expressions only — split once, build bigrams with transform over a
+    sequence, count distinct with array_distinct — so the whole signal
+    is one codegen'd map stage: no explode, no shuffle, no Python.
+
+    Reference analogue: none (reference has no text pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " +")
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", bigrams.alias("bg"))
+        .filter(F.size("bg") > 0)
+        .select(
+            "doc_id",
+            F.size("bg").cast("bigint").alias("n_bigrams"),
+            F.round(
+                1
+                - F.size(F.array_distinct("bg")).cast("double")
+                / F.size("bg"),
+                6,
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Event-time windows (batch form; streaming lift in streaming.stream)
 # ===========================================================================

@@ -57,6 +57,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "st_sessionize": ("streaming", "stream", "live", "realtime"),
     "sk_salted_hot_join": ("skew", "skewed", "hot", "salted", "straggler"),
     "st_foreach_batch_sink": ("sink", "write", "egress", "export", "foreachbatch"),
+    "tx_pii_scrub": ("pii", "redact", "scrub", "email", "phone", "mask"),
+    "tx_repetition_ratio": ("repetition", "repetitive", "boilerplate", "repeated"),
 }
 
 
