@@ -86,6 +86,38 @@ def shingle_rows(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = N_SHINGLE,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: (train doc_id, n_shared) for every train
+    document sharing at least ``min_shared`` distinct word-n-gram
+    shingles with ANY test document — the hygiene pass an LLM training
+    pipeline runs so benchmark text doesn't leak into the training mix.
+
+    Scale shape: both sides reduce to distinct (doc, shingle-HASH) rows
+    first — the join key is the 60-bit portable hash (16 bytes) instead
+    of the shingle string, so the shuffle is sized by shingle COUNT, not
+    text bytes; the test-side set is tiny relative to train (a benchmark
+    suite vs a corpus) and AQE will broadcast it when it fits. One
+    shuffle join + one aggregation, all codegen.
+    """
+    t = (
+        shingle_rows(test, n)
+        .select(P.md5_long("s").alias("h"))
+        .distinct()
+    )
+    tr = shingle_rows(train, n).select("doc_id", P.md5_long("s").alias("h"))
+    return (
+        tr.join(t, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def shingle_docs(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     """doc_id + distinct word-n-gram shingle set (array form; element order
     is not meaningful — consumers do set operations only)."""

@@ -98,3 +98,66 @@ def hash_sample(
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
     bound = round(fraction * SPLIT_BUCKETS)
     return df.filter(P.md5_long(key) % SPLIT_BUCKETS < bound)
+
+
+def stratified_topk(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by their key hash (salted; ties broken by the key itself so
+    the rank is total) and keep the first ``k``. The per-stratum QUOTA is
+    what fraction-based sampling can't give you — per-language caps when
+    balancing a training mix — and hash-rank keeps it a pure function of
+    the keys: stable under repartitioning, retries, and data arrival
+    (a new row only enters the sample by out-hashing the current rank-k
+    row, never by reshuffling the RNG).
+
+    One shuffle on ``strata_col``; per-stratum state is the running rank.
+    Skewed strata degrade to sort cost (same class as any top-k)."""
+    from pyspark.sql.window import Window
+
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    w = Window.partitionBy(strata_col).orderBy(
+        P.md5_long(key).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def pack_offset_bins(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing, offset-bin form: within each ``part_col`` group,
+    lay the rows out in ``order_col`` order and assign each row the bin
+    its STARTING offset falls in (bin = floor(preceding_total / budget)).
+    This is the distributed-friendly packing rule: it needs only a window
+    cumulative sum (one shuffle, O(1) state/row), whereas exact greedy
+    first-fit ("close the bin when the next item would overflow") is a
+    sequential decision chain with no parallel formulation. Offset bins
+    can straddle a boundary by at most one row — the standard trade a
+    training-data packer makes to stay scalable; rows larger than
+    ``budget`` get a bin (their own offset's) rather than an error.
+
+    Adds ``bin`` (0-based per group) and ``offset`` (preceding total)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(F.col(size_col).cast("bigint")).over(w)
+    return df.withColumn("offset", total - F.col(size_col)).withColumn(
+        "bin", F.floor(F.col("offset") / budget).cast("bigint")
+    )

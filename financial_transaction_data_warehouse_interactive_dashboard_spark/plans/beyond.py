@@ -867,6 +867,118 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tx_decontaminate",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {SP.sql_split_column('doc_id', _SPLIT_WEIGHTS)} AS split,
+             string_split(text, ' ') AS w
+      FROM documents),
+    sh AS (SELECT doc_id, split, {_P.sql_shingles('w', D.N_SHINGLE)} AS sh
+           FROM d),
+    ex AS (SELECT doc_id, split, {_P.sql_md5_long('s')} AS h
+           FROM (SELECT doc_id, split, unnest(sh) AS s FROM sh)),
+    t AS (SELECT DISTINCT h FROM ex WHERE split = 'test')
+    SELECT ex.doc_id, count(*) AS n_shared
+    FROM ex JOIN t USING (h)
+    WHERE ex.split = 'train'
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY n_shared DESC, doc_id ASC
+    """,
+    # Locally-pinned (driver surface capped at 50): shingle+hash-join
+    # family is driver-covered by dd_ngram_jaccard/dd_minhash_lsh.
+    driver=False,
+)
+def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination report
+    (operators.dedup.contamination_report): train-split documents (the
+    deterministic tx_hash_split assignment) sharing >= 2 distinct
+    word-5-gram shingles with any test-split document, ranked most
+    contaminated first. The oracle reproduces the split, the shingling,
+    and the 60-bit hash join, so the flagged SET is pinned exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.withColumn("split", SP.split_column("doc_id", _SPLIT_WEIGHTS))
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    return (
+        D.contamination_report(train, test, min_shared=2)
+        .orderBy(F.desc("n_shared"), F.asc("doc_id"))
+    )
+
+
+@query(
+    "tx_stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_P.sql_md5_long("doc_id::VARCHAR || 'strat1'")} ASC,
+                        doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY lang, doc_id
+    """,
+    # Locally-pinned (driver surface capped at 50): same portable-md5
+    # determinism family as tx_hash_split, which is driver-green.
+    driver=False,
+)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-language stratified sample
+    (operators.sampling.stratified_topk): per-stratum quotas for
+    balancing a training mix, ranked by salted portable md5 so the
+    selected SET is a pure function of the keys — the oracle pins exact
+    membership, not just counts, because the same hash arithmetic runs
+    in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SP.stratified_topk(docs, "lang", "doc_id", k=20, salt="strat1")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "tx_pack_sequences",
+    """
+    WITH o AS (
+      SELECT lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars AS off
+      FROM documents)
+    SELECT lang, CAST(off // 4096 AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM o GROUP BY 1, 2 ORDER BY lang, bin
+    """,
+    # Locally-pinned (driver surface capped at 50): window-cumsum family
+    # is driver-covered by w1/w5; the packing rule itself is pinned here.
+    driver=False,
+)
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents laid out per
+    language in doc_id order and binned by STARTING offset into
+    4096-char budgets (operators.sampling.pack_offset_bins — the
+    window-cumsum packing rule that parallelizes; exact greedy first-fit
+    is a sequential chain). n_chars stands in for the token count the
+    real pipeline would use (tx_token_count provides it). The per-bin
+    aggregate oracle fails if any document lands in the wrong bin."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = SP.pack_offset_bins(
+        docs, part_col="lang", order_col="doc_id", size_col="n_chars",
+        budget=4096,
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?\d[\d-]{7,}\d"
 
@@ -1938,6 +2050,38 @@ def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "st_stream_stream_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts,
+           v.value AS v_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts < p.ts
+    ORDER BY event_id, v_ts
+    """,
+    # Locally-pinned (driver surface capped at 50): the state-eviction
+    # mechanics it adds beyond st_dedup/st_sessionize are pinned by the
+    # batch interval-join oracle either way.
+    driver=False,
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join run end-to-end as a real
+    Structured Streaming job (streaming.stream.run_stream_stream_join):
+    purchases x views of the same user within the trailing hour, matches
+    found ACROSS microbatches out of join state, state eviction bounded
+    by the range condition + watermarks. The batch interval-join oracle
+    (same semantics as ev_range_views_before_purchase's inner form)
+    fails if cross-batch state is dropped or leaks duplicate emits."""
+    return ST.run_stream_stream_join(spark, sf_dir).orderBy(
+        "event_id", "v_ts"
     )
 
 

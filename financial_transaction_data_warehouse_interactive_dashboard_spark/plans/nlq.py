@@ -59,6 +59,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "st_foreach_batch_sink": ("sink", "write", "egress", "export", "foreachbatch"),
     "tx_pii_scrub": ("pii", "redact", "scrub", "email", "phone", "mask"),
     "tx_repetition_ratio": ("repetition", "repetitive", "boilerplate", "repeated"),
+    "tx_stratified_sample": ("stratified", "quota", "balanced", "per", "language"),
+    "tx_pack_sequences": ("pack", "packing", "sequences", "bins", "batches"),
+    "tx_decontaminate": ("contamination", "decontaminate", "leak", "benchmark", "overlap"),
 }
 
 

@@ -289,6 +289,70 @@ def run_dedup_stream(
     return spark.table(query_name)
 
 
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_seconds: int = 3600,
+    query_name: str = "st_stream_stream_join",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the hardest Structured Streaming
+    operator: both sides buffer state, and the event-time range condition
+    plus both watermarks are what let Spark EVICT that state (without
+    them a stream-stream join grows unboundedly). Purchases and views
+    are two readStream instances over the same multi-batch source; each
+    purchase joins every view of the same user in the trailing hour:
+
+    - inner join emits a pair as soon as both rows have arrived (no
+      watermark wait on the emit path);
+    - the range condition bounds how long a buffered view can still
+      match a future purchase, so view-side state older than
+      (watermark - 1h) is dropped — bounded state at 100 TB/day;
+    - maxFilesPerTrigger=1 forces matches ACROSS microbatches: batch-2
+      purchases must find batch-1 views in the join state, which is the
+      property the batch oracle actually checks (drop the state and the
+      pair count is wrong).
+
+    Oracle: the equivalent batch interval join (same semantics as
+    operators.temporal.range_join_trailing, inner form)."""
+    src_p = _sentinel_session_source(spark, sf_dir)
+    src_v = _sentinel_session_source(spark, sf_dir)
+    p = (
+        src_p.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("user_id") != SENTINEL_USER)
+        )
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        src_v.filter(
+            (F.col("event_type") == "view")
+            & (F.col("user_id") != SENTINEL_USER)
+        )
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("v_value"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    ).select("event_id", "user_id", "p_ts", "v_ts", "v_value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_foreach_batch_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
