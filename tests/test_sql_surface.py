@@ -44,6 +44,11 @@ PORTABLE = [
     "ev_tumbling_hourly",
     "ev_sessionize",
     "ev_funnel_vcp",
+    # The salted join's oracle is the PLAIN join, so running it through
+    # spark.sql also pins salted == plain inside Spark itself.
+    "sk_salted_hot_join",
+    "st_foreach_batch_sink",
+    "st_stream_stream_join",
 ]
 
 
