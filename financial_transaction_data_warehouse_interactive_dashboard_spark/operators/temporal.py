@@ -99,6 +99,7 @@ def asof_join(
     ts_col: str = "ts",
     right_prefix: str = "r_",
     direction: str = "backward",
+    tolerance_seconds: int | float | None = None,
 ) -> DataFrame:
     """Left as-of join; right payload columns come back ``right_prefix``ed
     (including the matched right ``ts``), NULL when no match exists.
@@ -108,6 +109,13 @@ def asof_join(
     right row minimizing |right.ts - left.ts| (ties -> the backward
     match). Right (by, ts) pairs should be unique — pre-aggregate
     otherwise, or the carried row among ties is sort-order dependent.
+
+    ``tolerance_seconds`` (pandas merge_asof parity): a match farther
+    than the tolerance from the left row comes back NULL instead — for
+    'nearest', each side is disqualified independently before the closer
+    side is picked. For numeric event-time columns the tolerance is in
+    the column's own units. Costs nothing extra: the same carried struct
+    is post-filtered by a CASE.
 
     'nearest' costs the same single shuffle: both directional carries run
     over the SAME unioned, key-partitioned frame (two window sorts, one
@@ -147,25 +155,44 @@ def asof_join(
     unioned = l.select(by, ts_col, "_l", "_p", "_tag").unionByName(
         r.select(by, ts_col, "_l", "_p", "_tag")
     )
+    ts_dtype = dict(left.dtypes).get(ts_col, "")
+
+    def _num(c):
+        return _event_micros(c, ts_dtype)
+
+    # Tolerance in the gap arithmetic's units: micros for time types,
+    # the column's own units for numeric event time.
+    tol = None
+    if tolerance_seconds is not None:
+        is_time = ts_dtype.startswith("timestamp") or ts_dtype == "date"
+        tol = F.lit(
+            tolerance_seconds * 1_000_000 if is_time else tolerance_seconds
+        )
+
+    def _tolerated(match, gap):
+        return match if tol is None else F.when(gap <= tol, match)
+
     if direction == "backward":
-        carried = unioned.withColumn("_match", back)
+        m = unioned.withColumn("_m", back)
+        gap = _num(F.col(ts_col)) - _num(F.col(f"_m.{ts_col}"))
+        carried = m.withColumn("_match", _tolerated(F.col("_m"), gap))
     elif direction == "forward":
-        carried = unioned.withColumn("_match", fwd)
+        m = unioned.withColumn("_m", fwd)
+        gap = _num(F.col(f"_m.{ts_col}")) - _num(F.col(ts_col))
+        carried = m.withColumn("_match", _tolerated(F.col("_m"), gap))
     elif direction == "nearest":
         # Materialize each directional carry ONCE as a column (one Window
-        # operator per spec), then pick the closer side per row. Gap
-        # arithmetic adapts to the event-time type: timestamps go through
-        # unix_micros, numeric event times subtract directly — so
-        # 'nearest' accepts the same orderable ts types the directional
-        # modes do.
+        # operator per spec), disqualify each side beyond the tolerance,
+        # then pick the closer side per row. Gap arithmetic adapts to the
+        # event-time type: timestamps go through unix_micros, numeric
+        # event times subtract directly — so 'nearest' accepts the same
+        # orderable ts types the directional modes do.
         both = unioned.withColumn("_b", back).withColumn("_f", fwd)
-        ts_dtype = dict(left.dtypes).get(ts_col, "")
-
-        def _num(c):
-            return _event_micros(c, ts_dtype)
-
         b_gap = _num(F.col(ts_col)) - _num(F.col(f"_b.{ts_col}"))
         f_gap = _num(F.col(f"_f.{ts_col}")) - _num(F.col(ts_col))
+        both = both.withColumn(
+            "_b", _tolerated(F.col("_b"), b_gap)
+        ).withColumn("_f", _tolerated(F.col("_f"), f_gap))
         carried = both.withColumn(
             "_match",
             F.when(F.col("_f").isNull(), F.col("_b"))

@@ -312,6 +312,69 @@ def test_asof_join_edges(spark):
     assert near == {"only_back": "r_at_8", "only_fwd": "r_at_3", "tied": "r_back"}
 
 
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """Randomized cross-check against an INDEPENDENT reference
+    implementation: pandas.merge_asof implements the same backward/
+    forward/nearest as-of semantics (inclusive bounds; right (key, ts)
+    unique here so tie behavior is not exercised — our backward-tie rule
+    is pinned separately in test_asof_join_edges). Seeded frames with
+    sparse keys, duplicate left timestamps, and keys missing from either
+    side."""
+    import random
+
+    import pandas as pd
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.temporal import (
+        asof_join,
+    )
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000  # us epoch
+    left_rows = [
+        (rng.randint(0, 6), base + rng.randint(0, 3600) * 1_000_000, i)
+        for i in range(120)
+    ]
+    right_ts = {
+        (k, base + rng.randint(0, 3600) * 1_000_000)
+        for _ in range(80)
+        for k in [rng.randint(0, 8)]
+    }
+    right_rows = [(k, t, float(i)) for i, (k, t) in enumerate(sorted(right_ts))]
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts", "lid"])
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "rv"])
+    for c in ("ts",):
+        lpdf[c] = pd.to_datetime(lpdf[c], unit="us")
+        rpdf[c] = pd.to_datetime(rpdf[c], unit="us")
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol_s in (None, 600):
+            want = pd.merge_asof(
+                lpdf.sort_values(["ts", "lid"]),
+                rpdf.sort_values("ts"),
+                on="ts",
+                by="k",
+                direction=direction,
+                suffixes=("", "_r"),
+                tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+            ).set_index("lid")["rv"]
+            got = {
+                r["lid"]: r["r_rv"]
+                for r in asof_join(
+                    ldf, rdf, by="k", direction=direction,
+                    tolerance_seconds=tol_s,
+                ).collect()
+            }
+            for lid, rv in want.items():
+                g = got[lid]
+                if pd.isna(rv):
+                    assert g is None, (direction, tol_s, lid)
+                else:
+                    assert g == rv, (direction, tol_s, lid)
+
+
 def test_temporal_ops_accept_timestamp_ntz(spark):
     """Schema-drift armor (round-3 regression): events parquet written by
     pandas/pyarrow arrives as TIMESTAMP_NTZ; asof_join (all directions)
