@@ -2059,6 +2059,27 @@ def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_static_enrich",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+    # Locally-pinned (driver surface capped at 50): the stateless
+    # broadcast-enrichment half of the streaming join story; the
+    # stateful half is st_stream_stream_join.
+    driver=False,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment executed as a real streaming
+    job (streaming.stream.run_stream_static_enrich): events microbatches
+    probe the static customer dim — no join state — into a complete-mode
+    segment aggregate, oracled by the equivalent batch join."""
+    return ST.run_stream_static_enrich(spark, sf_dir).orderBy("segment")
+
+
+@query(
     "st_stream_stream_join",
     """
     SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts,

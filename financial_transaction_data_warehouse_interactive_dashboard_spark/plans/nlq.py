@@ -62,6 +62,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_stratified_sample": ("stratified", "quota", "balanced", "per", "language"),
     "tx_pack_sequences": ("pack", "packing", "sequences", "bins", "batches"),
     "tx_decontaminate": ("contamination", "decontaminate", "leak", "benchmark", "overlap"),
+    "st_stream_static_enrich": ("enrich", "enrichment", "dimension", "lookup"),
 }
 
 

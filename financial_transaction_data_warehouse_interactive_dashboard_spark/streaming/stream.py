@@ -353,6 +353,46 @@ def run_stream_stream_join(
     return spark.table(query_name)
 
 
+def run_stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "st_stream_static_enrich",
+) -> DataFrame:
+    """Stream-STATIC join — the standard streaming enrichment: each
+    microbatch of events joins the static customer dimension (broadcast;
+    no state on either side, unlike the stream-stream join) and feeds a
+    complete-mode aggregate. The static side is re-resolvable per
+    microbatch, which is why dimension updates between batches are
+    picked up on a real cluster; here it pins the plan shape: a
+    streaming scan probing a broadcast dim without any stateful join."""
+    from ..sources.registry import load_table
+
+    src = _sentinel_session_source(spark, sf_dir)
+    ev = src.filter(F.col("user_id") != SENTINEL_USER)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_foreach_batch_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -375,6 +375,58 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed):
                     assert g == rv, (direction, tol_s, lid)
 
 
+@pytest.mark.parametrize("seed", [5, 42])
+def test_range_join_matches_pandas_reference(spark, seed):
+    """Randomized cross-check of the bucketed interval-join decomposition
+    against the obvious pandas reference (per-key cartesian + interval
+    filter): the bucketing must be an invisible physical optimization.
+    Window widths that do and don't divide the data's time span, matches
+    exactly on the open/closed boundaries."""
+    import random
+
+    import pandas as pd
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.temporal import (
+        range_join_trailing,
+    )
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000
+    lpdf = pd.DataFrame(
+        [
+            (rng.randint(0, 5), base + rng.randint(0, 7200) * 1_000_000, i)
+            for i in range(100)
+        ],
+        columns=["k", "ts", "lid"],
+    )
+    rpdf = pd.DataFrame(
+        [
+            (rng.randint(0, 6), base + rng.randint(0, 7200) * 1_000_000, float(i))
+            for i in range(100)
+        ],
+        columns=["k", "ts", "rv"],
+    )
+    for pdf in (lpdf, rpdf):
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+    for window_s in (900, 3600):
+        ref = lpdf.merge(rpdf, on="k", suffixes=("", "_r"))
+        ref = ref[
+            (ref.ts_r >= ref.ts - pd.Timedelta(seconds=window_s))
+            & (ref.ts_r < ref.ts)
+        ]
+        want = sorted(zip(ref.lid, ref.rv))
+        got = sorted(
+            (r["lid"], r["r_rv"])
+            for r in range_join_trailing(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                by="k",
+                window_seconds=window_s,
+            ).collect()
+        )
+        assert got == want, window_s
+
+
 def test_temporal_ops_accept_timestamp_ntz(spark):
     """Schema-drift armor (round-3 regression): events parquet written by
     pandas/pyarrow arrives as TIMESTAMP_NTZ; asof_join (all directions)
