@@ -1936,8 +1936,9 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window expressions authored once, lifted to streaming unchanged)
     makes stream == batch an exact contract, so the streaming execution
     gets the same DuckDB oracle instead of a rows-only blind spot. The
-    equality is also asserted directly in tests/test_beyond_ops.py."""
-    return ST.run_tumbling_stream(spark, sf_dir).orderBy(
+    equality is also asserted directly in tests/test_beyond_ops.py. State-store count sized to check
+    scale via num_state_partitions (streaming.stream._state_partitions)."""
+    return ST.run_tumbling_stream(spark, sf_dir, num_state_partitions=8).orderBy(
         "window_start", "event_type"
     )
 
@@ -1955,8 +1956,11 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour of events in a second microbatch (streaming.stream.
     run_dedup_stream). The every-event-exactly-once oracle only holds if
     the dedup state actually drops the replay — a missing or expired
-    dedup would fail on row count."""
-    return ST.run_dedup_stream(spark, sf_dir).orderBy("event_id")
+    dedup would fail on row count. State-store count sized to check
+    scale via num_state_partitions (streaming.stream._state_partitions)."""
+    return ST.run_dedup_stream(spark, sf_dir, num_state_partitions=8).orderBy(
+        "event_id"
+    )
 
 
 @query(
@@ -1992,10 +1996,12 @@ def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     key per microbatch, so the full key domain belongs on a cluster, not
     in the correctness loop — see run_session_stream_stateful's
     docstring for the measured overhead rate. The built-in session_window
-    twin (st_sessionize) covers the full domain."""
-    return ST.run_session_stream_stateful(spark, sf_dir, user_mod=10).orderBy(
-        "user_id", "first_ts"
-    )
+    twin (st_sessionize) covers the full domain. num_state_partitions=16
+    balances state-store maintenance against Python-worker parallelism
+    (measured best at check scale)."""
+    return ST.run_session_stream_stateful(
+        spark, sf_dir, user_mod=10, num_state_partitions=16
+    ).orderBy("user_id", "first_ts")
 
 
 @query(
@@ -2024,8 +2030,11 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, sentinel-driven watermark advance, availableNow; see
     streaming.stream.run_session_stream. Oracle: the same gaps-and-islands
     SQL as batch twin ev_sessionize, because append-mode flush emits
-    exactly the batch session set once the watermark passes the tail."""
-    return ST.run_session_stream(spark, sf_dir).orderBy("user_id", "first_ts")
+    exactly the batch session set once the watermark passes the tail. State-store count sized to check
+    scale via num_state_partitions (streaming.stream._state_partitions)."""
+    return ST.run_session_stream(spark, sf_dir, num_state_partitions=8).orderBy(
+        "user_id", "first_ts"
+    )
 
 
 @query(
@@ -2105,10 +2114,15 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     found ACROSS microbatches out of join state, state eviction bounded
     by the range condition + watermarks. The batch interval-join oracle
     (same semantics as ev_range_views_before_purchase's inner form)
-    fails if cross-batch state is dropped or leaks duplicate emits."""
-    return ST.run_stream_stream_join(spark, sf_dir).orderBy(
-        "event_id", "v_ts"
-    )
+    fails if cross-batch state is dropped or leaks duplicate emits.
+
+    num_state_partitions=8: state-store count sized to the check-scale
+    key domain (the standard stateful-streaming capacity knob; measured
+    2x at sf0.1 — see streaming.stream._state_partitions). A production
+    deployment sizes it to throughput instead."""
+    return ST.run_stream_stream_join(
+        spark, sf_dir, num_state_partitions=8
+    ).orderBy("event_id", "v_ts")
 
 
 @query(
