@@ -240,6 +240,18 @@ def test_stream_dedup_within_watermark(spark):
     assert got == want
 
 
+def test_state_partitions_knob_restores_conf(spark):
+    """The scoped state-partition knob must restore the session conf even
+    when the streaming job throws — leaking a check-scale partition count
+    into the session would silently shrink every later batch shuffle."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(ValueError):
+        with ST._state_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise ValueError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
 def test_multimodal_plumbing(spark):
     """Binary column + mapInPandas metadata: deterministic fake decode,
     real Arrow batching; the real-decoder hook must be an explicit stub."""
