@@ -115,6 +115,29 @@ def test_salted_registry_query_plan_is_salted_shuffle(spark):
     assert "uid" in join_keys.group(1) and "_salt" in join_keys.group(1)
 
 
+# Entries that run jobs at call time (streaming executions, the warehouse
+# maintenance merge) — building their "plan" means executing them, so the
+# cartesian sweep skips them; their plans are audited via their operators'
+# own tests instead.
+EAGER_PREFIXES = ("st_", "wh_")
+
+
+def test_no_cartesian_product_in_driver_surface(spark):
+    """No driver-facing query may plan an unpartitioned CartesianProduct —
+    the one join shape that cannot scale (every deliberate small-side
+    cross join in the codebase is broadcast, which plans as
+    BroadcastNestedLoopJoin with a 1-row/centroid side, never
+    CartesianProduct)."""
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if not q.driver or name.startswith(EAGER_PREFIXES):
+            continue
+        plan = plan_of(q.spark(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_dense_ids_matches_global_row_number(spark):
     """Two-phase parallel id assignment == the single-partition row_number
     the reference semantics define (SURVEY.md W4), on a dim and on a
