@@ -21,6 +21,9 @@ from financial_transaction_data_warehouse_interactive_dashboard_spark.operators 
 from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
     multimodal as M,
 )
+from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+    sampling as SP,
+)
 from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
     load_table,
 )
@@ -238,6 +241,57 @@ def test_stream_dedup_within_watermark(spark):
     got = spark.table("t_dedup_stream").count()
     want = load_table(spark, SF_SMOKE, "events").count()
     assert got == want
+
+
+def test_pack_offset_bins_edges(spark):
+    """Boundary semantics of the offset-bin packer: a row STARTING exactly
+    at a budget boundary opens the next bin; an oversized row gets its
+    own offset's bin (no error, may straddle); per-group offsets restart."""
+    rows = [
+        # group a: sizes 60, 40, 100, 5 with budget 100
+        ("a", 1, 60),   # offset 0   -> bin 0
+        ("a", 2, 40),   # offset 60  -> bin 0 (ends exactly at 100)
+        ("a", 3, 100),  # offset 100 -> bin 1 (starts exactly at boundary)
+        ("a", 4, 5),    # offset 200 -> bin 2
+        # group b: oversized first row
+        ("b", 1, 250),  # offset 0   -> bin 0 (straddles, allowed)
+        ("b", 2, 10),   # offset 250 -> bin 2
+    ]
+    df = spark.createDataFrame(rows, ["g", "ord", "sz"])
+    got = {
+        (r["g"], r["ord"]): (r["offset"], r["bin"])
+        for r in SP.pack_offset_bins(
+            df, part_col="g", order_col="ord", size_col="sz", budget=100
+        ).collect()
+    }
+    assert got == {
+        ("a", 1): (0, 0),
+        ("a", 2): (60, 0),
+        ("a", 3): (100, 1),
+        ("a", 4): (200, 2),
+        ("b", 1): (0, 0),
+        ("b", 2): (250, 2),
+    }
+
+
+def test_stratified_topk_edges(spark):
+    """k larger than a stratum keeps the whole stratum; selection is
+    stable across repartitionings (pure function of the keys)."""
+    rows = [("x", i) for i in range(10)] + [("y", 100), ("y", 101)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    got = SP.stratified_topk(df, "lang", "doc_id", k=5)
+    by_lang = {}
+    for r in got.collect():
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["x"]) == 5
+    assert by_lang["y"] == {100, 101}  # stratum smaller than k -> all kept
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in SP.stratified_topk(
+            df.repartition(7, "doc_id"), "lang", "doc_id", k=5
+        ).collect()
+    }
+    assert again == {(l, d) for l, ds in by_lang.items() for d in ds}
 
 
 def test_state_partitions_knob_restores_conf(spark):
