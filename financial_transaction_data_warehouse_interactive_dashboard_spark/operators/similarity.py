@@ -266,3 +266,55 @@ def topk_ann_signlsh(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+QUANT_SCHEMA = "vec_id bigint, n_dims bigint, scale9 double, codes_csv string"
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage
+    path for vector corpora at scale: fp32 -> int8 codes + one fp scale
+    per vector cuts embedding bytes 4x (the difference between a
+    memory-resident and a disk-bound ANN index at 10^9+ vectors), with
+    approximate distances computed on the codes and the scale folded in
+    afterwards.
+
+    scale = max|x| / 127; code = round_half_away_from_zero(x / scale)
+    (explicit half-away rounding — numpy's default round is half-to-EVEN
+    and silently diverges from SQL round on exact halves). Zero vectors
+    quantize to all-zero codes. Runs in Arrow-batched mapInPandas on a
+    2-column projection — map-only, no shuffle; codes serialize to CSV
+    for the driver comparator (same convention as mm_features_resize).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for vid, v in zip(pdf["vec_id"], pdf[vec_col]):
+                a = np.asarray(v, dtype=np.float64)
+                m = float(np.abs(a).max()) if a.size else 0.0
+                scale = m / 127.0
+                if scale == 0.0:
+                    codes = np.zeros(a.size, dtype=np.int64)
+                else:
+                    codes = (
+                        np.sign(a) * np.floor(np.abs(a) / scale + 0.5)
+                    ).astype(np.int64)
+                out.append(
+                    (
+                        int(vid),
+                        int(a.size),
+                        round(scale, 9),
+                        ",".join(str(c) for c in codes),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "n_dims", "scale9", "codes_csv"]
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(fn, QUANT_SCHEMA)

@@ -868,6 +868,38 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v, list_max([abs(x) for x in v]) / 127 AS scale FROM v)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           round(scale, 9) AS scale9,
+           array_to_string(
+             [CAST(CASE WHEN scale = 0 THEN 0
+                        WHEN x >= 0 THEN floor(x / scale + 0.5)
+                        ELSE -floor(-x / scale + 0.5) END AS BIGINT)
+              for x in v], ',') AS codes_csv
+    FROM s ORDER BY vec_id
+    """,
+    # Locally-pinned (driver surface capped at 50): the Arrow mapInPandas
+    # plumbing family is driver-covered by mm_features_resize.
+    driver=False,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (operators.similarity.quantize_int8):
+    per-vector symmetric scale + half-away-from-zero codes, byte-pinned
+    by an oracle that reproduces the same float64 arithmetic over the
+    same float32 inputs — codes AND scales must match exactly, so a
+    rounding-mode drift (numpy's half-to-even default, for instance)
+    fails the gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb).orderBy("vec_id")
+
+
+@query(
     "tx_decontaminate",
     f"""
     WITH d AS (

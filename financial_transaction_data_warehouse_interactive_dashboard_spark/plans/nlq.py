@@ -63,6 +63,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_pack_sequences": ("pack", "packing", "sequences", "bins", "batches"),
     "tx_decontaminate": ("contamination", "decontaminate", "leak", "benchmark", "overlap"),
     "st_stream_static_enrich": ("enrich", "enrichment", "dimension", "lookup"),
+    "sim_quantize_int8": ("quantize", "quantization", "int8", "compress", "compression"),
 }
 
 
