@@ -868,6 +868,76 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_expectations",
+    """
+    WITH checks AS (
+      SELECT 'not_null(o_custkey)' AS check_name,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS n FROM orders
+      UNION ALL
+      SELECT 'not_null(o_orderkey)',
+             count(*) FILTER (WHERE o_orderkey IS NULL) FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice)',
+             count(*) FILTER (WHERE o_totalprice < 0) FROM orders
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('P', 'O', 'F'))
+      FROM orders
+      UNION ALL
+      SELECT 'matches(o_orderpriority)',
+             count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-'))
+      FROM orders
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             (SELECT sum(c - 1)
+              FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+      UNION ALL
+      SELECT 'fk(o_custkey->customer)',
+             (SELECT count(*) FROM orders o
+              LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+    )
+    SELECT check_name, CAST(n AS BIGINT) AS n_violations,
+           n = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+    # Locally-pinned (driver surface capped at 50): report shape is one
+    # scan + stack, covered structurally by the aggregate families.
+    driver=False,
+)
+def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations battery (operators.quality) over the
+    orders fact: null checks, a price range, a status domain, a priority
+    pattern, primary-key uniqueness, and FK integrity against the
+    customer dim — all row checks folded into ONE scan (stack()-pivoted
+    single aggregate), plus one group-by and one broadcast anti-join.
+    The publish-gate report the reference never had; oracle recomputes
+    every violation count in SQL."""
+    from ..operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    report = Q.expectations(
+        orders,
+        row_checks=[
+            Q.not_null("o_custkey"),
+            Q.not_null("o_orderkey"),
+            Q.in_range("o_totalprice", lo=0),
+            Q.in_set("o_orderstatus", ["P", "O", "F"]),
+            Q.matches("o_orderpriority", "^[1-5]-"),
+        ],
+        unique_checks=[Q.unique("o_orderkey")],
+        fk_checks=[
+            ("fk(o_custkey->customer)", customer, "o_custkey", "c_custkey")
+        ],
+    )
+    return report.orderBy("check_name")
+
+
+@query(
     "sim_quantize_int8",
     """
     WITH v AS (

@@ -294,6 +294,47 @@ def test_stratified_topk_edges(spark):
     assert again == {(l, d) for l, ds in by_lang.items() for d in ds}
 
 
+def test_expectations_detect_planted_violations(spark):
+    """The fixtures are clean, so the registry's wh_expectations row is
+    all-pass — prove the detectors actually FIRE on a frame with planted
+    violations of every kind, with exact counts."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        quality as Q,
+    )
+
+    rows = [
+        # (k, price, status)
+        (1, 10.0, "P"),
+        (1, 20.0, "O"),      # duplicate key 1 -> unique: 1 extra row
+        (2, -5.0, "F"),      # negative price -> in_range: 1
+        (None, 30.0, "X"),   # null key + bad status -> not_null 1, in_set 1
+        (9, 40.0, "P"),      # key 9 missing from dim -> fk orphan: 1
+    ]
+    df = spark.createDataFrame(rows, ["k", "price", "status"])
+    dim = spark.createDataFrame([(1,), (2,)], ["pk"])
+    got = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in Q.expectations(
+            df,
+            row_checks=[
+                Q.not_null("k"),
+                Q.in_range("price", lo=0),
+                Q.in_set("status", ["P", "O", "F"]),
+            ],
+            unique_checks=[Q.unique("k")],
+            fk_checks=[("fk(k)", dim, "k", "pk")],
+        ).collect()
+    }
+    assert got == {
+        "not_null(k)": (1, False),
+        "in_range(price)": (1, False),
+        "in_set(status)": (1, False),
+        # 5 rows over 4 distinct k values (incl. NULL group) -> 1 extra
+        "unique(k)": (1, False),
+        "fk(k)": (1, False),
+    }
+
+
 def test_state_partitions_knob_restores_conf(spark):
     """The scoped state-partition knob must restore the session conf even
     when the streaming job throws — leaking a check-scale partition count
