@@ -52,6 +52,57 @@ def matches(col: str, pattern: str) -> tuple[str, Column]:
     )
 
 
+def profile(
+    df: DataFrame,
+    num_cols: list[str] = (),
+    str_cols: list[str] = (),
+) -> DataFrame:
+    """Per-column table profile — (col_name, n, n_null, n_distinct,
+    min_num, max_num, min_str, max_str), numeric and string/date columns
+    typed into separate min/max slots (no lossy cross-type casts; dates
+    profile as ISO strings, numeric bounds round to 6dp).
+
+    Physical shape: ONE aggregate computes every per-column statistic,
+    then stack() pivots to tidy rows. The COUNT(DISTINCT) battery makes
+    Catalyst plan an expand (one input row fans out once per distinct
+    aggregate) — a single shuffle whose width scales with the column
+    count, which is the standard price of exact multi-column NDV; swap
+    in approx_count_distinct when 2% error is acceptable at 100 TB.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    rows = []
+    for c in num_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.round(F.min(c).cast("double"), 6).alias(f"_mn_{c}"),
+            F.round(F.max(c).cast("double"), 6).alias(f"_mx_{c}"),
+        ]
+        rows.append(
+            f"'{c}', _n, `_nn_{c}`, `_nd_{c}`, `_mn_{c}`, `_mx_{c}`, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_mx_{c}"),
+        ]
+        rows.append(
+            f"'{c}', _n, `_nn_{c}`, `_nd_{c}`, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"`_mn_{c}`, `_mx_{c}`"
+        )
+    if not rows:
+        raise ValueError("no columns given")
+    stacked = df.agg(*aggs).selectExpr(
+        f"stack({len(rows)}, {', '.join(rows)}) as "
+        "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return stacked
+
+
 def expectations(
     df: DataFrame,
     row_checks: list[tuple[str, Column]] = (),
@@ -67,7 +118,6 @@ def expectations(
     each, counting orphans (NULL FKs are not orphans; add not_null
     separately if required).
     """
-    spark = df.sparkSession
     legs = []
     if row_checks:
         aggs = [

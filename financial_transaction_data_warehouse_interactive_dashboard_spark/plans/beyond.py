@@ -868,6 +868,66 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_table_profile",
+    """
+    WITH n AS (SELECT count(*) AS n FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name, n.n,
+             (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_null,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+             (SELECT round(CAST(min(o_orderkey) AS DOUBLE), 6) FROM orders)
+               AS min_num,
+             (SELECT round(CAST(max(o_orderkey) AS DOUBLE), 6) FROM orders)
+               AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM n
+      UNION ALL
+      SELECT 'o_totalprice', n.n,
+             (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+             (SELECT count(DISTINCT o_totalprice) FROM orders),
+             (SELECT round(CAST(min(o_totalprice) AS DOUBLE), 6) FROM orders),
+             (SELECT round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM orders),
+             NULL, NULL
+      FROM n
+      UNION ALL
+      SELECT 'o_orderstatus', n.n,
+             (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+             (SELECT count(DISTINCT o_orderstatus) FROM orders),
+             NULL, NULL,
+             (SELECT min(o_orderstatus) FROM orders),
+             (SELECT max(o_orderstatus) FROM orders)
+      FROM n
+      UNION ALL
+      SELECT 'o_orderdate', n.n,
+             (SELECT count(*) FROM orders WHERE o_orderdate IS NULL),
+             (SELECT count(DISTINCT o_orderdate) FROM orders),
+             NULL, NULL,
+             (SELECT CAST(min(o_orderdate) AS VARCHAR) FROM orders),
+             (SELECT CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+      FROM n
+    ) ORDER BY col_name
+    """,
+    # Locally-pinned (driver surface capped at 50): single-scan stack
+    # aggregate family, driver-covered by a4_kpis/a10.
+    driver=False,
+)
+def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (operators.quality.profile): counts,
+    null counts, exact NDV, and typed min/max for a numeric + string +
+    date column mix over orders — ONE aggregate, stack()-pivoted to
+    tidy rows (the expand-based multi-distinct plan documented in the
+    operator). The oracle recomputes each statistic independently."""
+    from ..operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    return Q.profile(
+        orders,
+        num_cols=["o_orderkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderdate"],
+    ).orderBy("col_name")
+
+
+@query(
     "wh_expectations",
     """
     WITH checks AS (

@@ -64,6 +64,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_decontaminate": ("contamination", "decontaminate", "leak", "benchmark", "overlap"),
     "st_stream_static_enrich": ("enrich", "enrichment", "dimension", "lookup"),
     "sim_quantize_int8": ("quantize", "quantization", "int8", "compress", "compression"),
+    "wh_expectations": ("expectations", "checks", "validate", "integrity", "constraints"),
+    "wh_table_profile": ("profile", "profiling", "describe", "columns", "nulls"),
 }
 
 
