@@ -172,10 +172,16 @@ def main() -> None:
                     for n in timings
                     if n in pq and pq[n] > 0
                 }
+                # Totals compare ONLY the shared query set — the registry
+                # grows every round, so whole-suite totals from different
+                # rounds are different workloads and their ratio is noise.
+                shared_now = sum(timings[n] for n in deltas)
+                shared_prev = sum(pq[n] for n in deltas)
                 out["vs_prev"] = {
                     "file": os.path.basename(prev_path),
-                    "total_ratio": round(total / prev["value"], 3)
-                    if prev.get("value")
+                    "n_shared": len(deltas),
+                    "total_ratio": round(shared_now / shared_prev, 3)
+                    if shared_prev > 0
                     else None,
                     "regressed_1_3x": {
                         n: r for n, r in sorted(deltas.items()) if r > 1.3
