@@ -720,17 +720,21 @@ def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score (C4/Gopher-filter shape), computed
-    on the explode+codegen profile (functions.text.text_profile; the
-    column-expression twin quality_columns stays for shuffle-averse
-    callers — same integers, pinned by this oracle)."""
-    prof = T.text_profile(_t(spark, sf_dir, "documents"))
-    return prof.select(
-        "doc_id",
-        "n_tokens",
-        "distinct_ratio",
-        "stop_ratio",
-        "mean_token_len",
-        "quality_pts",
+    with the MAP-ONLY column expressions (functions.text.quality_columns)
+    — no explode, no shuffle beyond the output sort.
+
+    Formulation choice is measured, not assumed: the explode+aggregate
+    text_profile formulation won this round's A/B for the COMBINED
+    lang+quality profile (the explode amortizes across five lexicon
+    scans), but for the quality components alone it is 2x SLOWER
+    (median-of-3 at sf0.1: 1.15s vs 0.56s) — the explode+join overhead
+    without the amortization. tx_text_profile keeps the exploded path;
+    this standalone query keeps the map-only one; the shared oracle pins
+    both to identical integers."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = T.quality_columns("text")
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
     ).orderBy("doc_id")
 
 
