@@ -172,6 +172,15 @@ def ngram_jaccard_pairs(
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     join_side = ex
     if max_df is not None:
+        # Filter by the COMPLEMENT: the stop set (df > cap) is tiny by
+        # definition — a stop-shingle appears in more than cap*n_docs
+        # documents, so there can be at most ~1/max_df of them — which
+        # makes the exclusion a BROADCAST anti-join instead of shuffling
+        # the full shingle set against the (huge) rare-shingle list.
+        # At sf0.1 this measures neutral (the df COUNT aggregate, not
+        # the join, dominates the cap's ~45% overhead vs capless); at
+        # cluster scale broadcasting a bounded set beats shuffling an
+        # unbounded one regardless.
         df = ex.groupBy("s").agg(F.count("*").alias("df"))
         if isinstance(max_df, float):
             # Fraction of corpus: resolve the cap lazily against a 1-row
@@ -181,14 +190,14 @@ def ngram_jaccard_pairs(
                 F.lit(2).cast("bigint"),
                 F.floor(F.lit(max_df) * F.col("n_docs")),
             )
-            rare = (
+            stop = (
                 df.crossJoin(F.broadcast(ndocs))
-                .filter(F.col("df") <= cap)
+                .filter(F.col("df") > cap)
                 .select("s")
             )
         else:
-            rare = df.filter(F.col("df") <= F.lit(int(max_df))).select("s")
-        join_side = ex.join(rare, "s", "left_semi")
+            stop = df.filter(F.col("df") > F.lit(int(max_df))).select("s")
+        join_side = ex.join(F.broadcast(stop), "s", "left_anti")
     a, b = join_side.alias("a"), join_side.alias("b")
     co = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
