@@ -1,7 +1,15 @@
 """Benchmark harness — runs the named-query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+**compact** JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {headline q1/q2/q3 only}, "sf": ..., "n_queries": N,
+"detail": "BENCH_DETAIL_r{NN}.json", ...}.
+
+The driver's stdout capture truncates around ~2,000 characters (observed:
+its recorded ``tail`` field is exactly 2,000 chars every round; the
+1,631-char r1 line parsed, the ~2.7 KB r2/r4 lines did not). So the
+contract line stays well under 1 KB and the full per-query timing map,
+per-query errors, and the complete vs-prev delta report are written to a
+committed ``BENCH_DETAIL_r{NN}.json`` beside this file.
 
 Methodology:
 - steady-state numbers: tables are registered and footers touched once
@@ -103,7 +111,7 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
     total = round(sum(timings.values()), 4)
-    out = {
+    detail = {
         "metric": "named_query_suite_total",
         "value": total,
         "unit": "sec",
@@ -111,47 +119,75 @@ def main() -> None:
         "sf": float(sf) if sf else sf_dir,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+
+    # Quantified carried-weak-entry ratios (r4 verdict ask #8): the two
+    # documented perf-weak baselines, each against its production twin,
+    # derived from this same run's timings so the "documented baseline"
+    # claim carries numbers every round.
+    weak_ratios = {}
+    for label, slow, fast in (
+        ("st_sessionize_stateful_vs_session_window",
+         "st_sessionize_stateful", "st_sessionize"),
+        ("sim_topk_bruteforce_vs_ivf",
+         "sim_topk_bruteforce", "sim_ann_ivf_kmeans_iter3"),
+    ):
+        if timings.get(slow) and timings.get(fast):
+            weak_ratios[label] = round(timings[slow] / timings[fast], 2)
+    if weak_ratios:
+        detail["weak_entry_ratios"] = weak_ratios
 
     # Regression diff vs the previous round's driver-recorded bench (same
     # sf only — cross-scale deltas are meaningless). Informational: bench
     # noise on a loaded box is 2-4x, so the flag threshold is generous and
     # regressions should be confirmed with median-of-3 before acting.
+    here = os.path.dirname(os.path.abspath(__file__))
     prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
     if prev_path is None:
-        here = os.path.dirname(os.path.abspath(__file__))
+        # Prefer our committed BENCH_DETAIL_r*.json files (full per-query
+        # maps survive there even though the driver-recorded BENCH_r*.json
+        # line is now compact); fall back to driver-recorded files for the
+        # rounds that predate the detail-file protocol (r1 parsed fine).
         rounds = sorted(
             f for f in os.listdir(here)
-            if f.startswith("BENCH_r") and f.endswith(".json")
+            if (f.startswith("BENCH_DETAIL_r") or f.startswith("BENCH_r"))
+            and f.endswith(".json")
         )
         # Guard against self-comparison (round-2 review): if the driver
         # has already recorded THIS round's bench file (re-runs within a
-        # round), the lexicographically-last file is our own output and
-        # every delta would read 1.0. The current round is always one
-        # past the round named in VERDICT.md, so drop any bench file at
-        # or beyond it.
-        verdict = os.path.join(here, "VERDICT.md")
-        if rounds and os.path.exists(verdict):
-            import re
+        # round), the newest file is our own output and every delta would
+        # read 1.0. The current round is always one past the round named
+        # in VERDICT.md, so drop any bench file at or beyond it. Order by
+        # (round, is_detail) so within a round our detail file (full map)
+        # wins over the driver-recorded compact line.
+        import re
 
+        def _round_of(f: str) -> int:
+            m = re.search(r"_?r(\d+)\.json$", f)
+            return int(m.group(1)) if m else -1
+
+        cur = None
+        verdict = os.path.join(here, "VERDICT.md")
+        if os.path.exists(verdict):
             with open(verdict) as fh:
                 m = re.search(r"Round\s+(\d+)", fh.readline())
             if m:
                 cur = int(m.group(1)) + 1
-                rounds = [
-                    f
-                    for f in rounds
-                    if int(re.search(r"BENCH_r(\d+)", f).group(1)) < cur
-                ]
+        if cur is not None:
+            rounds = [f for f in rounds if _round_of(f) < cur]
+        rounds.sort(key=lambda f: (_round_of(f), "DETAIL" in f))
         # Walk backwards to the newest file with USABLE numbers: a crashed
         # round records parsed=null (r3), and comparing against it would
-        # silently drop the regression signal for every query.
+        # silently drop the regression signal for every query. The
+        # isinstance guard runs BEFORE the "parsed" membership test — a
+        # file holding bare `null` or a number would otherwise raise
+        # TypeError past the JSONDecodeError/OSError net.
         prev_path = None
         for f in reversed(rounds):
             try:
                 with open(os.path.join(here, f)) as fh:
                     cand = json.load(fh)
-                if "parsed" in cand:
+                if isinstance(cand, dict) and "parsed" in cand:
                     cand = cand["parsed"]
                 if isinstance(cand, dict) and cand.get("queries"):
                     prev_path = os.path.join(here, f)
@@ -163,9 +199,9 @@ def main() -> None:
             with open(prev_path) as fh:
                 prev = json.load(fh)
             # Driver-recorded BENCH_r{N}.json wraps our line under "parsed".
-            if "parsed" in prev and isinstance(prev["parsed"], dict):
+            if isinstance(prev, dict) and isinstance(prev.get("parsed"), dict):
                 prev = prev["parsed"]
-            if prev.get("sf") == out["sf"]:
+            if isinstance(prev, dict) and prev.get("sf") == detail["sf"]:
                 pq = prev.get("queries", {})
                 deltas = {
                     n: round(timings[n] / pq[n], 2)
@@ -177,7 +213,7 @@ def main() -> None:
                 # rounds are different workloads and their ratio is noise.
                 shared_now = sum(timings[n] for n in deltas)
                 shared_prev = sum(pq[n] for n in deltas)
-                out["vs_prev"] = {
+                detail["vs_prev"] = {
                     "file": os.path.basename(prev_path),
                     "n_shared": len(deltas),
                     "total_ratio": round(shared_now / shared_prev, 3)
@@ -190,14 +226,81 @@ def main() -> None:
                         n: r for n, r in sorted(deltas.items()) if r < 0.7
                     },
                 }
-        except (json.JSONDecodeError, OSError, KeyError):
+        except (json.JSONDecodeError, OSError, KeyError, TypeError):
             pass  # diff is best-effort; never break the bench contract
+
+    # Full report → committed BENCH_DETAIL_r{NN}.json (current round =
+    # VERDICT.md's round + 1; falls back to newest bench file + 1).
+    cur_round = None
+    verdict = os.path.join(here, "VERDICT.md")
+    if os.path.exists(verdict):
+        import re
+
+        with open(verdict) as fh:
+            m = re.search(r"Round\s+(\d+)", fh.readline())
+        if m:
+            cur_round = int(m.group(1)) + 1
+    if cur_round is None:
+        import re
+
+        prior = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.search(r"_?r(\d+)\.json$", f))
+            and f.startswith("BENCH")
+        ]
+        cur_round = (max(prior) + 1) if prior else 0
+    detail_name = f"BENCH_DETAIL_r{cur_round:02d}.json"
+    try:
+        with open(os.path.join(here, detail_name), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        detail_name = None  # read-only checkout: keep the contract line
+
+    # Compact contract line: the driver's capture truncates ~2,000 chars
+    # (r2/r4 full-map lines both recorded parsed=null), so the stdout line
+    # carries totals + the three headline dashboard queries only and
+    # points at the detail file for the full per-query map.
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": {
+            n: timings[n]
+            for n in ("q1_top_segments", "q2_top_priorities_q4",
+                      "q3_quarter_ranking")
+            if n in timings
+        },
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail_file": detail_name,
+    }
+    if "weak_entry_ratios" in detail:
+        out["weak_entry_ratios"] = detail["weak_entry_ratios"]
+    if "vs_prev" in detail:
+        vp = detail["vs_prev"]
+        out["vs_prev"] = {
+            "file": vp["file"],
+            "n_shared": vp["n_shared"],
+            "total_ratio": vp["total_ratio"],
+            "n_regressed_1_3x": len(vp["regressed_1_3x"]),
+            "n_improved_0_7x": len(vp["improved_0_7x"]),
+        }
 
     # Emit the contract line LAST and flushed, after spark.stop(), so no
     # trailing JVM/log output can follow it on stdout (both r2 and r3
     # recorded parsed=null driver-side from interleaved console noise).
     spark.stop()
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    if len(line) > 1500:  # paranoia: never exceed the ~2,000-char capture
+        for key in ("weak_entry_ratios", "vs_prev", "queries"):
+            out.pop(key, None)
+            line = json.dumps(out)
+            if len(line) <= 1500:
+                break
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

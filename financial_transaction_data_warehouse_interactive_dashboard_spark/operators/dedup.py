@@ -195,9 +195,16 @@ def ngram_jaccard_pairs(
                 .filter(F.col("df") > cap)
                 .select("s")
             )
+            # The ≤~1/max_df bound on the stop set holds ONLY for the
+            # fractional form, so only this branch forces the broadcast.
+            stop = F.broadcast(stop)
         else:
+            # Absolute count: a small integer cap (e.g. 2) makes the stop
+            # set nearly the whole shingle vocabulary — forcing a
+            # broadcast there would OOM the driver at scale. Let AQE pick
+            # the strategy from the runtime size instead.
             stop = df.filter(F.col("df") > F.lit(int(max_df))).select("s")
-        join_side = ex.join(F.broadcast(stop), "s", "left_anti")
+        join_side = ex.join(stop, "s", "left_anti")
     a, b = join_side.alias("a"), join_side.alias("b")
     co = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -23,6 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str) -> Column:
+    """Column reference by EXACT name: backtick-quoted with embedded
+    backticks doubled, so dots/quotes/backticks in a column name can't be
+    misparsed as multi-part paths or break the attribute grammar."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def not_null(col: str) -> tuple[str, Column]:
     return f"not_null({col})", F.col(col).isNull()
 
@@ -56,6 +63,7 @@ def profile(
     df: DataFrame,
     num_cols: list[str] = (),
     str_cols: list[str] = (),
+    exact_ndv: bool = True,
 ) -> DataFrame:
     """Per-column table profile — (col_name, n, n_null, n_distinct,
     min_num, max_num, min_str, max_str), numeric and string/date columns
@@ -63,44 +71,69 @@ def profile(
     profile as ISO strings, numeric bounds round to 6dp).
 
     Physical shape: ONE aggregate computes every per-column statistic,
-    then stack() pivots to tidy rows. The COUNT(DISTINCT) battery makes
-    Catalyst plan an expand (one input row fans out once per distinct
-    aggregate) — a single shuffle whose width scales with the column
-    count, which is the standard price of exact multi-column NDV; swap
-    in approx_count_distinct when 2% error is acceptable at 100 TB.
+    then an array-of-structs explode pivots the single row to tidy rows
+    (typed Columns throughout — column names are never interpolated into
+    SQL text, so quotes/backticks in names can't break the plan;
+    intermediate slots are index-named). With ``exact_ndv=True`` the
+    COUNT(DISTINCT) battery makes Catalyst plan an expand (one input row
+    fans out once per distinct aggregate) — a single shuffle whose width
+    scales with the column count, the standard price of exact
+    multi-column NDV. ``exact_ndv=False`` swaps in
+    ``approx_count_distinct`` (HLL++, ~2% relative error, default rsd):
+    NO expand, plain one-pass partial aggregation — the 100 TB switch.
     """
+    ndv = F.countDistinct if exact_ndv else F.approx_count_distinct
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
-    rows = []
-    for c in num_cols:
+    structs: list[Column] = []
+    d_null = F.lit(None).cast("double")
+    s_null = F.lit(None).cast("string")
+    for i, c in enumerate(num_cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"_nn_{c}"),
-            F.countDistinct(c).alias(f"_nd_{c}"),
-            F.round(F.min(c).cast("double"), 6).alias(f"_mn_{c}"),
-            F.round(F.max(c).cast("double"), 6).alias(f"_mx_{c}"),
+            F.sum(_qcol(c).isNull().cast("int")).cast("bigint").alias(f"_nn_{i}"),
+            ndv(_qcol(c)).alias(f"_nd_{i}"),
+            F.round(F.min(_qcol(c)).cast("double"), 6).alias(f"_mn_{i}"),
+            F.round(F.max(_qcol(c)).cast("double"), 6).alias(f"_mx_{i}"),
         ]
-        rows.append(
-            f"'{c}', _n, `_nn_{c}`, `_nd_{c}`, `_mn_{c}`, `_mx_{c}`, "
-            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n"),
+                F.col(f"_nn_{i}").alias("n_null"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
+                F.col(f"_mn_{i}").alias("min_num"),
+                F.col(f"_mx_{i}").alias("max_num"),
+                s_null.alias("min_str"),
+                s_null.alias("max_str"),
+            )
         )
-    for c in str_cols:
+    off = len(num_cols)
+    for i, c in enumerate(str_cols):
+        j = off + i
         aggs += [
-            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"_nn_{c}"),
-            F.countDistinct(c).alias(f"_nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"_mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"_mx_{c}"),
+            F.sum(_qcol(c).isNull().cast("int")).cast("bigint").alias(f"_nn_{j}"),
+            ndv(_qcol(c)).alias(f"_nd_{j}"),
+            F.min(_qcol(c).cast("string")).alias(f"_mn_{j}"),
+            F.max(_qcol(c).cast("string")).alias(f"_mx_{j}"),
         ]
-        rows.append(
-            f"'{c}', _n, `_nn_{c}`, `_nd_{c}`, "
-            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
-            f"`_mn_{c}`, `_mx_{c}`"
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n"),
+                F.col(f"_nn_{j}").alias("n_null"),
+                F.col(f"_nd_{j}").alias("n_distinct"),
+                d_null.alias("min_num"),
+                d_null.alias("max_num"),
+                F.col(f"_mn_{j}").alias("min_str"),
+                F.col(f"_mx_{j}").alias("max_str"),
+            )
         )
-    if not rows:
+    if not structs:
         raise ValueError("no columns given")
-    stacked = df.agg(*aggs).selectExpr(
-        f"stack({len(rows)}, {', '.join(rows)}) as "
-        "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    return (
+        df.agg(*aggs)
+        .select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
     )
-    return stacked
 
 
 def expectations(
@@ -120,22 +153,27 @@ def expectations(
     """
     legs = []
     if row_checks:
+        # Index-named slots + typed struct/explode pivot: check names are
+        # only ever F.lit() literals, never interpolated into SQL text —
+        # a quote or backtick in a check name cannot break the plan.
         aggs = [
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
-            for name, cond in row_checks
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"_chk_{i}")
+            for i, (_, cond) in enumerate(row_checks)
         ]
         one = df.agg(*aggs)
-        stack = ", ".join(
-            f"'{name}', `{name}`" for name, _ in row_checks
+        kvs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(f"_chk_{i}").alias("n_violations"),
+                )
+                for i, (name, _) in enumerate(row_checks)
+            ]
         )
-        legs.append(
-            one.selectExpr(
-                f"stack({len(row_checks)}, {stack}) as (check_name, n_violations)"
-            )
-        )
+        legs.append(one.select(F.explode(kvs).alias("kv")).select("kv.*"))
     for name, key in unique_checks:
         legs.append(
-            df.groupBy(key)
+            df.groupBy(_qcol(key))
             .count()
             .agg(
                 F.lit(name).alias("check_name"),

@@ -14,6 +14,7 @@ once on user_id, timeouts fire off the watermark)."""
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -25,6 +26,22 @@ from pyspark.sql import functions as F
 from . import windows as W
 
 _STREAM_DIRS: dict[str, str] = {}
+_SINK_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def _cleanup_stream_dirs() -> None:
+    """atexit hook: session-lived scratch (stream source dirs, foreachBatch
+    sink + checkpoint dirs) must not accumulate across processes — a
+    long-lived warehouse session that re-ran demos used to leak one parquet
+    copy of events per invocation (round-4 advisor finding)."""
+    for d in _STREAM_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    for sink, chk in _SINK_DIRS.values():
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+atexit.register(_cleanup_stream_dirs)
 
 
 from contextlib import contextmanager
@@ -206,6 +223,63 @@ def _sentinel_session_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(src)
 
 
+def _time_split_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-batch streaming source: real events split AT THE MEDIAN ts
+    into two files (early half, late half) plus the far-future sentinel.
+    With maxFilesPerTrigger=1 this guarantees genuinely cross-microbatch
+    work: batch-2 rows near the split boundary must find batch-1 rows in
+    operator state (the plain sentinel source ships all real events in
+    one file, which never exercises state retention across batches —
+    round-4 advisor finding). File mtimes are bumped monotonically: the
+    file stream source orders by modification time, and three files
+    written within the same clock tick could otherwise arrive in one
+    batch or out of order."""
+    from ..sources.registry import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    key = f"{path}::split"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-split-")
+        raw = normalize_event_ts(spark.read.schema(raw_schema).parquet(path))
+        med = raw.agg(
+            F.percentile_approx("ts", 0.5).alias("m")
+        ).collect()[0]["m"]
+        _write_single_parquet(
+            raw.filter(F.col("ts") <= F.lit(med)), d, "0-early.parquet"
+        )
+        _write_single_parquet(
+            raw.filter(F.col("ts") > F.lit(med)), d, "1-late.parquet"
+        )
+        sentinel = (
+            raw.orderBy(F.desc("ts"))
+            .limit(1)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+            .withColumn("user_id", F.lit(SENTINEL_USER).cast("bigint"))
+            .withColumn("event_id", F.lit(-1).cast("bigint"))
+        )
+        _write_single_parquet(sentinel, d, "2-sentinel.parquet")
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    # The split files were written through normalize_event_ts, so their
+    # on-disk schema is the NORMALIZED one (plain timestamp) — declare
+    # that, not the raw file's schema.
+    norm_schema = normalize_event_ts(
+        spark.read.schema(raw_schema).parquet(path)
+    ).schema
+    src = (
+        spark.readStream.schema(norm_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    return normalize_event_ts(src)
+
+
 def run_session_stream_stateful(
     spark: SparkSession,
     sf_dir: str,
@@ -340,15 +414,17 @@ def run_stream_stream_join(
     - the range condition bounds how long a buffered view can still
       match a future purchase, so view-side state older than
       (watermark - 1h) is dropped — bounded state at 100 TB/day;
-    - maxFilesPerTrigger=1 forces matches ACROSS microbatches: batch-2
-      purchases must find batch-1 views in the join state, which is the
-      property the batch oracle actually checks (drop the state and the
+    - the time-split source (median split: early file, late file,
+      sentinel file; maxFilesPerTrigger=1) forces matches ACROSS
+      microbatches: batch-2 purchases just past the median must find
+      batch-1 views in the join state, which is the property the batch
+      oracle actually checks (drop the state between batches and the
       pair count is wrong).
 
     Oracle: the equivalent batch interval join (same semantics as
     operators.temporal.range_join_trailing, inner form)."""
-    src_p = _sentinel_session_source(spark, sf_dir)
-    src_v = _sentinel_session_source(spark, sf_dir)
+    src_p = _time_split_source(spark, sf_dir)
+    src_v = _time_split_source(spark, sf_dir)
     p = (
         src_p.filter(
             (F.col("event_type") == "purchase")
@@ -443,18 +519,26 @@ def run_foreach_batch_sink(
 
     Idempotence note: availableNow + checkpoint gives at-least-once into
     foreachBatch; the epoch_id parameter is the dedup token a production
-    writer would record transactionally (Delta MERGE / txn log). The
-    plain parquet append here is the minimal demo, so the checkpoint dir
-    is fresh per invocation — every run is a complete, exactly-once
-    replay (same eager-JOB posture as wh_gold_maintenance, documented).
+    writer would record transactionally (Delta MERGE / txn log). Sink and
+    checkpoint dirs are memoized per sf_dir (and atexit-reaped): a repeat
+    invocation restarts the stream AGAINST THE SAME CHECKPOINT, which
+    records the already-processed source files — so no batch re-fires, no
+    row is appended twice, and the read-back stays exactly-once. That is
+    the restart-safety property a production foreachBatch writer relies
+    on (and it also stops the old one-leaked-tmpdir-per-invocation
+    behavior, round-4 advisor finding).
 
     Reference analogue: none (reference is batch-only; streamlit.py:38-41
     caches a static CSV load).
     """
     src = _sentinel_session_source(spark, sf_dir)
     real = src.filter(F.col("user_id") != SENTINEL_USER)
-    sink_dir = tempfile.mkdtemp(prefix="ftdw-fbsink-")
-    chk_dir = tempfile.mkdtemp(prefix="ftdw-fbchk-")
+    if sf_dir not in _SINK_DIRS:
+        _SINK_DIRS[sf_dir] = (
+            tempfile.mkdtemp(prefix="ftdw-fbsink-"),
+            tempfile.mkdtemp(prefix="ftdw-fbchk-"),
+        )
+    sink_dir, chk_dir = _SINK_DIRS[sf_dir]
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch_id is the idempotence token (see docstring); with a fresh

@@ -335,6 +335,62 @@ def test_expectations_detect_planted_violations(spark):
     }
 
 
+def test_profile_approx_ndv_and_hostile_names(spark):
+    """Round-5 hardening: (1) exact_ndv=False swaps countDistinct for
+    approx_count_distinct (HLL++, default rsd 0.05) — bounded by the
+    rank-envelope pattern proven on a5_unique_customers_approx; (2) the
+    typed-Column pivot means a column name containing quotes/backticks
+    profiles fine (the old stack()-SQL interpolation broke at plan
+    time)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        quality as Q,
+    )
+
+    hostile = "it's `weird`"
+    rows = [(i, float(i % 37), f"s{i % 11}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v", hostile])
+
+    exact = {r["col_name"]: r for r in Q.profile(
+        df, num_cols=["k", "v"], str_cols=[hostile]
+    ).collect()}
+    assert exact["k"]["n_distinct"] == 500
+    assert exact["v"]["n_distinct"] == 37
+    assert exact[hostile]["n_distinct"] == 11
+    assert exact[hostile]["min_str"] == "s0"
+    assert exact["v"]["max_num"] == 36.0
+    assert all(r["n"] == 500 and r["n_null"] == 0 for r in exact.values())
+
+    approx = {r["col_name"]: r for r in Q.profile(
+        df, num_cols=["k", "v"], str_cols=[hostile], exact_ndv=False
+    ).collect()}
+    # HLL++ at rsd=0.05: envelope of ±5 sigma covers any flake.
+    for c, true_ndv in [("k", 500), ("v", 37), (hostile, 11)]:
+        got = approx[c]["n_distinct"]
+        assert abs(got - true_ndv) <= max(3, 0.25 * true_ndv), (c, got)
+    # min/max/null stats identical in both modes.
+    for c in ("k", "v", hostile):
+        for f in ("n", "n_null", "min_num", "max_num", "min_str", "max_str"):
+            assert approx[c][f] == exact[c][f], (c, f)
+
+
+def test_expectations_hostile_check_names(spark):
+    """Check names with quotes/backticks ride through as literals (the
+    old stack()-SQL interpolation produced broken SQL)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        quality as Q,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], ["k"])
+    name = "don't `break`(k)"
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in Q.expectations(
+            df, row_checks=[(name, F.col("k").isNull())]
+        ).collect()
+    }
+    assert got == {name: 1}
+
+
 def test_state_partitions_knob_restores_conf(spark):
     """The scoped state-partition knob must restore the session conf even
     when the streaming job throws — leaking a check-scale partition count
