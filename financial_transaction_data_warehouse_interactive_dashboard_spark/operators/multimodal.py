@@ -6,16 +6,18 @@ storage) next to typed metadata; run decode / feature-extraction as
 Arrow-batched ``mapInPandas`` stages so bytes stay in columnar batches
 end-to-end and Python is entered once per batch, not per row.
 
-The container has no image/audio codecs, so the actual decode is STUBBED:
-``decode_blob_meta`` raises NotImplementedError for real formats and the
-default ``fake_decoder`` derives deterministic pseudo-metadata from the
-payload's md5 — which makes the whole pipeline (schema, batching, UDF
-signature) testable and oracle-checkable today, and swap-in ready for a
-real codec (replace one function, same plan)."""
+``decode_blob_meta`` is a REAL pure-Python header decoder for three
+container-friendly formats — BMP (fixed little-endian header offsets),
+PPM (ASCII token header, P3/P6), and WAV (RIFF chunk walk) — no codec
+libraries needed; pixel/sample PAYLOAD decode beyond the header is out
+of scope here (that's where PIL/ffmpeg would slot in). ``fake_decoder``
+(deterministic md5 pseudo-metadata) remains for payloads that are not
+real media, keeping the pipeline oracle-checkable over arbitrary bytes."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -29,12 +31,86 @@ BLOB_META_SCHEMA = (
 Decoder = Callable[[bytes], tuple[int, int, str]]
 
 
-def decode_blob_meta(blob: bytes) -> tuple[int, int, str]:
-    """Real decoder hook — needs an image codec, absent in this container."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "inject a decoder (e.g. PIL-based) or use fake_decoder"
+def encode_bmp(width: int, height: int, gray: int = 0) -> bytes:
+    """Minimal REAL 24-bit uncompressed BMP writer (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes) — the
+    synthesis side of the round-trip test for decode_blob_meta. Pure
+    header+buffer arithmetic; any BMP reader opens its output."""
+    if width < 1 or height < 1:
+        raise ValueError("BMP dimensions must be positive")
+    row = width * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * height
+    file_size = 14 + 40 + img_size
+    header = struct.pack(
+        "<2sIHHI", b"BM", file_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    scanline = bytes((gray & 0xFF,)) * row + b"\x00" * pad
+    return header + scanline * height
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, str]:
+    if len(blob) < 26:
+        raise ValueError("truncated BMP header")
+    width, height = struct.unpack_from("<ii", blob, 18)
+    # Negative height encodes top-down row order; dimensions are |h|.
+    return width, abs(height), "bmp"
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, str]:
+    """P3/P6 netpbm header: ASCII tokens (magic, width, height, maxval)
+    separated by whitespace, '#' comments running to end-of-line."""
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(blob):
+        c = blob[pos:pos + 1]
+        if c == b"#":
+            nl = blob.find(b"\n", pos)
+            pos = len(blob) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(blob) and not blob[end:end + 1].isspace():
+                end += 1
+            tokens.append(blob[pos:end])
+            pos = end
+    if len(tokens) < 2:
+        raise ValueError("truncated PPM header")
+    return int(tokens[0]), int(tokens[1]), "ppm"
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, str]:
+    """RIFF/WAVE chunk walk to the fmt chunk. Maps onto the (width,
+    height) metadata slots as (sample_rate, n_channels) — documented
+    convention for audio in the shared BLOB_META_SCHEMA."""
+    if blob[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        if cid == b"fmt ":
+            channels, rate = struct.unpack_from("<HI", blob, pos + 10)
+            return rate, channels, "wav"
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("no fmt chunk in WAVE file")
+
+
+def decode_blob_meta(blob: bytes) -> tuple[int, int, str]:
+    """Real header decoder: sniffs the payload's magic bytes and parses
+    the format's own header structure (no codec libraries). Supported:
+    BMP ('BM…', little-endian dword dims at offsets 18/22), PPM
+    ('P3'/'P6' ASCII header), WAV ('RIFF…WAVE' fmt chunk →
+    (sample_rate, channels)). Raises ValueError on anything else —
+    unknown bytes are a data error, not a stub."""
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] in (b"P3", b"P6"):
+        return _decode_ppm(blob)
+    if blob[:4] == b"RIFF":
+        return _decode_wav(blob)
+    raise ValueError(f"unrecognized media magic: {blob[:4]!r}")
 
 
 def fake_decoder(blob: bytes) -> tuple[int, int, str]:
@@ -42,6 +118,61 @@ def fake_decoder(blob: bytes) -> tuple[int, int, str]:
     the DuckDB oracle (md5 over the same bytes) bit for bit."""
     h = hashlib.md5(blob).hexdigest()
     return int(h[:8], 16) % 1024 + 1, int(h[8:16], 16) % 1024 + 1, "fake"
+
+
+def bmp_roundtrip_meta(docs: DataFrame) -> DataFrame:
+    """REAL-FORMAT decode demo: synthesize a genuine 24-bit BMP payload
+    per document (dimensions derived from doc_id: w = id%64+1,
+    h = id*7%64+1, solid gray id%256) and decode it back by parsing the
+    actual BMP header bytes — encoder packs with struct, decoder unpacks
+    at the format's fixed offsets, so a mismatch in layout, endianness,
+    or row padding breaks the round-trip. The DuckDB oracle recomputes
+    (width, height, n_bytes) from doc_id arithmetic alone, so it checks
+    the BMP file-size math (54-byte header + 4-byte-aligned scanlines)
+    independently of this code path.
+
+    One Arrow-batched mapInPandas stage over a single pruned column;
+    encode + decode are defined INSIDE the task closure (stdlib struct
+    only) so the task ships self-contained to workers without this repo
+    on their import path. Equivalence of the closure copies with the
+    module-level encode_bmp/decode_blob_meta API is unit-tested."""
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _st
+
+        import pandas as pd
+
+        def enc(w: int, h: int, gray: int) -> bytes:
+            row = w * 3
+            pad = (-row) % 4
+            img = (row + pad) * h
+            head = _st.pack("<2sIHHI", b"BM", 54 + img, 0, 0, 54) + _st.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img, 2835, 2835, 0, 0
+            )
+            return head + (bytes((gray,)) * row + b"\x00" * pad) * h
+
+        for pdf in batches:
+            ids, nb, ws, hs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                blob = enc(i % 64 + 1, i * 7 % 64 + 1, i % 256)
+                assert blob[:2] == b"BM"
+                w, h = _st.unpack_from("<ii", blob, 18)
+                ids.append(i)
+                nb.append(len(blob))
+                ws.append(w)
+                hs.append(abs(h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "format": "bmp",
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BLOB_META_SCHEMA)
 
 
 def attach_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -272,6 +272,9 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY id_a, id_b
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3), 8-bit-chunk blocked —
@@ -911,9 +914,7 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n
     ) ORDER BY col_name
     """,
-    # Locally-pinned (driver surface capped at 50): single-scan stack
-    # aggregate family, driver-covered by a4_kpis/a10.
-    driver=False,
+    # Promoted r5 into the driver surface (rotation: first driver row).
 )
 def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table profile (operators.quality.profile): counts,
@@ -968,9 +969,7 @@ def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            n = 0 AS passed
     FROM checks ORDER BY check_name
     """,
-    # Locally-pinned (driver surface capped at 50): report shape is one
-    # scan + stack, covered structurally by the aggregate families.
-    driver=False,
+    # Promoted r5 into the driver surface (rotation: first driver row).
 )
 def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations battery (operators.quality) over the
@@ -1018,9 +1017,7 @@ def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
               for x in v], ',') AS codes_csv
     FROM s ORDER BY vec_id
     """,
-    # Locally-pinned (driver surface capped at 50): the Arrow mapInPandas
-    # plumbing family is driver-covered by mm_features_resize.
-    driver=False,
+    # Promoted r5 into the driver surface (rotation: first driver row).
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (operators.similarity.quantize_int8):
@@ -1052,9 +1049,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 HAVING count(*) >= 2
     ORDER BY n_shared DESC, doc_id ASC
     """,
-    # Locally-pinned (driver surface capped at 50): shingle+hash-join
-    # family is driver-covered by dd_ngram_jaccard/dd_minhash_lsh.
-    driver=False,
+    # Promoted r5 into the driver surface (rotation: first driver row).
 )
 def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination report
@@ -1167,9 +1162,7 @@ _PII_PHONE = r"\+?\d[\d-]{7,}\d"
                               '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
     FROM injected ORDER BY doc_id
     """,
-    # Locally-pinned (driver surface capped at 50): the scrub is pure
-    # codegen'd regexp expressions, fully pinned by the md5 oracle below.
-    driver=False,
+    # Promoted r5 into the driver surface (rotation: first driver row).
 )
 def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every LLM training pipeline
@@ -1500,6 +1493,9 @@ def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px
     GROUP BY 1 ORDER BY event_type
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction via ONE schematized parse: from_json
@@ -1650,23 +1646,29 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_blob_meta",
     """
     SELECT doc_id,
-           strlen(text)::BIGINT AS n_bytes,
-           (('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 + 1) AS width,
-           (('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 + 1) AS height,
-           'fake' AS format
-    FROM documents ORDER BY doc_id
+           (54 + ((3 * w + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+           w AS width, h AS height, 'bmp' AS format
+    FROM (SELECT doc_id,
+                 (doc_id % 64 + 1)::BIGINT AS w,
+                 (doc_id * 7 % 64 + 1)::BIGINT AS h
+          FROM documents)
+    ORDER BY doc_id
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    # Promoted r5 into the driver surface: the decode stage now parses a
+    # REAL format (BMP header round-trip) instead of the md5 stand-in,
+    # which mm_features_resize still pins driver-side.
 )
 def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode pipeline: binary payload -> mapInPandas metadata.
-
-    The Spark side runs the REAL plumbing (Arrow-batched mapInPandas over a
-    pruned (doc_id, blob) projection); the decoder is the deterministic
-    md5 stand-in, which the oracle reproduces over the same UTF-8 bytes.
-    """
-    docs = M.attach_blob(_t(spark, sf_dir, "documents"))
-    return M.blob_metadata(docs).orderBy("doc_id")
+    """Multimodal decode pipeline over a REAL format: per document a
+    genuine 24-bit BMP payload is synthesized (dims derived from doc_id)
+    and decoded back by parsing actual BMP header bytes (struct unpack at
+    the format's fixed offsets — operators.multimodal.bmp_roundtrip_meta).
+    The oracle recomputes width/height/file size from doc_id arithmetic
+    (54-byte header + 4-byte-aligned scanline math), independent of the
+    encoder/decoder code."""
+    return M.bmp_roundtrip_meta(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 @query(
@@ -2093,6 +2095,9 @@ def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(value::DECIMAL(30,6))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.windows.tumbling executed as a real Structured Streaming
@@ -2268,10 +2273,7 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND v.ts < p.ts
     ORDER BY event_id, v_ts
     """,
-    # Locally-pinned (driver surface capped at 50): the state-eviction
-    # mechanics it adds beyond st_dedup/st_sessionize are pinned by the
-    # batch interval-join oracle either way.
-    driver=False,
+    # Promoted r5 into the driver surface (rotation: first driver row).
 )
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join run end-to-end as a real

@@ -59,6 +59,18 @@ def query(name: str, oracle: str | None, driver: bool = True):
     text queries folded into tx_text_profile) are demoted to
     locally-pinned status so every driver-facing query gets a
     CORRECTNESS row every round.
+
+    ROTATION PROTOCOL (since r5): each round, 4-7 locally-pinned entries
+    that have never had a driver CORRECTNESS row are swapped in for
+    siblings whose operator family already has multiple green rows, so
+    the whole 81-entry registry accumulates driver-grade evidence over
+    rounds while the surface stays at exactly 50.
+    - r5 in: mm_blob_meta (now real-BMP decode), wh_expectations,
+      wh_table_profile, tx_pii_scrub, tx_decontaminate,
+      st_stream_stream_join, sim_quantize_int8.
+    - r5 out: dd_simhash_pairs, st_tumbling_hourly, ev_props_extract,
+      j7_name_remap, f4_contains, c1_timestamp_roundtrip,
+      a8_rollup_region_nation (all driver-green r4 or earlier).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -564,6 +576,9 @@ def j6_topk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) m ON n.n_name = m.old_name
     ORDER BY n_nationkey
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dict-lookup remap with pass-through fallback (J7/C4).
@@ -600,6 +615,9 @@ def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY n DESC, brand ASC
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def f4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring predicate -> group count (F4 + A1).
@@ -723,6 +741,9 @@ def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     LIMIT 100
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd/MM/yyyy HH:mm:ss parse + quarter labeling (C1-C3).
@@ -783,6 +804,9 @@ def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (r_name, n_name)
     ORDER BY lvl, region_name NULLS FIRST, nation_name NULLS FIRST
     """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
 )
 def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP region -> nation -> grand total in ONE pass.

@@ -405,7 +405,8 @@ def test_state_partitions_knob_restores_conf(spark):
 
 def test_multimodal_plumbing(spark):
     """Binary column + mapInPandas metadata: deterministic fake decode,
-    real Arrow batching; the real-decoder hook must be an explicit stub."""
+    real Arrow batching; unknown magic is a data error (ValueError),
+    no stubs left."""
     docs = M.attach_blob(load_table(spark, SF_SMOKE, "documents").limit(10))
     assert dict(docs.dtypes)["blob"] == "binary"
     meta = M.blob_metadata(docs).collect()
@@ -413,8 +414,62 @@ def test_multimodal_plumbing(spark):
     for r in meta:
         assert 1 <= r["width"] <= 1024 and 1 <= r["height"] <= 1024
         assert r["format"] == "fake" and r["n_bytes"] > 0
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unrecognized media magic"):
         M.decode_blob_meta(b"\x89PNG")
+
+
+def test_real_format_decoders():
+    """decode_blob_meta parses REAL format headers (no Spark needed).
+
+    BMP: encode_bmp writes an actual BITMAPFILEHEADER/BITMAPINFOHEADER +
+    padded scanlines; decode reads the dword dims back, including the
+    top-down (negative height) variant and the file-size arithmetic.
+    PPM: ASCII token header with interleaved comments. WAV: RIFF chunk
+    walk past a leading junk chunk, odd-size word alignment honored."""
+    import struct
+
+    # BMP round-trip at padding-relevant widths (w*3 % 4 cycles 0..3).
+    for w, h in [(1, 1), (2, 3), (3, 2), (4, 5), (64, 64), (641, 7)]:
+        blob = M.encode_bmp(w, h, gray=200)
+        assert M.decode_blob_meta(blob) == (w, h, "bmp")
+        row = w * 3
+        assert len(blob) == 54 + (row + (-row) % 4) * h
+    # Top-down BMP: negative biHeight, |h| decoded.
+    td = bytearray(M.encode_bmp(6, 4))
+    struct.pack_into("<i", td, 22, -4)
+    assert M.decode_blob_meta(bytes(td)) == (6, 4, "bmp")
+
+    # PPM with comments in the header.
+    ppm = b"P6\n# a comment\n  640 # inline\n480\n255\n" + b"\x00" * 9
+    assert M.decode_blob_meta(ppm) == (640, 480, "ppm")
+    assert M.decode_blob_meta(b"P3 2 3 255 0 0 0") == (2, 3, "ppm")
+
+    # WAV: junk chunk (odd size -> pad byte) before fmt; stereo 44.1k.
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    assert M.decode_blob_meta(wav) == (44100, 2, "wav")
+
+    with pytest.raises(ValueError):
+        M.decode_blob_meta(b"RIFF\x00\x00\x00\x00AVI ")  # RIFF, not WAVE
+
+
+def test_bmp_roundtrip_pipeline_matches_module_api(spark):
+    """The self-contained task closure in bmp_roundtrip_meta must agree
+    with the module-level encode_bmp/decode_blob_meta API row for row
+    (the closure duplicates the struct layout to stay worker-import-safe;
+    this is the drift guard)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    got = {r["doc_id"]: r for r in M.bmp_roundtrip_meta(docs).collect()}
+    assert len(got) == 20
+    for i, r in got.items():
+        blob = M.encode_bmp(i % 64 + 1, i * 7 % 64 + 1, gray=i % 256)
+        w, h, fmt = M.decode_blob_meta(blob)
+        assert (r["width"], r["height"], r["format"]) == (w, h, fmt)
+        assert r["n_bytes"] == len(blob)
 
 
 def test_asof_join_edges(spark):
@@ -682,6 +737,24 @@ def test_nlq_routing(spark):
         "sim_ann_ivf_kmeans_iter3"
     )
     assert nlq.route("exact nearest neighbors") == "sim_topk_bruteforce"
+    # Round-4 operator tier: one phrase per op (r4 verdict ask #5).
+    assert nlq.route("redact pii like email addresses") == "tx_pii_scrub"
+    assert nlq.route("decontaminate against the benchmark test set") == (
+        "tx_decontaminate"
+    )
+    assert nlq.route("validate integrity constraints before publish") == (
+        "wh_expectations"
+    )
+    assert nlq.route("profile the columns and nulls of this table") == (
+        "wh_table_profile"
+    )
+    assert nlq.route("quantize embeddings to int8") == "sim_quantize_int8"
+    assert nlq.route("pack sequences into training batches") == (
+        "tx_pack_sequences"
+    )
+    assert nlq.route("stratified sample balanced per language") == (
+        "tx_stratified_sample"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
