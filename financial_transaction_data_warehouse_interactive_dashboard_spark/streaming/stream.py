@@ -68,6 +68,39 @@ def _state_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def _state_store_provider(spark: SparkSession, provider: str | None):
+    """Scope ``spark.sql.streaming.stateStore.providerClass`` around a
+    streaming start(). The default HDFSBackedStateStoreProvider keeps
+    every key's state as JVM heap objects — at 100 TB key domains
+    (billions of users/sessions) that is the first thing to fall over
+    (GC pressure, then OOM). RocksDBStateStoreProvider (bundled with
+    Spark, no extra install) keeps state off-heap with spill-to-disk and
+    incremental checkpoint upload, and is the production choice for any
+    large-state operator here (sessionizers, stream-stream join, dedup).
+    Like the partition knob: the provider is burned into the checkpoint
+    at first start, so it's a per-query decision made at start() time.
+    ``provider`` is a full class name, or the shorthand "rocksdb"."""
+    if provider is None:
+        yield
+        return
+    if provider == "rocksdb":
+        provider = ROCKSDB_PROVIDER
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(key, provider)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _as_stream_dir(path: str) -> str:
     """FileStreamSource needs a DIRECTORY; testdata ships single parquet
     files (read-only). Expose the file through a symlink in a session-lived
@@ -130,6 +163,7 @@ def run_session_stream(
     gap_minutes: int = 30,
     query_name: str = "st_sessionize",
     num_state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Append-mode session windows as a real Structured Streaming job —
     the hard streaming case: a session can only be EMITTED once the
@@ -157,7 +191,8 @@ def run_session_stream(
         src.withWatermark("ts", f"{gap_minutes} minutes"),
         f"{gap_minutes} minutes",
     )
-    with _state_partitions(spark, num_state_partitions):
+    with _state_partitions(spark, num_state_partitions), \
+            _state_store_provider(spark, state_store_provider):
         q = (
             sessions.writeStream.format("memory")
             .queryName(query_name)
@@ -287,6 +322,7 @@ def run_session_stream_stateful(
     query_name: str = "st_sessionize_stateful",
     user_mod: int | None = None,
     num_state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """The CUSTOM stateful sessionizer (applyInPandasWithState, event-time
     timeout) executed end-to-end as a streaming job, on the same
@@ -312,7 +348,8 @@ def run_session_stream_stateful(
             | (F.col("user_id") == SENTINEL_USER)
         )
     sessions = sessionize_stateful(src, gap_minutes=gap_minutes)
-    with _state_partitions(spark, num_state_partitions):
+    with _state_partitions(spark, num_state_partitions), \
+            _state_store_provider(spark, state_store_provider):
         q = (
             sessions.writeStream.format("memory")
             .queryName(query_name)

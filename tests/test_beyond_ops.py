@@ -403,6 +403,33 @@ def test_state_partitions_knob_restores_conf(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
 
 
+def test_sessionizer_under_rocksdb_state_store(spark):
+    """The production state-store posture (r4 verdict ask #7): the
+    session-window streaming job runs under RocksDBStateStoreProvider
+    (off-heap state, spill-to-disk — the 100 TB choice over the default
+    on-heap HDFS-backed provider) and emits exactly the same sessions;
+    the scoped provider knob restores the session conf afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    rocks = ST.run_session_stream(
+        spark,
+        SF_SMOKE,
+        query_name="st_sess_rocksdb_smoke",
+        state_store_provider="rocksdb",
+    )
+    got = sorted(map(tuple, rocks.collect()))
+    assert spark.conf.get(key) == default  # restored after start()
+    base = sorted(
+        map(
+            tuple,
+            ST.run_session_stream(
+                spark, SF_SMOKE, query_name="st_sess_default_smoke"
+            ).collect(),
+        )
+    )
+    assert got == base and len(got) > 0
+
+
 def test_multimodal_plumbing(spark):
     """Binary column + mapInPandas metadata: deterministic fake decode,
     real Arrow batching; unknown magic is a data error (ValueError),

@@ -192,6 +192,46 @@ def test_ivf_cell_layout_prunes_partitions(spark):
     assert probed_files == len(probe_cells)
 
 
+def test_gold_quarter_partitioning_prunes(spark):
+    """The warehouse gold path gets the same pruning proof as the IVF
+    layout (r4 verdict ask #6): gold written partitioned by quarter (the
+    reference dashboard's primary access pattern — streamlit.py:44-49
+    filters the merged CSV by quarter in pandas, re-reading everything),
+    then a quarter-filtered dashboard aggregate must (a) carry the
+    quarter predicate as a PartitionFilter and (b) read only that
+    quarter's files."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.warehouse import (
+        write_partitioned,
+    )
+
+    gold = REGISTRY["j3_gold_denorm"].spark(spark, SF_SMOKE)
+    # Repartition by the partition column first: one file per quarter,
+    # not one per (write task x quarter) — same small-files posture as
+    # write_ivf_layout.
+    write_partitioned(gold.repartition("quarter"), "gold_quarter_planq", ["quarter"])
+    t = spark.table("gold_quarter_planq")
+
+    quarters = sorted(r["quarter"] for r in t.select("quarter").distinct().collect())
+    assert len(quarters) == 4
+    total_files = t.select(F.input_file_name()).distinct().count()
+    assert total_files == len(quarters)
+
+    dash = (
+        t.filter(F.col("quarter") == quarters[0])
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = plan_of(dash)
+    assert "PartitionFilters" in plan and "quarter" in plan
+    files_read = (
+        t.filter(F.col("quarter") == quarters[0])
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert files_read == 1
+
+
 def test_ivf_dynamic_partition_pruning(spark):
     """When the probe set comes from a JOIN (centroid scoring) rather than
     a literal IN-list, Spark must insert dynamic partition pruning: the
