@@ -131,6 +131,59 @@ def stratified_topk(
     )
 
 
+def weighted_topk(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k-per-stratum WEIGHTED sample without replacement —
+    Efraimidis–Spirakis A-Res, the distributed-standard algorithm: each
+    row draws a deterministic uniform u from its salted key hash and
+    ranks by ln(u)/weight (equivalent to the classic u^(1/w) order);
+    the top k per stratum are the sample. Inclusion probability is
+    proportional to weight (k=1 reduces exactly to p_i = w_i / Σw), and
+    selection stays a pure function of (key, salt): stable under
+    repartitioning, retries, engines — `sampleBy` can't weight by a
+    column at all, and RNG-based weighted sampling isn't reproducible.
+
+    The rank key is rounded to 9 dp before ordering (ties then broken
+    by the key column) so the order — and therefore the selected SET —
+    is reproducible across engines' last-ulp ln() differences; the
+    DuckDB twin (sql fragment in plans.beyond's tx_weighted_sample
+    oracle) runs the identical arithmetic.
+
+    Weights must be > 0 (ln(u)/w flips sign at w<0 and divides by zero
+    at w=0; filter or clamp upstream). One shuffle on ``strata_col``,
+    O(1) state per row — same cost class as stratified_topk."""
+    from pyspark.sql.window import Window
+
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    # u in (0, 1]: md5_long is 60-bit uniform in [0, 2^60).
+    u = (P.md5_long(key).cast("double") + F.lit(1.0)) / F.lit(float(2**60))
+    rank_key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(strata_col).orderBy(
+        rank_key.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sql_weighted_rank_key(key_expr: str, weight_expr: str, salt: str = "") -> str:
+    """DuckDB twin of weighted_topk's rank key (same hash, same u
+    construction, same 9 dp rounding)."""
+    h = P.sql_md5_long(f"{key_expr}::VARCHAR || {_sql_str(salt)}")
+    return (
+        f"round(ln(({h} + 1)::DOUBLE / {float(2**60):.0f}.0)"
+        f" / ({weight_expr})::DOUBLE, 9)"
+    )
+
+
 def pack_offset_bins(
     df: DataFrame,
     part_col: str,

@@ -1001,6 +1001,140 @@ def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_scd2_history",
+    """
+    WITH obs AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS ts, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS seq,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev
+      FROM orders
+    ), v AS (
+      SELECT custkey, priority, ts AS valid_from, seq
+      FROM obs WHERE prev IS NULL OR priority <> prev
+    )
+    SELECT custkey, priority, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey ORDER BY seq)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY custkey ORDER BY seq)
+                AS BIGINT) AS version,
+           (lead(valid_from) OVER (PARTITION BY custkey ORDER BY seq)
+            IS NULL) AS is_current
+    FROM v ORDER BY custkey, version
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def wh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (operators.scd.scd2_from_changes):
+    each customer's order-priority observations (one per order, ordered
+    by date with orderkey tie-break) compressed into versioned
+    [valid_from, valid_to) rows with run-length collapse of unchanged
+    priorities. Pure window functions — ONE shuffle on the customer key;
+    the oracle rebuilds the same versions with lag/lead windows. The
+    reference's gold rebuild overwrites dimension history on every
+    refresh (etl.ipynb:174-192); this is the warehouse-correct
+    alternative."""
+    from ..operators.scd import scd2_from_changes
+
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    hist = scd2_from_changes(
+        ch, key="custkey", attrs=["priority"], ts_col="ts",
+        tie_break="o_orderkey",
+    )
+    return hist.orderBy("custkey", "version")
+
+
+@query(
+    "wh_scd2_lookup",
+    """
+    WITH obs AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS ts, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS seq,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev
+      FROM orders
+    ), v AS (
+      SELECT custkey, priority, ts AS valid_from, seq,
+             CAST(row_number() OVER (PARTITION BY custkey ORDER BY seq)
+                  AS BIGINT) AS version
+      FROM (SELECT * FROM obs WHERE prev IS NULL OR priority <> prev)
+    ), hist AS (
+      -- end-of-day grain: last version per (custkey, valid_from), so
+      -- the as-of probe below has a unique right key per timestamp
+      SELECT * FROM v
+      QUALIFY row_number() OVER (PARTITION BY custkey, valid_from
+                                 ORDER BY version DESC) = 1
+    ), fact AS (
+      SELECT DISTINCT o_custkey AS custkey, o_orderdate AS ts FROM orders
+    )
+    SELECT f.custkey, f.ts,
+           h.priority AS dim_priority,
+           h.version AS dim_version,
+           h.valid_from AS dim_valid_from
+    FROM fact f ASOF LEFT JOIN hist h
+      ON f.custkey = h.custkey AND f.ts >= h.valid_from
+    ORDER BY f.custkey, f.ts
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def wh_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators.scd.scd2_lookup): every
+    distinct (customer, date) fact probe gets the priority version valid
+    AT that date. History is first reduced to end-of-day grain (last
+    version per (key, valid_from)) so the as-of right side is unique per
+    timestamp; the lookup itself is the single-shuffle as-of carry, not
+    an interval join. Oracle: DuckDB ASOF LEFT JOIN over the identical
+    window-built history."""
+    from ..operators.scd import scd2_from_changes, scd2_lookup
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    hist = scd2_from_changes(
+        ch, key="custkey", attrs=["priority"], ts_col="ts",
+        tie_break="o_orderkey",
+    )
+    eod = (
+        hist.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("custkey", "valid_from").orderBy(
+                    F.col("version").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "valid_to")
+    )
+    fact = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+    ).distinct()
+    out = scd2_lookup(fact, eod, key="custkey", ts_col="ts", prefix="dim_")
+    return out.select(
+        "custkey", "ts", "dim_priority", "dim_version", "dim_valid_from"
+    ).orderBy("custkey", "ts")
+
+
+@query(
     "sim_quantize_int8",
     """
     WITH v AS (
@@ -1095,6 +1229,41 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         SP.stratified_topk(docs, "lang", "doc_id", k=20, salt="strat1")
         .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "tx_weighted_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {SP.sql_weighted_rank_key("doc_id", "n_chars", "wtd1")}
+                          DESC,
+                        doc_id ASC) AS rk
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM r WHERE rk <= 15
+    ORDER BY lang, doc_id
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted per-language sample
+    (operators.sampling.weighted_topk, Efraimidis–Spirakis A-Res):
+    15 docs per language with inclusion probability proportional to
+    n_chars — the 'sample proportional to token count' draw a training
+    mix uses so long documents aren't underrepresented per-doc. The
+    oracle runs the identical hash→uniform→ln(u)/w arithmetic in DuckDB
+    and pins exact membership, not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        SP.weighted_topk(
+            docs, "lang", "doc_id", "n_chars", k=15, salt="wtd1"
+        )
+        .select("doc_id", "lang", "n_chars")
         .orderBy("lang", "doc_id")
     )
 
@@ -1435,6 +1604,99 @@ def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_value",
         )
         .orderBy("day")
+    )
+
+
+@query(
+    "ev_cumulative_uniques",
+    """
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('day', ts))::DATE AS first_day
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily ORDER BY day
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new + cumulative distinct users via the FIRST-SEEN
+    reformulation: cumulative COUNT(DISTINCT) as a window is either a
+    quadratic self-join or a giant dedup-state window at 100 TB — but
+    'users whose first day is <= d' is the same number, and needs only
+    min() per user (one shuffle), a day-level count (tiny), and a
+    running sum over days. The classic new-vs-returning warehouse
+    pattern; exact, no sketch needed."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    fs = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("first_day")
+    )
+    daily = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "ev_cohort_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+      FROM events),
+    c AS (
+      SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM uw)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, week) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_active
+    FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle — users grouped by first-active
+    week, counted in each later week they return (the dashboard-standard
+    retention matrix; the reference has no cohort analytics at all).
+
+    Shape: dedup to (user, week) FIRST (one shuffle; the frame shrinks
+    to at most users x weeks), derive each user's cohort as a window
+    min over that small frame (second, narrower shuffle), then a
+    (cohort, offset) count. No join back to raw events, no per-cohort
+    scans; week arithmetic stays in integer days/7 (both engines'
+    date_trunc('week') is Monday-based, so offsets are exact
+    multiples)."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    c = uw.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return (
+        c.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
     )
 
 

@@ -66,6 +66,11 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "sim_quantize_int8": ("quantize", "quantization", "int8", "compress", "compression"),
     "wh_expectations": ("expectations", "checks", "validate", "integrity", "constraints"),
     "wh_table_profile": ("profile", "profiling", "describe", "columns", "nulls"),
+    "wh_scd2_history": ("history", "versioned", "scd", "scd2", "slowly", "changing"),
+    "wh_scd2_lookup": ("lookup", "version", "effective", "pointintime"),
+    "tx_weighted_sample": ("weighted", "proportional", "importance", "probability"),
+    "ev_cumulative_uniques": ("cumulative", "unique", "uniques", "returning"),
+    "ev_cohort_retention": ("cohort", "cohorts", "retention", "churn"),
 }
 
 

@@ -294,6 +294,41 @@ def test_stratified_topk_edges(spark):
     assert again == {(l, d) for l, ds in by_lang.items() for d in ds}
 
 
+def test_weighted_topk_proportionality_and_determinism(spark):
+    """Efraimidis–Spirakis weighted sampling: (1) with k=1 the inclusion
+    probability is w_i/Σw — a dominant-weight item must win most trials
+    (40 independent trials via per-trial composite keys, all in ONE
+    window job); (2) the selected set is a pure function of the keys —
+    identical under repartitioning."""
+    # 40 trials x 200 items; item 0 carries weight 1000, others 1:
+    # P(win) = 1000/1199 ≈ 0.83 per trial, E[wins] ≈ 33.
+    rows = [
+        (t, f"{t}_{i}", i, 1000 if i == 0 else 1)
+        for t in range(40)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["trial", "key", "item", "w"])
+    winners = SP.weighted_topk(
+        df, "trial", "key", "w", k=1, salt="prop"
+    ).collect()
+    assert len(winners) == 40
+    heavy_wins = sum(1 for r in winners if r["item"] == 0)
+    # P(X < 20 | p=.83, n=40) < 1e-9 — a miss means broken weighting.
+    assert heavy_wins >= 20, heavy_wins
+
+    base = {
+        (r["trial"], r["key"])
+        for r in SP.weighted_topk(df, "trial", "key", "w", k=3, salt="s").collect()
+    }
+    again = {
+        (r["trial"], r["key"])
+        for r in SP.weighted_topk(
+            df.repartition(13, "item"), "trial", "key", "w", k=3, salt="s"
+        ).collect()
+    }
+    assert base == again and len(base) == 120  # exactly k per stratum
+
+
 def test_expectations_detect_planted_violations(spark):
     """The fixtures are clean, so the registry's wh_expectations row is
     all-pass — prove the detectors actually FIRE on a frame with planted
@@ -497,6 +532,83 @@ def test_bmp_roundtrip_pipeline_matches_module_api(spark):
         w, h, fmt = M.decode_blob_meta(blob)
         assert (r["width"], r["height"], r["format"]) == (w, h, fmt)
         assert r["n_bytes"] == len(blob)
+
+
+def test_scd2_versioning_edges(spark):
+    """scd2_from_changes: run-length collapse, NULL-safe attr compare,
+    same-ts tie determinism; scd2_lookup: version-at-ts semantics incl.
+    a probe before the first version (NULL dim columns)."""
+    from datetime import datetime as dt
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.scd import (
+        scd2_from_changes,
+        scd2_lookup,
+    )
+
+    t = lambda d: dt(2024, 1, d)  # noqa: E731
+    changes = spark.createDataFrame(
+        [
+            # key 1: A, A (collapse), B, B (collapse), A again -> 3 versions
+            (1, t(1), "A", 10),
+            (1, t(2), "A", 11),
+            (1, t(3), "B", 12),
+            (1, t(4), "B", 13),
+            (1, t(5), "A", 14),
+            # key 2: NULL attr then NULL again (NULL-safe collapse), then C
+            (2, t(1), None, 20),
+            (2, t(2), None, 21),
+            (2, t(3), "C", 22),
+            # key 3: same-ts tie broken by seq col -> last one wins as v2
+            (3, t(1), "X", 30),
+            (3, t(1), "Y", 31),
+        ],
+        ["k", "ts", "attr", "seq"],
+    )
+    hist = scd2_from_changes(
+        changes, key="k", attrs=["attr"], ts_col="ts", tie_break="seq"
+    )
+    rows = {
+        (r["k"], r["version"]): (
+            r["attr"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in hist.collect()
+    }
+    assert rows[(1, 1)] == ("A", t(1), t(3), False)
+    assert rows[(1, 2)] == ("B", t(3), t(5), False)
+    assert rows[(1, 3)] == ("A", t(5), None, True)
+    assert rows[(2, 1)] == (None, t(1), t(3), False)
+    assert rows[(2, 2)] == ("C", t(3), None, True)
+    # Same-ts versions: deterministic order by tie_break.
+    assert rows[(3, 1)] == ("X", t(1), t(1), False)
+    assert rows[(3, 2)] == ("Y", t(1), None, True)
+    assert len(rows) == 7
+
+    # Lookup at end-of-day grain (key 3's two same-ts versions reduced
+    # to the last) — and a probe BEFORE key 1's first version.
+    from pyspark.sql.window import Window as Wnd
+
+    eod = (
+        hist.withColumn(
+            "_rn",
+            F.row_number().over(
+                Wnd.partitionBy("k", "valid_from").orderBy(
+                    F.col("version").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "valid_to")
+    )
+    fact = spark.createDataFrame(
+        [(1, dt(2023, 12, 31)), (1, t(4)), (3, t(2))], ["k", "ts"]
+    )
+    got = {
+        (r["k"], r["ts"]): (r["dim_attr"], r["dim_version"])
+        for r in scd2_lookup(fact, eod, key="k", ts_col="ts").collect()
+    }
+    assert got[(1, dt(2023, 12, 31))] == (None, None)  # predates history
+    assert got[(1, t(4))] == ("B", 2)
+    assert got[(3, t(2))] == ("Y", 2)
 
 
 def test_asof_join_edges(spark):
@@ -782,6 +894,16 @@ def test_nlq_routing(spark):
     assert nlq.route("stratified sample balanced per language") == (
         "tx_stratified_sample"
     )
+    # Round-5 operator tier.
+    assert nlq.route("slowly changing dimension history scd2") == (
+        "wh_scd2_history"
+    )
+    assert nlq.route("effective version lookup") == "wh_scd2_lookup"
+    assert nlq.route("weighted sample proportional to length") == (
+        "tx_weighted_sample"
+    )
+    assert nlq.route("cumulative unique users") == "ev_cumulative_uniques"
+    assert nlq.route("weekly cohort retention") == "ev_cohort_retention"
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
