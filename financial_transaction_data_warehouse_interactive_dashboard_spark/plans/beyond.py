@@ -380,6 +380,98 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Split arithmetic shared by tx_split_by_cluster's Spark side and oracle
+# (same weights, same salt — authored once so they cannot drift).
+_CLUSTER_SPLIT_WEIGHTS = {"train": 0.8, "test": 0.2}
+_CLUSTER_SPLIT_SALT = "cl1"
+_CLUSTER_SPLIT_CASE = SP.sql_split_column(
+    "rep", _CLUSTER_SPLIT_WEIGHTS, salt=_CLUSTER_SPLIT_SALT
+)
+
+
+@query(
+    "tx_split_by_cluster",
+    f"""
+    WITH RECURSIVE {SQL_DOCS_SHINGLES},
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(
+                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
+                  AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                        JOIN sh sb ON cand.id_b = sb.doc_id
+              WHERE {SQL_JACCARD} >= 0.5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM e),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.dst AS m FROM reach r JOIN e ON e.src = r.m
+    ),
+    comp AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
+             FROM reach GROUP BY n)
+    SELECT doc_id, rep, {_CLUSTER_SPLIT_CASE} AS split
+    FROM (SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS rep
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    ORDER BY doc_id
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split: a document's split is decided by
+    the hash of its near-dup CLUSTER representative (min doc_id of its
+    LSH connected component), not its own id — so near-duplicate
+    documents can never straddle the train/test boundary, the failure
+    mode a plain per-doc hash split (tx_hash_split) silently allows and
+    every serious eval pipeline must close. Singleton docs fall back to
+    their own id (coalesce), keeping the split a total, deterministic
+    function of content clusters. Composition: MinHash-LSH pairs ->
+    connected components -> label map equi-joined back on doc_id (the
+    map holds only clustered docs, so AQE broadcasts it when small and
+    shuffles when the dup rate is high — both correct) ->
+    portable hash split on the representative. The oracle replays the
+    whole chain in DuckDB (recursive transitive closure + the same md5
+    bucket arithmetic) and pins exact per-doc membership."""
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    rep = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            docs.doc_id,
+            F.coalesce("component", docs.doc_id).alias("rep"),
+        )
+    )
+    return (
+        rep.withColumn(
+            "split",
+            SP.split_column(
+                "rep", _CLUSTER_SPLIT_WEIGHTS, salt=_CLUSTER_SPLIT_SALT
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -1896,6 +1988,169 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_in_bound"),
         )
         .orderBy("status")
+    )
+
+
+@query(
+    "a15_hll_mergeable",
+    """
+    SELECT CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_in_bound
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 0, count(DISTINCT o_custkey), TRUE FROM orders
+    ORDER BY quarter
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def a15_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch architecture — the reason sketches matter at
+    100 TB: per-quarter Apache DataSketches HLL sketches
+    (``hll_sketch_agg``) can be PERSISTED as a summary table and later
+    union-merged (``hll_union_agg``) to answer cross-partition distinct
+    counts WITHOUT rescanning raw data — distinct users over any quarter
+    range from kilobyte sketches. (approx_count_distinct in a5 proves
+    the estimator; this entry proves the two-level merge: sketch, then
+    union of sketches, estimates the TRUE union cardinality — counts
+    are not summable across quarters because customers repeat, which is
+    exactly what the sketch union handles.)
+
+    Checkable contract (a5's envelope pattern): per-quarter rows carry
+    the exact distinct plus ``approx_in_bound`` (|est-exact| <= 5%
+    exact; default lgK=12 sketches have ~1.6% rsd), and the quarter=0
+    row checks the MERGED total the same way. The oracle pins every
+    exact count and asserts all booleans TRUE."""
+    orders = _t(spark, sf_dir, "orders")
+    tol = 0.05
+    per_q = orders.groupBy(
+        F.quarter("o_orderdate").cast("int").alias("quarter")
+    ).agg(
+        F.hll_sketch_agg(F.col("o_custkey")).alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    q_rows = per_q.select(
+        "quarter",
+        "exact_customers",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk") - F.col("exact_customers")
+            )
+            <= tol * F.col("exact_customers")
+        ).alias("approx_in_bound"),
+    )
+    merged = per_q.agg(F.hll_union_agg("sk").alias("sk_all"))
+    exact_all = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    total_row = (
+        merged.join(F.broadcast(exact_all))
+        .select(
+            F.lit(0).cast("int").alias("quarter"),
+            "exact_customers",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk_all")
+                    - F.col("exact_customers")
+                )
+                <= tol * F.col("exact_customers")
+            ).alias("approx_in_bound"),
+        )
+    )
+    return q_rows.unionByName(total_row).orderBy("quarter")
+
+
+@query(
+    "wh_incremental_rollup",
+    """
+    SELECT CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+           o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY 1, 2 ORDER BY quarter, status
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def wh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL summary-table maintenance — the other half of the
+    warehouse-maintenance story (wh_gold_maintenance maintains the
+    DETAIL table; this maintains an AGGREGATE over it without full
+    recomputation, the materialized-view-refresh pattern):
+
+    1. the historical load builds a (quarter, status) rollup from
+       quarters 1-3 MINUS a held-back 'late data' slice, partitioned by
+       quarter;
+    2. a new-quarter batch (Q4) and a late-arriving batch (the held-back
+       Q2 slice) then land INCREMENTALLY: each batch is partially
+       aggregated, merged with ONLY the touched quarters' existing
+       rollup rows by re-summing (count/sum are mergeable partial
+       aggregates — the algebraic property incremental view maintenance
+       rests on), and written back via dynamic partition overwrite;
+       Q1/Q3 partitions are never read or rewritten.
+
+    The returned frame is the maintained table, and the oracle is a
+    FULL recompute over raw orders — equal only if the incremental
+    merges double-count nothing and miss nothing. Same eager
+    maintenance-JOB posture as wh_gold_maintenance (documented)."""
+    from ..sources.warehouse import write_partitioned
+
+    table = "wh_rollup_inc"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("q"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+    )
+    late_cond = (F.col("q") == 2) & (F.col("o_orderkey") % 101 == 0)
+
+    def partial(df):
+        return df.groupBy("q", "status").agg(
+            F.count("*").alias("n"),
+            F.sum("price").cast("decimal(30,2)").alias("total"),
+        )
+
+    hist = orders.filter((F.col("q") <= 3) & ~late_cond)
+    write_partitioned(partial(hist).repartition("q"), table, ["q"])
+
+    for batch in (
+        orders.filter(F.col("q") == 4),       # new partition arrives
+        orders.filter(late_cond),             # late rows for existing Q2
+    ):
+        delta = partial(batch)
+        touched = [r["q"] for r in delta.select("q").distinct().collect()]
+        merged = (
+            spark.table(table)
+            .filter(F.col("q").isin(touched))
+            .unionByName(delta)
+            .groupBy("q", "status")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("total").cast("decimal(30,2)").alias("total"),
+            )
+            .localCheckpoint(eager=True)  # reads the table it overwrites
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cols = spark.table(table).columns
+            merged.select(*cols).write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        spark.table(table)
+        .select(
+            F.col("q").cast("int").alias("quarter"),
+            "status",
+            "n",
+            F.col("total").cast("double").alias("total_price"),
+        )
+        .orderBy("quarter", "status")
     )
 
 

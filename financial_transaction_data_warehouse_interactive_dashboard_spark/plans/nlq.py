@@ -71,6 +71,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_weighted_sample": ("weighted", "proportional", "importance", "probability"),
     "ev_cumulative_uniques": ("cumulative", "unique", "uniques", "returning"),
     "ev_cohort_retention": ("cohort", "cohorts", "retention", "churn"),
+    "tx_split_by_cluster": ("leakage", "safe", "cluster", "holdout", "contamination"),
+    "a15_hll_mergeable": ("sketch", "sketches", "mergeable", "hll", "hyperloglog"),
+    "wh_incremental_rollup": ("incremental", "refresh", "rollup", "materialized", "maintain"),
 }
 
 

@@ -904,6 +904,11 @@ def test_nlq_routing(spark):
     )
     assert nlq.route("cumulative unique users") == "ev_cumulative_uniques"
     assert nlq.route("weekly cohort retention") == "ev_cohort_retention"
+    assert nlq.route("leakage safe holdout by cluster") == (
+        "tx_split_by_cluster"
+    )
+    assert nlq.route("mergeable hyperloglog sketches") == "a15_hll_mergeable"
+    assert nlq.route("incremental rollup refresh") == "wh_incremental_rollup"
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
