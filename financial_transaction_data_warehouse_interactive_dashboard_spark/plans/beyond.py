@@ -478,6 +478,152 @@ def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hybrid_rrf",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    qterms AS (
+      SELECT doc_id AS query_id, term,
+             round(ln(n_docs / df), 6) AS idf
+      FROM tf JOIN dfreq USING (term), n
+      WHERE doc_id < 8
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(tf * ln(n_docs / df), 6) DESC, term ASC) <= 3),
+    kw AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(t.tf * q.idf), 6) AS kw_score
+      FROM qterms q JOIN tf t USING (term)
+      WHERE t.doc_id != q.query_id
+      GROUP BY 1, 2),
+    kwr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY kw_score DESC, doc_id ASC) AS r
+      FROM kw
+      QUALIFY r <= 10),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    vr AS (
+      SELECT query_id, e.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                        e.vec_id ASC) AS r
+      FROM q JOIN e ON e.vec_id != q.query_id
+      QUALIFY r <= 10),
+    fused AS (
+      SELECT coalesce(kwr.query_id, vr.query_id) AS query_id,
+             coalesce(kwr.doc_id, vr.doc_id) AS doc_id,
+             round(coalesce(1.0::DOUBLE / (60 + kwr.r), 0)
+                   + coalesce(1.0::DOUBLE / (60 + vr.r), 0), 6) AS rrf,
+             kwr.r AS kw_rank, vr.r AS vec_rank
+      FROM kwr FULL OUTER JOIN vr
+        ON kwr.query_id = vr.query_id AND kwr.doc_id = vr.doc_id)
+    SELECT query_id, doc_id, rrf, kw_rank, vec_rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) <= 10
+    ORDER BY query_id, rrf DESC, doc_id
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion — the modern search
+    stack in one lazy plan: a KEYWORD leg (each query doc's top-3 TF-IDF
+    terms probe the inverted index; candidates scored by matched
+    tf x idf) and a VECTOR leg (cosine top-10 over the embedding
+    column) are fused per (query, doc) by RRF
+    (score = sum 1/(60 + rank); Cormack et al.'s k=60), which needs no
+    score calibration between legs — the reason RRF is the default
+    fusion everywhere. Docs found by only one leg still rank (outer
+    join + coalesce 0).
+
+    Scale: the keyword leg is an inverted-index equi-join on term
+    (selective: 3 terms/query), never a doc x doc scan; the vector leg
+    is the exactness baseline here — swap in the IVF cell-probe for a
+    production corpus. Ranks are integers and scores round before
+    ranking, so the oracle pins the fused ORDER, not just membership."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n))
+    wq = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).desc(),
+        F.asc("term"),
+    )
+    qterms = (
+        scored.filter(F.col("doc_id") < 8)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+    )
+    kw = (
+        qterms.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("kw_score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("kw_score"), F.asc("doc_id")
+    )
+    kwr = (
+        kw.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "doc_id", F.col("r").alias("kw_rank"))
+    )
+    vr = S.topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=10
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+        )
+        .alias("vec_rank"),
+    )
+    fused = (
+        kwr.join(vr, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("_fr", F.row_number().over(wf))
+        .filter(F.col("_fr") <= 10)
+        .select("query_id", "doc_id", "rrf", "kw_rank", "vec_rank")
+        .orderBy("query_id", F.desc("rrf"), "doc_id")
+    )
+
+
+@query(
     "sim_topk_bruteforce",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

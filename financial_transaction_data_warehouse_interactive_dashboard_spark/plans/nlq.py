@@ -74,6 +74,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_split_by_cluster": ("leakage", "safe", "cluster", "holdout", "contamination"),
     "a15_hll_mergeable": ("sketch", "sketches", "mergeable", "hll", "hyperloglog"),
     "wh_incremental_rollup": ("incremental", "refresh", "rollup", "materialized", "maintain"),
+    "sim_hybrid_rrf": ("hybrid", "fusion", "fuse", "rrf", "keyword", "rerank"),
 }
 
 

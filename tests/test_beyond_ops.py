@@ -909,6 +909,9 @@ def test_nlq_routing(spark):
     )
     assert nlq.route("mergeable hyperloglog sketches") == "a15_hll_mergeable"
     assert nlq.route("incremental rollup refresh") == "wh_incremental_rollup"
+    assert nlq.route("hybrid keyword vector fusion search") == (
+        "sim_hybrid_rrf"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
