@@ -1,0 +1,88 @@
+"""Misra-Gries heavy hitters — the two-pass frequent-items pattern for
+100 TB streams of keys.
+
+Beyond-reference scope. Exact top-frequency mining (`GROUP BY key`)
+carries state proportional to the KEY DOMAIN — at 10^11 distinct
+n-grams that shuffle is the job. The Misra-Gries summary carries k
+counters per partition (k ~ 1/phi), and its union across partitions is
+a GUARANTEED superset of every key with global share > 1/(k+1)
+(pigeonhole: a key light in every partition sums to <= n/(k+1)
+globally). So the scalable plan is:
+
+  pass 1  mapInPandas Misra-Gries per partition  ->  <= k rows each
+  pass 2  exact count of ONLY the candidate keys  ->  state bounded by
+          |candidates| <= k x partitions, not by the key domain
+
+and the final output is EXACTLY the true heavy-hitter set with exact
+counts — the sketch bounds the state, not the accuracy. That exactness
+is what makes the operator fully oracle-checkable (plans.beyond's
+tx_heavy_collocations): DuckDB recomputes the same set from a plain
+GROUP BY.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partial(keys: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``k`` (key, est)
+    rows per partition, est <= true partition count. The generator
+    closure holds the counter dict across that partition's Arrow
+    batches — O(k) memory regardless of partition size. Batched
+    decrement: after absorbing a batch, uniformly subtract the minimum
+    counter until <= k survive (the standard batch generalization of
+    one-at-a-time MG; it only ever UNDER-counts, preserving the
+    guarantee)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {
+                    key: c - m for key, c in counters.items() if c > m
+                }
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters), "est": list(counters.values())}
+            )
+
+    return keys.select(key_col).mapInPandas(run, schema=f"{key_col} string, est bigint")
+
+
+def heavy_hitters(
+    keys: DataFrame, key_col: str, phi: float, k: int | None = None
+) -> DataFrame:
+    """Keys with global share > ``phi``, with EXACT counts, via the
+    two-pass sketch plan (module docstring). ``k`` defaults to
+    ceil(1/phi) so the candidate union provably covers the answer set.
+
+    Returns (key, n, share) — share rounded to 6dp — descending by n
+    with the key as tie-break (total order)."""
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    k = k if k is not None else math.ceil(1.0 / phi)
+    cand = mg_partial(keys, key_col, k).select(key_col).distinct()
+    total = keys.agg(F.count("*").alias("_total"))
+    return (
+        keys.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > phi * F.col("_total"))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), key_col)
+    )

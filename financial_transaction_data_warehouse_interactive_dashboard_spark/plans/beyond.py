@@ -1472,6 +1472,112 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_heavy_collocations",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                         for i in range(1, len(w))]) AS gram FROM d),
+    v AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM v)
+    SELECT gram, n, round(n::DOUBLE / total, 6) AS share
+    FROM v, t WHERE n > 0.001 * total
+    ORDER BY n DESC, gram
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def tx_heavy_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent collocations (word bigrams with >0.1% corpus share) via
+    the Misra-Gries two-pass sketch (operators.sketch.heavy_hitters):
+    pass 1 keeps O(1/phi) counters per partition in a mapInPandas
+    summary, pass 2 exact-counts only the candidate union — state is
+    bounded by the sketch, never by the n-gram domain, yet the output
+    is the EXACT heavy set (the superset guarantee means no heavy gram
+    can be missed), which is why a plain GROUP BY oracle can pin it.
+    Bigrams are built with posexplode + lead (the codegen-friendly
+    pattern; HOF string-building lambdas measured 3-14x slower)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "term", "nxt").alias("gram"))
+    )
+    return heavy_hitters(grams, "gram", phi=0.001)
+
+
+@query(
+    "tx_unigram_logprob",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    v AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT sum(c) AS total FROM v),
+    lp AS (SELECT term,
+                  round(ln(c::DOUBLE / total), 6)::DECIMAL(18,6) AS logp
+           FROM v, n)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(logp) AS DOUBLE) AS sum_logp,
+           round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+    FROM tok JOIN lp USING (term)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram language-model scoring — the statistical quality
+    signal beside the rule-based heuristics (functions.text
+    quality_pts): each document's mean token log-likelihood under the
+    corpus's own unigram distribution; rare-token soup scores low, the
+    cheap first-pass perplexity filter of LLM data pipelines.
+
+    Scale + determinism shape: the LM itself is a vocabulary-sized
+    frame (term counts -> broadcast), so scoring is one explode + one
+    broadcast join + one groupBy. Per-term log-probs are rounded to 6dp
+    and summed as DECIMAL(18,6) — decimal addition is exact and
+    associative, so the per-doc sum is identical no matter what order
+    partial aggregation combines tokens in (raw double sums would drift
+    between engines and between runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    v = tok.groupBy("term").agg(F.count("*").alias("c"))
+    n = v.agg(F.sum("c").alias("total"))
+    lp = (
+        v.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.round(F.log(F.col("c").cast("double") / F.col("total")), 6)
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp").cast("double").alias("sum_logp"),
+        )
+        .withColumn(
+            "avg_logp",
+            F.round(F.col("sum_logp") / F.col("n_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "tx_weighted_sample",
     f"""
     WITH r AS (

@@ -75,6 +75,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a15_hll_mergeable": ("sketch", "sketches", "mergeable", "hll", "hyperloglog"),
     "wh_incremental_rollup": ("incremental", "refresh", "rollup", "materialized", "maintain"),
     "sim_hybrid_rrf": ("hybrid", "fusion", "fuse", "rrf", "keyword", "rerank"),
+    "tx_unigram_logprob": ("perplexity", "likelihood", "logprob", "fluency"),
+    "tx_heavy_collocations": ("frequent", "collocations", "bigrams", "heavy", "hitters"),
 }
 
 

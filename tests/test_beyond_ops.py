@@ -294,6 +294,45 @@ def test_stratified_topk_edges(spark):
     assert again == {(l, d) for l, ds in by_lang.items() for d in ds}
 
 
+def test_misra_gries_heavy_hitters_guarantee(spark):
+    """The sketch contract on adversarial data: a large uniform tail
+    must not evict the planted heavy keys; per-partition summary size
+    must respect the O(k) bound; and the two-pass output must equal the
+    exact heavy set regardless of partitioning (the candidate-union
+    superset property)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.sketch import (
+        heavy_hitters,
+        mg_partial,
+    )
+
+    # 3 planted heavy keys (5%, 2.5%, 1.6%) over a 6000-key uniform tail.
+    rows = (
+        [("hot_a",)] * 1000 + [("hot_b",)] * 500 + [("hot_c",)] * 320
+        + [(f"tail_{i % 6000}",) for i in range(18180)]
+    )
+    df = spark.createDataFrame(rows, ["k"]).repartition(7)
+    n = len(rows)
+
+    got = {
+        r["k"]: r["n"] for r in heavy_hitters(df, "k", phi=0.01).collect()
+    }
+    # Exact answer: keys with share > 1%. Tail keys have ~3 rows each.
+    assert got == {"hot_a": 1000, "hot_b": 500, "hot_c": 320}
+
+    # Memory bound: k=100 counters -> at most 100 summary rows per
+    # partition (7 partitions).
+    n_summary = mg_partial(df, "k", k=100).count()
+    assert n_summary <= 700
+
+    # Partitioning-independence: same answer under a different layout.
+    again = {
+        r["k"]: r["n"]
+        for r in heavy_hitters(df.repartition(2), "k", phi=0.01).collect()
+    }
+    assert again == got
+    assert n > 0
+
+
 def test_weighted_topk_proportionality_and_determinism(spark):
     """Efraimidis–Spirakis weighted sampling: (1) with k=1 the inclusion
     probability is w_i/Σw — a dominant-weight item must win most trials
@@ -911,6 +950,12 @@ def test_nlq_routing(spark):
     assert nlq.route("incremental rollup refresh") == "wh_incremental_rollup"
     assert nlq.route("hybrid keyword vector fusion search") == (
         "sim_hybrid_rrf"
+    )
+    assert nlq.route("perplexity likelihood scoring") == (
+        "tx_unigram_logprob"
+    )
+    assert nlq.route("frequent bigrams heavy hitters") == (
+        "tx_heavy_collocations"
     )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")

@@ -119,18 +119,27 @@ def test_salted_registry_query_plan_is_salted_shuffle(spark):
 # maintenance merge) — building their "plan" means executing them, so the
 # cartesian sweep skips them; their plans are audited via their operators'
 # own tests instead.
-EAGER_PREFIXES = ("st_", "wh_")
+# Entries whose builder EXECUTES a job as its semantics (streaming
+# runners, maintenance JOBs) — their final frame is a table read, so a
+# plan audit of the returned frame would be vacuous anyway.
+EAGER_ENTRIES = {"wh_gold_maintenance", "wh_incremental_rollup"}
 
 
-def test_no_cartesian_product_in_driver_surface(spark):
-    """No driver-facing query may plan an unpartitioned CartesianProduct —
-    the one join shape that cannot scale (every deliberate small-side
-    cross join in the codebase is broadcast, which plans as
-    BroadcastNestedLoopJoin with a 1-row/centroid side, never
-    CartesianProduct)."""
+def _is_eager(name: str) -> bool:
+    return name.startswith("st_") or name in EAGER_ENTRIES
+
+
+def test_no_cartesian_product_in_registry(spark):
+    """No registry query — driver-facing OR locally-pinned — may plan an
+    unpartitioned CartesianProduct, the one join shape that cannot scale
+    (every deliberate small-side cross join in the codebase is broadcast,
+    which plans as BroadcastNestedLoopJoin with a 1-row/centroid side,
+    never CartesianProduct). Widened from driver-only in r5: local
+    entries are rotation candidates for the driver surface, so they meet
+    the same bar."""
     offenders = []
     for name, q in sorted(REGISTRY.items()):
-        if not q.driver or name.startswith(EAGER_PREFIXES):
+        if _is_eager(name):
             continue
         plan = plan_of(q.spark(spark, SF_SMOKE))
         if "CartesianProduct" in plan:
