@@ -207,6 +207,62 @@ def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:
     write_partitioned(assign, table, ["cell"])
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table: str,
+    partition_col: str,
+    min_files: int = 2,
+) -> list:
+    """Small-files compaction — the standing maintenance job of any
+    partitioned table fed by incremental writes: each micro-batch/merge
+    appends files, and a partition with thousands of tiny files turns
+    every scan into a task-scheduling storm (task launch overhead,
+    footer reads, poor codec ratios). Rewrite each over-fragmented
+    partition (>= ``min_files`` parquet files) down to ONE file via
+    dynamic partition overwrite, leaving healthy partitions' files
+    untouched on disk.
+
+    Mechanics mirror upsert_partition_overwrite: pick victim partitions
+    by file count (a file LISTING, no data read), read ONLY those
+    partitions (partition pruning), hash-repartition on the partition
+    column (one task per value -> one output file per partition
+    directory), localCheckpoint (the write replaces the files being
+    read), dynamic-overwrite. Returns the compacted partition values —
+    empty when the table is already healthy, so the job is idempotent
+    and safe to schedule every cycle. (For multi-GB partitions wanting
+    N>1 target files, add a salt column to the repartition key; one
+    file per partition is the right default at dashboard-gold sizes.)"""
+    import glob
+    import os
+
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    victims = []
+    for d in sorted(glob.glob(f"{wh_dir}/{table}/{partition_col}=*")):
+        n = len(glob.glob(os.path.join(d, "*.parquet")))
+        if n >= min_files:
+            raw = os.path.basename(d).split("=", 1)[1]
+            victims.append(raw)
+    if not victims:
+        return []
+    current = spark.table(table)
+    # Partition values came from directory names (strings); compare on
+    # the column cast to string so numeric partition types match.
+    cond = F.col(partition_col).cast("string").isin(victims)
+    cols = current.columns
+    merged = (
+        current.filter(cond)
+        .repartition(len(victims), partition_col)
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.select(*cols).write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return victims
+
+
 def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
     """Collect table + column stats for the cost-based optimizer."""
     if columns:

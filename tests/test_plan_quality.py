@@ -115,13 +115,10 @@ def test_salted_registry_query_plan_is_salted_shuffle(spark):
     assert "uid" in join_keys.group(1) and "_salt" in join_keys.group(1)
 
 
-# Entries that run jobs at call time (streaming executions, the warehouse
-# maintenance merge) — building their "plan" means executing them, so the
-# cartesian sweep skips them; their plans are audited via their operators'
-# own tests instead.
 # Entries whose builder EXECUTES a job as its semantics (streaming
 # runners, maintenance JOBs) — their final frame is a table read, so a
-# plan audit of the returned frame would be vacuous anyway.
+# plan audit of the returned frame would be vacuous; their plans are
+# audited via their operators' own tests instead.
 EAGER_ENTRIES = {"wh_gold_maintenance", "wh_incremental_rollup"}
 
 
@@ -264,3 +261,77 @@ def test_ivf_dynamic_partition_pruning(spark):
     joined = t.join(F.broadcast(probe), "cell")
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The OTHER skew defense (operators/skew.py salts deterministically
+    at plan time; this pins the runtime one): with AQE skew-join
+    thresholds scaled to fixture size, a sort-merge join against a
+    hot-key side must come out of adaptive execution with its skewed
+    partition SPLIT — the executed plan's SortMergeJoin is marked
+    skew=true. Guards the conf posture: session AQE on + skewJoin on."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("pad_" * 8), F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("pr"),
+        )
+        joined = left.join(right, "k")
+        # Execute THIS DataFrame's own query execution (a sink like the
+        # noop writer builds a separate QE and the frame's own plan
+        # would never finalize adaptively). 54,200 = 54,000 hot-key rows
+        # + the 200 tail ids (9, 19, ..., 1999) under the right side's
+        # key range.
+        assert len(joined.collect()) == 54_200
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def plan_simple(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_scd2_history_single_key_shuffle(spark):
+    """scd2_from_changes' docstring claim pinned: ONE hash exchange (the
+    dimension key) — every window (collapse lag, version lead,
+    row_number) must reuse that partitioning, never re-shuffle; the only
+    other exchange is the entry's final presentation sort."""
+    plan = plan_simple(REGISTRY["wh_scd2_history"].spark(spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
+
+
+def test_hybrid_rrf_broadcasts_small_sides(spark):
+    """sim_hybrid_rrf: vocabulary-sized frames (document frequency, the
+    1-row corpus count, the per-query term lists) must ride broadcast
+    joins; a sort-merge join against the token stream would shuffle the
+    whole inverted index per query batch."""
+    plan = plan_of(REGISTRY["sim_hybrid_rrf"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -191,3 +191,39 @@ def test_incremental_rollup_touches_only_affected_partitions(spark):
         "Q1/Q3 rewritten after the incremental phase"
     )
     assert min(snap.values()) >= t0 - 5  # all files from this run
+
+
+def test_compact_partitions_small_files(spark):
+    """Compaction: a partition fragmented by repeated appends collapses
+    to one file; already-healthy partitions' files stay byte-identical
+    (path+mtime); values survive; second run is a no-op."""
+    import glob
+    import os
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "q", F.quarter("o_orderdate")
+    )
+    WH.write_partitioned(orders.repartition("q"), "wh_orders_frag", ["q"])
+    # Fragment q=2 with 5 tiny appends (the incremental-feed pattern).
+    chunk = orders.filter(F.col("q") == 2).limit(10)
+    for _ in range(5):
+        chunk.write.mode("append").insertInto("wh_orders_frag")
+    expected = spark.table("wh_orders_frag").groupBy("q").count().collect()
+
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def files(q=None):
+        pat = f"{wh_dir}/wh_orders_frag/q={q or '*'}/*.parquet"
+        return {p: os.path.getmtime(p) for p in glob.glob(pat)}
+
+    assert len(files(2)) >= 6
+    healthy_before = {p: t for p, t in files().items() if "/q=2/" not in p}
+
+    victims = WH.compact_partitions(spark, "wh_orders_frag", "q")
+    assert victims == ["2"]
+    assert len(files(2)) == 1  # fragmented partition -> one file
+    healthy_after = {p: t for p, t in files().items() if "/q=2/" not in p}
+    assert healthy_before == healthy_after  # untouched partitions intact
+    got = spark.table("wh_orders_frag").groupBy("q").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    assert WH.compact_partitions(spark, "wh_orders_frag", "q") == []
