@@ -2244,6 +2244,209 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a16_rfm_segmentation",
+    """
+    WITH agg AS (
+      SELECT o_custkey AS custkey,
+             datediff('day', max(o_orderdate),
+                      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+      FROM agg)
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal_lapsing'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY custkey
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def a16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic financial-warehouse
+    marketing analysis (recency / frequency / monetary quintiles +
+    rule-based segment labels) that the reference's KPI dashboard
+    family implies but never builds. One shuffle aggregates per
+    customer; the quintile windows run over the customer-level frame
+    (|customers|, not |orders|) with custkey tie-breaks so every ntile
+    bucket is a deterministic total order — identical in DuckDB, which
+    is what lets the oracle pin bucket membership exactly."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    agg = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff("_maxd", "_last"))
+        .drop("_last", "_maxd")
+    )
+    scored = (
+        agg.withColumn(
+            "r_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+            ),
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .select(
+            "custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score", "segment",
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "a17_pareto_customers",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT custkey, revenue,
+             round(sum(revenue) OVER (ORDER BY revenue DESC, custkey)
+                   / sum(revenue) OVER (), 6) AS cum_share
+      FROM rev)
+    SELECT custkey, revenue, cum_share,
+           CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c ORDER BY cum_share, custkey
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def a17_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue concentration — rank customers by revenue,
+    running revenue share, A/B/C class at the 50%/80% cut points (the
+    'which customers are 80% of the business' dashboard staple).
+
+    The cumulative window runs over the CUSTOMER-level aggregate —
+    |customers| rows, not |orders| — which keeps the global-order
+    window honest at scale (a 100 TB fact table still aggregates to a
+    manageable customer frame; were even that too big, the two-phase
+    partition-offset pattern in operators.surrogate generalizes to
+    cumulative sums). Deterministic total order via the custkey
+    tie-break; share rounded before classification so the class
+    boundaries are engine-stable."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = rev.withColumn(
+        "cum_share",
+        F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return (
+        c.withColumn("abc_class", cls)
+        .select("custkey", "revenue", "cum_share", "abc_class")
+        .orderBy("cum_share", "custkey")
+    )
+
+
+@query(
+    "ev_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    t AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM t ORDER BY src, dst
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov estimate of user
+    journeys): per user, each event's successor by time (event_id
+    tie-break), counted into (src, dst) cells with row-normalized
+    probabilities — the click-path analysis behind funnel design.
+    Shape: one shuffle on user_id for the lead window, then a tiny
+    (|event_types|^2) aggregate; the probability window runs over that
+    tiny frame. Fully order-pinned by the oracle."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    t = s.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("src")
+    return (
+        t.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(wp), 6)
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@query(
     "a15_hll_mergeable",
     """
     SELECT CAST(quarter(o_orderdate) AS INTEGER) AS quarter,

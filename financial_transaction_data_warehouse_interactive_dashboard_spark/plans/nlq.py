@@ -77,6 +77,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "sim_hybrid_rrf": ("hybrid", "fusion", "fuse", "rrf", "keyword", "rerank"),
     "tx_unigram_logprob": ("perplexity", "likelihood", "logprob", "fluency"),
     "tx_heavy_collocations": ("frequent", "collocations", "bigrams", "heavy", "hitters"),
+    "a16_rfm_segmentation": ("rfm", "recency", "frequency", "monetary", "segmentation"),
+    "a17_pareto_customers": ("pareto", "abc", "concentration", "80"),
+    "ev_transition_matrix": ("transition", "transitions", "markov", "path", "journey"),
 }
 
 

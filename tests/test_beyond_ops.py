@@ -957,6 +957,15 @@ def test_nlq_routing(spark):
     assert nlq.route("frequent bigrams heavy hitters") == (
         "tx_heavy_collocations"
     )
+    assert nlq.route("rfm recency frequency monetary") == (
+        "a16_rfm_segmentation"
+    )
+    assert nlq.route("pareto abc revenue concentration") == (
+        "a17_pareto_customers"
+    )
+    assert nlq.route("markov transition matrix of journeys") == (
+        "ev_transition_matrix"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
