@@ -53,6 +53,8 @@ LARGE_RESULT = {
     "st_sessionize",
     "st_dedup",
     "mm_blob_meta",
+    "wh_scd2_history",
+    "wh_scd2_lookup",
     "tx_fingerprint",
     "tx_lang_id",
     "tx_quality_score",

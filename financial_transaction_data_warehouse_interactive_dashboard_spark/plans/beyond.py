@@ -3211,6 +3211,39 @@ def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_merge_rollup",
+    """
+    SELECT date_trunc('day', ts)::DATE AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def st_stream_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming warehouse ingest — the Kappa capstone composing the
+    streaming and maintenance tiers (streaming.stream.
+    run_stream_merge_rollup): a multi-microbatch event stream merges
+    each batch's partial (day, event_type) aggregate into a
+    day-partitioned rollup table via mergeable re-summation + dynamic
+    partition overwrite, the SAME incremental-refresh mechanics as
+    wh_incremental_rollup. The from-scratch batch recompute oracle only
+    matches if every microbatch merged exactly once — a dropped or
+    doubled merge breaks counts AND decimal sums."""
+    t = ST.run_stream_merge_rollup(spark, sf_dir)
+    return (
+        t.select(
+            "day",
+            "event_type",
+            "n",
+            F.col("total").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
     "st_stream_static_enrich",
     """
     SELECT c_mktsegment AS segment, count(*) AS n,

@@ -80,6 +80,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a16_rfm_segmentation": ("rfm", "recency", "frequency", "monetary", "segmentation"),
     "a17_pareto_customers": ("pareto", "abc", "concentration", "80"),
     "ev_transition_matrix": ("transition", "transitions", "markov", "path", "journey"),
+    "st_stream_merge_rollup": ("ingest", "kappa", "upsert", "merge"),
 }
 
 

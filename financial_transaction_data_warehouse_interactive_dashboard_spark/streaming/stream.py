@@ -593,6 +593,94 @@ def run_foreach_batch_sink(
     return spark.read.parquet(sink_dir)
 
 
+def run_stream_merge_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "st_rollup_merge",
+) -> DataFrame:
+    """STREAMING WAREHOUSE INGEST — the capstone that composes the
+    streaming and maintenance tiers: a multi-microbatch event stream
+    (median time-split source, so >= 2 real data batches) feeds
+    foreachBatch, and each batch MERGES its partial (day, event_type)
+    aggregate into a day-partitioned rollup table the way
+    wh_incremental_rollup does — re-sum only the touched days' rows,
+    dynamic partition overwrite, untouched days' files never rewritten.
+    This is the Kappa-architecture claim made runnable: one mergeable-
+    aggregate code path serves both the batch refresh and the streaming
+    ingest, and the final table equals a from-scratch batch recompute
+    (the DuckDB oracle) only if every microbatch merged exactly once.
+
+    Eager maintenance-JOB posture (same as wh_gold_maintenance): the
+    table is re-created and the checkpoint is fresh per invocation, so
+    every run is a complete deterministic replay; the returned frame is
+    the maintained table."""
+    from ..sources.warehouse import write_partitioned
+
+    src = _time_split_source(spark, sf_dir)
+    real = src.filter(F.col("user_id") != SENTINEL_USER)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("total"),
+        )
+
+    # Seed an EMPTY day-partitioned rollup so the first merge has a
+    # table to read and insertInto.
+    empty = partial(
+        spark.read.schema(real.schema).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).limit(0)
+    )
+    write_partitioned(empty, table, ["day"])
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = partial(batch_df)
+        touched = [r["day"] for r in delta.select("day").distinct().collect()]
+        if not touched:
+            return
+        merged = (
+            spark.table(table)
+            .filter(F.col("day").isin(touched))
+            .unionByName(delta)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("total").cast("decimal(30,6)").alias("total"),
+            )
+            .localCheckpoint(eager=True)  # reads the table it overwrites
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cols = spark.table(table).columns
+            merged.select(*cols).write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    chk = tempfile.mkdtemp(prefix="ftdw-mergechk-")
+    try:
+        q = (
+            real.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+    return spark.table(table)
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, first_ts timestamp, last_ts timestamp, n_events bigint"
 )

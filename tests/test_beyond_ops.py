@@ -966,6 +966,9 @@ def test_nlq_routing(spark):
     assert nlq.route("markov transition matrix of journeys") == (
         "ev_transition_matrix"
     )
+    assert nlq.route("streaming ingest merge upsert kappa") == (
+        "st_stream_merge_rollup"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 

@@ -335,3 +335,41 @@ def test_hybrid_rrf_broadcasts_small_sides(spark):
     plan = plan_of(REGISTRY["sim_hybrid_rrf"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime filtering, third leg of the skew/pruning story: when a
+    selectively-filtered dim joins a big fact WITHOUT broadcast (the
+    100 TB shuffle-join regime), Spark must inject a bloom filter —
+    built from the dim's join keys, applied at the fact side BEFORE the
+    shuffle — so non-matching fact rows die at the scan, not after the
+    exchange. Thresholds are scaled to fixture size (application-side
+    floor to 1 byte, creation-side ceiling up to 1GB); session posture
+    must have the feature on."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan  # built over dim join keys
+        assert "might_contain" in plan     # probed on the fact side
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
