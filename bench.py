@@ -254,6 +254,18 @@ def main() -> None:
         cur_round = (max(prior) + 1) if prior else 0
     detail_name = f"BENCH_DETAIL_r{cur_round:02d}.json"
     try:
+        # Preserve human adjudication sections (median-of-3 recheck
+        # notes etc.) across re-runs within the same round — the driver
+        # re-running the bench must not erase the noise adjudication.
+        try:
+            with open(os.path.join(here, detail_name)) as fh:
+                prior = json.load(fh)
+            if isinstance(prior, dict):
+                for k in ("median3_recheck", "notes"):
+                    if k in prior and k not in detail:
+                        detail[k] = prior[k]
+        except (OSError, json.JSONDecodeError):
+            pass
         with open(os.path.join(here, detail_name), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
