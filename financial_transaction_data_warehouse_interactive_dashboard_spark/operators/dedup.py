@@ -22,7 +22,7 @@ operator has a bit-identical DuckDB oracle (plans.beyond)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -56,6 +56,77 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .groupBy("h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .select(id_col, "n_copies")
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """C4/CCNet-style canonical form: lowercase, strip non-alphanumerics,
+    collapse runs of whitespace, trim. Pure JVM regexp chain (map-only,
+    zero shuffle added) — the normalization itself costs one codegen pass
+    over the text bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def normalized_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup AFTER canonical normalization (the C4/CCNet recipe:
+    case folding + punctuation stripping + whitespace collapse), so
+    trivially-mutated copies — recapitalized, re-punctuated — collapse
+    into one group. Same scale shape as :func:`exact_dedup`: the shuffle
+    carries the 60-bit hash of the NORMALIZED text (~16 B/row), never
+    the document bytes."""
+    return (
+        docs.select(
+            F.col(id_col), P.md5_long(normalize_text(text_col)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def passage_dup_report(docs: DataFrame, n: int = 16) -> DataFrame:
+    """Per-document duplicated-passage fraction: the share of a doc's
+    distinct word-``n``-gram passages that also occur in at least one
+    OTHER document (Lee et al. 2021's exact-substring dedup signal,
+    span-hash approximation — flags boilerplate/templated spans that
+    per-document hashing can never catch).
+
+    Physical: distinct (doc, passage-hash) rows via the codegen
+    posexplode+lead pipeline (shingle_rows), one groupBy on the 60-bit
+    hash to count distinct docs per passage, joined back on the hash
+    (both sides corpus-sized — a shuffle join, NOT a broadcast), then
+    one groupBy per doc. Three shuffles total, all keyed by 8-byte
+    hashes, never passage text."""
+    rows = shingle_rows(docs, n).select(
+        "doc_id", P.md5_long("s").alias("h")
+    )
+    # rows are distinct (doc, hash) pairs (shingle_rows ends .distinct()),
+    # so plain count(*) IS the doc frequency — no countDistinct expand.
+    df = rows.groupBy("h").agg(F.count("*").alias("nd"))
+    return (
+        rows.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_dup_passages"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            F.round(
+                F.col("n_dup_passages") / F.col("n_passages"), 6
+            ).alias("dup_fraction"),
+        )
     )
 
 

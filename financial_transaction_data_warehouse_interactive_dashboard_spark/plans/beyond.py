@@ -3352,3 +3352,98 @@ def sk_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5 batch: normalization dedup + duplicated-passage report
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "dd_normalized_dedup",
+    f"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             upper(replace(text, ' ', ', ')) || '!!' AS text
+      FROM documents),
+    h AS (SELECT doc_id, {_P.sql_md5_long(_SQL_NORM)} AS h FROM uni)
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM h GROUP BY h.h ORDER BY doc_id
+    """,
+    # New r5 batch (locally pinned; r6 driver-rotation candidate).
+    driver=False,
+)
+def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style normalization dedup (operators.dedup.
+    normalized_dedup): exact dedup over the canonical text form (case
+    folded, punctuation stripped, whitespace collapsed), so trivially
+    mutated copies collapse where raw-hash dedup (dd_exact_dedup) sees
+    distinct documents.
+
+    The fixture corpus is ALREADY canonical (lowercase, single-spaced),
+    so the query unions in a deterministically mutated copy of every doc
+    (uppercased, comma-injected, bang-suffixed, id offset by 1e6 — same
+    expression in the oracle); the operator must merge each mutant with
+    its original, giving every surviving group n_copies = 2 with the
+    original id as representative. A raw-hash dedup run on the same
+    union leaves 2x the groups — the normalization is what's under
+    test, not vacuously re-tested exact hashing.
+
+    Scale shape identical to exact_dedup: the added normalization is a
+    map-only JVM regexp chain; the single shuffle still carries a 60-bit
+    hash per row. Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace("text", " ", ", ")), F.lit("!!")
+        ).alias("text"),
+    )
+    uni = docs.select("doc_id", "text").unionAll(mutated)
+    return D.normalized_dedup(uni).orderBy("doc_id")
+
+
+@query(
+    "dd_passage_dupes",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+15], ' ')
+                for i in range(1, len(w) - 14)])) AS s
+      FROM d),
+    ph AS (SELECT doc_id, {_P.sql_md5_long('s')} AS h FROM p),
+    df AS (SELECT h, count(*) AS nd FROM ph GROUP BY 1)
+    SELECT doc_id, count(*) AS n_passages,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages,
+           round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS dup_fraction
+    FROM ph JOIN df USING (h)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    driver=False,
+)
+def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage report (operators.dedup.passage_dup_report):
+    per document, the fraction of its distinct word-16-gram passages
+    that also occur in at least one other document — the span-hash
+    approximation of Lee et al. 2021's exact-substring dedup, catching
+    boilerplate/templated spans that whole-document hashing never can.
+    16-gram passages (vs the 5-gram Jaccard shingles) make chance
+    collisions in the tiny fixture vocabulary rare, so nonzero
+    dup_fraction means genuinely shared spans (planted near-dups).
+
+    The per-passage doc-frequency count uses count(*) over rows that are
+    already DISTINCT (doc, passage-hash) pairs — a plain aggregate, not
+    a countDistinct expand. Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.passage_dup_report(docs, n=16).orderBy("doc_id")

@@ -1,0 +1,397 @@
+"""Financial-analytics named queries: anomaly detection, digit-law audit,
+market-basket affinity, and time-spine gap-filling.
+
+The reference is a financial-transaction warehouse dashboard; this module
+extends its analytics tier with the detection/audit queries such a
+warehouse grows next (fraud screens, basket affinity, activity spines).
+Reference analogue: none of these exist in the reference — its analytics
+stop at group-count dashboards (streamlit.py:151-210) — so each entry is
+a beyond-reference operator with a full DuckDB oracle.
+
+Determinism (the module-wide discipline from plans.queries): every
+aggregate that feeds a continuous statistic is computed over DECIMAL
+(exact, order-independent), converted to DOUBLE only inside scalar
+expressions whose operation ORDER is written identically in the Spark
+plan and the oracle SQL — IEEE doubles are deterministic when the
+operand bits and operation sequence match — and every continuous output
+is rounded before crossing the hash boundary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.inline import inline_table
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# a18: per-segment z-score anomaly screen on customer spend
+# ---------------------------------------------------------------------------
+
+Z_CUT = 2.5
+
+
+@query(
+    "a18_zscore_outliers",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS s
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT c_custkey, c_mktsegment,
+             coalesce(s, CAST(0 AS DECIMAL(18,2))) AS s
+      FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+    m AS (
+      SELECT c_mktsegment, count(*) AS n,
+             sum(s) AS ts, sum(s * s) AS tsq
+      FROM seg GROUP BY 1),
+    z AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(s AS DOUBLE) AS spend,
+             (CAST(s AS DOUBLE) - CAST(ts AS DOUBLE) / n)
+               / sqrt((CAST(tsq AS DOUBLE)
+                       - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n)
+                      / (n - 1)) AS zval
+      FROM seg JOIN m USING (c_mktsegment))
+    SELECT c_custkey, segment, spend, round(zval, 6) AS z
+    FROM z WHERE abs(zval) >= {Z_CUT}
+    ORDER BY c_custkey
+    """,
+    # New r5 batch (locally pinned; r6 driver-rotation candidate).
+    driver=False,
+)
+def a18_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-relative anomaly screen: customers whose total spend sits
+    more than Z_CUT standard deviations from their market segment's mean
+    (the first fraud/KYC screen a transaction warehouse runs; customers
+    with zero orders participate at spend 0 — inactivity is part of the
+    cohort distribution).
+
+    Physical: one shuffle to aggregate spend per customer, a broadcast
+    dim join for the segment, a 5-row moments aggregate (exact decimal
+    sum and sum-of-squares — order-independent, so distributed
+    re-aggregation cannot perturb the variance), broadcast back onto the
+    customer frame. At 100 TB the only corpus-sized shuffle is the
+    per-customer aggregate; the z-score itself is map-side arithmetic.
+    Variance via the sum-of-squares identity on EXACT decimal moments —
+    the usual catastrophic-cancellation objection to E[x^2]-E[x]^2
+    applies to floating-point accumulation, not to exact integers
+    converted once at the end."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("s")
+        )
+    )
+    seg = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("s", F.lit(0).cast("decimal(18,2)")).alias("s"),
+    )
+    m = seg.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("ts"),
+        F.sum(F.col("s") * F.col("s")).alias("tsq"),
+    )
+    ts_d = F.col("ts").cast("double")
+    zval = (F.col("s").cast("double") - ts_d / F.col("n")) / F.sqrt(
+        (F.col("tsq").cast("double") - ts_d * ts_d / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        seg.join(F.broadcast(m), "c_mktsegment")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("s").cast("double").alias("spend"),
+            zval.alias("zval"),
+        )
+        .filter(F.abs(F.col("zval")) >= Z_CUT)
+        .select(
+            "c_custkey",
+            "segment",
+            "spend",
+            F.round("zval", 6).alias("z"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a19: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Expected Benford frequencies as shared literals: computed ONCE here and
+# inlined into both the Spark plan and the oracle SQL, so no engine's
+# log10 implementation (JVM StrictMath vs libm — not bit-identical) ever
+# touches the compared values.
+BENFORD_EXP = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+@query(
+    "a19_benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    1, 1)::INT AS digit
+      FROM orders),
+    counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM orders),
+    exp AS (
+      SELECT digit, ef::DOUBLE AS exp_freq FROM (VALUES
+        {", ".join(f"({d}, {BENFORD_EXP[d]})" for d in range(1, 10))}
+      ) AS t(digit, ef))
+    SELECT digit, n,
+           round(n / total, 6) AS obs_freq,
+           exp_freq,
+           round(abs(n / total - exp_freq), 6) AS abs_dev
+    FROM counts JOIN exp USING (digit) CROSS JOIN tot
+    ORDER BY digit
+    """,
+    driver=False,
+)
+def a19_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order amounts — the classic
+    forensic-accounting screen (synthetic uniform prices violate the law
+    loudly; the operator MEASURES the deviation, it does not assume
+    conformance). First digit extracted from the DECIMAL string form
+    (never via log10 — float log across engines is last-ulp hazardous
+    and amounts are always positive decimals anyway).
+
+    Physical: map-side digit extraction, a 9-group aggregate, the grand
+    total as a broadcast scalar (in-plan, no driver round-trip), expected
+    frequencies as a broadcast 9-row literal table. One corpus pass."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count("*").alias("n")
+    )
+    tot = orders.agg(F.count("*").alias("total"))
+    exp = inline_table(
+        orders.sparkSession,
+        [(d, BENFORD_EXP[d]) for d in range(1, 10)],
+        ["digit", "ef"],
+    ).select("digit", F.col("ef").cast("double").alias("exp_freq"))
+    return (
+        counts.join(F.broadcast(exp), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("obs_freq"),
+            "exp_freq",
+            F.round(
+                F.abs(F.col("n") / F.col("total") - F.col("exp_freq")), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a20: market-basket brand affinity (pairwise support / lift)
+# ---------------------------------------------------------------------------
+
+PAIR_MIN_N = 5
+PAIR_TOP_K = 50
+
+
+@query(
+    "a20_basket_pair_lift",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bn AS (SELECT p_brand, count(*) AS n FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS pair_n
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, pair_n,
+           round(pair_n / n_orders, 6) AS support,
+           round((pair_n * n_orders) / (na.n * nb.n), 6) AS lift
+    FROM pairs
+    JOIN bn na ON brand_a = na.p_brand
+    JOIN bn nb ON brand_b = nb.p_brand
+    CROSS JOIN tot
+    WHERE pair_n >= {PAIR_MIN_N}
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT {PAIR_TOP_K}
+    """,
+    driver=False,
+)
+def a20_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs co-purchased in one order,
+    with support and lift — pairwise frequent-itemset mining, the
+    cross-sell primitive (a full Apriori/FP-Growth is this operator
+    iterated over growing itemsets).
+
+    Physical: lineitem x part via broadcast dim join, reduced to DISTINCT
+    (order, brand) BEFORE the self-join — the self-join shuffles once on
+    l_orderkey and its per-order fan-out is bounded by basket width
+    (distinct brands per order), so the pair explosion is O(orders x
+    width^2), never O(rows^2). Per-brand counts and the order total come
+    back as broadcast frames onto the ~|brands|^2 pair aggregate.
+    Integer products stay well inside BIGINT (counts, not values)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bn = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= PAIR_MIN_N)
+    )
+    na = bn.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    nb = bn.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            F.round(F.col("pair_n") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("pair_n") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(PAIR_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# w6: per-user daily time spine with gap-fill + LOCF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w6_user_day_gapfill",
+    """
+    WITH ev AS (
+      SELECT user_id, ts::DATE AS day, value
+      FROM events WHERE user_id % 10 = 0),
+    daily AS (
+      SELECT user_id, day, count(*) AS n,
+             sum(CAST(value AS DECIMAL(30,6))) AS tot
+      FROM ev GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(day) AS mn, max(day) AS mx FROM ev GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+                                    INTERVAL 1 DAY))::DATE AS day
+      FROM bounds),
+    g AS (
+      SELECT s.user_id, s.day,
+             coalesce(n, 0) AS n_events, tot
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day, n_events,
+           CAST(coalesce(tot, 0) AS DOUBLE) AS day_total,
+           CAST(last_value(tot IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS carry_total,
+           CAST(sum(n_events) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_events
+    FROM g ORDER BY user_id, day
+    """,
+    driver=False,
+)
+def w6_user_day_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap-filling: a contiguous per-user daily calendar from
+    each user's first to last active day (generated IN-PLAN via
+    sequence+explode — the spine is sized per group on the executors,
+    never enumerated on the driver), left-joined to the daily aggregate
+    so silent days materialize as zero rows, with last-observation-
+    carried-forward of the running day total across gaps and a
+    cumulative event count. The resample/ffill idiom of time-series
+    stores, as pure DataFrame ops.
+
+    Deterministic 10% user sample (user_id % 10 = 0, mirrored in the
+    oracle) keeps the check-scale output bounded; at 100 TB the spine
+    join shuffles on (user, day) — same key as the aggregate, so AQE
+    coalesces — and each user's spine length is bounded by their active
+    span, not the global calendar."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", F.to_date("ts").alias("day"), "value")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("tot"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    g = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        "tot",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.select(
+            "user_id",
+            "day",
+            "n_events",
+            F.coalesce("tot", F.lit(0)).cast("double").alias("day_total"),
+            F.last("tot", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("carry_total"),
+            F.sum("n_events").over(w).cast("bigint").alias("cum_events"),
+        )
+        .orderBy("user_id", "day")
+    )

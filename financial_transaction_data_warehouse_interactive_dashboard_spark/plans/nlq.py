@@ -81,6 +81,12 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a17_pareto_customers": ("pareto", "abc", "concentration", "80"),
     "ev_transition_matrix": ("transition", "transitions", "markov", "path", "journey"),
     "st_stream_merge_rollup": ("ingest", "kappa", "upsert", "merge"),
+    "a18_zscore_outliers": ("outlier", "outliers", "anomaly", "anomalous", "zscore", "fraud"),
+    "a19_benford_first_digit": ("benford", "digit", "digits", "forensic", "audit"),
+    "a20_basket_pair_lift": ("basket", "lift", "affinity", "together", "crosssell"),
+    "w6_user_day_gapfill": ("gap", "gaps", "gapfill", "calendar", "spine", "resample"),
+    "dd_normalized_dedup": ("normalized", "normalize", "canonical", "case", "punctuation"),
+    "dd_passage_dupes": ("passage", "passages", "substring", "spans", "templated"),
 }
 
 

@@ -44,3 +44,10 @@ def duck_oracle():
     con = make_duck(SF_ORACLE)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_smoke():
+    con = make_duck(SF_SMOKE)
+    yield con
+    con.close()

@@ -969,6 +969,25 @@ def test_nlq_routing(spark):
     assert nlq.route("streaming ingest merge upsert kappa") == (
         "st_stream_merge_rollup"
     )
+    # Round-5 finance/curation batch.
+    assert nlq.route("anomalous customers zscore outlier screen") == (
+        "a18_zscore_outliers"
+    )
+    assert nlq.route("benford first digit forensic audit") == (
+        "a19_benford_first_digit"
+    )
+    assert nlq.route("basket affinity lift brands bought together") == (
+        "a20_basket_pair_lift"
+    )
+    assert nlq.route("fill calendar gaps resample daily spine") == (
+        "w6_user_day_gapfill"
+    )
+    assert nlq.route("dedup after case punctuation normalization") == (
+        "dd_normalized_dedup"
+    )
+    assert nlq.route("duplicated passage spans boilerplate") == (
+        "dd_passage_dupes"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
