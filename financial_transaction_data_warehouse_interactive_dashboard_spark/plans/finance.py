@@ -1,5 +1,6 @@
 """Financial-analytics named queries: anomaly detection, digit-law audit,
-market-basket affinity, and time-spine gap-filling.
+market-basket affinity, time-spine gap-filling, revenue attribution, and
+header-vs-detail reconciliation.
 
 The reference is a financial-transaction warehouse dashboard; this module
 extends its analytics tier with the detection/audit queries such a
@@ -58,7 +59,10 @@ Z_CUT = 2.5
                / sqrt((CAST(tsq AS DOUBLE)
                        - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n)
                       / (n - 1)) AS zval
-      FROM seg JOIN m USING (c_mktsegment))
+      FROM seg JOIN m USING (c_mktsegment)
+      WHERE n > 1
+        AND CAST(tsq AS DOUBLE)
+            - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n > 0)
     SELECT c_custkey, segment, spend, round(zval, 6) AS z
     FROM z WHERE abs(zval) >= {Z_CUT}
     ORDER BY c_custkey
@@ -112,6 +116,18 @@ def a18_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         seg.join(F.broadcast(m), "c_mktsegment")
+        # Degenerate-cohort guard (single-member segment, or zero
+        # variance): 0/0 and x/0 semantics differ across engines, so
+        # neither side may ever evaluate them. Same expression as the
+        # variance numerator.
+        .filter(
+            (F.col("n") > 1)
+            & (
+                F.col("tsq").cast("double")
+                - ts_d * ts_d / F.col("n")
+                > 0
+            )
+        )
         .select(
             "c_custkey",
             F.col("c_mktsegment").alias("segment"),
@@ -394,4 +410,172 @@ def w6_user_day_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").over(w).cast("bigint").alias("cum_events"),
         )
         .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_attribution_last_touch: marketing attribution over the event stream
+# ---------------------------------------------------------------------------
+
+ATTR_LOOKBACK_S = 7 * 86400
+
+
+@query(
+    "ev_attribution_last_touch",
+    f"""
+    WITH c AS (
+      SELECT user_id, ts,
+             max(CAST(json_extract_string(props, '$.k') AS INT) % 5)
+               AS channel
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id, p.value,
+             CASE WHEN c.ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.ts)
+                       <= {ATTR_LOOKBACK_S * 1_000_000}
+                  THEN c.channel END AS ch
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT coalesce(ch, -1) AS channel,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             AS attributed_value
+    FROM m GROUP BY 1 ORDER BY channel
+    """,
+    driver=False,
+)
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase is credited to the
+    user's most recent click within a 7-day lookback (channel derived
+    deterministically from the click's props payload — the fixture has
+    no channel field, so k %% 5 stands in; the operator SHAPE is the
+    point), purchases with no qualifying click land in channel -1. The
+    marketing-attribution primitive every transaction warehouse grows;
+    first-touch is the same plan with direction='forward' from the
+    session start.
+
+    Composition showcase: operators.temporal.asof_join (backward, with
+    tolerance — one shuffle, union + carry-forward window) feeding a
+    5-row aggregate; clicks are pre-aggregated per (user, ts) because
+    the as-of contract requires unique right keys. Oracle: DuckDB's
+    native ASOF LEFT JOIN with the same tolerance CASE."""
+    from ..operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", (k % 5).alias("channel"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("channel").alias("channel"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        ts_col="ts",
+        tolerance_seconds=ATTR_LOOKBACK_S,
+    )
+    return (
+        j.select(
+            F.coalesce("r_channel", F.lit(-1)).alias("channel"), "value"
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a21: order-vs-lineitem reconciliation audit
+# ---------------------------------------------------------------------------
+
+RECON_TOL = 1.0  # dollars of |header - detail| treated as reconciled
+
+
+@query(
+    "a21_order_reconciliation",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(5,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS detail
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2))
+               - coalesce(detail, 0) AS delta
+      FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN abs(delta) > {RECON_TOL} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           round(CAST(sum(abs(delta)) AS DOUBLE) / count(*), 6)
+             AS avg_abs_delta,
+           round(CAST(max(abs(delta)) AS DOUBLE), 6) AS max_abs_delta
+    FROM d GROUP BY 1 ORDER BY status
+    """,
+    driver=False,
+)
+def a21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: recompute each order's total from
+    its line items (extendedprice x (1-discount) x (1+tax), all in EXACT
+    decimal — no float product ever crosses an engine boundary) and
+    report, per order status, how many orders disagree with the header
+    total by more than $1 plus the average/max absolute discrepancy.
+    The month-end close audit of a financial warehouse; the synthetic
+    fixture's headers are independent of its line items, so the
+    discrepancies are large — the operator measures, it does not assume.
+
+    Physical: one shuffle to aggregate lineitem per order, a left join
+    back to orders (orders with NO lines reconcile against 0 — they
+    surface as mismatches, the audit's job), and a 3-row status rollup.
+    At 100 TB both the aggregate and the join key on o_orderkey, so AQE
+    plans them into one exchange reuse."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(5,2)"))
+        ).alias("detail")
+    )
+    d = orders.join(
+        detail, orders.o_orderkey == detail.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            - F.coalesce("detail", F.lit(0))
+        ).alias("delta"),
+    )
+    return (
+        d.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.abs("delta") > RECON_TOL, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatched"),
+            F.round(
+                F.sum(F.abs("delta")).cast("double") / F.count("*"), 6
+            ).alias("avg_abs_delta"),
+            F.round(F.max(F.abs("delta")).cast("double"), 6).alias(
+                "max_abs_delta"
+            ),
+        )
+        .orderBy("status")
     )

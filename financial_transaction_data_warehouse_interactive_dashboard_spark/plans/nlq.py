@@ -87,6 +87,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "w6_user_day_gapfill": ("gap", "gaps", "gapfill", "calendar", "spine", "resample"),
     "dd_normalized_dedup": ("normalized", "normalize", "canonical", "case", "punctuation"),
     "dd_passage_dupes": ("passage", "passages", "substring", "spans", "templated"),
+    "ev_attribution_last_touch": ("attribution", "attribute", "touch", "credit", "channel"),
+    "a21_order_reconciliation": ("reconcile", "reconciliation", "mismatch", "discrepancy", "close"),
 }
 
 

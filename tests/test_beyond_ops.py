@@ -988,6 +988,12 @@ def test_nlq_routing(spark):
     assert nlq.route("duplicated passage spans boilerplate") == (
         "dd_passage_dupes"
     )
+    assert nlq.route("last touch attribution credit by channel") == (
+        "ev_attribution_last_touch"
+    )
+    assert nlq.route("reconcile header detail mismatch at close") == (
+        "a21_order_reconciliation"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 

@@ -137,3 +137,69 @@ def test_passage_dupes_matches_bruteforce(spark, duck_smoke):
         assert r["n_dup_passages"] == ndup
         some_dup = some_dup or ndup > 0
     assert some_dup, "no duplicated passages in fixture; operator untested"
+
+
+def test_attribution_matches_bruteforce(spark, duck_smoke):
+    """Last-touch attribution agrees with a direct per-purchase scan of
+    the user's click history (independent of the as-of machinery)."""
+    clicks = duck_smoke.execute(
+        """
+        SELECT user_id, ts,
+               max(CAST(json_extract_string(props, '$.k') AS INT) % 5)
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, ts, ch in clicks:
+        by_user[u].append((ts, ch))
+    for v in by_user.values():
+        v.sort()
+    purchases = duck_smoke.execute(
+        """
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        """
+    ).fetchall()
+    n_by_ch = Counter()
+    for u, ts, _ in purchases:
+        best = None
+        for cts, ch in by_user.get(u, ()):
+            if cts <= ts and (ts - cts) <= timedelta(days=7):
+                best = ch  # sorted ascending: last qualifying wins
+        n_by_ch[best if best is not None else -1] += 1
+    out = REGISTRY["ev_attribution_last_touch"].spark(spark, SF_SMOKE).collect()
+    assert {r["channel"]: r["n_purchases"] for r in out} == dict(n_by_ch)
+    assert sum(r["n_purchases"] for r in out) == len(purchases)
+
+
+def test_reconciliation_counts(spark, duck_smoke):
+    """Mismatch counts agree with an exact-Decimal Python recompute."""
+    from decimal import Decimal
+
+    li = duck_smoke.execute(
+        """
+        SELECT l_orderkey,
+               CAST(l_extendedprice AS DECIMAL(18,2)),
+               CAST(l_discount AS DECIMAL(5,2)),
+               CAST(l_tax AS DECIMAL(5,2))
+        FROM lineitem
+        """
+    ).fetchall()
+    detail = defaultdict(Decimal)
+    for k, ep, disc, tax in li:
+        detail[k] += ep * (1 - disc) * (1 + tax)
+    orders = duck_smoke.execute(
+        "SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) FROM orders"
+    ).fetchall()
+    expect = Counter()
+    totals = Counter()
+    for k, st, tp in orders:
+        totals[st] += 1
+        if abs(tp - detail.get(k, Decimal(0))) > 1:
+            expect[st] += 1
+    out = REGISTRY["a21_order_reconciliation"].spark(spark, SF_SMOKE).collect()
+    assert {r["status"]: r["n_orders"] for r in out} == dict(totals)
+    assert {r["status"]: r["n_mismatched"] for r in out} == {
+        st: expect.get(st, 0) for st in totals
+    }
+    for r in out:
+        assert r["max_abs_delta"] >= r["avg_abs_delta"] >= 0
