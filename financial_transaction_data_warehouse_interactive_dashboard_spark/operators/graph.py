@@ -86,3 +86,81 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: (node, rank)
+    after ``iterations`` power steps of
+    ``rank(v) = (1-d)/N + d * sum_{u->v} round(rank(u)/outdeg(u), 12)``.
+
+    Same Pregel-lite skeleton as :func:`connected_components` — one
+    shuffle per iteration (contribution aggregation on the destination
+    key), per-round rank frame localCheckpoint-ed so round N's lineage
+    does not replay rounds 1..N-1. Fixed iteration count (no convergence
+    action) keeps the whole run at ``iterations`` scheduled jobs.
+
+    Oracle-exact arithmetic (the module-wide determinism discipline):
+    each contribution is a double rounded to 12 decimals and cast to
+    DECIMAL(32,12), so the cross-partition SUM is exact and
+    order-independent — the one operation whose float ordering Spark
+    cannot pin. The teleport and damping scalars stay double; every
+    per-row expression is order-identical with the SQL twin.
+
+    Dangling nodes (out-degree 0) contribute nothing and their mass is
+    NOT redistributed — callers wanting classic dangling handling pass a
+    symmetric edge list (undirected co-occurrence graphs have none).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    teleport = 1.0 - damping
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(outdeg.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(32,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n")
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("s"), F.lit(0).cast("decimal(32,12)")
+                    ).cast("double")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

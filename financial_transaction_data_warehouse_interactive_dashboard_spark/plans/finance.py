@@ -579,3 +579,95 @@ def a21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# a22: brand co-purchase PageRank (fixed-iteration iterative centrality)
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITER = 3
+
+# The float scalars are formatted through repr() and re-parsed by BOTH
+# engines (F.lit on the Spark side, CAST('<repr>' AS DOUBLE) in the
+# oracle): python repr round-trips doubles exactly and decimal-string ->
+# double parsing is correctly rounded in both, so 1-0.85's last-ulp
+# residue cannot diverge.
+_PR_TP = repr(1.0 - PR_DAMPING)
+_PR_D = repr(PR_DAMPING)
+
+
+def _pr_iter_cte(i: int) -> str:
+    return f"""r{i} AS (
+      SELECT nodes.node,
+             CAST('{_PR_TP}' AS DOUBLE) / nn.n
+             + CAST('{_PR_D}' AS DOUBLE)
+               * CAST(coalesce(s.s, 0) AS DOUBLE) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               sum(CAST(round(r.rank / od.deg, 12) AS DECIMAL(32,12))) AS s
+        FROM e JOIN r{i - 1} r ON e.src = r.node
+               JOIN od ON e.src = od.node
+        GROUP BY 1) s ON nodes.node = s.node)"""
+
+
+@query(
+    "a22_brand_pagerank",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    e AS (
+      SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    od AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+           FROM nodes CROSS JOIN nn),
+    {", ".join(_pr_iter_cte(i) for i in range(1, PR_ITER + 1))}
+    SELECT node AS brand, round(rank, 6) AS rank
+    FROM r{PR_ITER} ORDER BY rank DESC, brand
+    """,
+    driver=False,
+)
+def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the brand co-purchase graph (edge = two
+    brands sharing at least one order), {PR_ITER} power iterations at
+    damping {PR_DAMPING} — the influence/centrality primitive behind
+    product-importance ranking and graph-based recommendation, and the
+    second ITERATIVE algorithm in the engine (operators.graph.pagerank,
+    same Pregel-lite one-shuffle-per-round skeleton as the dedup
+    connected components).
+
+    The symmetric co-purchase edge list has no dangling nodes, so no
+    teleport-mass correction is needed. The oracle UNROLLS the same
+    {PR_ITER} iterations as SQL CTEs — contributions rounded to 12
+    decimals and summed as exact DECIMAL in both engines, so the only
+    order-sensitive float reduction is pinned. Graph shape at scale:
+    nodes = catalog entities (bounded), edges = co-occurrence pairs from
+    the distinct-first self-join (same bounded fan-out as
+    a20_basket_pair_lift)."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=PR_ITER, damping=PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("brand"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "brand")

@@ -89,6 +89,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_passage_dupes": ("passage", "passages", "substring", "spans", "templated"),
     "ev_attribution_last_touch": ("attribution", "attribute", "touch", "credit", "channel"),
     "a21_order_reconciliation": ("reconcile", "reconciliation", "mismatch", "discrepancy", "close"),
+    "a22_brand_pagerank": ("pagerank", "centrality", "influence", "influential", "graph"),
 }
 
 

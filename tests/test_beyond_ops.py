@@ -994,6 +994,9 @@ def test_nlq_routing(spark):
     assert nlq.route("reconcile header detail mismatch at close") == (
         "a21_order_reconciliation"
     )
+    assert nlq.route("most influential brands by graph centrality") == (
+        "a22_brand_pagerank"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 

@@ -203,3 +203,40 @@ def test_reconciliation_counts(spark, duck_smoke):
     }
     for r in out:
         assert r["max_abs_delta"] >= r["avg_abs_delta"] >= 0
+
+
+def test_pagerank_matches_bruteforce(spark, duck_smoke):
+    """3-iteration PageRank agrees with a direct Python power iteration
+    over the same co-purchase graph, and the ranks form a distribution."""
+    edges = duck_smoke.execute(
+        """
+        WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT DISTINCT a.p_brand, b.p_brand
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+        """
+    ).fetchall()
+    out_n = defaultdict(set)
+    in_n = defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        out_n[s].add(d)
+        in_n[d].add(s)
+        nodes.update((s, d))
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        rank = {
+            v: (1.0 - 0.85) / n
+            + 0.85 * sum(rank[u] / len(out_n[u]) for u in sorted(in_n[v]))
+            for v in nodes
+        }
+    out = REGISTRY["a22_brand_pagerank"].spark(spark, SF_SMOKE).collect()
+    assert len(out) == n
+    got = {r["brand"]: r["rank"] for r in out}
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # ranks are a distribution
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
