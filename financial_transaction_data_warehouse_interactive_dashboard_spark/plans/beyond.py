@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import portable as _P
 from ..functions import text as T
@@ -3447,3 +3448,76 @@ def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a countDistinct expand. Reference analogue: none."""
     docs = _t(spark, sf_dir, "documents")
     return D.passage_dup_report(docs, n=16).orderBy("doc_id")
+
+
+@query(
+    "ev_equidepth_histogram",
+    """
+    WITH vc AS (SELECT value, count(*) AS nv FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(nv) AS BIGINT) AS ntot FROM vc),
+    c AS (
+      SELECT value, nv,
+             CAST(coalesce(sum(nv) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_excl
+      FROM vc),
+    b AS (
+      SELECT least((cum_excl * 8) // ntot, 7) AS bin, value, nv
+      FROM c CROSS JOIN tot)
+    SELECT bin, CAST(sum(nv) AS BIGINT) AS n,
+           count(*) AS n_distinct,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM b GROUP BY 1 ORDER BY bin
+    """,
+    # New r5 (locally pinned; distribution-summary family's driver row is
+    # a13_percentile_sketch).
+    driver=False,
+)
+def ev_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (8 bins of ~equal row count) of the event
+    value — the optimizer-statistics / distribution-panel companion to
+    the equi-width ev_value_histogram. Ties never straddle bins: every
+    occurrence of one value lands in the bin of its exclusive cumulative
+    rank, floor(cum_excl * k / ntot) — ALL-INTEGER arithmetic, so the
+    bin ids are exact in both engines (no float rank boundary to
+    diverge).
+
+    Scale shape: one map-side-combine shuffle compresses the fact to
+    DISTINCT (value, count) rows — the measure is 2dp-quantized, so this
+    frame is BOUNDED by the value domain (~50k rows) no matter the
+    corpus size — and the prefix-sum window runs on that bounded frame,
+    not the fact. For genuinely continuous (unbounded-distinct) measures
+    the same prefix-sum goes two-phase per partition, exactly the
+    operators.surrogate machinery."""
+    events = _t(spark, sf_dir, "events")
+    vc = events.groupBy("value").agg(F.count("*").alias("nv"))
+    tot = vc.agg(F.sum("nv").cast("bigint").alias("ntot"))
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = vc.select(
+        "value",
+        "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_excl"),
+    )
+    b = c.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.expr("(cum_excl * 8) DIV ntot"), F.lit(7).cast("bigint")
+        ).alias("bin"),
+        "value",
+        "nv",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.sum("nv").cast("bigint").alias("n"),
+            F.count("*").alias("n_distinct"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bin")
+    )

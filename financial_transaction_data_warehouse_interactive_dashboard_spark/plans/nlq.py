@@ -90,6 +90,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_attribution_last_touch": ("attribution", "attribute", "touch", "credit", "channel"),
     "a21_order_reconciliation": ("reconcile", "reconciliation", "mismatch", "discrepancy", "close"),
     "a22_brand_pagerank": ("pagerank", "centrality", "influence", "influential", "graph"),
+    "ev_equidepth_histogram": ("equidepth", "depth", "equal", "frequency", "binned"),
 }
 
 

@@ -997,6 +997,9 @@ def test_nlq_routing(spark):
     assert nlq.route("most influential brands by graph centrality") == (
         "a22_brand_pagerank"
     )
+    assert nlq.route("equi depth histogram equal frequency bins") == (
+        "ev_equidepth_histogram"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
