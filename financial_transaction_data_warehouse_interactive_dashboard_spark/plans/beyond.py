@@ -3521,3 +3521,48 @@ def ev_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "mm_wav_features",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 100 + 50 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents),
+    s AS (
+      SELECT doc_id, n, rate, i,
+             ((doc_id * 37 + i * 17) % 2048) - 1024 AS v
+      FROM d, range(0, 150) r(i) WHERE i < n),
+    x AS (
+      SELECT doc_id, n, rate, i, v,
+             CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg,
+             lag(CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS psg
+      FROM s)
+    SELECT doc_id,
+           min(n) AS n_samples,
+           min(rate) AS sample_rate,
+           CAST((min(n) * 1000000) // min(rate) AS BIGINT) AS duration_us,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           round(sqrt(sum(v * v) / min(n)), 6) AS rms,
+           CAST(sum(CASE WHEN psg IS NOT NULL AND sg <> psg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
+    # New r5 (locally pinned; r6 rotation candidate for the mm family).
+    driver=False,
+)
+def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio feature extraction end-to-end (operators.multimodal.
+    wav_pcm_features): per-doc PCM16 WAV bytes are synthesized, RIFF
+    chunk-walked, numpy-decoded, and reduced to peak / RMS / zero-
+    crossings / duration — the first-pass audio QC features a training
+    pipeline computes before any model touches the waveform. The oracle
+    recomputes every feature from doc_id arithmetic WITHOUT the bytes,
+    so the whole encode -> chunk walk -> int16 decode -> feature path
+    must be byte-exact. Integer features stay integer end-to-end; RMS is
+    the one double (sqrt of an exact integer ratio, rounded 6dp).
+    Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.wav_pcm_features(docs).orderBy("doc_id")

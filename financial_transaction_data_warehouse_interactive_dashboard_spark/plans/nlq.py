@@ -91,6 +91,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a21_order_reconciliation": ("reconcile", "reconciliation", "mismatch", "discrepancy", "close"),
     "a22_brand_pagerank": ("pagerank", "centrality", "influence", "influential", "graph"),
     "ev_equidepth_histogram": ("equidepth", "depth", "equal", "frequency", "binned"),
+    "mm_wav_features": ("audio", "wav", "waveform", "rms", "loudness"),
 }
 
 

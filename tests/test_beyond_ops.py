@@ -573,6 +573,56 @@ def test_bmp_roundtrip_pipeline_matches_module_api(spark):
         assert r["n_bytes"] == len(blob)
 
 
+def test_wav_features_agree_with_stdlib_wave(spark):
+    """The WAV byte path in wav_pcm_features must be a REAL WAV: write
+    the same samples through Python's stdlib `wave` module (an
+    independent RIFF implementation) and our chunk-walking decoder must
+    pull identical rate and samples from both files; features recomputed
+    over the stdlib-written bytes match the pipeline's output."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    got = {r["doc_id"]: r for r in M.wav_pcm_features(docs).collect()}
+    assert len(got) == 10
+    for i, r in got.items():
+        n = i % 100 + 50
+        rate = 8000 + (i % 4) * 4000
+        samples = np.array(
+            [((i * 37 + j * 17) % 2048) - 1024 for j in range(n)],
+            dtype="<i2",
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        blob = buf.getvalue()
+        # Our generic header decoder reads the stdlib-written file.
+        got_rate, got_ch, fmt = M.decode_blob_meta(blob)
+        assert (got_rate, got_ch, fmt) == (rate, 1, "wav")
+        # Walk to the data chunk the same way the pipeline closure does.
+        pos, raw = 12, None
+        while pos + 8 <= len(blob):
+            cid, size = struct.unpack_from("<4sI", blob, pos)
+            if cid == b"data":
+                raw = blob[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        assert np.array_equal(s, samples.astype(np.int64))
+        sg = np.where(s >= 0, 1, -1)
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == rate
+        assert r["peak"] == int(np.max(np.abs(s)))
+        assert r["rms"] == round(math.sqrt(int(np.sum(s * s)) / n), 6)
+        assert r["zero_crossings"] == int(np.sum(sg[1:] != sg[:-1]))
+
+
 def test_scd2_versioning_edges(spark):
     """scd2_from_changes: run-length collapse, NULL-safe attr compare,
     same-ts tie determinism; scd2_lookup: version-at-ts semantics incl.
@@ -999,6 +1049,9 @@ def test_nlq_routing(spark):
     )
     assert nlq.route("equi depth histogram equal frequency bins") == (
         "ev_equidepth_histogram"
+    )
+    assert nlq.route("audio waveform rms loudness features") == (
+        "mm_wav_features"
     )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
