@@ -424,3 +424,96 @@ def wav_pcm_features(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
+
+
+BMP_PIXEL_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, mean_brightness double,"
+    " min_brightness bigint, max_brightness bigint, top_left bigint"
+)
+
+
+def bmp_pixel_features(docs: DataFrame) -> DataFrame:
+    """REAL image payload decode: synthesize a 24-bit BMP per document
+    whose pixel (x, y) carries gray value (doc_id + 3x + 5y) % 256,
+    then decode the PIXEL BUFFER — header offsets, 4-byte scanline
+    padding, and the format's bottom-up row order all load-bearing —
+    and reduce to brightness statistics. top_left is the decoded value
+    at IMAGE coordinate (0, 0), which lives in the LAST stored scanline;
+    a decoder that forgets the vertical flip reports pixel (0, h-1)
+    there and the oracle (pure doc_id arithmetic, no bytes) catches it.
+    Same self-contained Arrow-batched mapInPandas contract as the other
+    decode stages; swap the synthesis for a real blob column and the
+    decode path is the production image-QC stage."""
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        def enc(i: int, w: int, h: int) -> bytes:
+            stride = w * 3 + ((-w * 3) % 4)
+            rows = []
+            for y_stored in range(h):
+                y = h - 1 - y_stored  # bottom-up storage
+                px = bytes(
+                    (i + 3 * x + 5 * y) % 256 for x in range(w) for _ in (0, 1, 2)
+                )
+                rows.append(px + b"\x00" * (stride - w * 3))
+            img = b"".join(rows)
+            head = _st.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54) + _st.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+            )
+            return head + img
+
+        def dec(blob: bytes):
+            off = _st.unpack_from("<I", blob, 10)[0]
+            w, h = _st.unpack_from("<ii", blob, 18)
+            h = abs(h)
+            stride = w * 3 + ((-w * 3) % 4)
+            raw = np.frombuffer(blob, np.uint8, count=stride * h, offset=off)
+            # rows stored bottom-up; take the blue channel (all equal),
+            # drop padding, flip to image orientation.
+            px = raw.reshape(h, stride)[:, : w * 3 : 3][::-1].astype(np.int64)
+            return (
+                int(px.sum()),
+                int(px.min()),
+                int(px.max()),
+                int(px[0, 0]),
+            )
+
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_brightness",
+                    "min_brightness",
+                    "max_brightness",
+                    "top_left",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 64 + 1, i * 7 % 64 + 1
+                total, lo, hi, tl = dec(enc(i, w, h))
+                cols["doc_id"].append(i)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["mean_brightness"].append(round(total / (w * h), 6))
+                cols["min_brightness"].append(lo)
+                cols["max_brightness"].append(hi)
+                cols["top_left"].append(tl)
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        v,
+                        dtype="float64" if k == "mean_brightness" else "int64",
+                    )
+                    for k, v in cols.items()
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BMP_PIXEL_SCHEMA)

@@ -3566,3 +3566,38 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none."""
     docs = _t(spark, sf_dir, "documents")
     return M.wav_pcm_features(docs).orderBy("doc_id")
+
+
+@query(
+    "mm_bmp_pixels",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, (doc_id * 7) % 64 + 1 AS h
+      FROM documents),
+    p AS (
+      SELECT doc_id, w, h, (doc_id + 3 * x + 5 * y) % 256 AS v
+      FROM d, range(0, 64) rx(x), range(0, 64) ry(y)
+      WHERE x < w AND y < h)
+    SELECT doc_id, min(w) AS width, min(h) AS height,
+           round(sum(v) / (min(w) * min(h)), 6) AS mean_brightness,
+           CAST(min(v) AS BIGINT) AS min_brightness,
+           CAST(max(v) AS BIGINT) AS max_brightness,
+           CAST(min(doc_id) % 256 AS BIGINT) AS top_left
+    FROM p GROUP BY doc_id ORDER BY doc_id
+    """,
+    # New r5 (locally pinned; r6 rotation candidate for the mm family).
+    driver=False,
+)
+def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image payload decode end-to-end (operators.multimodal.
+    bmp_pixel_features): per-doc 24-bit BMPs with an arithmetic pixel
+    gradient are synthesized, then the PIXEL BUFFER is decoded — header
+    data offset, 4-byte scanline padding, and bottom-up row order all
+    load-bearing — into brightness statistics. The oracle recomputes the
+    features from doc_id arithmetic without the bytes; top_left in
+    particular is image coordinate (0,0), which lives in the LAST stored
+    scanline, so a decoder that skips the vertical flip fails on every
+    doc with height > 1. Completes the modality pair with
+    mm_wav_features (audio). Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.bmp_pixel_features(docs).orderBy("doc_id")

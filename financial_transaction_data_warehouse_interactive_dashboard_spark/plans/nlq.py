@@ -92,6 +92,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a22_brand_pagerank": ("pagerank", "centrality", "influence", "influential", "graph"),
     "ev_equidepth_histogram": ("equidepth", "depth", "equal", "frequency", "binned"),
     "mm_wav_features": ("audio", "wav", "waveform", "rms", "loudness"),
+    "mm_bmp_pixels": ("image", "pixels", "brightness", "bmp", "decode"),
 }
 
 

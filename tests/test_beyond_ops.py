@@ -1053,6 +1053,9 @@ def test_nlq_routing(spark):
     assert nlq.route("audio waveform rms loudness features") == (
         "mm_wav_features"
     )
+    assert nlq.route("decode image pixels brightness stats") == (
+        "mm_bmp_pixels"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
