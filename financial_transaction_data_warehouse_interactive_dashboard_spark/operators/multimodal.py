@@ -517,3 +517,150 @@ def bmp_pixel_features(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, schema=BMP_PIXEL_SCHEMA)
+
+
+AVI_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, n_frames bigint, width bigint,"
+    " height bigint, mean_brightness double, top_left bigint"
+)
+
+AVI_SAMPLE_EVERY = 3
+
+
+def avi_frame_features(docs: DataFrame) -> DataFrame:
+    """REAL video container parsing: synthesize a minimal-but-valid AVI
+    per document (RIFF 'AVI ' -> LIST 'hdrl' with an avih main header ->
+    LIST 'movi' with one '00db' uncompressed DIB chunk per frame), walk
+    the nested RIFF structure back out, and emit brightness features for
+    every AVI_SAMPLE_EVERY-th frame — the frame-sampling stage a video
+    training pipeline runs before any model sees pixels. Frames use the
+    DIB scanline layout (4-byte padding, bottom-up rows), so the decoder
+    shares the BMP pixel path's obligations; the avih dwTotalFrames
+    field is cross-checked against the counted movi chunks, failing
+    loudly on any container-walk drift. Same self-contained Arrow
+    mapInPandas contract as the image/audio stages."""
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        def frame_bytes(i: int, f: int, w: int, h: int) -> bytes:
+            stride = w * 3 + ((-w * 3) % 4)
+            rows = []
+            for y_stored in range(h):
+                y = h - 1 - y_stored
+                px = bytes(
+                    (i + 7 * f + 3 * x + 5 * y) % 256
+                    for x in range(w)
+                    for _ in (0, 1, 2)
+                )
+                rows.append(px + b"\x00" * (stride - w * 3))
+            return b"".join(rows)
+
+        def chunk(cid: bytes, payload: bytes) -> bytes:
+            return (
+                cid
+                + _st.pack("<I", len(payload))
+                + payload
+                + (b"\x00" if len(payload) & 1 else b"")
+            )
+
+        def lst(kind: bytes, payload: bytes) -> bytes:
+            return chunk(b"LIST", kind + payload)
+
+        def enc(i: int) -> bytes:
+            n_frames = i % 12 + 4
+            w, h = i % 16 + 1, (i * 3) % 16 + 1
+            avih = _st.pack(
+                "<14I", 100000, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            hdrl = lst(b"hdrl", chunk(b"avih", avih))
+            movi = lst(
+                b"movi",
+                b"".join(
+                    chunk(b"00db", frame_bytes(i, f, w, h))
+                    for f in range(n_frames)
+                ),
+            )
+            return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+        def dec(blob: bytes):
+            assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+            pos, end = 12, 8 + _st.unpack_from("<I", blob, 4)[0]
+            meta, frames = None, []
+            while pos + 8 <= end:
+                cid, size = _st.unpack_from("<4sI", blob, pos)
+                body = blob[pos + 8 : pos + 8 + size]
+                if cid == b"LIST":
+                    kind, inner = body[:4], body[4:]
+                    if kind == b"hdrl":
+                        # avih is the first chunk inside hdrl.
+                        acid, asize = _st.unpack_from("<4sI", inner, 0)
+                        assert acid == b"avih"
+                        fields = _st.unpack_from("<14I", inner, 8)
+                        meta = (fields[4], fields[8], fields[9])
+                    elif kind == b"movi":
+                        ip = 0
+                        while ip + 8 <= len(inner):
+                            fcid, fsize = _st.unpack_from("<4sI", inner, ip)
+                            if fcid == b"00db":
+                                frames.append(inner[ip + 8 : ip + 8 + fsize])
+                            ip += 8 + fsize + (fsize & 1)
+                pos += 8 + size + (size & 1)
+            n_frames, w, h = meta
+            assert n_frames == len(frames), "avih/movi frame-count drift"
+            stride = w * 3 + ((-w * 3) % 4)
+            out = []
+            for f in range(0, n_frames, AVI_SAMPLE_EVERY):
+                raw = np.frombuffer(frames[f], np.uint8, count=stride * h)
+                px = raw.reshape(h, stride)[:, : w * 3 : 3][::-1].astype(
+                    np.int64
+                )
+                out.append(
+                    (
+                        f,
+                        n_frames,
+                        w,
+                        h,
+                        round(int(px.sum()) / (w * h), 6),
+                        int(px[0, 0]),
+                    )
+                )
+            return out
+
+        for pdf in batches:
+            cols = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "mean_brightness",
+                    "top_left",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                for f, nf, w, h, mb, tl in dec(enc(i)):
+                    cols["doc_id"].append(i)
+                    cols["frame_idx"].append(f)
+                    cols["n_frames"].append(nf)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["mean_brightness"].append(mb)
+                    cols["top_left"].append(tl)
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        v,
+                        dtype="float64" if k == "mean_brightness" else "int64",
+                    )
+                    for k, v in cols.items()
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=AVI_FRAME_SCHEMA)

@@ -3601,3 +3601,42 @@ def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_wav_features (audio). Reference analogue: none."""
     docs = _t(spark, sf_dir, "documents")
     return M.bmp_pixel_features(docs).orderBy("doc_id")
+
+
+@query(
+    "mm_avi_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 12 + 4 AS nf, doc_id % 16 + 1 AS w,
+             (doc_id * 3) % 16 + 1 AS h
+      FROM documents),
+    fr AS (
+      SELECT doc_id, nf, w, h, f
+      FROM d, range(0, 16) rf(f) WHERE f < nf AND f % 3 = 0),
+    p AS (
+      SELECT doc_id, f, nf, w, h,
+             (doc_id + 7 * f + 3 * x + 5 * y) % 256 AS v
+      FROM fr, range(0, 16) rx(x), range(0, 16) ry(y)
+      WHERE x < w AND y < h)
+    SELECT doc_id, f AS frame_idx, min(nf) AS n_frames,
+           min(w) AS width, min(h) AS height,
+           round(sum(v) / (min(w) * min(h)), 6) AS mean_brightness,
+           CAST((min(doc_id) + 7 * f) % 256 AS BIGINT) AS top_left
+    FROM p GROUP BY doc_id, f ORDER BY doc_id, frame_idx
+    """,
+    # New r5 (locally pinned; r6 rotation candidate for the mm family).
+    driver=False,
+)
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video container parsing end-to-end (operators.multimodal.
+    avi_frame_features): per-doc AVI files — nested RIFF LISTs, an avih
+    main header, one uncompressed DIB chunk per frame — are synthesized
+    and walked back out, sampling every third frame into brightness
+    features. The avih frame count is cross-checked against the counted
+    movi chunks inside the task (container-walk drift fails loudly), and
+    the oracle recomputes every sampled frame's features from doc_id
+    arithmetic without the bytes. Completes the image/audio/video
+    modality triple with REAL payload decoding in each.
+    Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.avi_frame_features(docs).orderBy("doc_id", "frame_idx")

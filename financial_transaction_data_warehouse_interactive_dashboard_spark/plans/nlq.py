@@ -93,6 +93,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_equidepth_histogram": ("equidepth", "depth", "equal", "frequency", "binned"),
     "mm_wav_features": ("audio", "wav", "waveform", "rms", "loudness"),
     "mm_bmp_pixels": ("image", "pixels", "brightness", "bmp", "decode"),
+    "mm_avi_frames": ("video", "frames", "avi", "sample", "container"),
 }
 
 

@@ -1056,6 +1056,9 @@ def test_nlq_routing(spark):
     assert nlq.route("decode image pixels brightness stats") == (
         "mm_bmp_pixels"
     )
+    assert nlq.route("sample video frames from the container") == (
+        "mm_avi_frames"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
