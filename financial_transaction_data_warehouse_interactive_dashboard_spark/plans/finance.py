@@ -631,7 +631,9 @@ def _pr_iter_cte(i: int) -> str:
     SELECT node AS brand, round(rank, 6) AS rank
     FROM r{PR_ITER} ORDER BY rank DESC, brand
     """,
-    driver=False,
+    # Promoted r5 (rotation, second wave): first driver row for the
+    # iterative tier's second algorithm; funded by demoting
+    # w4_surrogate_keys (driver-green r1-r4, equivalence-tested).
 )
 def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the brand co-purchase graph (edge = two

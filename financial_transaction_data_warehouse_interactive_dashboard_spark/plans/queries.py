@@ -67,10 +67,12 @@ def query(name: str, oracle: str | None, driver: bool = True):
     rounds while the surface stays at exactly 50.
     - r5 in: mm_blob_meta (now real-BMP decode), wh_expectations,
       wh_table_profile, tx_pii_scrub, tx_decontaminate,
-      st_stream_stream_join, sim_quantize_int8.
+      st_stream_stream_join, sim_quantize_int8; second wave:
+      a22_brand_pagerank (first iterative-tier row under the gate).
     - r5 out: dd_simhash_pairs, st_tumbling_hourly, ev_props_extract,
       j7_name_remap, f4_contains, c1_timestamp_roundtrip,
-      a8_rollup_region_nation (all driver-green r4 or earlier).
+      a8_rollup_region_nation, w4_surrogate_keys (all driver-green r4
+      or earlier; w4 additionally equivalence-tested locally).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -375,6 +377,11 @@ def w1_quarter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     ORDER BY nation_id
     """,
+    # Demoted r5 (rotation, second wave): driver-green r1-r4 AND
+    # equivalence-tested against the parallel two-phase variant
+    # (tests/test_plan_quality.py); funds a22_brand_pagerank's first
+    # driver row so the iterative-algorithm tier sits under the gate.
+    driver=False,
 )
 def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinal surrogate-key assignment over a dimension (W4/O1).
