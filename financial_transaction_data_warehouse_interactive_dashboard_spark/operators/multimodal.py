@@ -351,10 +351,7 @@ def wav_pcm_features(docs: DataFrame) -> DataFrame:
         def enc(i: int) -> bytes:
             n = i % 100 + 50
             rate = 8000 + (i % 4) * 4000
-            s = np.array(
-                [((i * 37 + j * 17) % 2048) - 1024 for j in range(n)],
-                dtype="<i2",
-            )
+            s = (((i * 37 + np.arange(n) * 17) % 2048) - 1024).astype("<i2")
             data = s.tobytes()
             fmt = _st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
             return (
@@ -453,14 +450,13 @@ def bmp_pixel_features(docs: DataFrame) -> DataFrame:
 
         def enc(i: int, w: int, h: int) -> bytes:
             stride = w * 3 + ((-w * 3) % 4)
-            rows = []
-            for y_stored in range(h):
-                y = h - 1 - y_stored  # bottom-up storage
-                px = bytes(
-                    (i + 3 * x + 5 * y) % 256 for x in range(w) for _ in (0, 1, 2)
-                )
-                rows.append(px + b"\x00" * (stride - w * 3))
-            img = b"".join(rows)
+            x = np.arange(w)
+            y = np.arange(h)
+            # Image-orientation gradient, then flip to bottom-up storage.
+            v = ((i + 3 * x[None, :] + 5 * y[:, None]) % 256)[::-1]
+            padded = np.zeros((h, stride), np.uint8)
+            padded[:, : w * 3] = np.repeat(v, 3, axis=1)
+            img = padded.tobytes()
             head = _st.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54) + _st.pack(
                 "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
             )
@@ -548,16 +544,13 @@ def avi_frame_features(docs: DataFrame) -> DataFrame:
 
         def frame_bytes(i: int, f: int, w: int, h: int) -> bytes:
             stride = w * 3 + ((-w * 3) % 4)
-            rows = []
-            for y_stored in range(h):
-                y = h - 1 - y_stored
-                px = bytes(
-                    (i + 7 * f + 3 * x + 5 * y) % 256
-                    for x in range(w)
-                    for _ in (0, 1, 2)
-                )
-                rows.append(px + b"\x00" * (stride - w * 3))
-            return b"".join(rows)
+            x = np.arange(w)
+            y = np.arange(h)
+            # Image-orientation gradient, flipped to bottom-up DIB rows.
+            v = ((i + 7 * f + 3 * x[None, :] + 5 * y[:, None]) % 256)[::-1]
+            padded = np.zeros((h, stride), np.uint8)
+            padded[:, : w * 3] = np.repeat(v, 3, axis=1)
+            return padded.tobytes()
 
         def chunk(cid: bytes, payload: bytes) -> bytes:
             return (

@@ -1,6 +1,6 @@
 """Financial-analytics named queries: anomaly detection, digit-law audit,
-market-basket affinity, time-spine gap-filling, revenue attribution, and
-header-vs-detail reconciliation.
+market-basket affinity, time-spine gap-filling, revenue attribution,
+header-vs-detail reconciliation, and co-purchase graph centrality.
 
 The reference is a financial-transaction warehouse dashboard; this module
 extends its analytics tier with the detection/audit queries such a
