@@ -696,3 +696,76 @@ def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("brand"), F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), "brand")
+
+
+@query(
+    "ev_attribution_first_touch",
+    f"""
+    WITH c AS (
+      SELECT user_id, ts,
+             max(CAST(json_extract_string(props, '$.k') AS INT) % 5)
+               AS channel
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id, arg_min(c.channel, c.ts) AS ch
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL {ATTR_LOOKBACK_S} SECOND
+       AND c.ts < p.ts
+      GROUP BY 1),
+    a AS (
+      SELECT coalesce(ch, -1) AS channel, value
+      FROM p LEFT JOIN m USING (event_id))
+    SELECT channel, count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             AS attributed_value
+    FROM a GROUP BY 1 ORDER BY channel
+    """,
+    driver=False,
+)
+def ev_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution: each purchase is credited to the EARLIEST
+    click in its trailing 7-day window (exclusive of the purchase
+    instant; the last-touch sibling is inclusive — both boundary
+    conventions stated, both pinned). Not an as-of join: earliest-in-
+    window needs the windowed candidate set, so this composes
+    operators.temporal.range_join_trailing (bucketed equi-join
+    decomposition, no per-key nested loop) with a min_by/arg_min
+    aggregate — the ordered-argmin aggregate family's first appearance
+    in the registry, oracled against DuckDB's native arg_min.
+    Unattributed purchases land in channel -1 via the left-join
+    restore."""
+    from ..operators.temporal import range_join_trailing
+
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", (k % 5).alias("channel"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("channel").alias("channel"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    first = (
+        range_join_trailing(
+            purchases, clicks, by="user_id", window_seconds=ATTR_LOOKBACK_S
+        )
+        .groupBy("event_id")
+        .agg(F.min_by("r_channel", "r_ts").alias("ch"))
+    )
+    return (
+        purchases.join(first, "event_id", "left")
+        .select(F.coalesce("ch", F.lit(-1)).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -94,6 +94,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "mm_wav_features": ("audio", "wav", "waveform", "rms", "loudness"),
     "mm_bmp_pixels": ("image", "pixels", "brightness", "bmp", "decode"),
     "mm_avi_frames": ("video", "frames", "avi", "sample", "container"),
+    "ev_attribution_first_touch": ("first", "earliest", "touch", "attribution", "origin"),
 }
 
 

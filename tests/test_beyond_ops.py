@@ -1059,6 +1059,9 @@ def test_nlq_routing(spark):
     assert nlq.route("sample video frames from the container") == (
         "mm_avi_frames"
     )
+    assert nlq.route("first touch attribution earliest origin") == (
+        "ev_attribution_first_touch"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
