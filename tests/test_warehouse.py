@@ -227,3 +227,77 @@ def test_compact_partitions_small_files(spark):
     got = spark.table("wh_orders_frag").groupBy("q").count().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
     assert WH.compact_partitions(spark, "wh_orders_frag", "q") == []
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """Z-order vs linear-sort layout on (o_custkey, o_totalprice): the
+    Morton layout must contract every file's span in BOTH dimensions
+    (each file a hypercube, not a slab), and a range filter on the
+    dimension the linear layout does NOT sort by must touch strictly
+    fewer files under Z-order — the multi-dim data-skipping contract."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dims = ["o_custkey", "o_totalprice"]
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    WH.write_zorder_layout(orders, zpath, dims, n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def spans(path):
+        df = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return (
+            sum(r["ck"] for r in rows) / n,
+            sum(r["tp"] for r in rows) / n,
+            n,
+        )
+
+    g = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("tp"),
+        F.min("o_totalprice").alias("tp_lo"),
+    ).collect()[0]
+    z_ck, z_tp, z_n = spans(zpath)
+    l_ck, l_tp, l_n = spans(lpath)
+    assert z_n > 1 and l_n > 1
+    # Z-order: every dim's mean file span well under the global span.
+    assert z_ck < 0.6 * g["ck"], (z_ck, g["ck"])
+    assert z_tp < 0.6 * g["tp"], (z_tp, g["tp"])
+    # Linear: sorted dim tight, other dim a full-range slab.
+    assert l_ck < 0.3 * g["ck"]
+    assert l_tp > 0.8 * g["tp"]
+    # The other dim contracts hard vs linear.
+    assert z_tp < 0.6 * l_tp
+
+    # Pruning proxy: a 10%-range filter on totalprice intersects fewer
+    # files under Z-order than under the custkey-sorted layout.
+    lo = g["tp_lo"]
+    hi = lo + 0.1 * g["tp"]
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("o_totalprice").between(lo, hi))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+    zt, lt = files_touched(zpath), files_touched(lpath)
+    assert zt < lt, (zt, lt)
+    # No rows lost by the rewrite.
+    assert spark.read.parquet(zpath).count() == orders.count()
