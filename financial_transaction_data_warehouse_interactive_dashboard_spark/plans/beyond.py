@@ -3640,3 +3640,101 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none."""
     docs = _t(spark, sf_dir, "documents")
     return M.avi_frame_features(docs).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "tx_bigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    v AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT sum(c) AS total FROM v),
+    bg AS (
+      SELECT doc_id,
+             unnest([{'a': w[i], 'b': w[i+1]}
+                     for i in range(1, len(w))]) AS p
+      FROM d),
+    pairs AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    lp AS (
+      SELECT pairs.doc_id,
+             round(ln(CAST(0.7 AS DOUBLE) * c12 / v1.c
+                      + CAST(0.3 AS DOUBLE) * v2.c / total), 6)
+               ::DECIMAL(18,6) AS logp
+      FROM pairs
+      JOIN c12 USING (w1, w2)
+      JOIN v v1 ON w1 = v1.term
+      JOIN v v2 ON w2 = v2.term
+      CROSS JOIN n)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(logp) AS DOUBLE) AS sum_logp,
+           round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model scoring — the second-order
+    fluency signal above tx_unigram_logprob: each document's mean
+    log-likelihood of its adjacent token pairs under
+    p(w2|w1) = 0.7 * c(w1,w2)/c(w1) + 0.3 * c(w2)/N (Jelinek-Mercer
+    interpolation with the corpus unigram as the backoff, so unseen
+    continuations never hit log(0)). Word-salad text with plausible
+    unigrams but incoherent transitions scores low here and normal
+    there — exactly the gap a bigram filter exists to close.
+
+    Scale + determinism shape: both model frames (bigram and unigram
+    counts) are vocabulary-sized broadcasts; occurrences come from the
+    codegen posexplode+lead pipeline (no HOF lambdas in the hot path);
+    per-pair log-probs are rounded to 6dp and summed as DECIMAL —
+    exact, order-independent re-aggregation, same discipline as the
+    unigram entry."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.select(
+            "doc_id",
+            F.col("term").alias("w1"),
+            F.lead("term", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    v = tok.groupBy("term").agg(F.count("*").alias("c"))
+    n = v.agg(F.sum("c").alias("total"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    v1 = v.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    v2 = v.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    lp = (
+        pairs.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(0.7) * F.col("c12") / F.col("c1")
+                    + F.lit(0.3) * F.col("c2") / F.col("total")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("logp").cast("double").alias("sum_logp"),
+        )
+        .withColumn(
+            "avg_logp",
+            F.round(F.col("sum_logp") / F.col("n_bigrams"), 6),
+        )
+        .orderBy("doc_id")
+    )

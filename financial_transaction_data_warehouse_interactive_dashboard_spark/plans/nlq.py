@@ -95,6 +95,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "mm_bmp_pixels": ("image", "pixels", "brightness", "bmp", "decode"),
     "mm_avi_frames": ("video", "frames", "avi", "sample", "container"),
     "ev_attribution_first_touch": ("first", "earliest", "touch", "attribution", "origin"),
+    "tx_bigram_logprob": ("bigram", "coherence", "transitions", "fluent", "interpolated"),
 }
 
 

@@ -1062,6 +1062,9 @@ def test_nlq_routing(spark):
     assert nlq.route("first touch attribution earliest origin") == (
         "ev_attribution_first_touch"
     )
+    assert nlq.route("bigram coherence of token transitions") == (
+        "tx_bigram_logprob"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
