@@ -200,3 +200,29 @@ def expectations(
         F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: list[tuple[str, Column]],
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``df`` while collecting quality metrics IN THE SAME PASS via
+    Spark's ``observe`` API — the zero-extra-scan complement to
+    :func:`expectations` (which spends a dedicated aggregate scan).
+    ``metrics`` are (name, aggregate_expression) pairs evaluated by the
+    executors as rows stream into the sink; the returned dict holds the
+    observed values once the write action completes.
+
+    At 100 TB this is the difference between auditing a load and paying
+    for it twice: the ingest job itself emits row counts, null counts,
+    and domain violations with no second read of the data. The test pins
+    the contract — observed metrics equal an independent post-hoc audit
+    of the written files."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[m.alias(n) for n, m in metrics])
+    observed.write.mode("overwrite").format(fmt).save(path)
+    return dict(obs.get)

@@ -301,3 +301,36 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
     assert zt < lt, (zt, lt)
     # No rows lost by the rewrite.
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_observed_write_matches_posthoc_audit(spark, tmp_path):
+    """observe()-collected metrics from the single write pass must equal
+    an independent audit query over the written files — the
+    no-second-scan quality-gate contract."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.quality import (
+        observed_write,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "observed")
+    got = observed_write(
+        orders,
+        path,
+        [
+            ("n_rows", F.count(F.lit(1))),
+            ("n_null_price", F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))),
+            ("n_bad_status", F.sum(F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(0))),
+            ("total_price", F.sum(F.col("o_totalprice").cast("decimal(18,2)"))),
+        ],
+    )
+    back = spark.read.parquet(path)
+    audit = back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("n_null_price"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(0)).alias("n_bad_status"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+    ).collect()[0]
+    assert got["n_rows"] == audit["n_rows"] > 0
+    assert got["n_null_price"] == audit["n_null_price"] == 0
+    assert got["n_bad_status"] == audit["n_bad_status"] == 0
+    assert got["total_price"] == audit["total_price"]
