@@ -769,3 +769,85 @@ def ev_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_mad_outliers: robust (median/MAD) anomaly screen
+# ---------------------------------------------------------------------------
+
+MAD_CUT = 2.0
+# Shared literal through repr (same discipline as the PageRank scalars).
+_MAD_K = "0.6745"
+
+
+@query(
+    "ev_mad_outliers",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS t
+      FROM events GROUP BY 1),
+    m AS (SELECT quantile_cont(t, 0.5) AS med FROM s),
+    a AS (SELECT user_id, t, abs(t - med) AS ad, med FROM s CROSS JOIN m),
+    md AS (SELECT quantile_cont(ad, 0.5) AS mad FROM a),
+    rz AS (
+      SELECT user_id, t,
+             CAST('{_MAD_K}' AS DOUBLE) * (t - med) / mad AS rzv
+      FROM a CROSS JOIN md WHERE mad > 0)
+    SELECT user_id, round(t, 6) AS total_value, round(rzv, 6) AS robust_z
+    FROM rz WHERE abs(rzv) >= {MAD_CUT}
+    ORDER BY user_id
+    """,
+    # New r5 (locally pinned; r6 rotation candidate).
+    driver=False,
+)
+def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly screen — the median/MAD sibling of the z-score
+    screen (a18): users whose total event value sits more than MAD_CUT
+    modified z-scores (0.6745 x deviation / median-absolute-deviation,
+    Iglewicz-Hoaglin) from the median. Unlike mean/stddev, the estimator
+    itself cannot be dragged by the outliers it hunts — the screen of
+    choice when contamination is expected.
+
+    Determinism: both engines compute EXACT interpolated medians
+    (Spark `percentile`, DuckDB `quantile_cont` — verified bit-identical
+    order-statistic interpolation), the per-user totals come from exact
+    decimal sums, and the 0.6745 consistency constant is parsed from the
+    same literal on both sides. Degenerate guard: mad > 0 on both
+    engines (a majority-constant measure would zero the MAD and 0/0
+    semantics diverge).
+
+    Physical: one corpus shuffle (per-user totals), then two tiny
+    percentile aggregates over the user frame, each broadcast back.
+    Exact percentile over the USER frame is bounded by the user count,
+    not the event count; at extreme user cardinality the documented
+    switch is approx_percentile with the rank-envelope oracle pattern
+    (a13)."""
+    events = _t(spark, sf_dir, "events")
+    s = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("t")
+    )
+    med = s.agg(F.expr("percentile(t, 0.5)").alias("med"))
+    a = s.crossJoin(F.broadcast(med)).select(
+        "user_id", "t", "med", F.abs(F.col("t") - F.col("med")).alias("ad")
+    )
+    mad = a.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    rzv = (
+        F.lit(float(_MAD_K))
+        * (F.col("t") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        a.crossJoin(F.broadcast(mad))
+        .filter(F.col("mad") > 0)
+        .select("user_id", "t", rzv.alias("rzv"))
+        .filter(F.abs(F.col("rzv")) >= MAD_CUT)
+        .select(
+            "user_id",
+            F.round("t", 6).alias("total_value"),
+            F.round("rzv", 6).alias("robust_z"),
+        )
+        .orderBy("user_id")
+    )

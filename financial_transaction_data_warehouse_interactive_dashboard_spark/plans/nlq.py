@@ -96,6 +96,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "mm_avi_frames": ("video", "frames", "avi", "sample", "container"),
     "ev_attribution_first_touch": ("first", "earliest", "touch", "attribution", "origin"),
     "tx_bigram_logprob": ("bigram", "coherence", "transitions", "fluent", "interpolated"),
+    "ev_mad_outliers": ("robust", "mad", "median", "deviation", "contaminated"),
 }
 
 

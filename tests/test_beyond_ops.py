@@ -1065,6 +1065,9 @@ def test_nlq_routing(spark):
     assert nlq.route("bigram coherence of token transitions") == (
         "tx_bigram_logprob"
     )
+    assert nlq.route("robust median deviation outliers") == (
+        "ev_mad_outliers"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
