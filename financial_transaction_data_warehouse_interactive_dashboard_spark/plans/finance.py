@@ -851,3 +851,105 @@ def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# j8: currency conversion via as-of FX rates
+# ---------------------------------------------------------------------------
+
+FX_BASE_YEAR = 1995
+FX_MONTHS = 80  # 1995-01 .. 2001-08 covers the orders fixture
+
+
+@query(
+    "j8_fx_convert",
+    f"""
+    WITH rates AS (
+      SELECT c AS ccy,
+             make_timestamp({FX_BASE_YEAR} + i // 12, i % 12 + 1, 1, 0, 0, 0)
+               AS ts,
+             1000000 + ((i + c * 3) % 7 + c) * 10000 AS rate_micros
+      FROM range(0, {FX_MONTHS}) r(i), range(0, 3) cc(c)),
+    o AS (
+      SELECT o_orderkey, o_custkey % 3 AS ccy, o_orderdate AS ts,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    j AS (
+      SELECT o.ccy, o.cents * r.rate_micros AS conv
+      FROM o ASOF JOIN rates r ON o.ccy = r.ccy AND o.ts >= r.ts)
+    SELECT ccy, count(*) AS n_orders,
+           round(CAST(sum(conv) AS DOUBLE) / 100000000, 6)
+             AS converted_total
+    FROM j GROUP BY 1 ORDER BY ccy
+    """,
+    # New r5 (locally pinned; r6 rotation candidate).
+    driver=False,
+)
+def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency conversion through an AS-OF rate lookup — the canonical
+    financial-warehouse temporal join, exercised on the ORDERS fact
+    (the other as-of entries ride the events stream): each order takes
+    the latest monthly FX rate at or before its order date for its
+    currency (derived deterministically from the customer key; rates in
+    integer MICRO-units so the whole conversion is exact integer math),
+    then rolls up converted revenue per currency. The inner as-of
+    semantics make every unmatched-rate order vanish — the rate series
+    deliberately starts at the fixture's first order month, so a
+    full-count result also pins series coverage.
+
+    Composition: operators.temporal.asof_join (union + carry-forward
+    window, one shuffle keyed by currency) against a rate dimension
+    GENERATED in-plan (spark.range arithmetic — no driver-side list);
+    conversion sums flow through DECIMAL(38,0) / HUGEINT where
+    corpus-scale totals exceed a long. Oracle: DuckDB's native ASOF
+    JOIN over the identically-generated series."""
+    from ..operators.temporal import asof_join
+
+    spark_ = spark
+    rates = (
+        spark_.range(FX_MONTHS * 3)
+        .select(
+            (F.col("id") % 3).cast("int").alias("ccy"),
+            (F.col("id") / 3).cast("long").alias("i"),
+        )
+        .select(
+            "ccy",
+            F.expr(
+                f"make_timestamp({FX_BASE_YEAR} + CAST(i / 12 AS INT),"
+                " CAST(i % 12 AS INT) + 1, 1, 0, 0, 0)"
+            ).alias("ts"),
+            (
+                1000000
+                + ((F.col("i") + F.col("ccy") * 3) % 7 + F.col("ccy"))
+                * 10000
+            ).alias("rate_micros"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 3).cast("int").alias("ccy"),
+        F.col("o_orderdate").alias("ts"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    j = asof_join(o, rates, by="ccy", ts_col="ts").filter(
+        F.col("r_rate_micros").isNotNull()  # inner as-of semantics
+    )
+    return (
+        j.select(
+            "ccy",
+            (F.col("cents") * F.col("r_rate_micros")).alias("conv"),
+        )
+        .groupBy("ccy")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("conv").cast("decimal(38,0)")).cast("double")
+                / 100000000,
+                6,
+            ).alias("converted_total"),
+        )
+        .orderBy("ccy")
+    )

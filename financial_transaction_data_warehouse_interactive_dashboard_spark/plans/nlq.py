@@ -97,6 +97,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_attribution_first_touch": ("first", "earliest", "touch", "attribution", "origin"),
     "tx_bigram_logprob": ("bigram", "coherence", "transitions", "fluent", "interpolated"),
     "ev_mad_outliers": ("robust", "mad", "median", "deviation", "contaminated"),
+    "j8_fx_convert": ("currency", "fx", "rate", "rates", "convert", "exchange"),
 }
 
 

@@ -1068,6 +1068,9 @@ def test_nlq_routing(spark):
     assert nlq.route("robust median deviation outliers") == (
         "ev_mad_outliers"
     )
+    assert nlq.route("convert currency at the exchange rate") == (
+        "j8_fx_convert"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
