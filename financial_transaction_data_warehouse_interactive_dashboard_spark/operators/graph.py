@@ -164,3 +164,84 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles) for every node of the undirected graph in
+    ``edges`` — the compact-forward / node-iterator++ algorithm:
+
+    1. canonicalize to distinct undirected edges;
+    2. ORIENT each edge from its lower to its higher endpoint under the
+       total order (degree, id) — every triangle then has exactly ONE
+       wedge whose center precedes both endpoints, so each triangle is
+       enumerated once, and the wedge fan-out per node is bounded by its
+       FORWARD degree (max O(sqrt(|E|)) after degree orientation — the
+       hub that breaks naive wedge counting never becomes a wedge
+       center);
+    3. join wedges with the closing oriented edge (semi-join);
+    4. explode each triangle to its three members and count per node.
+
+    Three shuffles (degree agg, wedge self-join, member count), all on
+    node/edge keys. The degree-orientation step is the entire scale
+    story: without it a single hub of degree d contributes d^2 wedges.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # Orient under (degree, id): x -> y iff (d[x], x) < (d[y], y).
+    arcs = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("x"), F.col("a").alias("y"))
+            )
+            .alias("e")
+        )
+        .select("e.x", "e.y")
+        .localCheckpoint(eager=True)
+    )
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ranked = arcs.join(dy, "y")
+    w1 = ranked.select(
+        F.col("x"), F.col("y").alias("v"), F.col("dy").alias("dv")
+    )
+    w2 = ranked.select(
+        F.col("x"), F.col("y").alias("w"), F.col("dy").alias("dw")
+    )
+    wedges = w1.join(w2, "x").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = arcs.select(
+        F.col("x").alias("v"), F.col("y").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("x", "v", "w")
+    members = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("v").alias("node")))
+        .union(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -953,3 +953,69 @@ def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ccy")
     )
+
+
+# ---------------------------------------------------------------------------
+# a23: triangle counting on the brand co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a23_brand_triangles",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    e AS (
+      SELECT DISTINCT a.p_brand AS a, b.p_brand AS b
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+    SELECT node AS brand, count(*) AS n_triangles
+    FROM m GROUP BY 1 ORDER BY brand
+    """,
+    # New r5 (locally pinned; r6 rotation candidate).
+    driver=False,
+)
+def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation in the co-purchase graph — the
+    clustering/community-density primitive (triangle counts drive local
+    clustering coefficients and cohesion metrics), and the third graph
+    algorithm in the engine. operators.graph.triangle_counts implements
+    degree-ordered compact-forward enumeration: edges orient from the
+    (degree, id)-smaller endpoint, so each triangle is found exactly
+    once from its unique minimal wedge center and a hub of degree d
+    never fans out d^2 wedges — THE trick that makes triangle counting
+    survive power-law graphs at scale. The oracle counts the same
+    triangles by brute-force ordered 3-way self-join (a<b<c), a
+    completely independent enumeration order."""
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("brand"), "n_triangles")
+        .orderBy("brand")
+    )

@@ -98,6 +98,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_bigram_logprob": ("bigram", "coherence", "transitions", "fluent", "interpolated"),
     "ev_mad_outliers": ("robust", "mad", "median", "deviation", "contaminated"),
     "j8_fx_convert": ("currency", "fx", "rate", "rates", "convert", "exchange"),
+    "a23_brand_triangles": ("triangle", "triangles", "clustering", "cohesion", "triads"),
 }
 
 

@@ -1071,6 +1071,9 @@ def test_nlq_routing(spark):
     assert nlq.route("convert currency at the exchange rate") == (
         "j8_fx_convert"
     )
+    assert nlq.route("triangle counts and clustering cohesion") == (
+        "a23_brand_triangles"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 

@@ -240,3 +240,33 @@ def test_pagerank_matches_bruteforce(spark, duck_smoke):
         assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
     ranks = [r["rank"] for r in out]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_triangle_counts_handbuilt_graph(spark):
+    """Degree-ordered compact-forward enumeration on a graph with known
+    triangle structure: two triangles sharing an edge, a hub wired to
+    all of them without closing any new triangle beyond the two, and a
+    pendant node in none."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # Triangles: (1,2,3) and (2,3,4). Node 5 pendant off 1.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (1, 5)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+    # Duplicate / reversed edges must not inflate counts.
+    noisy = edges.union(
+        spark.createDataFrame([(2, 1), (3, 2), (3, 1)], ["src", "dst"])
+    )
+    got2 = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(noisy).collect()
+    }
+    assert got2 == got
