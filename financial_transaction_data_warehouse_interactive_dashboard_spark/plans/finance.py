@@ -1019,3 +1019,78 @@ def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("brand"), "n_triangles")
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# a24: Gini coefficient of revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a24_revenue_gini",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS s
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT s,
+             row_number() OVER (ORDER BY s, o_custkey) AS rk,
+             count(*) OVER () AS n
+      FROM spend),
+    t AS (
+      SELECT CAST(sum(rk * CAST(s * 100 AS BIGINT)) AS DOUBLE) AS wsum,
+             CAST(sum(CAST(s * 100 AS BIGINT)) AS DOUBLE) AS tot,
+             CAST(min(n) AS DOUBLE) AS nd
+      FROM r)
+    SELECT CAST(nd AS BIGINT) AS n_customers,
+           round(tot / 100, 6) AS total_revenue,
+           round(2 * wsum / (nd * tot) - (nd + 1) / nd, 6) AS gini
+    FROM t
+    """,
+    # New r5 (locally pinned; r6 rotation candidate).
+    driver=False,
+)
+def a24_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    single-number inequality metric beside the Pareto/ABC curve (a17):
+    G = 2*sum(rank_i * x_i)/(n * sum(x)) - (n+1)/n over spend sorted
+    ascending with a deterministic (spend, custkey) tie-break. All mass
+    terms are integer CENTS (rank x cents products summed exactly —
+    DECIMAL/HUGEINT at the top), so the only doubles are the final
+    ratio, written identically in the oracle.
+
+    Scale shape: per-customer aggregate (the corpus shuffle), then a
+    rank window over the CUSTOMER frame — bounded by customer count,
+    with the two-phase surrogate machinery as the documented huge-
+    dimension fallback — and a 1-row reduction."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("s")
+    )
+    w = Window.orderBy("s", "o_custkey")
+    r = spend.select(
+        "s",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    cents = (F.col("s") * 100).cast("bigint")
+    t = r.agg(
+        F.sum((F.col("rk") * cents).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum(cents.cast("decimal(38,0)")).cast("double").alias("tot"),
+        F.min("n").cast("double").alias("nd"),
+    )
+    return t.select(
+        F.col("nd").cast("bigint").alias("n_customers"),
+        F.round(F.col("tot") / 100, 6).alias("total_revenue"),
+        F.round(
+            F.lit(2) * F.col("wsum") / (F.col("nd") * F.col("tot"))
+            - (F.col("nd") + 1) / F.col("nd"),
+            6,
+        ).alias("gini"),
+    )

@@ -99,6 +99,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_mad_outliers": ("robust", "mad", "median", "deviation", "contaminated"),
     "j8_fx_convert": ("currency", "fx", "rate", "rates", "convert", "exchange"),
     "a23_brand_triangles": ("triangle", "triangles", "clustering", "cohesion", "triads"),
+    "a24_revenue_gini": ("gini", "inequality", "concentrated", "disparity"),
 }
 
 

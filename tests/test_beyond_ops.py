@@ -1074,6 +1074,7 @@ def test_nlq_routing(spark):
     assert nlq.route("triangle counts and clustering cohesion") == (
         "a23_brand_triangles"
     )
+    assert nlq.route("gini inequality of revenue") == "a24_revenue_gini"
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
