@@ -138,7 +138,9 @@ def pagerank(
     for _ in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(F.broadcast(outdeg.withColumnRenamed("node", "src")), "src")
+            # outdeg is node-cardinality (same class as ranks) — no
+            # broadcast hint; AQE picks broadcast only when it fits.
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("rank") / F.col("deg"), 12)

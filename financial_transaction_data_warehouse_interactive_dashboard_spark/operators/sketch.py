@@ -86,3 +86,43 @@ def heavy_hitters(
         )
         .orderBy(F.desc("n"), key_col)
     )
+
+
+def equidepth_bins(df: DataFrame, col: str, k: int = 8) -> DataFrame:
+    """Equi-depth histogram: (bin, n, n_distinct, lo, hi) over ``k`` bins
+    of ~equal row count. Bin ids are floor(cum_excl * k / n) in
+    ALL-INTEGER arithmetic (no float rank boundary), computed on the
+    DISTINCT (value, count) frame so the prefix-sum window is bounded by
+    the value domain, not the row count; ties never straddle bins. The
+    single authoritative implementation behind ev_equidepth_histogram
+    and the binning property test."""
+    from pyspark.sql.window import Window
+
+    vc = df.groupBy(col).agg(F.count("*").alias("nv"))
+    tot = vc.agg(F.sum("nv").cast("bigint").alias("ntot"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    c = vc.select(
+        F.col(col).alias("value"),
+        "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_excl"),
+    )
+    b = c.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.expr(f"(cum_excl * {k}) DIV ntot"),
+            F.lit(k - 1).cast("bigint"),
+        ).alias("bin"),
+        "value",
+        "nv",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.sum("nv").cast("bigint").alias("n"),
+            F.count("*").alias("n_distinct"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bin")
+    )

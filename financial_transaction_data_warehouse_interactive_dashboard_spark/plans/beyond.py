@@ -3490,37 +3490,10 @@ def ev_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the fact. For genuinely continuous (unbounded-distinct) measures
     the same prefix-sum goes two-phase per partition, exactly the
     operators.surrogate machinery."""
+    from ..operators.sketch import equidepth_bins
+
     events = _t(spark, sf_dir, "events")
-    vc = events.groupBy("value").agg(F.count("*").alias("nv"))
-    tot = vc.agg(F.sum("nv").cast("bigint").alias("ntot"))
-    w = (
-        Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = vc.select(
-        "value",
-        "nv",
-        F.coalesce(F.sum("nv").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("cum_excl"),
-    )
-    b = c.crossJoin(F.broadcast(tot)).select(
-        F.least(
-            F.expr("(cum_excl * 8) DIV ntot"), F.lit(7).cast("bigint")
-        ).alias("bin"),
-        "value",
-        "nv",
-    )
-    return (
-        b.groupBy("bin")
-        .agg(
-            F.sum("nv").cast("bigint").alias("n"),
-            F.count("*").alias("n_distinct"),
-            F.round(F.min("value"), 6).alias("lo"),
-            F.round(F.max("value"), 6).alias("hi"),
-        )
-        .orderBy("bin")
-    )
+    return equidepth_bins(events, "value", k=8)
 
 
 @query(

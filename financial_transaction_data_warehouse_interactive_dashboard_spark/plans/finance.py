@@ -30,6 +30,45 @@ from ..sources.inline import inline_table
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
+# Shared frames for the basket/graph family (a20, a22, a23): built once
+# here so a change to the basket derivation cannot silently diverge the
+# three queries.
+# ---------------------------------------------------------------------------
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (l_orderkey, p_brand) basket frame: lineitem through the
+    broadcast part dim, projected and deduplicated BEFORE any self-join,
+    so downstream pair fan-out is bounded by basket width."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+
+
+def _copurchase_edges(ob: DataFrame, ordered: bool = True) -> DataFrame:
+    """Distinct brand pairs sharing at least one order, as (src, dst).
+    ``ordered=True`` keeps src < dst (one row per undirected edge, for
+    triangle counting); ``False`` emits both directions (for PageRank's
+    directed-arc form)."""
+    a = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst")
+    )
+    cond = (
+        F.col("src") < F.col("dst")
+        if ordered
+        else F.col("src") != F.col("dst")
+    )
+    return a.join(b, "k").filter(cond).select("src", "dst").distinct()
+
+
+# ---------------------------------------------------------------------------
 # a18: per-segment z-score anomaly screen on customer spend
 # ---------------------------------------------------------------------------
 
@@ -265,13 +304,7 @@ def a20_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     width^2), never O(rows^2). Per-brand counts and the order total come
     back as broadcast frames onto the ~|brands|^2 pair aggregate.
     Integer products stay well inside BIGINT (counts, not values)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    ob = _order_brands(spark, sf_dir)
     tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     bn = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
     a = ob.select(
@@ -677,21 +710,7 @@ def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a20_basket_pair_lift)."""
     from ..operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = _copurchase_edges(_order_brands(spark, sf_dir), ordered=False)
     ranks = pagerank(edges, iterations=PR_ITER, damping=PR_DAMPING)
     return ranks.select(
         F.col("node").alias("brand"), F.round("rank", 6).alias("rank")
@@ -999,21 +1018,7 @@ def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     completely independent enumeration order."""
     from ..operators.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = _copurchase_edges(_order_brands(spark, sf_dir), ordered=True)
     return (
         triangle_counts(edges)
         .select(F.col("node").alias("brand"), "n_triangles")

@@ -63,7 +63,7 @@ def query(name: str, oracle: str | None, driver: bool = True):
     ROTATION PROTOCOL (since r5): each round, 4-7 locally-pinned entries
     that have never had a driver CORRECTNESS row are swapped in for
     siblings whose operator family already has multiple green rows, so
-    the whole registry (105 entries as of r5) accumulates driver-grade evidence over
+    the whole registry (see len(REGISTRY)) accumulates driver-grade evidence over
     rounds while the surface stays at exactly 50.
     - r5 in: mm_blob_meta (now real-BMP decode), wh_expectations,
       wh_table_profile, tx_pii_scrub, tx_decontaminate,

@@ -57,12 +57,39 @@ def test_md5_long_parity_arbitrary_strings(spark, strings):
     assert got == want
 
 
+# Case-stable alphabet for the MUTATION property: characters like 'ß'
+# (upper -> 'SS' -> lower 'ss') or 'ſ' break lower(upper(x)) == lower(x),
+# so uppercase-then-normalize is NOT invariant over full unicode — and the
+# dd_normalized_dedup mutation class only ever uppercases ASCII-like text.
+# Idempotence below keeps the full alphabet (it holds unconditionally).
+ascii_texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
 @given(st.lists(texts, min_size=1, max_size=30))
 @SET
-def test_normalize_text_idempotent_and_mutation_invariant(spark, strings):
-    """normalize(normalize(x)) == normalize(x), and the dd_normalized_dedup
-    mutation class (case flips, punctuation injection, space runs) never
-    changes the canonical form."""
+def test_normalize_text_idempotent(spark, strings):
+    """normalize(normalize(x)) == normalize(x) for ARBITRARY unicode:
+    the first pass's output is [a-z0-9 ]-only, single-spaced, trimmed —
+    a fixed point of every stage."""
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = df.select(
+        "i",
+        normalize_text("t").alias("n1"),
+        normalize_text(normalize_text("t")).alias("n2"),
+    ).collect()
+    for r in out:
+        assert r["n2"] == r["n1"], "not idempotent"
+
+
+@given(st.lists(ascii_texts, min_size=1, max_size=30))
+@SET
+def test_normalize_text_mutation_invariant(spark, strings):
+    """The dd_normalized_dedup mutation class (ASCII case flips,
+    punctuation injection, space runs) never changes the canonical
+    form."""
     rows = [(i, s) for i, s in enumerate(strings)]
     df = spark.createDataFrame(rows, ["i", "t"])
     mutated = F.concat(
@@ -71,11 +98,9 @@ def test_normalize_text_idempotent_and_mutation_invariant(spark, strings):
     out = df.select(
         "i",
         normalize_text("t").alias("n1"),
-        normalize_text(normalize_text("t")).alias("n2"),
         normalize_text(mutated).alias("nm"),
     ).collect()
     for r in out:
-        assert r["n2"] == r["n1"], "not idempotent"
         assert r["nm"] == r["n1"], "mutation leaked into canonical form"
 
 
@@ -90,39 +115,18 @@ def test_normalize_text_idempotent_and_mutation_invariant(spark, strings):
 def test_equidepth_bins_partition_rows(spark, raw):
     """Equi-depth binning partitions the multiset: bin counts sum to the
     total, bins are contiguous non-overlapping ranges, and no bin exceeds
-    ceil(n/k) + (max tie run - 1) rows (ties are never split)."""
+    ceil(n/k) + (max tie run - 1) rows (ties are never split). Exercises
+    the SAME operator the registry query runs (operators.sketch.
+    equidepth_bins), not a private re-implementation."""
     from collections import Counter
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.sketch import (
+        equidepth_bins,
+    )
 
     values = [v / 100.0 for v in raw]
     df = spark.createDataFrame([(v,) for v in values], ["value"])
-    vc = df.groupBy("value").agg(F.count("*").alias("nv"))
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    tot = vc.agg(F.sum("nv").cast("bigint").alias("ntot"))
-    c = vc.select(
-        "value",
-        "nv",
-        F.coalesce(F.sum("nv").over(w), F.lit(0)).cast("bigint").alias("ce"),
-    )
-    b = (
-        c.crossJoin(F.broadcast(tot))
-        .select(
-            F.least(F.expr("(ce * 8) DIV ntot"), F.lit(7).cast("bigint")).alias(
-                "bin"
-            ),
-            "value",
-            "nv",
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum("nv").alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
-        .orderBy("bin")
-        .collect()
-    )
+    b = equidepth_bins(df, "value", k=8).collect()
     n = len(values)
     assert sum(r["n"] for r in b) == n
     for prev, cur in zip(b, b[1:]):
