@@ -1099,3 +1099,98 @@ def a24_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a25: Spearman rank correlation (frequency vs monetary, per segment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a25_spearman_freq_spend",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT c_mktsegment,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY freq, c_custkey) AS rf,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY spend, c_custkey) AS rs
+      FROM cust),
+    t AS (
+      SELECT c_mktsegment AS segment, count(*) AS n,
+             CAST(sum((rf - rs) * (rf - rs)) AS DOUBLE) AS d2
+      FROM r GROUP BY 1)
+    SELECT segment, n,
+           round(1 - 6 * d2 / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) * n - 1)), 6)
+             AS spearman_rho
+    FROM t WHERE n > 1 ORDER BY segment
+    """,
+    # New r5 (locally pinned; r6 rotation candidate).
+    driver=False,
+)
+def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order frequency and total spend
+    per market segment — the monotone-association screen (does buying
+    often imply spending much?) robust to the heavy tails that break
+    Pearson on monetary data. Ranks are taken over a TOTAL order
+    ((metric, custkey) tie-break — deterministic in both engines;
+    classical average-rank tie handling would introduce the only
+    tie-dependent term, documented trade), squared rank gaps sum as
+    exact integers, and rho = 1 - 6*sum(d^2)/(n(n^2-1)) goes double
+    only in the final ratio, written identically in the oracle. n > 1
+    guards the degenerate single-customer segment.
+
+    Scale: per-customer aggregate (the corpus shuffle), rank windows
+    over the CUSTOMER frame partitioned by segment (bounded; two-phase
+    surrogate machinery is the documented huge-dimension path), 5-row
+    reduction."""
+    orders = _t(spark, sf_dir, "orders")
+    cust_dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cust = (
+        orders.join(
+            F.broadcast(cust_dim),
+            orders.o_custkey == cust_dim.c_custkey,
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("spend"),
+        )
+    )
+    wf = Window.partitionBy("c_mktsegment").orderBy("freq", "c_custkey")
+    ws = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    r = cust.select(
+        "c_mktsegment",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(ws).alias("rs"),
+    )
+    d = F.col("rf") - F.col("rs")
+    t = r.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.sum(d * d).cast("double").alias("d2"),
+    )
+    nd = F.col("n").cast("double")
+    return (
+        t.filter(F.col("n") > 1)
+        .select(
+            "segment",
+            "n",
+            F.round(
+                F.lit(1) - F.lit(6) * F.col("d2") / (nd * (nd * F.col("n") - 1)),
+                6,
+            ).alias("spearman_rho"),
+        )
+        .orderBy("segment")
+    )

@@ -100,6 +100,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "j8_fx_convert": ("currency", "fx", "rate", "rates", "convert", "exchange"),
     "a23_brand_triangles": ("triangle", "triangles", "clustering", "cohesion", "triads"),
     "a24_revenue_gini": ("gini", "inequality", "concentrated", "disparity"),
+    "a25_spearman_freq_spend": ("spearman", "correlation", "correlated", "monotone", "association"),
 }
 
 

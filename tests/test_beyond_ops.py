@@ -1075,6 +1075,9 @@ def test_nlq_routing(spark):
         "a23_brand_triangles"
     )
     assert nlq.route("gini inequality of revenue") == "a24_revenue_gini"
+    assert nlq.route("spearman correlation of frequency and spend") == (
+        "a25_spearman_freq_spend"
+    )
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
