@@ -189,6 +189,12 @@ def triangle_counts(
     node/edge keys. The degree-orientation step is the entire scale
     story: without it a single hub of degree d contributes d^2 wedges.
     """
+    # und feeds the degree aggregate AND the orientation join; deg joins
+    # in three times (da, db, dy). Without truncation every reuse replays
+    # the caller's whole edge-building pipeline (measured 36.7s -> 3.7s
+    # at sf0.1 on the co-purchase graph, with the single-pass member
+    # explode below) — the materialize-tiny-frames policy: both are
+    # edge/node-cardinality, two longs wide.
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -196,12 +202,14 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n"))
         .union(und.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
@@ -239,10 +247,10 @@ def triangle_counts(
         F.col("x").alias("v"), F.col("y").alias("w")
     )
     tri = wedges.join(closing, ["v", "w"]).select("x", "v", "w")
-    members = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("v").alias("node")))
-        .union(tri.select(F.col("w").alias("node")))
+    # Explode each triangle to its three members in ONE pass — a 3-way
+    # union of selects would re-execute the wedge join per branch.
+    members = tri.select(
+        F.explode(F.array("x", "v", "w")).alias("node")
     )
     return members.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
