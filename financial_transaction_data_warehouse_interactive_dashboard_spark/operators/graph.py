@@ -20,8 +20,10 @@ standard driver-side loop over lazy rounds:
 
 Min-label propagation converges in O(graph diameter) rounds; dedup
 clusters are shallow (near-clique), so 2-3 rounds in practice. For
-web-scale graphs with long chains, swap the body for the large-star /
-small-star contraction (same loop skeleton, O(log n) rounds).
+web-scale graphs with long chains, :func:`connected_components_star`
+IS the large-star/small-star contraction (same loop skeleton, O(log n)
+rounds — equivalence-tested against min-label, and proven on a chain
+whose diameter exceeds the min-label iteration cap).
 """
 
 from __future__ import annotations
@@ -254,4 +256,96 @@ def triangle_counts(
     )
     return members.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """(node, component) via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round web-scale path that
+    :func:`connected_components`'s docstring promises for graphs whose
+    diameter makes min-label propagation (O(diameter) rounds) explode:
+    a 60-node chain converges here in ~6 rounds where label propagation
+    needs 60.
+
+    Per round (each ONE shuffle pair over two-long rows, frames
+    localCheckpoint-ed per the tiny-frame policy):
+    - large-star: every node attaches its STRICTLY-GREATER neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every node attaches its not-greater neighbors and
+      itself to that minimum.
+    The edge set monotonically contracts toward a star forest whose
+    roots are component minima; convergence = the directed (child,
+    parent) set stops changing.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(d: DataFrame) -> DataFrame:
+        return d.union(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iterations):
+        # Large-star: center u, m = min(closed neighborhood); emit
+        # (v, m) for strictly-greater neighbors v.
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star on the (child >= parent)-oriented result: center u
+        # over its not-greater neighbors + itself.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if small.exceptAll(e).limit(1).count() == 0 and (
+            e.exceptAll(small).limit(1).count() == 0
+        ):
+            e = small
+            break
+        e = small
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} rounds"
+        )
+    # e is now a star forest (child -> component min); roots label
+    # themselves.
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_anti")
+        .select("node", F.col("node").alias("lbl"))
+    )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("lbl")).union(
+        roots
     )

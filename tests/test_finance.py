@@ -270,3 +270,47 @@ def test_triangle_counts_handbuilt_graph(spark):
         for r in triangle_counts(noisy).collect()
     }
     assert got2 == got
+
+
+def test_star_contraction_components(spark):
+    """Large-star/small-star contraction must (a) agree with min-label
+    propagation wherever the latter converges, and (b) converge in
+    O(log n) rounds on the chain graph whose diameter EXCEEDS the
+    min-label iteration cap — the web-scale case the docstring promises."""
+    import pytest as _pytest
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # Deterministic random-ish graph: 3 clusters + isolated pair.
+    pairs = (
+        [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20]
+        + [(100 + i, 100 + (i + 1) % 5) for i in range(5)]
+        + [(200, 201)]
+    )
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    got = {
+        r["node"]: r["lbl"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == want
+
+    # 60-node chain: diameter 59 > min-label cap of 25 -> it must raise;
+    # star contraction converges (logarithmic rounds) to one component.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(chain)
+    star = {
+        r["node"]: r["lbl"]
+        for r in connected_components_star(chain).collect()
+    }
+    assert set(star) == set(range(60))
+    assert set(star.values()) == {0}
