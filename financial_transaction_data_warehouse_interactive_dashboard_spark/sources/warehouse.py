@@ -274,21 +274,38 @@ def analyze(spark: SparkSession, table: str, columns: list[str] | None = None) -
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
 
 
-def morton_code(cols: list[str], mins: dict, maxs: dict, bits: int = 8):
-    """Interleaved (Morton / Z-order) code over 2+ numeric columns, each
-    linearly bucketed to ``bits`` bits between its min and max. Pure
+def morton_code(
+    cols: list[str],
+    mins: dict,
+    maxs: dict,
+    bits: int = 8,
+    quantiles: dict | None = None,
+):
+    """Interleaved (Morton / Z-order) code over 2+ numeric columns. Pure
     bitwise Column expression (shiftleft/and) — whole-stage codegen, no
-    UDF. Linear bucketing keeps the test deterministic; a production
-    variant substitutes approx-quantile boundaries per dimension so
-    skewed dims still spread (same interleave, different bucketizer)."""
+    UDF. Default bucketizer is LINEAR between each dim's min and max;
+    pass ``quantiles`` ({col: sorted interior boundaries}) to bucket by
+    RANK instead, so a skewed dim still spreads its mass evenly across
+    the 2^bits cells (the write_zorder_layout(quantile_buckets=True)
+    path). Quantile assignment counts boundaries <= value with one
+    higher-order filter over a literal boundary array — interpreted, but
+    this runs once inside a layout JOB, not on a query path."""
     nb = (1 << bits) - 1
     bucketed = []
     for c in cols:
-        lo, hi = mins[c], maxs[c]
-        span = (hi - lo) or 1
-        b = F.least(
-            F.floor((F.col(c) - F.lit(lo)) * nb / F.lit(span)), F.lit(nb)
-        ).cast("long")
+        if quantiles and c in quantiles:
+            arr = ", ".join(repr(float(x)) for x in quantiles[c])
+            b = F.expr(
+                f"size(filter(array({arr}), b -> b <= {c}))"
+            ).cast("long")
+            b = F.least(b, F.lit(nb).cast("long"))
+        else:
+            lo, hi = mins[c], maxs[c]
+            span = (hi - lo) or 1
+            b = F.least(
+                F.floor((F.col(c) - F.lit(lo)) * nb / F.lit(span)),
+                F.lit(nb),
+            ).cast("long")
         bucketed.append(b)
     code = F.lit(0).cast("long")
     for bit in range(bits):
@@ -308,6 +325,7 @@ def write_zorder_layout(
     dims: list[str],
     n_files: int = 16,
     bits: int = 8,
+    quantile_buckets: bool = False,
 ) -> None:
     """Multi-dimensional data-skipping layout (the OPTIMIZE ZORDER
     primitive of lakehouse tables): rows are range-partitioned and
@@ -320,14 +338,27 @@ def write_zorder_layout(
     file-count reduction for a filtered scan against a linear layout.
 
     Min/max per dim come from one tiny aggregate (driver round-trip at
-    write time — a layout JOB, not a query path)."""
-    stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in dims],
-        *[F.max(c).alias(f"mx_{c}") for c in dims],
-    ).collect()[0]
-    mins = {c: stats[f"mn_{c}"] for c in dims}
-    maxs = {c: stats[f"mx_{c}"] for c in dims}
-    z = df.withColumn("_z", morton_code(dims, mins, maxs, bits))
+    write time — a layout JOB, not a query path).
+    ``quantile_buckets=True`` bucketizes each dim by approx-quantile
+    boundaries instead of linearly — on skewed dims, linear buckets
+    dump most rows into a few cells and the Z-curve degenerates to a
+    one-dimensional sort; rank bucketing keeps every cell's row count
+    ~equal regardless of the value distribution."""
+    qs = None
+    if quantile_buckets:
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        qs = {
+            c: df.approxQuantile(c, probs, 0.001) for c in dims
+        }
+        mins = maxs = {}
+    else:
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in dims],
+            *[F.max(c).alias(f"mx_{c}") for c in dims],
+        ).collect()[0]
+        mins = {c: stats[f"mn_{c}"] for c in dims}
+        maxs = {c: stats[f"mx_{c}"] for c in dims}
+    z = df.withColumn("_z", morton_code(dims, mins, maxs, bits, quantiles=qs))
     (
         z.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

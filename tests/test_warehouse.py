@@ -334,3 +334,36 @@ def test_observed_write_matches_posthoc_audit(spark, tmp_path):
     assert got["n_null_price"] == audit["n_null_price"] == 0
     assert got["n_bad_status"] == audit["n_bad_status"] == 0
     assert got["total_price"] == audit["total_price"]
+
+
+def test_zorder_quantile_buckets_balance_skewed_dim(spark, tmp_path):
+    """On a heavily skewed dimension, linear Morton bucketing collapses
+    (most rows share one cell -> the curve degenerates), while
+    quantile bucketing keeps per-file row counts balanced AND still
+    contracts per-file spans on the companion uniform dim."""
+    import math
+
+    rows = [
+        (i, float(i % 997), -math.log((i % 9973 + 1) / 9974.0) * 100)
+        for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "uniform", "skewed"])
+    qpath = str(tmp_path / "zq")
+    WH.write_zorder_layout(
+        df, qpath, ["uniform", "skewed"], n_files=16, quantile_buckets=True
+    )
+    back = spark.read.parquet(qpath).withColumn("f", F.input_file_name())
+    per_file = back.groupBy("f").agg(
+        F.count("*").alias("n"),
+        (F.max("uniform") - F.min("uniform")).alias("uspan"),
+    ).collect()
+    n_files = len(per_file)
+    assert n_files > 1
+    counts = sorted(r["n"] for r in per_file)
+    # Balanced: largest file within 2x of the ideal equal share.
+    assert counts[-1] <= 2 * (20000 / n_files)
+    # The uniform dim still contracts per file (hypercube, not slab).
+    g = df.agg((F.max("uniform") - F.min("uniform")).alias("r")).collect()[0]
+    mean_uspan = sum(r["uspan"] for r in per_file) / n_files
+    assert mean_uspan < 0.6 * g["r"]
+    assert spark.read.parquet(qpath).count() == 20000
