@@ -1125,7 +1125,8 @@ def a24_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cust),
     t AS (
       SELECT c_mktsegment AS segment, count(*) AS n,
-             CAST(sum((rf - rs) * (rf - rs)) AS DOUBLE) AS d2
+             CAST(sum(CAST(rf - rs AS BIGINT) * CAST(rf - rs AS BIGINT))
+                  AS DOUBLE) AS d2
       FROM r GROUP BY 1)
     SELECT segment, n,
            round(1 - 6 * d2 / (CAST(n AS DOUBLE)
@@ -1176,7 +1177,9 @@ def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf).alias("rf"),
         F.row_number().over(ws).alias("rs"),
     )
-    d = F.col("rf") - F.col("rs")
+    # Rank gap in BIGINT before squaring: row_number is 32-bit and an
+    # int*int product overflows at segment sizes past ~46k customers.
+    d = (F.col("rf") - F.col("rs")).cast("bigint")
     t = r.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").alias("n"),
         F.sum(d * d).cast("double").alias("d2"),

@@ -289,15 +289,17 @@ def morton_code(
     the 2^bits cells (the write_zorder_layout(quantile_buckets=True)
     path). Quantile assignment counts boundaries <= value with one
     higher-order filter over a literal boundary array — interpreted, but
-    this runs once inside a layout JOB, not on a query path."""
+    this runs once inside a layout JOB, not on a query path. Built from
+    Column objects (F.array of F.lit), never SQL-text interpolation, so
+    NaN boundaries or backtick-needing column names cannot break the
+    plan at parse time."""
     nb = (1 << bits) - 1
     bucketed = []
     for c in cols:
         if quantiles and c in quantiles:
-            arr = ", ".join(repr(float(x)) for x in quantiles[c])
-            b = F.expr(
-                f"size(filter(array({arr}), b -> b <= {c}))"
-            ).cast("long")
+            arr = F.array(*[F.lit(float(x)) for x in quantiles[c]])
+            col = F.col(c)
+            b = F.size(F.filter(arr, lambda x: x <= col)).cast("long")
             b = F.least(b, F.lit(nb).cast("long"))
         else:
             lo, hi = mins[c], maxs[c]
@@ -347,9 +349,10 @@ def write_zorder_layout(
     qs = None
     if quantile_buckets:
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        qs = {
-            c: df.approxQuantile(c, probs, 0.001) for c in dims
-        }
+        # ONE multi-column approxQuantile pass — the per-column form
+        # would rescan the input once per dimension.
+        qlists = df.approxQuantile(dims, probs, 0.001)
+        qs = dict(zip(dims, qlists))
         mins = maxs = {}
     else:
         stats = df.agg(
