@@ -253,24 +253,64 @@ def main() -> None:
         ]
         cur_round = (max(prior) + 1) if prior else 0
     detail_name = f"BENCH_DETAIL_r{cur_round:02d}.json"
-    try:
-        # Preserve human adjudication sections (median-of-3 recheck
-        # notes etc.) across re-runs within the same round — the driver
-        # re-running the bench must not erase the noise adjudication.
+    detail_path = os.path.join(here, detail_name)
+
+    def _git_clean_tracked(path: str) -> bool:
+        """True iff ``path`` is git-tracked with no uncommitted changes.
+        Any git failure (no repo, no binary) returns False → write."""
+        import subprocess
+
+        name = os.path.basename(path)
         try:
-            with open(os.path.join(here, detail_name)) as fh:
-                prior = json.load(fh)
-            if isinstance(prior, dict):
-                for k in ("median3_recheck", "notes"):
-                    if k in prior and k not in detail:
-                        detail[k] = prior[k]
-        except (OSError, json.JSONDecodeError):
-            pass
-        with open(os.path.join(here, detail_name), "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError:
-        detail_name = None  # read-only checkout: keep the contract line
+            tracked = subprocess.run(
+                ["git", "ls-files", "--error-unmatch", name],
+                cwd=here, capture_output=True, timeout=10,
+            ).returncode == 0
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain", "--", name],
+                cwd=here, capture_output=True, timeout=10,
+            ).stdout.strip()
+            return tracked and not dirty
+        except Exception:  # noqa: BLE001 — hygiene guard is best-effort
+            return False
+
+    # r5 post-mortem: a stray re-run after the round's refresh commit
+    # left the committed detail file modified, so the committed file no
+    # longer described the recorded summary line. A git-clean (committed,
+    # unmodified) detail file is now frozen unless --force.
+    if (
+        os.path.exists(detail_path)
+        and "--force" not in sys.argv
+        and _git_clean_tracked(detail_path)
+    ):
+        print(
+            f"# {detail_name} is committed and clean; refusing to "
+            "overwrite (re-run with --force to refresh it)",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            # Preserve human adjudication sections (median-of-3 recheck
+            # notes etc.) across re-runs within the same round — the driver
+            # re-running the bench must not erase the noise adjudication.
+            try:
+                with open(detail_path) as fh:
+                    prior = json.load(fh)
+                if isinstance(prior, dict):
+                    for k in ("median3_recheck", "notes"):
+                        if k in prior and k not in detail:
+                            detail[k] = prior[k]
+            except (OSError, json.JSONDecodeError):
+                pass
+            # Atomic: write-temp + rename, so a crash mid-dump can never
+            # leave a truncated half-JSON detail file behind.
+            tmp = detail_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            os.replace(tmp, detail_path)
+        except OSError:
+            detail_name = None  # read-only checkout: keep the contract line
 
     # Compact contract line: the driver's capture truncates ~2,000 chars
     # (r2/r4 full-map lines both recorded parsed=null), so the stdout line

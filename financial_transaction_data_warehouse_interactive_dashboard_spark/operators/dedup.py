@@ -80,11 +80,19 @@ def normalized_dedup(
     trivially-mutated copies — recapitalized, re-punctuated — collapse
     into one group. Same scale shape as :func:`exact_dedup`: the shuffle
     carries the 60-bit hash of the NORMALIZED text (~16 B/row), never
-    the document bytes."""
+    the document bytes.
+
+    normalize_text strips everything outside [a-z0-9 ], so a non-ASCII
+    or punctuation-only document canonicalizes to the EMPTY string; to
+    avoid silently mass-merging every such document under hash(''), an
+    empty canonical form falls back to the raw-text hash (those docs
+    then dedup exactly, never approximately)."""
+    norm = normalize_text(text_col)
+    h = F.when(
+        F.length(norm) == 0, P.md5_long(text_col)
+    ).otherwise(P.md5_long(norm))
     return (
-        docs.select(
-            F.col(id_col), P.md5_long(normalize_text(text_col)).alias("h")
-        )
+        docs.select(F.col(id_col), h.alias("h"))
         .groupBy("h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .select(id_col, "n_copies")

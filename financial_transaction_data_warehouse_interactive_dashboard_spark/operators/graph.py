@@ -328,12 +328,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if small.exceptAll(e).limit(1).count() == 0 and (
-            e.exceptAll(small).limit(1).count() == 0
-        ):
-            e = small
-            break
+        # Convergence = set equality. Both sides are distinct,
+        # checkpointed frames, so one action over the union of the two
+        # one-sided differences decides it — halving the per-round job
+        # count vs two separate exceptAll().limit(1).count() probes.
+        changed = (
+            small.exceptAll(e).union(e.exceptAll(small)).limit(1).count()
+        )
         e = small
+        if changed == 0:
+            break
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_iterations} rounds"

@@ -3374,7 +3374,11 @@ _SQL_NORM = (
       SELECT doc_id + 1000000 AS doc_id,
              upper(replace(text, ' ', ', ')) || '!!' AS text
       FROM documents),
-    h AS (SELECT doc_id, {_P.sql_md5_long(_SQL_NORM)} AS h FROM uni)
+    h AS (SELECT doc_id,
+                 CASE WHEN length({_SQL_NORM}) = 0
+                      THEN {_P.sql_md5_long('text')}
+                      ELSE {_P.sql_md5_long(_SQL_NORM)} END AS h
+          FROM uni)
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM h GROUP BY h.h ORDER BY doc_id
     """,

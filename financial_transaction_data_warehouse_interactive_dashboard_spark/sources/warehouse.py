@@ -292,7 +292,14 @@ def morton_code(
     this runs once inside a layout JOB, not on a query path. Built from
     Column objects (F.array of F.lit), never SQL-text interpolation, so
     NaN boundaries or backtick-needing column names cannot break the
-    plan at parse time."""
+    plan at parse time.
+
+    NULL dim values land in bucket 0 on BOTH bucketizer paths (without
+    the explicit guard the linear path's F.least skips the NULL floor()
+    and yields the TOP bucket while the quantile path's F.filter drops
+    every boundary on a NULL predicate and yields 0 — NULL rows would
+    cluster at opposite ends of the Z-curve depending on
+    quantile_buckets)."""
     nb = (1 << bits) - 1
     bucketed = []
     for c in cols:
@@ -308,7 +315,9 @@ def morton_code(
                 F.floor((F.col(c) - F.lit(lo)) * nb / F.lit(span)),
                 F.lit(nb),
             ).cast("long")
-        bucketed.append(b)
+        bucketed.append(
+            F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(b)
+        )
     code = F.lit(0).cast("long")
     for bit in range(bits):
         for d, b in enumerate(bucketed):

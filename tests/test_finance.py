@@ -314,3 +314,27 @@ def test_star_contraction_components(spark):
     }
     assert set(star) == set(range(60))
     assert set(star.values()) == {0}
+
+
+def test_normalized_dedup_empty_canonical_falls_back_to_raw_hash(spark):
+    """ADVICE r5: punctuation-only / non-ASCII docs canonicalize to the
+    empty string; without the raw-hash fallback they'd ALL mass-merge
+    under hash(''). They must dedup exactly (by raw text) instead."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.dedup import (
+        normalized_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "!!!"),        # canonical = ''
+            (2, "???"),        # canonical = '' but different raw text
+            (3, "!!!"),        # raw-exact copy of doc 1
+            (4, "Hello, World"),
+            (5, "hello world!"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in normalized_dedup(docs).collect()}
+    # 1 and 3 merge (raw-exact); 2 stays its own group; 4 and 5 merge
+    # (normalization); NOT one giant empty-canonical group.
+    assert out == {1: 2, 2: 1, 4: 2}

@@ -367,3 +367,33 @@ def test_zorder_quantile_buckets_balance_skewed_dim(spark, tmp_path):
     mean_uspan = sum(r["uspan"] for r in per_file) / n_files
     assert mean_uspan < 0.6 * g["r"]
     assert spark.read.parquet(qpath).count() == 20000
+
+
+def test_morton_null_dims_agree_across_bucketizers(spark):
+    """ADVICE r5: NULL dim values must land in the SAME bucket (0) on
+    both the linear and the quantile bucketizer path — without the
+    guard, linear sent NULLs to the TOP bucket (F.least skips nulls)
+    while quantile sent them to 0 (F.filter drops on NULL predicate),
+    clustering null rows at opposite ends of the Z-curve depending on
+    quantile_buckets."""
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, None, None), (3, 9.0, 9.0)],
+        ["id", "a", "b"],
+    )
+    mins, maxs = {"a": 0.0, "b": 0.0}, {"a": 10.0, "b": 10.0}
+    qs = {"a": [2.0, 4.0, 6.0, 8.0], "b": [2.0, 4.0, 6.0, 8.0]}
+    lin = df.select(
+        "id", WH.morton_code(["a", "b"], mins, maxs, bits=4).alias("z")
+    ).collect()
+    qnt = df.select(
+        "id",
+        WH.morton_code(["a", "b"], mins, maxs, bits=4, quantiles=qs).alias("z"),
+    ).collect()
+    lin_by_id = {r["id"]: r["z"] for r in lin}
+    qnt_by_id = {r["id"]: r["z"] for r in qnt}
+    # NULL row -> bucket 0 on both dims -> Morton code 0 on both paths.
+    assert lin_by_id[2] == 0
+    assert qnt_by_id[2] == 0
+    # Non-null rows still produce non-trivial distinct codes.
+    assert lin_by_id[1] != lin_by_id[3]
+    assert qnt_by_id[1] != qnt_by_id[3]
