@@ -96,6 +96,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, rank)
     after ``iterations`` power steps of
@@ -114,9 +115,14 @@ def pagerank(
     cannot pin. The teleport and damping scalars stay double; every
     per-row expression is order-identical with the SQL twin.
 
-    Dangling nodes (out-degree 0) contribute nothing and their mass is
-    NOT redistributed — callers wanting classic dangling handling pass a
-    symmetric edge list (undirected co-occurrence graphs have none).
+    Dangling nodes (out-degree 0): by default their mass is NOT
+    redistributed (undirected co-occurrence graphs have none, so the
+    default keeps the plan one aggregate lighter). With
+    ``redistribute_dangling=True`` each iteration adds the classic
+    correction ``d * D/N`` where ``D = sum_{dangling u} round(rank(u),
+    12)`` — one extra 1-row broadcast aggregate per iteration, summed as
+    exact DECIMAL so the term stays oracle-exact, giving true PageRank
+    on directed graphs with sinks (rank mass sums to 1).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -152,20 +158,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.lit(teleport) / F.col("n")
-                    + F.lit(damping)
-                    * F.coalesce(
-                        F.col("s"), F.lit(0).cast("decimal(32,12)")
-                    ).cast("double")
-                ).alias("rank"),
+        flow = F.coalesce(F.col("s"), F.lit(0).cast("decimal(32,12)")).cast(
+            "double"
+        )
+        joined = nodes.join(contribs, "node", "left").crossJoin(
+            F.broadcast(nn)
+        )
+        if redistribute_dangling:
+            # D = exact decimal sum of the dangling nodes' (rounded)
+            # ranks — a 1-row aggregate, broadcast like nn. The double
+            # expression is parenthesized identically to the SQL twin:
+            # tp/n + d * (flow + D/n).
+            dang = ranks.join(outdeg, "node", "left_anti").agg(
+                F.coalesce(
+                    F.sum(F.round("rank", 12).cast("decimal(32,12)")),
+                    F.lit(0).cast("decimal(32,12)"),
+                ).alias("dm")
             )
-            .localCheckpoint(eager=True)
+            rank_expr = F.lit(teleport) / F.col("n") + F.lit(damping) * (
+                flow + F.col("dm").cast("double") / F.col("n")
+            )
+            joined = joined.crossJoin(F.broadcast(dang))
+        else:
+            rank_expr = F.lit(teleport) / F.col("n") + F.lit(damping) * flow
+        ranks = joined.select("node", rank_expr.alias("rank")).localCheckpoint(
+            eager=True
         )
     return ranks
 

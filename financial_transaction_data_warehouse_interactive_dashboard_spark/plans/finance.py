@@ -1142,9 +1142,10 @@ def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per market segment — the monotone-association screen (does buying
     often imply spending much?) robust to the heavy tails that break
     Pearson on monetary data. Ranks are taken over a TOTAL order
-    ((metric, custkey) tie-break — deterministic in both engines;
-    classical average-rank tie handling would introduce the only
-    tie-dependent term, documented trade), squared rank gaps sum as
+    ((metric, custkey) tie-break — deterministic in both engines and
+    hash-stable; the classical average-rank treatment lives in the
+    a25_spearman_avg_rank sibling, the statistical default when ties
+    are heavy), squared rank gaps sum as
     exact integers, and rho = 1 - 6*sum(d^2)/(n(n^2-1)) goes double
     only in the final ratio, written identically in the oracle. n > 1
     guards the degenerate single-customer segment.
@@ -1194,6 +1195,137 @@ def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1) - F.lit(6) * F.col("d2") / (nd * (nd * F.col("n") - 1)),
                 6,
             ).alias("spearman_rho"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "a25_spearman_avg_rank",
+    """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    rn AS (
+      SELECT c_mktsegment, freq, spend,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY freq, c_custkey) AS rnf,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY spend, c_custkey) AS rns
+      FROM cust),
+    dr AS (
+      SELECT c_mktsegment,
+             CAST(min(rnf) OVER (PARTITION BY c_mktsegment, freq)
+                  + max(rnf) OVER (PARTITION BY c_mktsegment, freq)
+                  AS BIGINT) AS x,
+             CAST(min(rns) OVER (PARTITION BY c_mktsegment, spend)
+                  + max(rns) OVER (PARTITION BY c_mktsegment, spend)
+                  AS BIGINT) AS y
+      FROM rn),
+    t AS (
+      SELECT c_mktsegment AS segment, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM dr GROUP BY 1)
+    SELECT segment, n,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                  * (CAST(n AS DOUBLE) * syy - sy * sy)),
+                           6)
+           END AS spearman_rho
+    FROM t WHERE n > 1 ORDER BY segment
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def a25_spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman with CLASSICAL average-rank tie handling (the statistical
+    default; the a25_spearman_freq_spend sibling keeps the total-order
+    ranks for hash stability): tied metric values share the mean of
+    their row_number block, and rho is Pearson over the ranks — the
+    correct treatment when ties are heavy, where the d^2 shortcut
+    formula is only exact for tie-free data.
+
+    Exactness: the mean of a consecutive row_number block is
+    (min+max)/2, so DOUBLED ranks x = min+max are integers; Pearson is
+    invariant under the 2x scaling, so every sum (x, y, x^2, y^2, xy)
+    accumulates as exact DECIMAL(38,0) and the computation goes double
+    only in the final covariance ratio + sqrt (both correctly-rounded
+    IEEE ops, expression parenthesized identically in the oracle).
+    Zero-variance segments (all tied) yield NULL via the CASE guard —
+    0/0 is the engines' one divergence point.
+
+    Scale: same shape as a25 — per-customer aggregate, rank windows
+    partitioned by segment, plus two tie-block windows (same partition
+    keys, no extra shuffle class), 5-row reduction."""
+    orders = _t(spark, sf_dir, "orders")
+    cust_dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cust = (
+        orders.join(
+            F.broadcast(cust_dim),
+            orders.o_custkey == cust_dim.c_custkey,
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("spend"),
+        )
+    )
+    wf = Window.partitionBy("c_mktsegment").orderBy("freq", "c_custkey")
+    ws = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    rn = cust.select(
+        "c_mktsegment",
+        "freq",
+        "spend",
+        F.row_number().over(wf).alias("rnf"),
+        F.row_number().over(ws).alias("rns"),
+    )
+    tf = Window.partitionBy("c_mktsegment", "freq")
+    ts = Window.partitionBy("c_mktsegment", "spend")
+    dr = rn.select(
+        "c_mktsegment",
+        (F.min("rnf").over(tf) + F.max("rnf").over(tf))
+        .cast("bigint")
+        .alias("x"),
+        (F.min("rns").over(ts) + F.max("rns").over(ts))
+        .cast("bigint")
+        .alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    t = dr.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        t.filter(F.col("n") > 1)
+        .select(
+            "segment",
+            "n",
+            F.when(den > 0, F.round(num / F.sqrt(den), 6)).alias(
+                "spearman_rho"
+            ),
         )
         .orderBy("segment")
     )

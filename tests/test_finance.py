@@ -338,3 +338,136 @@ def test_normalized_dedup_empty_canonical_falls_back_to_raw_hash(spark):
     # 1 and 3 merge (raw-exact); 2 stays its own group; 4 and 5 merge
     # (normalization); NOT one giant empty-canonical group.
     assert out == {1: 2, 2: 1, 4: 2}
+
+
+def test_pagerank_dangling_redistribution_oracle_pinned(spark):
+    """VERDICT r5 ask #7: redistribute_dangling adds the classic
+    d * D/N dangling-mass term each iteration. Both modes are pinned
+    against a DuckDB unrolled-CTE twin with identical arithmetic
+    (12dp-rounded DECIMAL contribution sums, repr()-inlined scalars),
+    on a directed graph with a sink; the redistributing variant's ranks
+    must sum to 1 (true PageRank), the default's must not."""
+    import duckdb
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1), (4, 2)]  # node 3 is a sink
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    tp, d = repr(1.0 - 0.85), repr(0.85)
+
+    def cte(i: int, dangling: bool) -> str:
+        contrib = f"""
+          SELECT e.dst AS node,
+                 sum(CAST(round(r.rank / od.deg, 12) AS DECIMAL(32,12))) AS s
+          FROM e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN od ON e.src = od.node
+          GROUP BY 1"""
+        if dangling:
+            return f"""r{i} AS (
+              SELECT nodes.node,
+                     CAST('{tp}' AS DOUBLE) / nn.n
+                     + CAST('{d}' AS DOUBLE) * (
+                         CAST(coalesce(s.s, 0) AS DOUBLE)
+                         + CAST(dm.dm AS DOUBLE) / nn.n) AS rank
+              FROM nodes CROSS JOIN nn CROSS JOIN (
+                SELECT coalesce(sum(CAST(round(r.rank, 12)
+                                         AS DECIMAL(32,12))),
+                                CAST(0 AS DECIMAL(32,12))) AS dm
+                FROM r{i - 1} r LEFT JOIN od ON r.node = od.node
+                WHERE od.node IS NULL) dm
+              LEFT JOIN ({contrib}) s ON nodes.node = s.node)"""
+        return f"""r{i} AS (
+          SELECT nodes.node,
+                 CAST('{tp}' AS DOUBLE) / nn.n
+                 + CAST('{d}' AS DOUBLE)
+                   * CAST(coalesce(s.s, 0) AS DOUBLE) AS rank
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN ({contrib}) s ON nodes.node = s.node)"""
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(f"({s}, {t})" for s, t in edges)
+        + ") t(src, dst)"
+    )
+    for dangling in (False, True):
+        sql = f"""
+        WITH nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        od AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+               FROM nodes CROSS JOIN nn),
+        {", ".join(cte(i, dangling) for i in (1, 2, 3))}
+        SELECT node, rank FROM r3 ORDER BY node
+        """
+        want = dict(con.execute(sql).fetchall())
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, iterations=3, redistribute_dangling=dangling
+            ).collect()
+        }
+        assert got == want, (dangling, got, want)  # bit-exact
+        if dangling:
+            assert abs(sum(got.values()) - 1.0) < 1e-9
+        else:
+            assert sum(got.values()) < 1.0 - 1e-3  # sink leaks mass
+
+
+def test_spearman_avg_rank_matches_bruteforce(spark, duck_smoke):
+    """Classical average-rank Spearman recomputed independently in
+    Python (fractional ranks + Pearson over ranks) matches the engine's
+    doubled-integer-rank formulation; under ties it must DIFFER from
+    the total-order sibling's tie-broken rho on at least one segment
+    (the fixture's freq metric is heavily tied)."""
+    rows = duck_smoke.execute(
+        """
+        SELECT c_mktsegment, count(*) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, c_custkey
+        """
+    ).fetchall()
+    by_seg = defaultdict(list)
+    for seg, freq, spend in rows:
+        by_seg[seg].append((freq, float(spend)))
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mean = (i + 1 + j) / 2.0  # mean of positions i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = mean
+            i = j
+        return ranks
+
+    want = {}
+    for seg, pts in by_seg.items():
+        rf = avg_ranks([p[0] for p in pts])
+        rs = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        mx, my = sum(rf) / n, sum(rs) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rf, rs))
+        den = (
+            sum((a - mx) ** 2 for a in rf) * sum((b - my) ** 2 for b in rs)
+        ) ** 0.5
+        want[seg] = num / den
+    got = {
+        r["segment"]: r["spearman_rho"]
+        for r in REGISTRY["a25_spearman_avg_rank"].spark(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for seg in want:
+        assert abs(got[seg] - want[seg]) < 1e-6, (seg, got[seg], want[seg])
+    total_order = {
+        r["segment"]: r["spearman_rho"]
+        for r in REGISTRY["a25_spearman_freq_spend"].spark(spark, SF_SMOKE).collect()
+    }
+    assert any(got[s] != total_order[s] for s in got)
