@@ -88,26 +88,45 @@ def heavy_hitters(
     )
 
 
-def equidepth_bins(df: DataFrame, col: str, k: int = 8) -> DataFrame:
+def equidepth_bins(
+    df: DataFrame, col: str, k: int = 8, scale_safe: bool = False
+) -> DataFrame:
     """Equi-depth histogram: (bin, n, n_distinct, lo, hi) over ``k`` bins
     of ~equal row count. Bin ids are floor(cum_excl * k / n) in
     ALL-INTEGER arithmetic (no float rank boundary), computed on the
     DISTINCT (value, count) frame so the prefix-sum window is bounded by
     the value domain, not the row count; ties never straddle bins. The
     single authoritative implementation behind ev_equidepth_histogram
-    and the binning property test."""
+    and the binning property test.
+
+    ``scale_safe=True`` swaps the global prefix-sum window for
+    operators.surrogate.two_phase_cumsum (per-partition cumsum + driver
+    offset prefix-sum over exact bigints — bit-identical cum_excl,
+    equivalence-tested) for value domains too large for one sort task."""
     from pyspark.sql.window import Window
 
     vc = df.groupBy(col).agg(F.count("*").alias("nv"))
     tot = vc.agg(F.sum("nv").cast("bigint").alias("ntot"))
-    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-    c = vc.select(
-        F.col(col).alias("value"),
-        "nv",
-        F.coalesce(F.sum("nv").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("cum_excl"),
-    )
+    if scale_safe:
+        from .surrogate import two_phase_cumsum
+
+        cum, _ = two_phase_cumsum(
+            vc, [col], "nv", "cum_excl", exclusive=True
+        )
+        c = cum.select(
+            F.col(col).alias("value"),
+            "nv",
+            F.col("cum_excl").cast("bigint").alias("cum_excl"),
+        )
+    else:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        c = vc.select(
+            F.col(col).alias("value"),
+            "nv",
+            F.coalesce(F.sum("nv").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("cum_excl"),
+        )
     b = c.crossJoin(F.broadcast(tot)).select(
         F.least(
             F.expr(f"(cum_excl * {k}) DIV ntot"),

@@ -1,32 +1,161 @@
-"""Dense surrogate-key assignment that scales past one partition.
+"""Two-phase global ordering primitives that scale past one partition.
 
 The reference assigns dim ids as range(1, n+1) after an ascending sort
 (etl.ipynb:51-52,78-81,86-87,91-95). The direct Spark translation —
 row_number() over a global Window.orderBy(key) — serializes the whole
 table through ONE partition: correct and fine for dimension tables up to a
-few million rows (plans.etl uses it), but wrong for a 100 TB fact or a
-billion-row dimension.
+few million rows (plans.etl uses it by default), but wrong for a 100 TB
+fact or a billion-row dimension.
 
-``dense_ids`` is the two-phase alternative:
+The two-phase pattern replaces the single-partition funnel:
 
-1. range-repartition + sort within partitions on the natural key (the only
-   full shuffle, and it is a parallel one);
+1. range-repartition + sort within partitions on the order columns (the
+   only full shuffle, and it is a parallel one);
 2. count rows per partition, collect the tiny per-partition histogram
    (numPartitions rows) to the driver, prefix-sum it into offsets;
-3. id = partition offset + row_number within the partition (a window
+3. rank = partition offset + row_number within the partition (a window
    PARTITIONED BY the physical partition id — every partition ranks in
    parallel; no single-partition funnel).
 
-Ids are dense 1..n in natural-key order regardless of where the range
-partitioner draws its boundaries. Keys are assumed unique (true for every
-reference dim); with duplicates the ordering among equals follows the
-partition sort and ids remain dense."""
+:func:`two_phase_rank` is the general global row_number;
+:func:`two_phase_cumsum` is the same trick for running sums (offsets are
+per-partition partial sums instead of counts — pass an exactly-summable
+value column: integer or DECIMAL, never raw double, or cross-mode
+bit-equality is lost); :func:`ntile_from_rank` converts a global rank into
+Spark's exact ntile() bucket numbering with pure integer arithmetic;
+:func:`dense_ids` is the original surrogate-key specialization.
+
+Every global-window site in the plans (`a24_revenue_gini`,
+`a16_rfm_segmentation`, `a17_pareto_customers`,
+`operators.sketch.equidepth_bins`, `plans.etl.build_dims`) exposes
+``scale_safe: bool = False``: the default keeps the single-partition
+window (bit-identical to the DuckDB oracle plans), ``True`` routes
+through these helpers — equivalence-tested mode-vs-mode per site, with a
+plan assertion that no unpartitioned window survives
+(tests/test_plan_quality.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _cols(order_cols) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _ranged_with_pid(
+    df: DataFrame, order_cols, num_partitions: int | None
+) -> DataFrame:
+    parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    cols = _cols(order_cols)
+    ranged = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    # Materialize ONCE: repartitionByRange draws its boundaries from a
+    # random sample, so the histogram job and the ranking job below would
+    # otherwise re-execute it with DIFFERENT partition boundaries and the
+    # offsets would not match the pids (observed: correct on a 25-row dim,
+    # silently wrong on 10k rows). localCheckpoint pins the partitioning;
+    # storage is freed by the ContextCleaner when the plan is dropped.
+    return ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order_cols,
+    rank_col: str = "_rk",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global row_number() over ``order_cols`` without a single-partition
+    window. ``order_cols`` may mix names and Column sort expressions
+    (e.g. ``F.desc("x")``). Returns ``(df + rank_col, total_rows)`` —
+    the total is free from the offset histogram, so callers needing
+    COUNT(*) OVER () inline it as a literal instead of adding a second
+    global window."""
+    with_pid = _ranged_with_pid(df, order_cols, num_partitions)
+    hist = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(hist, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_cnt"]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*_cols(order_cols))
+    out = with_pid.withColumn(
+        rank_col, (off[F.col("_pid")] + F.row_number().over(w)).cast("long")
+    ).drop("_pid")
+    return out, acc
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    cum_col: str = "_cum",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+):
+    """Global running sum of ``value_col`` in ``order_cols`` order without
+    a single-partition window: per-partition window cumsum + driver
+    prefix-sum of the numPartitions partial sums.
+
+    ``value_col`` must be exactly summable (integral or DECIMAL): the
+    driver-side offset addition reorders the reduction, which is only
+    order-independent for exact types. Passing a raw double raises.
+    Returns ``(df + cum_col, grand_total)`` (grand_total as a Python
+    int/Decimal)."""
+    dtype = dict(df.dtypes)[value_col]
+    if dtype in ("double", "float"):
+        raise ValueError(
+            f"two_phase_cumsum needs an exactly-summable {value_col!r}; "
+            f"cast the {dtype} to DECIMAL first (driver-side offset "
+            "addition reorders the reduction)"
+        )
+    with_pid = _ranged_with_pid(df, order_cols, num_partitions)
+    hist = with_pid.groupBy("_pid").agg(
+        F.sum(value_col).alias("_s")
+    ).collect()
+    offsets, acc = {}, 0
+    for row in sorted(hist, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_s"] if row["_s"] is not None else 0
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = F.sum(value_col).over(w)
+    if exclusive:
+        within = F.coalesce(within, F.lit(0))
+    out = with_pid.withColumn(
+        cum_col, off[F.col("_pid")] + within
+    ).drop("_pid")
+    return out, acc
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """Spark's exact ntile(k) bucket for a 1-based global ``rank`` over
+    ``n`` rows, as pure integer arithmetic on driver-side literals:
+    the first n % k buckets hold n DIV k + 1 rows, the rest n DIV k —
+    bit-identical to the built-in window function, so the scale_safe
+    RFM path hashes the same as the default."""
+    base, pad = n // k, n % k
+    threshold = pad * (base + 1)
+    first = (rank - 1) / (base + 1)  # integral: rank is long
+    first = F.floor(first) + 1
+    if base == 0:
+        # n < k: every row is in the padded head; the else-branch would
+        # divide by zero.
+        return first.cast("int")
+    rest = F.lit(pad) + F.floor((rank - threshold - 1) / base) + 1
+    return (
+        F.when(rank <= threshold, first).otherwise(rest).cast("int")
+    )
 
 
 def dense_ids(
@@ -35,36 +164,11 @@ def dense_ids(
     id_col: str = "id",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Assign dense 1..n ids in ascending ``key`` order, in parallel."""
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, F.col(key)).sortWithinPartitions(key)
-    # Materialize ONCE: repartitionByRange draws its boundaries from a
-    # random sample, so the histogram job and the ranking job below would
-    # otherwise re-execute it with DIFFERENT partition boundaries and the
-    # offsets would not match the pids (observed: correct on a 25-row dim,
-    # silently wrong on 10k rows). localCheckpoint pins the partitioning;
-    # storage is freed by the ContextCleaner when the plan is dropped.
-    with_pid = ranged.withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    """Assign dense 1..n ids in ascending ``key`` order, in parallel.
 
-    # Tiny driver round-trip: one (pid, count) row per partition.
-    hist = (
-        with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for row in sorted(hist, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["_cnt"]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-
-    w = Window.partitionBy("_pid").orderBy(key)
-    return (
-        with_pid.withColumn(
-            id_col,
-            (off[F.col("_pid")] + F.row_number().over(w)).cast("long"),
-        )
-        .drop("_pid")
-    )
+    Ids are dense 1..n in natural-key order regardless of where the
+    range partitioner draws its boundaries. Keys are assumed unique
+    (true for every reference dim); with duplicates the ordering among
+    equals follows the partition sort and ids remain dense."""
+    out, _ = two_phase_rank(df, [key], id_col, num_partitions)
+    return out

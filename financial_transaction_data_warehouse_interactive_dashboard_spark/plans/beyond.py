@@ -195,6 +195,7 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= 0.3
     ORDER BY id_a, id_b
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive word-5-gram Jaccard near-dup pairs (shared-shingle block).
@@ -433,7 +434,7 @@ _CLUSTER_SPLIT_CASE = SP.sql_split_column(
     ORDER BY doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    # promoted r6 (rotation: first driver row)
 )
 def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/test split: a document's split is decided by
@@ -638,6 +639,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 10
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 8 vectors.
@@ -1264,8 +1266,7 @@ def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             IS NULL) AS is_current
     FROM v ORDER BY custkey, version
     """,
-    # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    # Promoted r6 (rotation: first driver row).
 )
 def wh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history (operators.scd.scd2_from_changes):
@@ -1871,6 +1872,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS purchased_after_click
     FROM firsts
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel by first-occurrence ordering.
@@ -1918,6 +1920,7 @@ def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
            day_value
     FROM daily ORDER BY day
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day rolling event count — a RANGE window frame over epoch
@@ -2273,7 +2276,9 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
     driver=False,
 )
-def a16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a16_rfm_segmentation(
+    spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
+) -> DataFrame:
     """RFM customer segmentation — the classic financial-warehouse
     marketing analysis (recency / frequency / monetary quintiles +
     rule-based segment labels) that the reference's KPI dashboard
@@ -2281,7 +2286,13 @@ def a16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer; the quintile windows run over the customer-level frame
     (|customers|, not |orders|) with custkey tie-breaks so every ntile
     bucket is a deterministic total order — identical in DuckDB, which
-    is what lets the oracle pin bucket membership exactly."""
+    is what lets the oracle pin bucket membership exactly.
+
+    ``scale_safe=True`` replaces each global ntile window with
+    two_phase_rank + ntile_from_rank (operators.surrogate): three
+    parallel range-shuffles instead of three single-partition sorts,
+    bit-identical bucket numbers (Spark's exact ntile padding rule in
+    integer arithmetic; equivalence-tested)."""
     from pyspark.sql.window import Window
 
     orders = _t(spark, sf_dir, "orders")
@@ -2299,26 +2310,40 @@ def a16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recency_days", F.datediff("_maxd", "_last"))
         .drop("_last", "_maxd")
     )
-    scored = (
-        agg.withColumn(
-            "r_score",
-            F.ntile(5).over(
-                Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
-            ),
+    if scale_safe:
+        from ..operators.surrogate import ntile_from_rank, two_phase_rank
+
+        scored = agg
+        for score, order in (
+            ("r_score", [F.desc("recency_days"), F.asc("custkey")]),
+            ("f_score", [F.asc("frequency"), F.asc("custkey")]),
+            ("m_score", [F.asc("monetary"), F.asc("custkey")]),
+        ):
+            scored, n = two_phase_rank(scored, order, "_rk")
+            scored = scored.withColumn(
+                score, ntile_from_rank(F.col("_rk"), n, 5)
+            ).drop("_rk")
+    else:
+        scored = (
+            agg.withColumn(
+                "r_score",
+                F.ntile(5).over(
+                    Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+                ),
+            )
+            .withColumn(
+                "f_score",
+                F.ntile(5).over(
+                    Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+                ),
+            )
+            .withColumn(
+                "m_score",
+                F.ntile(5).over(
+                    Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+                ),
+            )
         )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(
-                Window.orderBy(F.asc("frequency"), F.asc("custkey"))
-            ),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(
-                Window.orderBy(F.asc("monetary"), F.asc("custkey"))
-            ),
-        )
-    )
     seg = (
         F.when(
             (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
@@ -2362,17 +2387,21 @@ def a16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
     driver=False,
 )
-def a17_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a17_pareto_customers(
+    spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
+) -> DataFrame:
     """Pareto / ABC revenue concentration — rank customers by revenue,
     running revenue share, A/B/C class at the 50%/80% cut points (the
     'which customers are 80% of the business' dashboard staple).
 
     The cumulative window runs over the CUSTOMER-level aggregate —
-    |customers| rows, not |orders| — which keeps the global-order
-    window honest at scale (a 100 TB fact table still aggregates to a
-    manageable customer frame; were even that too big, the two-phase
-    partition-offset pattern in operators.surrogate generalizes to
-    cumulative sums). Deterministic total order via the custkey
+    |customers| rows, not |orders| — bounded by default;
+    ``scale_safe=True`` swaps it for operators.surrogate.
+    two_phase_cumsum over the EXACT decimal cents (per-partition window
+    cumsum + driver prefix-sum of numPartitions partial sums, no
+    single-partition funnel; exact decimals make the reordered
+    reduction order-independent, and the grand total comes free as the
+    share denominator). Deterministic total order via the custkey
     tie-break; share rounded before classification so the class
     boundaries are engine-stable."""
     from pyspark.sql.window import Window
@@ -2383,14 +2412,32 @@ def a17_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
-    w_cum = Window.orderBy(F.desc("revenue"), F.asc("custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    c = rev.withColumn(
-        "cum_share",
-        F.round(F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6),
-    )
+    if scale_safe:
+        from ..operators.surrogate import two_phase_cumsum
+
+        # revenue doubles are exact cents (decimal(30,2) sums < 2^53),
+        # so the decimal round-trip loses nothing.
+        rd = rev.withColumn("_rd", F.col("revenue").cast("decimal(30,2)"))
+        cum, total = two_phase_cumsum(
+            rd, [F.desc("revenue"), F.asc("custkey")], "_rd", "_cum"
+        )
+        c = cum.withColumn(
+            "cum_share",
+            F.round(
+                F.col("_cum").cast("double") / F.lit(float(total)), 6
+            ),
+        ).drop("_rd", "_cum")
+    else:
+        w_cum = Window.orderBy(
+            F.desc("revenue"), F.asc("custkey")
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy()
+        c = rev.withColumn(
+            "cum_share",
+            F.round(
+                F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
+            ),
+        )
     cls = (
         F.when(F.col("cum_share") <= 0.5, "A")
         .when(F.col("cum_share") <= 0.8, "B")
@@ -2661,6 +2708,7 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents)
     ORDER BY doc_id
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature-extraction + resize-planning in one
@@ -3061,6 +3109,176 @@ def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_zorder_skipping",
+    """
+    WITH o AS (SELECT o_custkey, o_totalprice FROM orders),
+    s AS (SELECT min(o_custkey) AS alo, max(o_custkey) AS ahi,
+                 min(o_totalprice) AS blo, max(o_totalprice) AS bhi
+          FROM o),
+    b AS (SELECT o_custkey, o_totalprice,
+                 CAST(least(floor((o_custkey - alo) * 15 / (ahi - alo)),
+                            15) AS BIGINT) AS ab,
+                 CAST(least(floor((o_totalprice - blo) * 15 / (bhi - blo)),
+                            15) AS BIGINT) AS bb
+          FROM o CROSS JOIN s),
+    f AS (SELECT o_custkey, o_totalprice,
+                 ((ab >> 2) & 1) + 2 * ((bb >> 2) & 1)
+                 + 4 * ((ab >> 3) & 1) + 8 * ((bb >> 3) & 1) AS zfile,
+                 ab AS lfile
+          FROM b),
+    pz AS (SELECT zfile, min(o_custkey) AS cklo, max(o_custkey) AS ckhi,
+                  min(o_totalprice) AS tplo, max(o_totalprice) AS tphi
+           FROM f GROUP BY 1),
+    pl AS (SELECT lfile, min(o_custkey) AS cklo, max(o_custkey) AS ckhi,
+                  min(o_totalprice) AS tplo, max(o_totalprice) AS tphi
+           FROM f GROUP BY 1),
+    az AS (
+      SELECT 'zorder' AS layout, count(*) AS n_files,
+             CAST(sum(CASE WHEN tplo <= blo + CAST(0.1 AS DOUBLE)
+                                         * (bhi - blo)
+                            AND tphi >= blo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS files_scanned,
+             round(CAST(sum(CAST(ckhi - cklo AS DECIMAL(30,0)))
+                        AS DOUBLE) / count(*), 6) AS avg_span_custkey,
+             round(CAST(sum(CAST(round(tphi - tplo, 6) AS DECIMAL(30,6)))
+                        AS DOUBLE) / count(*), 6) AS avg_span_totalprice
+      FROM pz CROSS JOIN s),
+    al AS (
+      SELECT 'linear' AS layout, count(*) AS n_files,
+             CAST(sum(CASE WHEN tplo <= blo + CAST(0.1 AS DOUBLE)
+                                         * (bhi - blo)
+                            AND tphi >= blo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS files_scanned,
+             round(CAST(sum(CAST(ckhi - cklo AS DECIMAL(30,0)))
+                        AS DOUBLE) / count(*), 6) AS avg_span_custkey,
+             round(CAST(sum(CAST(round(tphi - tplo, 6) AS DECIMAL(30,6)))
+                        AS DOUBLE) / count(*), 6) AS avg_span_totalprice
+      FROM pl CROSS JOIN s)
+    SELECT * FROM az UNION ALL SELECT * FROM al ORDER BY layout
+    """,
+    # New r6 (driver-facing from birth — VERDICT r5 ask #5: put the
+    # Z-order storage-layout claim under the hard signal).
+)
+def wh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order/file-skipping proof as a DRIVER query (r5 verdict ask
+    #5): write orders under TWO physical layouts — Morton-interleaved
+    (bits=4 over o_custkey x o_totalprice, file = top 4 Morton bits) and
+    linear (file = o_custkey bucket) — then audit the ACTUAL parquet
+    files and return, per layout: file count, how many files a
+    10%-range o_totalprice predicate must scan under min/max-stat
+    skipping, and the mean per-file span of each dim.
+
+    Determinism that makes this oracle-able: file membership is an
+    arithmetic function of the row (explicit bucket exprs +
+    partitionBy(file) after repartition(file) — exactly one parquet
+    file per bucket dir, no sampled range boundaries), so DuckDB
+    replays the same bucket arithmetic and per-bucket min/max with no
+    filesystem at all. The Spark side still measures the REAL files
+    (input_file_name after read-back): if the physical layout ever
+    drifted from the arithmetic claim (two files in a dir, rows in the
+    wrong bucket), n_files or a span would diverge and the hash gate
+    fails — the storage claim is what's under test. Expected shape:
+    linear scans ~all files for the o_totalprice predicate (slabs of
+    o_custkey), Z-order scans ~sqrt share with BOTH dims' spans
+    contracted (the wh sibling of tests/test_warehouse.py's plan-level
+    proof).
+
+    Like wh_gold_maintenance this is a storage JOB, not a lazy plan.
+    Reference analogue: none (the reference keeps one CSV)."""
+    import tempfile
+
+    from ..sources.warehouse import morton_code
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    st = orders.agg(
+        F.min("o_custkey").alias("alo"),
+        F.max("o_custkey").alias("ahi"),
+        F.min("o_totalprice").alias("blo"),
+        F.max("o_totalprice").alias("bhi"),
+    ).collect()[0]
+    alo, ahi, blo, bhi = st["alo"], st["ahi"], st["blo"], st["bhi"]
+    mins = {"o_custkey": alo, "o_totalprice": blo}
+    maxs = {"o_custkey": ahi, "o_totalprice": bhi}
+    z = morton_code(["o_custkey", "o_totalprice"], mins, maxs, bits=4)
+    zfile = F.shiftright(z, 4).cast("int")
+    lfile = (
+        F.least(
+            F.floor(
+                (F.col("o_custkey") - F.lit(alo)) * 15
+                / F.lit((ahi - alo) or 1)
+            ),
+            F.lit(15).cast("long"),
+        )
+    ).cast("int")
+    base = tempfile.mkdtemp(prefix="ftdw-zorder-skip-")
+    for col, expr, sub in (("zfile", zfile, "z"), ("lfile", lfile, "l")):
+        (
+            orders.withColumn(col, expr)
+            .repartition(col)
+            .write.mode("overwrite")
+            .partitionBy(col)
+            .parquet(f"{base}/{sub}")
+        )
+    hi = blo + 0.1 * (bhi - blo)
+
+    def audit(sub: str, col: str, layout: str) -> DataFrame:
+        back = spark.read.parquet(f"{base}/{sub}")
+        per = (
+            back.withColumn("f", F.input_file_name())
+            .groupBy(col)
+            .agg(
+                F.countDistinct("f").alias("nf"),
+                F.min("o_custkey").alias("cklo"),
+                F.max("o_custkey").alias("ckhi"),
+                F.min("o_totalprice").alias("tplo"),
+                F.max("o_totalprice").alias("tphi"),
+            )
+        )
+        return per.agg(
+            F.sum("nf").cast("bigint").alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("tplo") <= F.lit(hi))
+                    & (F.col("tphi") >= F.lit(blo)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("files_scanned"),
+            F.round(
+                F.sum((F.col("ckhi") - F.col("cklo")).cast("decimal(30,0)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_span_custkey"),
+            F.round(
+                F.sum(
+                    F.round(F.col("tphi") - F.col("tplo"), 6).cast(
+                        "decimal(30,6)"
+                    )
+                )
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_span_totalprice"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "n_files",
+            "files_scanned",
+            "avg_span_custkey",
+            "avg_span_totalprice",
+        )
+
+    return (
+        audit("z", "zfile", "zorder")
+        .unionAll(audit("l", "lfile", "linear"))
+        .orderBy("layout")
+    )
+
+
+@query(
     "st_tumbling_hourly",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -3125,6 +3343,7 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator (applyInPandasWithState +
@@ -3478,7 +3697,9 @@ def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a13_percentile_sketch).
     driver=False,
 )
-def ev_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ev_equidepth_histogram(
+    spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
+) -> DataFrame:
     """EQUI-DEPTH histogram (8 bins of ~equal row count) of the event
     value — the optimizer-statistics / distribution-panel companion to
     the equi-width ev_value_histogram. Ties never straddle bins: every
@@ -3492,12 +3713,13 @@ def ev_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is BOUNDED by the value domain (~50k rows) no matter the
     corpus size — and the prefix-sum window runs on that bounded frame,
     not the fact. For genuinely continuous (unbounded-distinct) measures
-    the same prefix-sum goes two-phase per partition, exactly the
-    operators.surrogate machinery."""
+    pass ``scale_safe=True``: the prefix-sum goes two-phase per
+    partition (operators.surrogate.two_phase_cumsum, bit-identical
+    bigint cum_excl, equivalence-tested)."""
     from ..operators.sketch import equidepth_bins
 
     events = _t(spark, sf_dir, "events")
-    return equidepth_bins(events, "value", k=8)
+    return equidepth_bins(events, "value", k=8, scale_safe=scale_safe)
 
 
 @query(
@@ -3527,8 +3749,7 @@ def ev_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
     FROM x GROUP BY doc_id ORDER BY doc_id
     """,
-    # New r5 (locally pinned; r6 rotation candidate for the mm family).
-    driver=False,
+    # Promoted r6 (rotation: first driver row for the decoder tier).
 )
 def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio feature extraction end-to-end (operators.multimodal.

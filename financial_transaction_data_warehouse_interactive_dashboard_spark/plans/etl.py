@@ -118,8 +118,22 @@ def remap_country(symbols: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-def _with_ordinal_id(df: DataFrame, id_col: str, order_col: str) -> DataFrame:
-    """W4: dense ordinal surrogate key by natural-key order (etl.ipynb:52)."""
+def _with_ordinal_id(
+    df: DataFrame, id_col: str, order_col: str, scale_safe: bool = False
+) -> DataFrame:
+    """W4: dense ordinal surrogate key by natural-key order (etl.ipynb:52).
+
+    ``scale_safe=True`` assigns the same dense 1..n ids through
+    operators.surrogate.dense_ids (two-phase partition-offset rank, no
+    single-partition window) — for dimensions past a few million rows;
+    equivalence-tested against the window path."""
+    if scale_safe:
+        from ..operators.surrogate import dense_ids
+
+        cols = df.columns
+        return dense_ids(df, order_col, id_col).select(
+            F.col(id_col).cast("int").alias(id_col), *cols
+        )
     w = Window.orderBy(order_col)
     return df.select(
         F.row_number().over(w).cast("int").alias(id_col), "*"
@@ -127,7 +141,10 @@ def _with_ordinal_id(df: DataFrame, id_col: str, order_col: str) -> DataFrame:
 
 
 def build_dims(
-    account_clean: DataFrame, symbols_mapped: DataFrame, spark: SparkSession
+    account_clean: DataFrame,
+    symbols_mapped: DataFrame,
+    spark: SparkSession,
+    scale_safe: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Dimension builds: distinct -> sort -> row_number (A6/O1/W4).
 
@@ -135,17 +152,20 @@ def build_dims(
     dim_symbol :83-87; dim_transaction_type :89-95.
     """
     dim_time = _with_ordinal_id(
-        account_clean.select("quarter").distinct(), "time_id", "quarter"
+        account_clean.select("quarter").distinct(), "time_id", "quarter",
+        scale_safe,
     )
     dim_geography = _with_ordinal_id(
         symbols_mapped.select("country_name").where(F.col("country_name").isNotNull()).distinct(),
         "geography_id",
         "country_name",
+        scale_safe,
     )
     dim_symbol = _with_ordinal_id(
         symbols_mapped.select("symbol", "company_name", "sector", "industry"),
         "symbol_id",
         "symbol",
+        scale_safe,
     )
     dim_transaction_type = _with_ordinal_id(
         account_clean.select(
@@ -153,6 +173,7 @@ def build_dims(
         ).distinct(),
         "transaction_type_id",
         "transaction_type",
+        scale_safe,
     )
     return dim_time, dim_geography, dim_symbol, dim_transaction_type
 

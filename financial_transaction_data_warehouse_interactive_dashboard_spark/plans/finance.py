@@ -477,7 +477,7 @@ ATTR_LOOKBACK_S = 7 * 86400
              AS attributed_value
     FROM m GROUP BY 1 ORDER BY channel
     """,
-    driver=False,
+    # promoted r6 (rotation: first driver row)
 )
 def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: each purchase is credited to the
@@ -903,7 +903,7 @@ FX_MONTHS = 80  # 1995-01 .. 2001-08 covers the orders fixture
     FROM j GROUP BY 1 ORDER BY ccy
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=False,
+    # promoted r6 (rotation: first driver row)
 )
 def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency conversion through an AS-OF rate lookup — the canonical
@@ -1002,7 +1002,7 @@ def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m GROUP BY 1 ORDER BY brand
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=False,
+    # promoted r6 (rotation: first driver row)
 )
 def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand triangle participation in the co-purchase graph — the
@@ -1055,9 +1055,11 @@ def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=False,
+    # promoted r6 (rotation: first driver row)
 )
-def a24_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a24_revenue_gini(
+    spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
+) -> DataFrame:
     """Gini coefficient of customer revenue concentration — the
     single-number inequality metric beside the Pareto/ABC curve (a17):
     G = 2*sum(rank_i * x_i)/(n * sum(x)) - (n+1)/n over spend sorted
@@ -1067,21 +1069,33 @@ def a24_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, written identically in the oracle.
 
     Scale shape: per-customer aggregate (the corpus shuffle), then a
-    rank window over the CUSTOMER frame — bounded by customer count,
-    with the two-phase surrogate machinery as the documented huge-
-    dimension fallback — and a 1-row reduction."""
+    rank window over the CUSTOMER frame — bounded by customer count by
+    default; ``scale_safe=True`` swaps the global window for the
+    two-phase partition-offset rank (operators.surrogate.two_phase_rank)
+    and inlines n from its offset histogram, so no row ever funnels
+    through a single sort task. Ranks are identical integers either way
+    (equivalence-tested), default stays on the oracle plan."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("s")
     )
-    w = Window.orderBy("s", "o_custkey")
-    r = spend.select(
-        "s",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    if scale_safe:
+        from ..operators.surrogate import two_phase_rank
+
+        ranked, n_total = two_phase_rank(spend, ["s", "o_custkey"], "rk")
+        r = ranked.select(
+            "s", F.col("rk").cast("int").alias("rk"),
+            F.lit(n_total).cast("bigint").alias("n"),
+        )
+    else:
+        w = Window.orderBy("s", "o_custkey")
+        r = spend.select(
+            "s",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
     cents = (F.col("s") * 100).cast("bigint")
     t = r.agg(
         F.sum((F.col("rk") * cents).cast("decimal(38,0)"))

@@ -73,6 +73,16 @@ def query(name: str, oracle: str | None, driver: bool = True):
       j7_name_remap, f4_contains, c1_timestamp_roundtrip,
       a8_rollup_region_nation, w4_surrogate_keys (all driver-green r4
       or earlier; w4 additionally equivalence-tested locally).
+    - r6 in (all first-timers): a23_brand_triangles, a24_revenue_gini,
+      ev_attribution_last_touch, j8_fx_convert, mm_wav_features,
+      wh_scd2_history, tx_split_by_cluster (its oracle replays the full
+      LSH->components->split chain), wh_zorder_skipping (new this
+      round: storage-layout audit under the hard signal).
+    - r6 out: q2_top_priorities_q4, q3_quarter_ranking (q1 triple-covers
+      F1+A1+O2), ev_rolling_7d, ev_funnel_vcp, dd_ngram_jaccard,
+      sim_topk_bruteforce, mm_features_resize, st_sessionize_stateful
+      (all driver-green r5 + earlier; the two carried perf-weak entries
+      keep their measured ratios in BENCH_DETAIL either way).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -173,6 +183,7 @@ def q1_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, priority ASC
     LIMIT 5
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape — filter (type ∧ quarter) -> group count -> top-5.
@@ -202,6 +213,7 @@ def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY n DESC, quarter ASC
     """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
 )
 def q3_quarter_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape — IN-list filter -> group by derived quarter label -> rank.
