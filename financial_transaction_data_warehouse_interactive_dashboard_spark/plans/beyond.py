@@ -3510,9 +3510,13 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails if cross-batch state is dropped or leaks duplicate emits.
 
     num_state_partitions=8: state-store count sized to the check-scale
-    key domain (the standard stateful-streaming capacity knob; measured
-    2x at sf0.1 — see streaming.stream._state_partitions). A production
-    deployment sizes it to throughput instead."""
+    key domain (the standard stateful-streaming capacity knob). Cost
+    adjudicated under median-of-3 at sf0.1 (r6): 1.17x vs a single
+    state partition (4.45s vs 3.81s) — the deliberate scale posture for
+    a ~17% check-scale premium; the r4->r5 2x reading was this plus
+    host noise (numbers pinned in BENCH_DETAIL_r06.json's
+    median3_recheck block). A production deployment sizes it to
+    throughput instead."""
     return ST.run_stream_stream_join(
         spark, sf_dir, num_state_partitions=8
     ).orderBy("event_id", "v_ts")

@@ -1078,6 +1078,90 @@ def test_nlq_routing(spark):
     assert nlq.route("spearman correlation of frequency and spend") == (
         "a25_spearman_freq_spend"
     )
+    # Round-6 batch (r5 verdict ask #6): one phrase per new route.
+    assert nlq.route("approximate distinct customer cardinality") == (
+        "a5_unique_customers_approx"
+    )
+    assert nlq.route("hierarchical rollup with drilldown") == (
+        "a8_rollup_region_nation"
+    )
+    assert nlq.route("cube of all dimension combinations") == (
+        "a9_cube_status_quarter"
+    )
+    assert nlq.route("pivot quarters into a wide spreadsheet") == (
+        "a11_pivot_quarter_status"
+    )
+    assert nlq.route("spearman with average ranks for ties") == (
+        "a25_spearman_avg_rank"
+    )
+    assert nlq.route("sliding overlapping 15 minute windows") == (
+        "ev_sliding_1h_15m"
+    )
+    assert nlq.route("extract json properties from props") == (
+        "ev_props_extract"
+    )
+    assert nlq.route("asof join the latest preceding purchase") == (
+        "ev_asof_purchase"
+    )
+    assert nlq.route("views in the lookback interval range") == (
+        "ev_range_views_before_purchase"
+    )
+    assert nlq.route("dense rank ntile percentrank functions") == (
+        "w5_rank_functions"
+    )
+    assert nlq.route("ngram jaccard overlap similarity") == (
+        "dd_ngram_jaccard"
+    )
+    assert nlq.route("simhash hamming bitwise near duplicates") == (
+        "dd_simhash"
+    )
+    assert nlq.route("semantic paraphrase neardup by cosine") == (
+        "dd_embedding_neardup_blocked"
+    )
+    assert nlq.route("connected components transitive clusters") == (
+        "dd_neardup_components"
+    )
+    assert nlq.route("random hyperplane sign lsh projection") == (
+        "sim_ann_signlsh"
+    )
+    assert nlq.route("binary blob metadata bytes") == "mm_blob_meta"
+    assert nlq.route("resize to grayscale thumbnail") == (
+        "mm_features_resize"
+    )
+    assert nlq.route("subsample every nth keyframe") == "mm_frame_sample"
+    assert nlq.route("identify the language of each document") == (
+        "tx_lang_id"
+    )
+    assert nlq.route("heuristic quality score for filtering") == (
+        "tx_quality_score"
+    )
+    assert nlq.route("token counts per document bpe") == "tx_token_count"
+    assert nlq.route("text profile stopword punctuation readability") == (
+        "tx_text_profile"
+    )
+    assert nlq.route("rolling hash winnowing fingerprint") == (
+        "tx_fingerprint"
+    )
+    assert nlq.route("deduplicate the stream exactly once watermark") == (
+        "st_dedup"
+    )
+    assert nlq.route("correlate two streams with an interval join") == (
+        "st_stream_stream_join"
+    )
+    assert nlq.route("gold table maintenance partitioned upsert") == (
+        "wh_gold_maintenance"
+    )
+    assert nlq.route("zorder morton layout file skipping") == (
+        "wh_zorder_skipping"
+    )
+    # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
+    # a new entry must be placed in exactly one of them.
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    assert set(nlq.ROUTES) | set(nlq.NO_ROUTE) == set(REGISTRY)
+    assert not set(nlq.ROUTES) & set(nlq.NO_ROUTE)
     with pytest.raises(ValueError):
         nlq.route("completely unrelated gibberish xyzzy")
 
