@@ -681,6 +681,92 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_recall_at_k",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    ex AS (
+      SELECT query_id, e.vec_id AS neighbor_id
+      FROM q JOIN e ON e.vec_id != q.query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, e.vec_id ASC
+      ) <= 5),
+    b AS (SELECT vec_id, v,
+            list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+                      for i in range(0, {S.SIGN_BITS})])::BIGINT AS bkt
+          FROM e),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+           FROM b WHERE vec_id < 8),
+    ann AS (
+      SELECT query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN b ON b.bkt = qb.qbkt AND b.vec_id != qb.query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, b.vec_id ASC
+      ) <= 5),
+    na AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+    h AS (SELECT a.query_id, count(*) AS n_hits
+          FROM ann a JOIN ex ON ex.query_id = a.query_id
+                            AND ex.neighbor_id = a.neighbor_id
+          GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM ex)
+    SELECT qs.query_id,
+           CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6)
+             AS recall_at_5
+    FROM qs LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
+    ORDER BY query_id
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY measurement — recall@5 of the sign-LSH bucket path
+    against the exact brute-force top-5, per query ('measure, don't
+    guess' applied to the index itself: the number a 100 TB deployment
+    watches when tuning SIGN_BITS / nprobe, produced by the engine
+    instead of asserted in a docstring). n_ann < 5 exposes undersized
+    buckets; n_hits counts exact neighbors the ANN path found; the
+    recall denominator is the requested k, so empty buckets score 0.
+
+    Scale: the exact leg is the linear yardstick run over a bounded
+    QUERY SAMPLE (8 probes here) — evaluation cost is n_queries x
+    corpus, not corpus^2; the ANN leg is the production bucket
+    equi-join. Composes the two already-oracled retrieval pipelines and
+    re-derives both in the oracle, so the measurement is itself under
+    the hash gate. Reference analogue: none."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.topk_ann_signlsh(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    qs = exact.select("query_id").distinct()
+    na = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.join(na, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 5, 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
     "sim_ann_ivf",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

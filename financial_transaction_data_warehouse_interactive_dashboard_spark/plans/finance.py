@@ -1343,3 +1343,197 @@ def a25_spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_attribution_linear: multi-touch linear attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_attribution_linear",
+    f"""
+    WITH c AS (
+      SELECT user_id, ts,
+             max(CAST(json_extract_string(props, '$.k') AS INT) % 5)
+               AS channel
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    t AS (
+      SELECT p.event_id, p.value, c.channel
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL {ATTR_LOOKBACK_S} SECOND
+       AND c.ts < p.ts),
+    n AS (SELECT event_id, count(*) AS nt FROM t GROUP BY 1),
+    cr AS (
+      SELECT t.channel,
+             CAST(round(t.value / n.nt, 12) AS DECIMAL(32,12)) AS credit
+      FROM t JOIN n USING (event_id)),
+    att AS (
+      SELECT channel, count(*) AS n_credits,
+             CAST(sum(credit) AS DOUBLE) AS v
+      FROM cr GROUP BY 1),
+    un AS (
+      SELECT -1 AS channel, count(*) AS n_credits,
+             CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+      FROM p LEFT JOIN n USING (event_id) WHERE n.event_id IS NULL)
+    SELECT channel, n_credits, round(v, 6) AS attributed_value FROM att
+    UNION ALL
+    SELECT channel, n_credits, round(v, 6) AS attributed_value
+    FROM un WHERE n_credits > 0
+    ORDER BY channel
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the third member of the
+    attribution family (first/last touch siblings): each purchase splits
+    its value EQUALLY across every click in its trailing 7-day window
+    ([t-7d, t), same boundary convention as first-touch), so channels
+    that participate mid-journey get credit the single-touch models
+    erase. Total attributed value (including the -1 unattributed
+    bucket) conserves total purchase value up to the per-credit 12dp
+    round.
+
+    Exactness: the per-credit share value/n_touches is ONE double
+    division rounded to 12dp and cast DECIMAL(32,12) before the channel
+    sum (the per-edge-contribution pattern from PageRank), so the only
+    order-sensitive reduction is exact in both engines.
+
+    Scale: same bucketed range-join decomposition as the siblings (one
+    shuffle, candidates ~2x matches), one count aggregate keyed by
+    purchase, one channel-cardinality reduction. Reference analogue:
+    none."""
+    from ..operators.temporal import range_join_trailing
+
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", (k % 5).alias("channel"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("channel").alias("channel"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = range_join_trailing(
+        purchases, clicks, by="user_id", window_seconds=ATTR_LOOKBACK_S
+    )
+    per_p = touches.groupBy("event_id").agg(F.count("*").alias("nt"))
+    credits = touches.join(per_p, "event_id").select(
+        "r_channel",
+        F.round(F.col("value") / F.col("nt"), 12)
+        .cast("decimal(32,12)")
+        .alias("credit"),
+    )
+    att = credits.groupBy(F.col("r_channel").alias("channel")).agg(
+        F.count("*").alias("n_credits"),
+        F.round(F.sum("credit").cast("double"), 6).alias("attributed_value"),
+    )
+    un = (
+        purchases.join(per_p, "event_id", "left_anti")
+        .agg(
+            F.lit(-1).alias("channel"),
+            F.count("*").alias("n_credits"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 6
+            ).alias("attributed_value"),
+        )
+        .filter(F.col("n_credits") > 0)
+    )
+    return att.unionAll(un).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# ev_winsorized_stats: robust clipped moments per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_winsorized_stats",
+    """
+    WITH st AS (
+      SELECT event_type, count(*) AS n,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT e.event_type, st.n, st.p01, st.p99,
+             CAST(CAST(round(least(greatest(e.value, st.p01), st.p99), 6)
+                       AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS wi
+      FROM events e JOIN st USING (event_type)),
+    a AS (
+      SELECT event_type, min(n) AS n, min(p01) AS p01, min(p99) AS p99,
+             CAST(sum(CAST(wi AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(wi * wi AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM w GROUP BY 1)
+    SELECT event_type, n, round(p01, 6) AS p01, round(p99, 6) AS p99,
+           round(s / 1000000 / n, 6) AS w_mean,
+           CASE WHEN n > 1 AND s2 - s * s / n > 0
+                THEN round(sqrt((s2 - s * s / n) / (n - 1)) / 1000000, 6)
+           END AS w_std
+    FROM a ORDER BY event_type
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments per event type: clip the value at its exact
+    interpolated p01/p99 (Spark `percentile` and DuckDB `quantile_cont`
+    are bit-identical — the robust-stats bridge ev_mad_outliers
+    established), then mean/std of the CLIPPED distribution — the
+    heavy-tail-safe summary a metrics panel shows when raw means are
+    dragged by outliers, and the winsorization preprocessing step of
+    robust training pipelines.
+
+    Exactness: clipped values are rounded to 6dp and scaled to integer
+    MICRO-UNITS (bigint; |value| <= ~500 so wi <= 5e8 and wi^2 <= 2.5e17
+    — inside bigint), summed as exact DECIMAL(38,0); mean/variance go
+    double only in the final identically-parenthesized expressions.
+    Zero-variance groups yield NULL std via the shared CASE guard.
+
+    Scale: one groupBy computes n/p01/p99 per type (exact percentile —
+    for unbounded groups swap in approx_percentile; the a13 sketch entry
+    covers that contract), broadcast back, one map-side clip, one exact
+    reduction. Reference analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    st = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    wi = (
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")), 6
+        )
+        .cast("decimal(30,6)")
+        * 1000000
+    ).cast("bigint")
+    w = events.join(F.broadcast(st), "event_type").select(
+        "event_type", "n", "p01", "p99", wi.alias("wi")
+    )
+    a = w.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("p01").alias("p01"),
+        F.min("p99").alias("p99"),
+        F.sum(F.col("wi").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("wi") * F.col("wi")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    s, s2, n = F.col("s"), F.col("s2"), F.col("n")
+    return a.select(
+        "event_type",
+        "n",
+        F.round("p01", 6).alias("p01"),
+        F.round("p99", 6).alias("p99"),
+        F.round(s / 1000000 / n, 6).alias("w_mean"),
+        F.when(
+            (n > 1) & (s2 - s * s / n > 0),
+            F.round(F.sqrt((s2 - s * s / n) / (n - 1)) / 1000000, 6),
+        ).alias("w_std"),
+    ).orderBy("event_type")

@@ -136,6 +136,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "st_stream_stream_join": ("correlate", "streams", "interval", "join"),
     "wh_gold_maintenance": ("maintenance", "upsert", "partitioned", "gold"),
     "wh_zorder_skipping": ("zorder", "morton", "skipping", "layout"),
+    "ev_attribution_linear": ("linear", "multitouch", "split", "evenly", "shared"),
+    "ev_winsorized_stats": ("winsorized", "winsorize", "clipped", "clip", "trimmed"),
+    "sim_recall_at_k": ("recall", "evaluate", "evaluation", "accuracy"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -1154,6 +1154,15 @@ def test_nlq_routing(spark):
     assert nlq.route("zorder morton layout file skipping") == (
         "wh_zorder_skipping"
     )
+    assert nlq.route("linear multitouch credit split evenly") == (
+        "ev_attribution_linear"
+    )
+    assert nlq.route("winsorized stats clipped at percentiles") == (
+        "ev_winsorized_stats"
+    )
+    assert nlq.route("evaluate the recall accuracy of the index") == (
+        "sim_recall_at_k"
+    )
     # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
     # a new entry must be placed in exactly one of them.
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
