@@ -106,3 +106,44 @@ def scd2_lookup(
     # The matched version's own valid_from comes back as `{prefix}{ts_col}`
     # (asof_join aliases the right ts); rename to its real meaning.
     return out.withColumnRenamed(f"{prefix}{ts_col}", f"{prefix}valid_from")
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """CDC APPLY: fold an ordered changelog (op in {'I','U','D'}) into a
+    base snapshot — the ingestion primitive between single-batch MERGE
+    (sources.warehouse.upsert_*) and SCD-2 history (scd2_from_changes):
+    Debezium/binlog-style feeds land as (key, seq, op, values) rows, and
+    the warehouse applies the LATEST change per key, treating I and U
+    uniformly as upserts and D as a tombstone.
+
+    Output columns = base columns. ``changes`` must carry every base
+    column plus ``seq_col``/``op_col`` (value columns may be NULL on
+    'D' rows). Per key, the winning change is the max (seq, tie_break)
+    row; pass ``tie_break`` whenever seq can tie within a key (without
+    it the winner among equal seqs is sort-order dependent).
+
+    Scale: one window shuffle on the changelog's key (the changelog is
+    the DELTA — orders of magnitude under the base), one anti-join +
+    union against the base keyed the same way; no iteration, no global
+    window. Deletes never resurrect: a key whose latest op is 'D'
+    drops even if earlier ops inserted it."""
+    order = [F.col(seq_col).desc()] + (
+        [F.col(tie_break).desc()] if tie_break is not None else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cols = base.columns
+    kept = base.join(latest.select(key), key, "left_anti").select(*cols)
+    upserted = latest.filter(F.col(op_col) != "D").select(*cols)
+    return kept.unionAll(upserted)

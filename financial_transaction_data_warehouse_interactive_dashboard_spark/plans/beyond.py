@@ -3195,6 +3195,105 @@ def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+      FROM orders),
+    ch AS (
+      SELECT k, 1 AS seq, 'U' AS op, status, price + 50 AS price
+      FROM base WHERE k % 31 = 0
+      UNION ALL
+      SELECT k, 2, 'U', 'F', price + 100 FROM base WHERE k % 31 = 0
+      UNION ALL
+      SELECT k, 3, 'D', NULL, NULL FROM base WHERE k % 37 = 0
+      UNION ALL
+      SELECT k + 10000000, 1, 'I', 'O', CAST(1000.5 AS DOUBLE)
+      FROM base WHERE k % 41 = 0),
+    latest AS (
+      SELECT * FROM ch
+      QUALIFY row_number() OVER (PARTITION BY k
+                                 ORDER BY seq DESC, op DESC) = 1),
+    applied AS (
+      SELECT b.k, b.status, b.price
+      FROM base b LEFT JOIN latest l ON b.k = l.k WHERE l.k IS NULL
+      UNION ALL
+      SELECT k, status, price FROM latest WHERE op <> 'D')
+    SELECT status, count(*) AS n,
+           CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+    FROM applied GROUP BY 1 ORDER BY 1
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators.scd.apply_changelog): a
+    Debezium-style ordered feed — two stacked updates on the %31 keys
+    (last-wins ordering under test), tombstones on the %37 keys
+    (including keys that ALSO have updates: the seq-3 delete must beat
+    them), fresh inserts on shifted %41 keys — folded into the orders
+    snapshot, then audited by a status-level aggregate. The oracle
+    replays base/changelog/fold in SQL, so a resurrection, lost delete,
+    or wrong-winner update shifts a count or a decimal sum and fails the
+    hash.
+
+    Scale: the changelog is the delta (one window shuffle on its key),
+    the base passes through one anti-join; no global window, no
+    iteration. Reference analogue: none (the reference rebuilds its CSV
+    from scratch each refresh)."""
+    from ..operators.scd import apply_changelog
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    k = F.col("k")
+    ch = (
+        base.filter(k % 31 == 0)
+        .select(
+            "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            "status", (F.col("price") + 50).alias("price"),
+        )
+        .unionAll(
+            base.filter(k % 31 == 0).select(
+                "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                F.lit("F").alias("status"),
+                (F.col("price") + 100).alias("price"),
+            )
+        )
+        .unionAll(
+            base.filter(k % 37 == 0).select(
+                "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+        .unionAll(
+            base.filter(k % 41 == 0).select(
+                (k + 10000000).alias("k"),
+                F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                F.lit("O").alias("status"),
+                F.lit(1000.5).alias("price"),
+            )
+        )
+    )
+    applied = apply_changelog(
+        base.select("k", "status", "price"), ch, key="k", tie_break="op"
+    )
+    return (
+        applied.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("price").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
     "wh_zorder_skipping",
     """
     WITH o AS (SELECT o_custkey, o_totalprice FROM orders),

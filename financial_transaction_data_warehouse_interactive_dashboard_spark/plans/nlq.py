@@ -139,6 +139,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_attribution_linear": ("linear", "multitouch", "split", "evenly", "shared"),
     "ev_winsorized_stats": ("winsorized", "winsorize", "clipped", "clip", "trimmed"),
     "sim_recall_at_k": ("recall", "evaluate", "evaluation", "accuracy"),
+    "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

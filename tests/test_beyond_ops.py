@@ -1163,6 +1163,9 @@ def test_nlq_routing(spark):
     assert nlq.route("evaluate the recall accuracy of the index") == (
         "sim_recall_at_k"
     )
+    assert nlq.route("apply the cdc changelog with tombstones") == (
+        "wh_cdc_apply"
+    )
     # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
     # a new entry must be placed in exactly one of them.
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (

@@ -397,3 +397,45 @@ def test_morton_null_dims_agree_across_bucketizers(spark):
     # Non-null rows still produce non-trivial distinct codes.
     assert lin_by_id[1] != lin_by_id[3]
     assert qnt_by_id[1] != qnt_by_id[3]
+
+
+def test_apply_changelog_semantics(spark):
+    """CDC fold invariants on a handbuilt base + changelog: last change
+    wins per key, deletes tombstone (even over earlier updates and for
+    never-seen keys), inserts appear, untouched rows pass through, and
+    seq ties resolve by the tie_break deterministically."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.scd import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "val", "amt"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a1", 11.0),   # overwritten by seq 2
+            (1, 2, "U", "a2", 12.0),   # winner for k=1
+            (2, 1, "U", "b1", 21.0),   # then deleted
+            (2, 2, "D", None, None),   # k=2 gone
+            (5, 1, "I", "e", 50.0),    # new key
+            (6, 1, "I", "f", 60.0),    # inserted then deleted
+            (6, 2, "D", None, None),   # k=6 never appears
+            (3, 1, "U", "c1", 31.0),   # seq tie with the delete below
+            (3, 1, "D", None, None),   # tie: op desc -> 'U' > 'D' wins
+        ],
+        ["k", "seq", "op", "val", "amt"],
+    )
+    got = {
+        r["k"]: (r["val"], r["amt"])
+        for r in apply_changelog(
+            base, changes, key="k", tie_break="op"
+        ).collect()
+    }
+    assert got == {
+        1: ("a2", 12.0),   # last update wins
+        3: ("c1", 31.0),   # tie broken to 'U' (op desc)
+        4: ("d", 40.0),    # untouched passthrough
+        5: ("e", 50.0),    # insert
+        # 2 and 6 tombstoned
+    }
