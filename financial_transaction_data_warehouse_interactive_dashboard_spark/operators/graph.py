@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -370,3 +371,56 @@ def connected_components_star(
     return e.select(F.col("u").alias("node"), F.col("v").alias("lbl")).union(
         roots
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, community) after ``iterations`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007) over the symmetric edge list in
+    ``edges``: every node starts as its own community and each round
+    adopts the most frequent label among its neighbors, ties broken to
+    the SMALLEST label — the deterministic variant (classic LPA breaks
+    ties randomly, which would be neither reproducible nor oracle-able).
+
+    Same Pregel-lite skeleton as :func:`pagerank`: one shuffle per round
+    (neighbor-label count keyed by destination), per-round label frame
+    localCheckpoint-ed so round N never replays rounds 1..N-1, fixed
+    round count so the job graph is static. All arithmetic is integer
+    counts + string min — no float anywhere, so the DuckDB unrolled-CTE
+    twin matches exactly.
+
+    ``edges`` must already contain both directions of each undirected
+    edge (pass ordered=False co-occurrence pairs); nodes are derived
+    from the edge list, so isolated vertices are out of scope (they are
+    their own singleton communities trivially)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -1537,3 +1537,67 @@ def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt((s2 - s * s / n) / (n - 1)) / 1000000, 6),
         ).alias("w_std"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# a26: brand communities via deterministic label propagation
+# ---------------------------------------------------------------------------
+
+LPA_ITER = 3
+
+
+def _lpa_iter_cte(i: int) -> str:
+    return f"""l{i} AS (
+      SELECT e.dst AS node, l.lbl
+      FROM e JOIN l{i - 1} l ON e.src = l.node
+      GROUP BY e.dst, l.lbl
+      QUALIFY row_number() OVER (
+        PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl ASC) = 1)"""
+
+
+@query(
+    "a26_brand_communities",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    e AS (
+      SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand),
+    l0 AS (
+      SELECT node, node AS lbl FROM (
+        SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    {", ".join(_lpa_iter_cte(i) for i in range(1, LPA_ITER + 1))}
+    SELECT node AS brand, lbl AS community
+    FROM l{LPA_ITER} ORDER BY brand
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def a26_brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the brand co-purchase graph — the FOURTH
+    graph algorithm in the iterative tier (components, PageRank,
+    triangles, now label propagation): {LPA_ITER} synchronous LPA rounds
+    (operators.graph.label_propagation) where each brand adopts its
+    neighbors' majority label, ties to the smallest label — the
+    deterministic variant of Raghavan et al.'s near-linear community
+    algorithm (classic LPA's random tie-break would be neither
+    reproducible nor oracle-able, the same determinism trade a25
+    documents for Spearman).
+
+    The oracle unrolls the same {LPA_ITER} rounds as SQL CTEs; every
+    operation is integer counts + string ordering, so the match is
+    exact by construction — no float anywhere. Scale shape: one
+    neighbor-label count shuffle per round over the bounded
+    entity-graph frame, labels checkpointed per round (the Pregel-lite
+    skeleton). Reference analogue: none."""
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(_order_brands(spark, sf_dir), ordered=False)
+    return (
+        label_propagation(edges, iterations=LPA_ITER)
+        .select(F.col("node").alias("brand"), F.col("community"))
+        .orderBy("brand")
+    )

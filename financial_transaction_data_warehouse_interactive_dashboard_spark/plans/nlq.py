@@ -140,6 +140,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_winsorized_stats": ("winsorized", "winsorize", "clipped", "clip", "trimmed"),
     "sim_recall_at_k": ("recall", "evaluate", "evaluation", "accuracy"),
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
+    "a26_brand_communities": ("community", "communities", "propagation", "modular"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -1166,6 +1166,9 @@ def test_nlq_routing(spark):
     assert nlq.route("apply the cdc changelog with tombstones") == (
         "wh_cdc_apply"
     )
+    assert nlq.route("detect communities by label propagation") == (
+        "a26_brand_communities"
+    )
     # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
     # a new entry must be placed in exactly one of them.
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (

@@ -471,3 +471,47 @@ def test_spearman_avg_rank_matches_bruteforce(spark, duck_smoke):
         for r in REGISTRY["a25_spearman_freq_spend"].spark(spark, SF_SMOKE).collect()
     }
     assert any(got[s] != total_order[s] for s in got)
+
+
+def test_label_propagation_handbuilt_communities(spark):
+    """Deterministic LPA on two 4-cliques joined by one bridge edge must
+    (a) match an independent Python simulation of the same synchronous
+    majority/min-tie rule round by round, and (b) separate the cliques
+    into two communities (the bridge must not merge them)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cliq1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    cliq2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a != b]
+    bridge = [(4, 10), (10, 4)]
+    edges = cliq1 + cliq2 + bridge
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    # Independent simulation of the synchronous deterministic rule.
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for s, d in edges:
+        nbrs[s].add(d)
+    lbl = {v: v for v in nbrs}
+    for _ in range(3):
+        new = {}
+        for v in nbrs:
+            c = Counter(lbl[u] for u in nbrs[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lbl = new
+
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got == lbl, (got, lbl)
+    comms = defaultdict(set)
+    for v, c in got.items():
+        comms[c].add(v)
+    assert len(comms) == 2
+    assert {frozenset(m) for m in comms.values()} == {
+        frozenset({1, 2, 3, 4}), frozenset({10, 11, 12, 13})
+    }
