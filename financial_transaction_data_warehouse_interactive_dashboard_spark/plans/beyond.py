@@ -1700,6 +1700,70 @@ def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40
+
+
+@query(
+    "tx_chunk_documents",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws, len(ws) AS nw FROM w),
+    s AS (SELECT doc_id, ws, nw,
+                 unnest(range(1, greatest(nw - {CHUNK_WORDS - CHUNK_STRIDE},
+                                          1) + 1, {CHUNK_STRIDE})) AS st
+          FROM n)
+    SELECT doc_id,
+           CAST((st - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(st AS BIGINT) AS start_word,
+           CAST(least({CHUNK_WORDS}, nw - st + 1) AS BIGINT) AS n_words,
+           array_to_string(
+             list_slice(ws, st, least(st + {CHUNK_WORDS - 1}, nw)), ' ')
+             AS chunk_text
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document CHUNKING — the context-window splitter of
+    every RAG/pretraining pipeline: each document becomes overlapping
+    {CHUNK_WORDS}-word chunks at stride {CHUNK_STRIDE} ({CHUNK_WORDS -
+    CHUNK_STRIDE}-word overlap so no boundary-spanning text is lost),
+    with start offsets so chunks map back to their source span. Start
+    positions are sequence(1, max(n_words - overlap, 1), stride): every
+    word is covered, the final chunk may run short, and a document
+    shorter than one stride still yields exactly one chunk (including
+    the empty document, whose single chunk is the empty string — the
+    split('') == [''] convention both engines share).
+
+    Pure codegen: split + sequence + explode + slice + concat_ws — no
+    UDF, no shuffle at all (chunking is embarrassingly map-side; the
+    ORDER BY is presentation). Output size ~ n_words/stride rows per
+    doc; at 100 TB this runs as a map-only pass whose output feeds
+    straight into the tokenize/pack stages (tx_token_count,
+    tx_pack_sequences). Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    d = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("nw"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(
+            F.col("nw") - (CHUNK_WORDS - CHUNK_STRIDE), F.lit(1)
+        ),
+        F.lit(CHUNK_STRIDE),
+    )
+    c = d.select("doc_id", "nw", "ws", F.explode(starts).alias("st"))
+    chunk = F.slice("ws", F.col("st"), CHUNK_WORDS)
+    return c.select(
+        "doc_id",
+        ((F.col("st") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("st").cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 @query(
     "tx_pack_sequences",
     """
@@ -3194,62 +3258,21 @@ def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "wh_cdc_apply",
-    """
-    WITH base AS (
-      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
-      FROM orders),
-    ch AS (
-      SELECT k, 1 AS seq, 'U' AS op, status, price + 50 AS price
-      FROM base WHERE k % 31 = 0
-      UNION ALL
-      SELECT k, 2, 'U', 'F', price + 100 FROM base WHERE k % 31 = 0
-      UNION ALL
-      SELECT k, 3, 'D', NULL, NULL FROM base WHERE k % 37 = 0
-      UNION ALL
-      SELECT k + 10000000, 1, 'I', 'O', CAST(1000.5 AS DOUBLE)
-      FROM base WHERE k % 41 = 0),
-    latest AS (
-      SELECT * FROM ch
-      QUALIFY row_number() OVER (PARTITION BY k
-                                 ORDER BY seq DESC, op DESC) = 1),
-    applied AS (
-      SELECT b.k, b.status, b.price
-      FROM base b LEFT JOIN latest l ON b.k = l.k WHERE l.k IS NULL
-      UNION ALL
-      SELECT k, status, price FROM latest WHERE op <> 'D')
-    SELECT status, count(*) AS n,
-           CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total_price
-    FROM applied GROUP BY 1 ORDER BY 1
-    """,
-    # New r6 (locally pinned; future rotation candidate).
-    driver=False,
-)
-def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC changelog apply (operators.scd.apply_changelog): a
-    Debezium-style ordered feed — two stacked updates on the %31 keys
-    (last-wins ordering under test), tombstones on the %37 keys
-    (including keys that ALSO have updates: the seq-3 delete must beat
-    them), fresh inserts on shifted %41 keys — folded into the orders
-    snapshot, then audited by a status-level aggregate. The oracle
-    replays base/changelog/fold in SQL, so a resurrection, lost delete,
-    or wrong-winner update shifts a count or a decimal sum and fails the
-    hash.
-
-    Scale: the changelog is the delta (one window shuffle on its key),
-    the base passes through one anti-join; no global window, no
-    iteration. Reference analogue: none (the reference rebuilds its CSV
-    from scratch each refresh)."""
-    from ..operators.scd import apply_changelog
-
-    base = _t(spark, sf_dir, "orders").select(
+def _cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
     )
+
+
+def _cdc_changelog(base: DataFrame) -> DataFrame:
+    """The synthetic ordered CDC feed both wh_cdc_apply and the
+    streaming st_cdc_apply fold (shared so the two can never drift):
+    stacked updates on %31 keys, seq-3 tombstones on %37 keys, shifted
+    inserts on %41 keys — mirrored verbatim in the shared oracle SQL."""
     k = F.col("k")
-    ch = (
+    return (
         base.filter(k % 31 == 0)
         .select(
             "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
@@ -3278,9 +3301,9 @@ def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    applied = apply_changelog(
-        base.select("k", "status", "price"), ch, key="k", tie_break="op"
-    )
+
+
+def _cdc_audit(applied: DataFrame) -> DataFrame:
     return (
         applied.groupBy("status")
         .agg(
@@ -3291,6 +3314,91 @@ def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_CDC_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+      FROM orders),
+    ch AS (
+      SELECT k, 1 AS seq, 'U' AS op, status, price + 50 AS price
+      FROM base WHERE k % 31 = 0
+      UNION ALL
+      SELECT k, 2, 'U', 'F', price + 100 FROM base WHERE k % 31 = 0
+      UNION ALL
+      SELECT k, 3, 'D', NULL, NULL FROM base WHERE k % 37 = 0
+      UNION ALL
+      SELECT k + 10000000, 1, 'I', 'O', CAST(1000.5 AS DOUBLE)
+      FROM base WHERE k % 41 = 0),
+    latest AS (
+      SELECT * FROM ch
+      QUALIFY row_number() OVER (PARTITION BY k
+                                 ORDER BY seq DESC, op DESC) = 1),
+    applied AS (
+      SELECT b.k, b.status, b.price
+      FROM base b LEFT JOIN latest l ON b.k = l.k WHERE l.k IS NULL
+      UNION ALL
+      SELECT k, status, price FROM latest WHERE op <> 'D')
+    SELECT status, count(*) AS n,
+           CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+    FROM applied GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "wh_cdc_apply",
+    _CDC_ORACLE,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators.scd.apply_changelog): a
+    Debezium-style ordered feed — two stacked updates on the %31 keys
+    (last-wins ordering under test), tombstones on the %37 keys
+    (including keys that ALSO have updates: the seq-3 delete must beat
+    them), fresh inserts on shifted %41 keys — folded into the orders
+    snapshot, then audited by a status-level aggregate. The oracle
+    replays base/changelog/fold in SQL, so a resurrection, lost delete,
+    or wrong-winner update shifts a count or a decimal sum and fails the
+    hash.
+
+    Scale: the changelog is the delta (one window shuffle on its key),
+    the base passes through one anti-join; no global window, no
+    iteration. Reference analogue: none (the reference rebuilds its CSV
+    from scratch each refresh)."""
+    from ..operators.scd import apply_changelog
+
+    base = _cdc_base(spark, sf_dir)
+    applied = apply_changelog(
+        base, _cdc_changelog(base), key="k", tie_break="op"
+    )
+    return _cdc_audit(applied)
+
+
+@query(
+    "st_cdc_apply",
+    _CDC_ORACLE,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of wh_cdc_apply — same base, same synthetic
+    changelog (shared _cdc_changelog, so the twins cannot drift), but
+    folded one REAL microbatch at a time (streaming.stream.
+    run_cdc_apply_stream: seq<=1 then seq>1 as two files under
+    maxFilesPerTrigger=1, foreachBatch applying the last-wins fold into
+    versioned parquet state). Shares wh_cdc_apply's oracle verbatim:
+    stream == batch is the checked contract, and a dropped / doubled /
+    out-of-order microbatch shifts the audit aggregate and fails the
+    hash. Eager maintenance-JOB posture (fresh source + checkpoint +
+    state per invocation)."""
+    from ..streaming.stream import run_cdc_apply_stream
+
+    base = _cdc_base(spark, sf_dir)
+    final = run_cdc_apply_stream(
+        spark, base, _cdc_changelog(base), key="k", tie_break="op"
+    )
+    return _cdc_audit(final)
 
 
 @query(

@@ -141,6 +141,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "sim_recall_at_k": ("recall", "evaluate", "evaluation", "accuracy"),
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
+    "tx_chunk_documents": ("chunk", "chunks", "chunking", "overlapping", "rag"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity
@@ -167,6 +168,7 @@ NO_ROUTE: frozenset[str] = frozenset({
     "o4_group_total_order",       # O4 parity shape
     "sim_ann_ivf",                # iter3 k-means variant is routed
     "sim_ann_ivf_kmeans",         # iter3 variant is routed
+    "st_cdc_apply",               # wh_cdc_apply is the routed face
     "st_sessionize_stateful",     # st_sessionize is the routed face
     "st_tumbling_hourly",         # ev_tumbling_hourly is the routed face
     "w4_surrogate_keys",          # W4 parity shape

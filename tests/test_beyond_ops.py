@@ -1169,6 +1169,7 @@ def test_nlq_routing(spark):
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )
+    assert nlq.route("chunk documents for rag") == "tx_chunk_documents"
     # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
     # a new entry must be placed in exactly one of them.
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
@@ -1449,3 +1450,38 @@ def test_sampling_validation_and_quoting(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_chunking_covers_every_word_with_overlap(spark, duck_smoke):
+    """Chunk invariants on the real corpus: concatenating each doc's
+    chunks at stride offsets reconstructs the doc exactly (full
+    coverage), consecutive chunks overlap by chunk-stride words, and
+    every doc yields >= 1 chunk (including the shortest)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    texts = dict(
+        duck_smoke.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    rows = REGISTRY["tx_chunk_documents"].spark(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for did, chunks in by_doc.items():
+        words = texts[did].split(" ")
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        for i, r in enumerate(chunks):
+            assert r["chunk_idx"] == i
+            assert r["start_word"] == 1 + i * CHUNK_STRIDE
+            expect = words[r["start_word"] - 1 : r["start_word"] - 1 + CHUNK_WORDS]
+            assert r["chunk_text"] == " ".join(expect)
+            assert r["n_words"] == len(expect)
+        # Full coverage: the last chunk reaches the final word.
+        last = chunks[-1]
+        assert last["start_word"] + last["n_words"] - 1 == len(words)
