@@ -446,3 +446,37 @@ def test_build_dims_scale_safe_equivalence(spark):
             s.select(*cols).collect()
         )
         _assert_no_global_window(s)
+
+
+def test_chunking_is_map_only(spark):
+    """tx_chunk_documents' map-only claim: the physical plan contains NO
+    hash-partitioning exchange and no join — chunking a 100 TB corpus
+    must be a single codegen pass (the only exchange allowed is the
+    presentation orderBy's range partitioning)."""
+    plan = plan_of(REGISTRY["tx_chunk_documents"].spark(spark, SF_SMOKE))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_r6_entries_no_cartesian(spark):
+    """The r6 additions must plan without cartesian products or
+    nested-loop joins (the range-join decomposition and broadcast-stat
+    patterns, not theta joins)."""
+    for name in (
+        "ev_attribution_linear",
+        "ev_winsorized_stats",
+        "wh_cdc_apply",
+        "a26_brand_communities",
+        "a25_spearman_avg_rank",
+    ):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_winsorized_stats_broadcasts_group_stats(spark):
+    """The per-type percentile frame joins back to the fact via
+    broadcast — the clip must not shuffle the event table."""
+    plan = plan_of(REGISTRY["ev_winsorized_stats"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
