@@ -82,10 +82,19 @@ def two_phase_rank(
     for row in sorted(hist, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_cnt"]
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # Empty input: create_map() with zero args is the VOID-typed map()
+    # and map()[_pid] fails analysis — no row evaluates the offset on an
+    # empty frame, so any typed literal stands in.
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
     w = Window.partitionBy("_pid").orderBy(*_cols(order_cols))
     out = with_pid.withColumn(
-        rank_col, (off[F.col("_pid")] + F.row_number().over(w)).cast("long")
+        rank_col, (off + F.row_number().over(w)).cast("long")
     ).drop("_pid")
     return out, acc
 
@@ -122,7 +131,14 @@ def two_phase_cumsum(
     for row in sorted(hist, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_s"] if row["_s"] is not None else 0
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # Same empty-map guard as two_phase_rank.
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
     end = -1 if exclusive else 0
     w = (
         Window.partitionBy("_pid")
@@ -132,9 +148,7 @@ def two_phase_cumsum(
     within = F.sum(value_col).over(w)
     if exclusive:
         within = F.coalesce(within, F.lit(0))
-    out = with_pid.withColumn(
-        cum_col, off[F.col("_pid")] + within
-    ).drop("_pid")
+    out = with_pid.withColumn(cum_col, off + within).drop("_pid")
     return out, acc
 
 

@@ -480,3 +480,45 @@ def test_winsorized_stats_broadcasts_group_stats(spark):
     broadcast — the clip must not shuffle the event table."""
     plan = plan_of(REGISTRY["ev_winsorized_stats"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_two_phase_rank_edges(spark):
+    """Edge cases of the two-phase machinery: empty input (offset map is
+    empty — must not throw), duplicate order keys (ranks stay dense and
+    total count right), and ntile with n < k (all rows in the padded
+    head, no zero-size-bucket division)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        ntile_from_rank,
+        two_phase_cumsum,
+        two_phase_rank,
+    )
+
+    empty = spark.createDataFrame([], "k int, v long")
+    out, total = two_phase_rank(empty, ["k"], "rk")
+    assert total == 0 and out.count() == 0
+    cout, ctotal = two_phase_cumsum(empty, ["k"], "v", "cum")
+    assert ctotal == 0 and cout.count() == 0
+
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (1, 13), (2, 14)], ["k", "v"]
+    )
+    ranked, n = two_phase_rank(dup, ["k", "v"], "rk", num_partitions=3)
+    rows = sorted((r["k"], r["v"], r["rk"]) for r in ranked.collect())
+    assert n == 5
+    assert [r[2] for r in rows] == [1, 2, 3, 4, 5]  # dense despite dups
+
+    tiny = spark.range(1, 4).select(F.col("id").alias("rk"))  # n=3 < k=5
+    got = sorted(
+        r["b"] for r in tiny.select(
+            ntile_from_rank(F.col("rk"), 3, 5).alias("b")
+        ).collect()
+    )
+    want = sorted(
+        r["nt"] for r in spark.range(1, 4).select(
+            F.ntile(5).over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy("id")
+            ).alias("nt")
+        ).collect()
+    )
+    assert got == want
