@@ -160,13 +160,20 @@ def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     RFM path hashes the same as the default."""
     base, pad = n // k, n % k
     threshold = pad * (base + 1)
-    first = (rank - 1) / (base + 1)  # integral: rank is long
-    first = F.floor(first) + 1
+
+    def idiv(num, d: int):
+        # Exact integer division for longs: subtract the remainder so
+        # the double division's quotient is an exact representable
+        # integer (floor((a)/(d)) alone is correct to ~2^53 but this
+        # removes the bound entirely).
+        return ((num - num % d) / d).cast("long")
+
+    first = idiv(rank - 1, base + 1) + 1
     if base == 0:
         # n < k: every row is in the padded head; the else-branch would
         # divide by zero.
         return first.cast("int")
-    rest = F.lit(pad) + F.floor((rank - threshold - 1) / base) + 1
+    rest = F.lit(pad) + idiv(rank - threshold - 1, base) + 1
     return (
         F.when(rank <= threshold, first).otherwise(rest).cast("int")
     )
