@@ -2601,6 +2601,58 @@ def a17_pareto_customers(
 
 
 @query(
+    "ev_top_paths",
+    """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events),
+    t AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM s WHERE e3 IS NOT NULL)
+    SELECT path, count(*) AS n
+    FROM t GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event PATHS — sequence mining over per-user journeys: the ten
+    most frequent 3-step event-type sequences (per-user ordering with
+    the ev_transition_matrix (ts, event_id) tie-break, overlapping
+    trigrams via two leads). The n-th-order sibling of the first-order
+    transition matrix: where a21's Markov view answers 'what follows
+    X', this answers 'which whole journeys dominate' — the path-analysis
+    panel of product analytics.
+
+    Physical: one window shuffle on user_id (two leads share the frame),
+    map-side concat, one count shuffle, TakeOrderedAndProject top-10
+    with a path tie-break. Trigram fan-out is exactly one row per event
+    (overlapping windows of a sequence, not a self-join) — linear at
+    any corpus size. Reference analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@query(
     "ev_transition_matrix",
     """
     WITH s AS (

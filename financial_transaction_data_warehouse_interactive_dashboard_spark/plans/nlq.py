@@ -142,6 +142,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
     "tx_chunk_documents": ("chunk", "chunks", "chunking", "overlapping", "rag"),
+    "ev_top_paths": ("paths", "journeys", "sequences", "flows", "trigram"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

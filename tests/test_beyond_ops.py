@@ -1170,6 +1170,7 @@ def test_nlq_routing(spark):
         "a26_brand_communities"
     )
     assert nlq.route("chunk documents for rag") == "tx_chunk_documents"
+    assert nlq.route("top user journeys and paths") == "ev_top_paths"
     # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
     # a new entry must be placed in exactly one of them.
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
