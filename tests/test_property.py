@@ -135,3 +135,100 @@ def test_equidepth_bins_partition_rows(spark, raw):
     cap = -(-n // 8) + (max_tie - 1)
     for r in b:
         assert r["n"] <= cap, (r, cap)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 12),                      # key
+            st.integers(1, 5),                       # seq
+            st.sampled_from(["I", "U", "D"]),        # op
+            st.integers(0, 99),                      # value
+        ),
+        max_size=30,
+    ),
+    st.lists(st.integers(0, 12), max_size=10, unique=True),  # base keys
+)
+@SET
+def test_apply_changelog_matches_reference_fold(spark, ops, base_keys):
+    """CDC fold == a direct Python reference fold for ARBITRARY
+    changelogs: random keys/seqs/ops (including seq ties, resolved by
+    the (seq, op) total order both implementations share), random base
+    overlap — last-wins upserts, delete tombstones, untouched
+    passthrough."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.scd import (
+        apply_changelog,
+    )
+
+    base_rows = [(k, k * 10) for k in base_keys]
+    base = spark.createDataFrame(base_rows or [(999, 0)], ["k", "v"])
+    if not base_rows:
+        base = base.filter("k < 0")  # empty base, schema kept
+    ch_rows = [
+        (k, seq, op, None if op == "D" else v) for k, seq, op, v in ops
+    ]
+    changes = spark.createDataFrame(
+        ch_rows or [(999, 1, "U", 0)], "k int, seq int, op string, v int"
+    )
+    if not ch_rows:
+        changes = changes.filter("k < 0")
+
+    # Reference fold: winner per key = max (seq, op); D deletes.
+    state = dict(base_rows)
+    winners = {}
+    for k, seq, op, v in ch_rows:
+        cur = winners.get(k)
+        if cur is None or (seq, op) > (cur[0], cur[1]):
+            winners[k] = (seq, op, v)
+    for k, (seq, op, v) in winners.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(
+            base, changes, key="k", tie_break="op"
+        ).collect()
+    }
+    assert got == state
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.integers(-5, 5)), max_size=40)
+)
+@SET
+def test_two_phase_cumsum_matches_window(spark, rows):
+    """two_phase_cumsum == the single-partition window cumsum for
+    arbitrary (possibly duplicated, negative-valued) integer inputs,
+    inclusive and exclusive, with a tie-broken total order."""
+    from pyspark.sql.window import Window
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        two_phase_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)] or [(0, 0, 0)],
+        "i long, k long, v long",
+    )
+    if not rows:
+        df = df.filter("i < 0")
+    for exclusive in (False, True):
+        got, total = two_phase_cumsum(
+            df, ["k", "i"], "v", "cum", exclusive=exclusive,
+            num_partitions=3,
+        )
+        got_m = {r["i"]: r["cum"] for r in got.collect()}
+        end = -1 if exclusive else 0
+        w = (
+            Window.orderBy("k", "i")
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        ref = df.select(
+            "i", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cum")
+        )
+        ref_m = {r["i"]: r["cum"] for r in ref.collect()}
+        assert got_m == ref_m, exclusive
+        assert total == sum(v for _, v in rows)
