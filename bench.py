@@ -60,6 +60,7 @@ LARGE_RESULT = {
     "tx_quality_score",
     "tx_token_count",
     "tx_tfidf_top_terms",
+    "tx_chunk_documents",
 }
 
 
