@@ -1601,3 +1601,225 @@ def a26_brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("brand"), F.col("community"))
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# a27: day-of-week seasonal baseline + residual outliers
+# ---------------------------------------------------------------------------
+
+DOW_Z_CUT = 2.0
+
+
+@query(
+    "a27_dow_seasonal_outliers",
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             datediff('day', DATE '1970-01-05', o_orderdate) % 7 AS dow,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      ) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT dow, count(*) AS n,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM daily GROUP BY 1),
+    z AS (
+      SELECT d, daily.dow, cents,
+             (cents - s / n) / sqrt((s2 - s * s / n) / (n - 1)) AS zval
+      FROM daily JOIN m ON daily.dow = m.dow
+      WHERE n > 1 AND s2 - s * s / n > 0)
+    SELECT d AS day, CAST(dow AS INT) AS dow,
+           round(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+           round(zval, 6) AS z
+    FROM z WHERE abs(zval) >= {DOW_Z_CUT}
+    ORDER BY day
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def a27_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL anomaly screen: daily revenue compared against its own
+    DAY-OF-WEEK cohort (Mondays vs other Mondays), flagging days more
+    than {DOW_Z_CUT} standard deviations from their weekday baseline —
+    the first-order seasonal decomposition a revenue dashboard needs,
+    where the raw-daily z-screen (a18's shape) would flag every weekend
+    of a weekday-heavy business.
+
+    Day-of-week is PURE integer arithmetic (days-since-a-known-Monday
+    mod 7) rather than each engine's dayofweek() — Spark counts
+    1=Sunday, DuckDB 0=Sunday, so the shared-arithmetic rule from the
+    PageRank scalars applies to calendars too. Moments accumulate as
+    exact integer CENTS (the a18 sum/sumsq discipline); the z goes
+    double only in the final identically-parenthesized expression.
+
+    Scale: one date-grain aggregate (the corpus shuffle), a 7-row
+    moments frame broadcast back, map-side z. Reference analogue:
+    streamlit.py's quarter trend panel, at day grain with a seasonal
+    baseline."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.sum(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        cents.alias("cents")
+    ).withColumn(
+        "dow",
+        F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")) % 7,
+    )
+    m = daily.groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    s, s2, n = F.col("s"), F.col("s2"), F.col("n")
+    zval = (F.col("cents") - s / n) / F.sqrt((s2 - s * s / n) / (n - 1))
+    return (
+        daily.join(F.broadcast(m), "dow")
+        .filter((n > 1) & (s2 - s * s / n > 0))
+        # Boundary discipline: the cut applies to the RAW z (same as the
+        # oracle's WHERE abs(zval)), rounding only the emitted value.
+        .filter(F.abs(zval) >= DOW_Z_CUT)
+        .select(
+            F.col("d").alias("day"),
+            F.col("dow").cast("int").alias("dow"),
+            F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+            F.round(zval, 6).alias("z"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a28: k-means customer segmentation on (frequency, spend)
+# ---------------------------------------------------------------------------
+
+KM_K = 4
+KM_ITER = 2
+
+_KM_DIST = "(f - cf) * (f - cf) + (s - cs) * (s - cs)"
+
+
+def _km_assign_cte(i: int) -> str:
+    return f"""a{i} AS (
+      SELECT ck, f, s, cl FROM cust CROSS JOIN c{i}
+      QUALIFY row_number() OVER (
+        PARTITION BY ck
+        ORDER BY round({_KM_DIST}, 12), cl) = 1)"""
+
+
+def _km_centroid_cte(i: int) -> str:
+    return f"""c{i + 1} AS (
+      SELECT cl,
+             CAST(sum(CAST(f AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cf,
+             CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS cs
+      FROM a{i} GROUP BY 1)"""
+
+
+@query(
+    "a28_customer_kmeans",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey AS ck, CAST(count(*) AS DOUBLE) AS f,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT) AS DOUBLE) AS s
+      FROM orders GROUP BY 1),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY ck) - 1 AS cl, f AS cf, s AS cs
+      FROM cust ORDER BY ck LIMIT {KM_K}),
+    {", ".join(
+        _km_assign_cte(i) + ", " + _km_centroid_cte(i)
+        for i in range(KM_ITER - 1)
+    )},
+    {_km_assign_cte(KM_ITER - 1)}
+    SELECT CAST(cl AS INT) AS cluster, count(*) AS n_customers,
+           round(CAST(sum(CAST(f AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 6) AS c_freq,
+           round(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) / 100, 6) AS c_spend
+    FROM a{KM_ITER - 1} GROUP BY 1 ORDER BY 1
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=False,
+)
+def a28_customer_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABULAR k-means — customer segmentation by (order frequency,
+    total spend) into {KM_K} clusters, {KM_ITER} Lloyd iterations from
+    deterministic seeds (the {KM_K} smallest custkeys' feature points):
+    the classic warehouse clustering panel, on scalar features where
+    the IVF tier's Lloyd (operators.similarity) runs on embedding
+    vectors. Raw features, deliberately unnormalized (spend dominates
+    the metric; a27/a16 cover scaled views) — what's under test is the
+    ITERATION machinery on tabular data.
+
+    Determinism: centroid means are exact decimal sums cast double
+    (order-independent); distances are identical double expressions
+    with a rounded-distance + cluster-id total order on the argmin; the
+    oracle unrolls assignment/recompute rounds as CTEs (the
+    _sql_ivf_kmeans pattern on named scalar columns). Spend stays in
+    integer CENTS until the final display division.
+
+    Scale: per-customer aggregate (the corpus shuffle), then per round
+    one broadcast of the {KM_K}-row centroid frame + a {KM_K}-way
+    per-customer argmin window — no corpus-sized shuffle inside the
+    loop. Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").cast("double").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("s"),
+    )
+    w_seed = Window.orderBy("ck")
+    c = (
+        cust.orderBy("ck")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(w_seed) - 1).alias("cl"),
+            F.col("f").alias("cf"),
+            F.col("s").alias("cs"),
+        )
+    )
+    dist = (F.col("f") - F.col("cf")) * (F.col("f") - F.col("cf")) + (
+        F.col("s") - F.col("cs")
+    ) * (F.col("s") - F.col("cs"))
+    a = None
+    for _ in range(KM_ITER):
+        wa = Window.partitionBy("ck").orderBy(F.round(dist, 12), F.col("cl"))
+        a = (
+            cust.crossJoin(F.broadcast(c))
+            .withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("ck", "f", "s", "cl")
+        )
+        c = a.groupBy("cl").agg(
+            (
+                F.sum(F.col("f").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("cf"),
+            (
+                F.sum(F.col("s").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("cs"),
+        )
+    return (
+        a.groupBy(F.col("cl").cast("int").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("f").cast("decimal(38,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c_freq"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+                / 100,
+                6,
+            ).alias("c_spend"),
+        )
+        .orderBy("cluster")
+    )

@@ -143,6 +143,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
     "tx_chunk_documents": ("chunk", "chunks", "chunking", "overlapping", "rag"),
     "ev_top_paths": ("paths", "journeys", "sequences", "flows", "trigram"),
+    "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),
+    "a28_customer_kmeans": ("kmeans", "centroids", "unsupervised", "cluster", "segmentation"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -1171,6 +1171,12 @@ def test_nlq_routing(spark):
     )
     assert nlq.route("chunk documents for rag") == "tx_chunk_documents"
     assert nlq.route("top user journeys and paths") == "ev_top_paths"
+    assert nlq.route("seasonal weekday baseline spikes") == (
+        "a27_dow_seasonal_outliers"
+    )
+    assert nlq.route("kmeans centroids unsupervised segmentation") == (
+        "a28_customer_kmeans"
+    )
     # Coverage invariant: ROUTES and NO_ROUTE partition the registry —
     # a new entry must be placed in exactly one of them.
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (

