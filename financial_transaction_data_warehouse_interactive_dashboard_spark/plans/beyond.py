@@ -3530,6 +3530,8 @@ def wh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Like wh_gold_maintenance this is a storage JOB, not a lazy plan.
     Reference analogue: none (the reference keeps one CSV)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..sources.warehouse import morton_code
@@ -3558,6 +3560,7 @@ def wh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("int")
     base = tempfile.mkdtemp(prefix="ftdw-zorder-skip-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     for col, expr, sub in (("zfile", zfile, "z"), ("lfile", lfile, "l")):
         (
             orders.withColumn(col, expr)
