@@ -1,0 +1,540 @@
+"""Statistical QA / drift-monitoring tier (beyond-reference, r6).
+
+A warehouse that feeds dashboards and training pipelines needs the
+distribution-level checks that sit between row-level expectations
+(wh_expectations) and the robust-stats screens (ev_mad_outliers,
+a18_zscore_outliers): has THIS WEEK's data drifted from last week's?
+Are two dimensions independent? Is a daily series autocorrelated, and
+what does its smoothed trend look like? This module adds the standard
+toolkit — chi-square independence, PSI drift, exact two-sample
+Kolmogorov-Smirnov, lag-k autocorrelation, and truncated-kernel EWMA —
+each as a registry entry with a bit-exact DuckDB oracle.
+
+Exactness discipline (same rules as plans.finance):
+- counts and scaled-integer sums are exact (BIGINT / DECIMAL);
+- doubles appear only in final closed-form expressions with identical
+  parenthesization on both engines, then round(…, 6);
+- ln() follows the repo-wide tfidf/logprob convention: round-6
+  immediately after the transcendental, then exact DECIMAL summation
+  (sum-of-rounded is order-independent; ln itself is the only
+  not-IEEE-pinned step and 6dp absorbs any last-ulp libm delta).
+
+Reference analogue: none — the reference's pandas layer has no
+statistical QA. Scale notes per query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.surrogate import two_phase_cumsum
+from .queries import _t, query
+
+# ---------------------------------------------------------------------------
+# qa_chi_square_segment_status: are market segment and order status
+# independent? (contingency-table chi-square + Cramer's V)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_chi_square_segment_status",
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (SELECT seg, st, count(*) AS obs FROM o GROUP BY 1, 2),
+    rt AS (SELECT seg, sum(obs) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT st, sum(obs) AS c FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell),
+    contrib AS (
+      SELECT CAST(round(
+               ((obs * n - r * c)::DOUBLE * (obs * n - r * c)::DOUBLE)
+                 / (n::DOUBLE * n::DOUBLE * (r::DOUBLE * c::DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS x
+      FROM cell, rt, ct, tot
+      WHERE cell.seg = rt.seg AND cell.st = ct.st),
+    dims AS (
+      SELECT (SELECT count(*) FROM rt) AS nr,
+             (SELECT count(*) FROM ct) AS nc)
+    SELECT (SELECT n FROM tot) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           CAST((SELECT round(CAST(sum(x) AS DOUBLE), 6) FROM contrib)
+                AS DOUBLE) AS chi2,
+           round(sqrt((SELECT CAST(sum(x) AS DOUBLE) FROM contrib)
+                      / ((SELECT n FROM tot)
+                         * least(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM dims
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def qa_chi_square_segment_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order status, plus Cramer's V effect size — the
+    categorical-drift / association check a data-quality monitor runs on
+    every dimension pair.
+
+    Exactness: per-cell contribution is computed as
+    ((obs*N - r*c)^2) / (N^2 * r * c) — an all-integer numerator cast to
+    double with identical association on both engines (obs*N and r*c are
+    exact BIGINTs well under 2^53 at any plausible contingency size, so
+    the double subtraction is exact), rounded to 9dp, summed as exact
+    DECIMAL. chi2 and V go double only in the final expression.
+
+    Scale: the contingency table is |segments| x |statuses| rows — tiny
+    regardless of fact size; the only real work is one grouped count over
+    the join, which broadcasts the customer dim at dashboard scale and
+    shuffle-joins at 100 TB. Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cell = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rt = cell.groupBy("seg").agg(F.sum("obs").alias("r"))
+    ct = cell.groupBy("st").agg(F.sum("obs").alias("c"))
+    tot = cell.agg(F.sum("obs").alias("n"))
+    nr = cell.select("seg").distinct().agg(F.count("*").alias("nr"))
+    nc = cell.select("st").distinct().agg(F.count("*").alias("nc"))
+    obs, n, r, c = F.col("obs"), F.col("n"), F.col("r"), F.col("c")
+    num = (obs * n - r * c).cast("double")
+    contrib = (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (num * num)
+                / (
+                    n.cast("double")
+                    * n.cast("double")
+                    * (r.cast("double") * c.cast("double"))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("x"),
+            "n",
+        )
+    )
+    agg = contrib.groupBy().agg(
+        F.min("n").alias("n"), F.sum("x").alias("sx")
+    )
+    return (
+        agg.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n",
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round(F.col("sx").cast("double"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("sx").cast("double")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa_psi_price_drift: Population Stability Index between two periods
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_WIDTH = 60000  # fixed-width bins over o_totalprice (~850..530k)
+
+
+@query(
+    "qa_psi_price_drift",
+    f"""
+    WITH b AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             least(greatest(CAST(floor(o_totalprice / {PSI_WIDTH})
+                                 AS BIGINT), 0), {PSI_BINS - 1}) AS bin
+      FROM orders WHERE year(o_orderdate) IN (1995, 2000)),
+    c AS (SELECT yr, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT r.range AS bin,
+             coalesce((SELECT cnt FROM c WHERE yr = 1995 AND c.bin = r.range), 0) AS ca,
+             coalesce((SELECT cnt FROM c WHERE yr = 2000 AND c.bin = r.range), 0) AS cb
+      FROM range(0, {PSI_BINS}) r),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM grid),
+    pq AS (
+      SELECT bin, ca, cb,
+             (ca + 1)::DOUBLE / (na + {PSI_BINS})::DOUBLE AS p,
+             (cb + 1)::DOUBLE / (nb + {PSI_BINS})::DOUBLE AS q
+      FROM grid, tot),
+    contrib AS (
+      SELECT bin, ca, cb,
+             CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6)) AS x
+      FROM pq)
+    SELECT CAST(bin AS INTEGER) AS bin, ca AS n_1995, cb AS n_2000,
+           CAST(x AS DOUBLE) AS psi_term,
+           (SELECT round(CAST(sum(x) AS DOUBLE), 6) FROM contrib) AS psi_total
+    FROM contrib ORDER BY bin
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution, 1995
+    vs 2000 — THE standard drift score for monitored features (PSI < 0.1
+    stable, > 0.25 drifted). Fixed-width bins (deterministic edges — no
+    quantile dependence), Laplace +1 smoothing so empty bins never hit
+    ln(0), per-bin terms AND the total in one frame (the per-bin view is
+    what a drift dashboard plots).
+
+    Exactness: counts exact; p/q and (p-q)*ln(p/q) in double with
+    identical shape, round-6, exact DECIMAL total (the repo-wide ln
+    convention). The bin grid is a literal range so both engines emit
+    all 10 bins even when empty.
+
+    Scale: two filtered grouped counts over the fact, 10-row grid —
+    map-side combine does all the work; no shuffle larger than the bin
+    count. Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.filter(F.year("o_orderdate").isin(1995, 2000)).select(
+        F.year("o_orderdate").alias("yr"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("o_totalprice") / PSI_WIDTH).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    c = b.groupBy("yr", "bin").agg(F.count("*").alias("cnt"))
+    grid = spark.range(0, PSI_BINS).select(F.col("id").alias("bin"))
+    wide = (
+        grid.join(
+            F.broadcast(
+                c.groupBy("bin").pivot("yr", [1995, 2000]).sum("cnt")
+            ),
+            "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce("1995", F.lit(0)).alias("ca"),
+            F.coalesce("2000", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = wide.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = (F.col("ca") + 1).cast("double") / (
+        F.col("na") + PSI_BINS
+    ).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (
+        F.col("nb") + PSI_BINS
+    ).cast("double")
+    contrib = wide.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ca",
+        "cb",
+        F.round((p - q) * F.log(p / q), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+    )
+    total = contrib.agg(
+        F.round(F.sum("x").cast("double"), 6).alias("psi_total")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("ca").alias("n_1995"),
+            F.col("cb").alias("n_2000"),
+            F.col("x").cast("double").alias("psi_term"),
+            "psi_total",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa_ks_two_sample: exact two-sample Kolmogorov-Smirnov distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_ks_two_sample",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    pv AS (
+      SELECT v,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS d2
+      FROM s GROUP BY v),
+    n AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+                 CAST(sum(d2) AS BIGINT) AS n2 FROM pv),
+    cum AS (
+      SELECT sum(d1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(d2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM pv)
+    SELECT n1, n2,
+           (SELECT round(max(abs(c1::DOUBLE / n.n1 - c2::DOUBLE / n.n2)), 6)
+            FROM cum, n) AS ks_d
+    FROM n
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def qa_ks_two_sample(
+    spark: SparkSession, sf_dir: str, scale_safe: bool = False
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the price
+    distributions of URGENT vs LOW priority orders:
+    D = max over pooled values of |ecdf1(v) - ecdf2(v)| — the
+    distribution-shift test that catches drift PSI's fixed bins smear
+    out.
+
+    Exactness: ECDF numerators are integer running counts over the
+    per-value grouped frame; each candidate |c1/n1 - c2/n2| is one
+    double expression; max over doubles is order-independent. Grouping
+    on the raw double is safe — both engines read the identical parquet
+    bits.
+
+    Scale: the windowed cumsum runs over the DISTINCT-value frame, not
+    the fact. Default mode keeps the single-partition window (bit-exact
+    oracle twin); ``scale_safe=True`` routes both running counts through
+    operators.surrogate.two_phase_cumsum — the same partition-offset
+    machinery every other global-window site uses (equivalence-tested in
+    tests/test_drift.py). Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    n = pv.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    if scale_safe:
+        cum1, _ = two_phase_cumsum(pv, ["v"], "d1", "c1")
+        cum, _ = two_phase_cumsum(cum1, ["v"], "d2", "c2")
+    else:
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = pv.select(
+            F.sum("d1").over(w).alias("c1"),
+            F.sum("d2").over(w).alias("c2"),
+        )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_d")
+    )
+    return n.crossJoin(F.broadcast(d)).select("n1", "n2", "ks_d")
+
+
+# ---------------------------------------------------------------------------
+# ev_autocorr_daily: lag-1 autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_autocorr_daily",
+    """
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1),
+    pr AS (
+      SELECT a.s AS x, b.s AS y
+      FROM dd a JOIN dd b ON b.d = a.d + 1),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             -- CAST one operand to DECIMAL(19,6): DuckDB multiplies
+             -- DECIMAL(18)x(18) on INT64 (overflows); width 19 forces
+             -- INT128. Values identical to Spark's (18,6)x(18,6).
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy
+      FROM pr)
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS autocorr_lag1
+    FROM m
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def ev_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event revenue: Pearson r over
+    (day_t, day_t+1) pairs — the persistence check behind trend alerts
+    and forecasting-readiness scoring. Calendar gaps pair nothing (the
+    join key is d+1), matching the time-series definition on an
+    irregular series.
+
+    Exactness: daily sums are exact DECIMAL(18,6); all five moments are
+    exact DECIMAL sums (products at DECIMAL(18,6)^2 = DECIMAL(37,12) —
+    inside both engines' 38-digit ceiling); Pearson r is a single
+    identically-parenthesized double expression, round-6. NO window
+    function anywhere — the lag is an equi-join on d+1, so the whole
+    plan is shuffle-on-date and scales to any series length.
+
+    Reference analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    dd = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    a, b = dd.alias("a"), dd.alias("b")
+    pr = a.join(
+        b, F.col("b.d") == F.date_add(F.col("a.d"), 1)
+    ).select(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+    # (18,6)*(18,6) -> (37,12): inside BOTH engines' 38-digit ceiling
+    # with no precision adjustment (Spark rounds products only past 38).
+    x, y = F.col("x"), F.col("y")
+    m = pr.agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_ewma_daily: truncated-kernel exponential smoothing of daily revenue
+# ---------------------------------------------------------------------------
+
+EWMA_K = 8  # trailing kernel length (days)
+# alpha = 1/2: decay weights 0.5^k are exact both in binary floating
+# point AND in DECIMAL(10,8) (0.5^7 = 0.00781250), so the kernel is
+# representable bit-identically everywhere.
+EWMA_WEIGHTS = [0.5**k for k in range(EWMA_K)]
+
+
+@query(
+    "ev_ewma_daily",
+    f"""
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT dd.d + CAST(r.range AS INTEGER) AS t, dd.s,
+             CAST(power(0.5, r.range) AS DECIMAL(10,8)) AS w
+      FROM dd, range(0, {EWMA_K}) r),
+    e AS (
+      SELECT c.t AS d,
+             CAST(sum(CAST(c.s AS DECIMAL(19,6)) * c.w) AS DOUBLE) AS num,
+             CAST(sum(CAST(c.w AS DECIMAL(12,8))) AS DOUBLE) AS den
+      FROM c JOIN (SELECT d FROM dd) ex ON c.t = ex.d
+      GROUP BY 1)
+    SELECT d AS day, round(num / den, 6) AS ewma
+    FROM e ORDER BY day
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event revenue with
+    alpha = 1/2 and an 8-day truncated kernel (0.5^8 < 0.4% — the tail
+    beyond the truncation is noise), weights renormalized over the days
+    actually present so calendar gaps don't dilute the average — the
+    smoothed-trend line behind every dashboard sparkline and the
+    anomaly-detection baseline EW control charts use.
+
+    Implemented as a SCATTER join, not a window: each day broadcasts its
+    contribution forward to the next K calendar days (8-row explode),
+    then one grouped exact-DECIMAL reduction per target day. No ordered
+    window, no single-partition funnel — the recursive EWMA definition
+    is re-expressed as a bounded convolution, which is the
+    shuffle-friendly form (state never crosses more than K days).
+
+    Exactness: daily sums DECIMAL(18,6); weights 0.5^k exact in
+    DECIMAL(10,8) (alpha chosen so the kernel is finitely representable
+    in decimal); products DECIMAL(29,14) exact; the single division goes
+    double at the end, round-6. Reference analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    dd = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    kernel = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.lit(w).cast("decimal(10,8)").alias("w"),
+            )
+            for k, w in enumerate(EWMA_WEIGHTS)
+        ]
+    )
+    c = dd.select(
+        "d", "s", F.explode(kernel).alias("kw")
+    ).select(
+        F.date_add(F.col("d"), F.col("kw.k")).alias("t"),
+        "s",
+        F.col("kw.w").alias("w"),
+    )
+    days = dd.select("d").withColumnRenamed("d", "t")
+    e = (
+        c.join(days, "t")
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("s") * F.col("w")).cast("double").alias("num"),
+            F.sum(F.col("w").cast("decimal(12,8)"))
+            .cast("double")
+            .alias("den"),
+        )
+    )
+    return e.select(
+        F.col("t").alias("day"),
+        F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
+    ).orderBy("day")

@@ -1197,4 +1197,5 @@ def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Beyond-reference queries register themselves on import (bottom import on
 # purpose: beyond.py needs the `query` decorator defined above).
 from . import beyond  # noqa: E402,F401
+from . import drift  # noqa: E402,F401
 from . import finance  # noqa: E402,F401

@@ -958,6 +958,21 @@ def test_nlq_routing(spark):
     assert nlq.route("show me the top segments by nation") == "q1_top_segments"
     assert nlq.route("find duplicate documents") == "dd_exact_dedup"
     assert nlq.route("user session activity") == "ev_sessionize"
+    assert nlq.route("has the price distribution drifted? psi please") == (
+        "qa_psi_price_drift"
+    )
+    assert nlq.route("are segment and status independent (chi square)") == (
+        "qa_chi_square_segment_status"
+    )
+    assert nlq.route("kolmogorov smirnov test between the two groups") == (
+        "qa_ks_two_sample"
+    )
+    assert nlq.route("is daily revenue autocorrelated at lag 1") == (
+        "ev_autocorr_daily"
+    )
+    assert nlq.route("exponentially smoothed daily trend (ewma)") == (
+        "ev_ewma_daily"
+    )
     assert nlq.route("conversion funnel to purchase") == "ev_funnel_vcp"
     # Vector-search intent defaults to the ANN SCALE path; the linear
     # brute-force scan requires an explicit exactness term (round-2 ask).

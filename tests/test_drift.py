@@ -1,0 +1,85 @@
+"""Semantic invariants for the statistical QA / drift tier (plans.drift).
+
+Cross-engine value parity is pinned by tests/test_oracle_parity.py (the
+auto-parameterized registry sweep); these tests pin the STATISTICS —
+range bounds, internal consistency, and convexity properties that hold
+for any input, so a future refactor that stays parity-consistent but
+breaks the math (e.g. an un-normalized kernel) still fails loudly.
+"""
+
+from __future__ import annotations
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+    REGISTRY,
+)
+
+from conftest import SF_SMOKE
+
+
+def _one(spark, name, **kw):
+    rows = REGISTRY[name].spark(spark, SF_SMOKE, **kw).collect()
+    return rows
+
+
+def test_chi_square_bounds(spark):
+    (r,) = _one(spark, "qa_chi_square_segment_status")
+    assert r["chi2"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    # dof = (|segments| - 1) * (|statuses| - 1); the fixture has 5
+    # segments and 3 statuses at every SF.
+    assert r["dof"] == (5 - 1) * (3 - 1)
+    assert r["n"] > 0
+
+
+def test_psi_internal_consistency(spark):
+    rows = _one(spark, "qa_psi_price_drift")
+    # The literal bin grid emits all bins, even empty ones.
+    assert [r["bin"] for r in rows] == list(range(10))
+    totals = {r["psi_total"] for r in rows}
+    assert len(totals) == 1
+    (total,) = totals
+    assert total >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+    assert abs(sum(r["psi_term"] for r in rows) - total) < 1e-6
+    # Every per-bin term of the smoothed PSI is individually >= 0.
+    assert all(r["psi_term"] >= 0.0 for r in rows)
+
+
+def test_ks_bounds(spark):
+    (r,) = _one(spark, "qa_ks_two_sample")
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert r["n1"] > 0 and r["n2"] > 0
+
+
+def test_autocorr_bounds(spark):
+    (r,) = _one(spark, "ev_autocorr_daily")
+    assert -1.0 <= r["autocorr_lag1"] <= 1.0
+    assert r["n"] > 0
+
+
+def test_ewma_is_convex_combination(spark):
+    """Renormalized-kernel EWMA is a convex combination of the daily
+    sums it covers, so every smoothed value lies inside the global
+    [min, max] of the raw daily series."""
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = _one(spark, "ev_ewma_daily")
+    assert rows, "expected at least one smoothed day"
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    )
+    lo = min(r["s"] for r in daily) - 1e-6
+    hi = max(r["s"] for r in daily) + 1e-6
+    assert all(lo <= r["ewma"] <= hi for r in rows)
+    # One smoothed row per observed day (inner join to present days).
+    assert len(rows) == len(daily)
