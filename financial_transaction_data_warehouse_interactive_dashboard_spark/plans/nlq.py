@@ -145,6 +145,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_top_paths": ("paths", "journeys", "sequences", "flows", "trigram"),
     "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),
     "a28_customer_kmeans": ("kmeans", "centroids", "unsupervised", "cluster", "segmentation"),
+    "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
+    "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),
     "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association"),
     "qa_psi_price_drift": ("drift", "drifted", "psi", "stability", "population"),
     "qa_ks_two_sample": ("kolmogorov", "smirnov", "ks", "distributions", "differ"),
