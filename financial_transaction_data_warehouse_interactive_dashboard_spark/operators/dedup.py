@@ -106,6 +106,45 @@ def normalized_dedup(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-deduped corpus using only the
+    corpus's hash index — the operational form of exact dedup at 100 TB:
+    the historical corpus is never re-read or re-shuffled; only its
+    ~16-byte/row hash column (``corpus_index``, one column ``h`` as
+    produced by :func:`hash_index`) joins against the incoming batch.
+
+    Within-batch duplicates collapse first (min-id representative, same
+    contract as :func:`exact_dedup`), then groups whose hash already
+    exists in the corpus are anti-joined away. Returns the surviving
+    representatives as (id_col, n_copies).
+
+    Scale: one groupBy on the batch's hashes + one anti-join where the
+    BUILD side is the index, not the corpus — broadcastable when the
+    daily batch meets a long history, shuffle-on-hash otherwise (AQE
+    decides). The index itself is maintained incrementally: append the
+    survivors' hashes after each batch."""
+    grouped = (
+        batch.select(F.col(id_col), P.md5_long(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+    return (
+        grouped.join(corpus_index.select("h").distinct(), "h", "left_anti")
+        .select(id_col, "n_copies")
+    )
+
+
+def hash_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-hash index of a corpus: the distinct 60-bit hashes, the
+    only state :func:`incremental_dedup` needs about history."""
+    return docs.select(P.md5_long(text_col).alias("h")).distinct()
+
+
 def passage_dup_report(docs: DataFrame, n: int = 16) -> DataFrame:
     """Per-document duplicated-passage fraction: the share of a doc's
     distinct word-``n``-gram passages that also occur in at least one

@@ -3310,6 +3310,96 @@ def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wh_time_travel",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders),
+    v1 AS (
+      SELECT k,
+             CASE WHEN k % 43 = 0 THEN 'F' ELSE status END AS status,
+             CASE WHEN k % 43 = 0
+                  THEN CAST(CAST(price AS DECIMAL(30,2)) + 100 AS DOUBLE)
+                  ELSE price END AS price
+      FROM base),
+    v2 AS (SELECT * FROM v1 WHERE k % 59 <> 0)
+    SELECT 0 AS version, count(*) AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+    FROM base
+    UNION ALL
+    SELECT 1, count(*),
+           CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE)
+    FROM v1
+    UNION ALL
+    SELECT 2, count(*),
+           CAST(sum(CAST(price AS DECIMAL(30,2))) AS DOUBLE)
+    FROM v2
+    ORDER BY version
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def wh_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the correctness gate: commit version 0 (the raw
+    gold), version 1 (SCD-1 upsert: finalize + 100.00 adjustment on %43
+    keys), version 2 (GDPR-style delete of %59 keys) via
+    sources.warehouse.commit_snapshot (copy-on-write per version), then
+    — AFTER the last commit — read ALL THREE versions back and audit
+    (version, n_rows, total_price). The audit is only right if v0/v1
+    stayed intact while later versions landed (isolation) AND each
+    change set applied exactly (merge correctness); the oracle
+    recomputes every version's state from the raw input.
+
+    Like wh_gold_maintenance this is a maintenance JOB, not a lazy plan:
+    the side effect (three immutable snapshot tables) is the semantics.
+    Scale: each commit is one anti-join + write of the new version; the
+    audit reads are ordinary pruned scans of immutable parquet."""
+    from ..sources.warehouse import (
+        commit_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    table = "wh_tt_gold"
+    write_snapshot(base, table, 0)
+    upserts = base.filter(F.col("k") % 43 == 0).select(
+        "k",
+        F.lit("F").alias("status"),
+        (F.col("price").cast("decimal(30,2)") + 100)
+        .cast("double")
+        .alias("price"),
+    )
+    commit_snapshot(spark, table, 1, key="k", upserts=upserts)
+    deletes = read_snapshot(spark, table, 1).filter(
+        F.col("k") % 59 == 0
+    ).select("k")
+    commit_snapshot(spark, table, 2, key="k", delete_keys=deletes)
+
+    def audit(v: int) -> DataFrame:
+        return (
+            read_snapshot(spark, table, v)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(30,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "total_price")
+        )
+
+    return (
+        audit(0).unionByName(audit(1)).unionByName(audit(2))
+        .orderBy("version")
+    )
+
+
 def _cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
@@ -3984,6 +4074,59 @@ def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = docs.select("doc_id", "text").unionAll(mutated)
     return D.normalized_dedup(uni).orderBy("doc_id")
+
+
+@query(
+    "dd_incremental_dedup",
+    """
+    WITH ch AS (SELECT DISTINCT md5(text) AS h FROM documents
+                WHERE doc_id < 400),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL    -- replayed corpus content: must be dropped by the index
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 7 = 0
+      UNION ALL    -- within-batch exact copies: must collapse
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id >= 400 AND doc_id % 5 = 0),
+    b AS (SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                 count(*) AS n_copies
+          FROM batch GROUP BY 1)
+    SELECT doc_id, n_copies FROM b
+    WHERE h NOT IN (SELECT h FROM ch)
+    ORDER BY doc_id
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators.dedup.incremental_dedup):
+    doc_ids >= 400 play today's ingest batch, everything before them the
+    already-deduped corpus, represented ONLY by its content-hash index
+    (operators.dedup.hash_index). The fixture corpus has no exact
+    duplicates (its planted dupes are NEAR-dups), so the batch unions in
+    two deterministic exact-replay sets — corpus docs re-ingested under
+    new ids (%7, must be dropped by the index anti-join) and
+    within-batch copies (%5, must collapse to n_copies=2 under the
+    original id) — making both code paths observable at every SF; the
+    oracle replays the same construction.
+
+    This is the operational shape of dedup at 100 TB: the history is
+    petabytes but its index is ~16 bytes/doc, and the daily batch joins
+    against the index, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus_idx = D.hash_index(docs.filter(F.col("doc_id") < 400))
+    fresh = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    replayed = (
+        docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 7 == 0))
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    copies = (
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") % 5 == 0))
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    batch = fresh.unionAll(replayed).unionAll(copies)
+    return D.incremental_dedup(batch, corpus_idx).orderBy("doc_id")
 
 
 @query(

@@ -145,6 +145,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_top_paths": ("paths", "journeys", "sequences", "flows", "trigram"),
     "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),
     "a28_customer_kmeans": ("kmeans", "centroids", "unsupervised", "cluster", "segmentation"),
+    "dd_incremental_dedup": ("incremental", "ingest", "daily", "batch", "index"),
+    "wh_time_travel": ("travel", "version", "versions", "rollback", "snapshot"),
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
     "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),
     "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association"),

@@ -378,3 +378,63 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (time travel)
+# ---------------------------------------------------------------------------
+
+
+def _snap_name(table: str, version: int) -> str:
+    return f"{table}__v{version}"
+
+
+def write_snapshot(df: DataFrame, table: str, version: int) -> None:
+    """Persist ``df`` as immutable version ``version`` of ``table``.
+
+    Each version is its own parquet table in the catalog — copy-on-write
+    at snapshot granularity, the storage contract behind time travel:
+    committing version N never touches the files of version N-1, so
+    historical reads stay consistent while new versions land. A real
+    lakehouse (Delta/Iceberg) tracks versions as file-level manifests
+    instead of full copies; this maps 1:1 onto that API
+    (``VERSION AS OF``) while staying plain parquet."""
+    _drop_stale(df.sparkSession, _snap_name(table, version))
+    df.write.mode("overwrite").format("parquet").saveAsTable(
+        _snap_name(table, version)
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int
+) -> DataFrame:
+    """``SELECT * FROM table VERSION AS OF version`` — reads are plain
+    scans of the immutable per-version table, so historical queries get
+    full pushdown/pruning like any other read."""
+    return spark.table(_snap_name(table, version))
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    key: str,
+    upserts: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+) -> None:
+    """Create version N from version N-1 + a change set (upserts by
+    ``key``, deletes by key list) — MERGE + time travel in one step.
+    Old versions remain readable after the commit (pinned in
+    tests/test_warehouse.py and the wh_time_travel oracle, which audits
+    ALL versions after the last commit)."""
+    state = read_snapshot(spark, table, version - 1)
+    if upserts is not None:
+        keys = upserts.select(key).distinct()
+        state = state.join(F.broadcast(keys), key, "left_anti").unionByName(
+            upserts.select(*state.columns)
+        )
+    if delete_keys is not None:
+        state = state.join(
+            F.broadcast(delete_keys.select(key).distinct()), key, "left_anti"
+        )
+    write_snapshot(state, table, version)

@@ -439,3 +439,56 @@ def test_apply_changelog_semantics(spark):
         5: ("e", 50.0),    # insert
         # 2 and 6 tombstoned
     }
+
+
+def test_snapshot_time_travel_isolation(spark):
+    """commit_snapshot: later versions never disturb earlier ones — the
+    files backing v0 are byte-stable across two commits, every historic
+    version stays readable, and the change sets apply exactly."""
+    import glob
+    import os
+
+    base = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    n0 = base.count()
+    WH.write_snapshot(base, "wh_tt_test", 0)
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    v0_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{wh_dir}/wh_tt_test__v0/*.parquet")
+    }
+    assert v0_files
+
+    upserts = base.filter(F.col("k") % 43 == 0).select(
+        "k", F.lit("F").alias("status"), (F.col("price") + 1).alias("price")
+    )
+    n_up = upserts.count()
+    WH.commit_snapshot(spark, "wh_tt_test", 1, key="k", upserts=upserts)
+    deletes = base.filter(F.col("k") % 59 == 0).select("k")
+    n_del_in_v1 = (
+        WH.read_snapshot(spark, "wh_tt_test", 1)
+        .join(deletes, "k", "left_semi")
+        .count()
+    )
+    WH.commit_snapshot(spark, "wh_tt_test", 2, key="k", delete_keys=deletes)
+
+    # v0 files untouched by both commits (copy-on-write isolation).
+    assert {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{wh_dir}/wh_tt_test__v0/*.parquet")
+    } == v0_files
+    # All versions readable; counts reflect exactly the change sets.
+    assert WH.read_snapshot(spark, "wh_tt_test", 0).count() == n0
+    v1 = WH.read_snapshot(spark, "wh_tt_test", 1)
+    assert v1.count() == n0  # pure upsert: no cardinality change
+    assert v1.filter((F.col("k") % 43 == 0) & (F.col("status") != "F")).count() == 0
+    assert v1.filter(F.col("status") == "F").count() >= n_up
+    v2 = WH.read_snapshot(spark, "wh_tt_test", 2)
+    assert v2.count() == n0 - n_del_in_v1
+    assert v2.filter(F.col("k") % 59 == 0).count() == 0
