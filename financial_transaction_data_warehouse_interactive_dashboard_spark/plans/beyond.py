@@ -1068,6 +1068,89 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+MIX_TAU = 0.7  # temperature for source-mixture reweighting
+
+
+@query(
+    "tx_mixture_weights",
+    f"""
+    WITH tc AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM tc),
+    pw AS (
+      SELECT source, n_docs, n_tokens, t,
+             round(n_tokens::DOUBLE / t, 6) AS p,
+             CAST(round(power(n_tokens::DOUBLE / t, {MIX_TAU}), 6)
+                  AS DECIMAL(18,6)) AS pt
+      FROM tc, tot),
+    s AS (SELECT CAST(sum(pt) AS DOUBLE) AS st FROM pw)
+    SELECT source, n_docs, n_tokens, p,
+           round(CAST(pt AS DOUBLE) / st, 6) AS w,
+           round(CAST(pt AS DOUBLE) / st * t / n_tokens, 6)
+             AS expected_epochs
+    FROM pw, s ORDER BY source
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling
+    recipe: w_i = p_i^tau / sum p_j^tau with tau=0.7): given per-source
+    token mass, compute the sampling weight each source gets in the
+    training mixture and the expected epoch count (how many times the
+    source's data is repeated when sampling the reweighted mixture for
+    one total-corpus pass) — upsampling low-resource sources is
+    expected_epochs > 1. The last step of corpus curation before
+    packing.
+
+    Exactness: token counts exact BIGINT; p^tau follows the repo-wide
+    transcendental convention (round-6 then exact DECIMAL sum for the
+    normalizer); w and expected_epochs are identically-shaped double
+    expressions over those exact parts.
+
+    Scale: one grouped count over the corpus (map-side combined) + a
+    |sources|-row frame; everything after the first aggregate is
+    dimension-sized. Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = tc.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    pw = tc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "t",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias("p"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("t"), MIX_TAU), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("pt"),
+    )
+    s = pw.agg(F.sum("pt").cast("double").alias("st"))
+    ptd = F.col("pt").cast("double")
+    return (
+        pw.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "p",
+            F.round(ptd / F.col("st"), 6).alias("w"),
+            F.round(
+                ptd / F.col("st") * F.col("t") / F.col("n_tokens"), 6
+            ).alias("expected_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "tx_token_count",
     """
@@ -3398,6 +3481,79 @@ def wh_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(0).unionByName(audit(1)).unionByName(audit(2))
         .orderBy("version")
     )
+
+
+@query(
+    "wh_vacuum_retention",
+    """
+    WITH base AS (SELECT o_orderkey AS k FROM orders),
+    v1 AS (SELECT k FROM base WHERE k % 61 <> 0),
+    v2 AS (SELECT k FROM v1 WHERE k % 67 <> 0),
+    v3 AS (SELECT k FROM v2 WHERE k % 71 <> 0)
+    SELECT 0 AS version, 0 AS retained, CAST(NULL AS BIGINT) AS n_rows
+    UNION ALL SELECT 1, 0, CAST(NULL AS BIGINT)
+    UNION ALL SELECT 2, 1, (SELECT count(*) FROM v2)
+    UNION ALL SELECT 3, 1, (SELECT count(*) FROM v3)
+    ORDER BY version
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def wh_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention VACUUM under the gate: build four snapshot versions
+    (three chained GDPR-delete commits on %61/%67/%71 keys), vacuum with
+    keep_last=2 (sources.warehouse.vacuum_snapshots), then audit —
+    (version, retained, n_rows) where vacuumed versions report NULL rows
+    (they are GONE, catalog and files) and retained ones report counts
+    the oracle recomputes from the chained delete predicates. Proves
+    both halves of the retention contract: the right versions were
+    reclaimed AND the survivors still carry the exactly-merged state.
+
+    The 4-row audit is driver-side by construction (a maintenance job's
+    summary, not a data path); counts come from ordinary pruned scans of
+    the surviving snapshots."""
+    from ..sources.inline import inline_table
+    from ..sources.warehouse import (
+        commit_snapshot,
+        drop_snapshots,
+        list_snapshots,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    table = "wh_vac_gold"
+    # Stale versions from a prior run in the same session would survive
+    # this run's vacuum and corrupt the audit — reset to empty first.
+    drop_snapshots(spark, table)
+    write_snapshot(base, table, 0)
+    for v, mod in ((1, 61), (2, 67), (3, 71)):
+        prev = read_snapshot(spark, table, v - 1)
+        commit_snapshot(
+            spark,
+            table,
+            v,
+            key="k",
+            delete_keys=prev.filter(F.col("k") % mod == 0).select("k"),
+        )
+    vacuum_snapshots(spark, table, keep_last=2)
+    remaining = set(list_snapshots(spark, table))
+    rows = []
+    for v in range(4):
+        if v in remaining:
+            rows.append((v, 1, read_snapshot(spark, table, v).count()))
+        else:
+            rows.append((v, 0, None))
+    return inline_table(
+        spark, rows, ["version", "retained", "n_rows"]
+    ).select(
+        F.col("version").cast("int").alias("version"),
+        F.col("retained").cast("int").alias("retained"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    ).orderBy("version")
 
 
 def _cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1823,3 +1823,109 @@ def a28_customer_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# a29: cohort lifetime value (cumulative revenue per acquisition cohort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a29_cohort_ltv",
+    """
+    WITH fo AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt
+      FROM orders GROUP BY 1),
+    co AS (
+      SELECT o_custkey,
+             CAST(year(first_dt) * 4 + quarter(first_dt) - 1 AS BIGINT)
+               AS cq
+      FROM fo),
+    sz AS (SELECT cq, count(*) AS n_customers FROM co GROUP BY 1),
+    fx AS (
+      SELECT co.cq,
+             CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
+                  AS BIGINT) - co.cq AS age,
+             CAST(o_totalprice AS DECIMAL(30,2)) AS p
+      FROM orders o JOIN co ON o.o_custkey = co.o_custkey),
+    ra AS (
+      SELECT cq, age, CAST(sum(p) AS DECIMAL(38,2)) AS rev
+      FROM fx GROUP BY 1, 2),
+    cum AS (
+      SELECT cq, age, rev,
+             CAST(sum(rev) OVER (PARTITION BY cq ORDER BY age)
+                  AS DECIMAL(38,2)) AS cum_rev
+      FROM ra)
+    SELECT CAST(cq // 4 AS INTEGER) AS cohort_year,
+           CAST(cq % 4 + 1 AS INTEGER) AS cohort_quarter,
+           CAST(age AS INTEGER) AS age_quarters,
+           sz.n_customers,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(cum_rev AS DOUBLE) AS cum_revenue,
+           round(CAST(cum_rev AS DOUBLE) / sz.n_customers, 6)
+             AS ltv_per_customer
+    FROM cum JOIN sz USING (cq)
+    ORDER BY cohort_year, cohort_quarter, age_quarters
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def a29_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers are grouped by acquisition
+    quarter (their first order), and each cohort's revenue accumulates
+    over cohort age in quarters — the LTV curve a finance dashboard
+    plots next to the retention triangle (ev_cohort_retention counts
+    active users; this one compounds the money).
+
+    Exactness: revenue sums and the running total are exact DECIMAL
+    (the cumulative window sums DECIMAL(38,2), order-independent);
+    per-customer LTV is one final double division, round-6.
+
+    Scale: the window partitions by cohort (parallel across cohorts,
+    bounded by the quarter count within each) — never a global sort.
+    First-order derivation is one groupBy(custkey); the cohort join
+    broadcasts the customer->cohort map at dashboard scale and
+    shuffle-joins at 100 TB. Reference analogue: none (the reference's
+    dashboard stops at per-quarter totals, streamlit.py:221-259)."""
+    orders = _t(spark, sf_dir, "orders")
+    yq = (
+        F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1
+    ).cast("bigint")
+    co = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_dt"))
+        .select(
+            "o_custkey",
+            (F.year("first_dt") * 4 + F.quarter("first_dt") - 1)
+            .cast("bigint")
+            .alias("cq"),
+        )
+    )
+    sz = co.groupBy("cq").agg(F.count("*").alias("n_customers"))
+    fx = orders.join(co, "o_custkey").select(
+        "cq",
+        (yq - F.col("cq")).alias("age"),
+        F.col("o_totalprice").cast("decimal(30,2)").alias("p"),
+    )
+    ra = fx.groupBy("cq", "age").agg(
+        F.sum("p").cast("decimal(38,2)").alias("rev")
+    )
+    w = Window.partitionBy("cq").orderBy("age")
+    cum = ra.withColumn(
+        "cum_rev", F.sum("rev").over(w).cast("decimal(38,2)")
+    )
+    return (
+        cum.join(F.broadcast(sz), "cq")
+        .select(
+            F.floor(F.col("cq") / 4).cast("int").alias("cohort_year"),
+            (F.col("cq") % 4 + 1).cast("int").alias("cohort_quarter"),
+            F.col("age").cast("int").alias("age_quarters"),
+            "n_customers",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_customers"), 6
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "cohort_quarter", "age_quarters")
+    )

@@ -146,6 +146,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),
     "a28_customer_kmeans": ("kmeans", "centroids", "unsupervised", "cluster", "segmentation"),
     "dd_incremental_dedup": ("incremental", "ingest", "daily", "batch", "index"),
+    "wh_vacuum_retention": ("vacuum", "retention", "reclaim", "expire", "cleanup"),
+    "tx_mixture_weights": ("mixture", "temperature", "upsample", "sources", "weighting"),
+    "a29_cohort_ltv": ("ltv", "lifetime", "value", "cumulative", "cohort"),
     "wh_time_travel": ("travel", "version", "versions", "rollback", "snapshot"),
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
     "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),

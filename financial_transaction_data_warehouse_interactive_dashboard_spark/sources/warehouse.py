@@ -438,3 +438,39 @@ def commit_snapshot(
             F.broadcast(delete_keys.select(key).distinct()), key, "left_anti"
         )
     write_snapshot(state, table, version)
+
+
+def list_snapshots(spark: SparkSession, table: str) -> list[int]:
+    """Versions of ``table`` present in the catalog, ascending."""
+    prefix = f"{table}__v"
+    return sorted(
+        int(t.name[len(prefix):])
+        for t in spark.catalog.listTables()
+        if t.name.startswith(prefix) and t.name[len(prefix):].isdigit()
+    )
+
+
+def vacuum_snapshots(
+    spark: SparkSession, table: str, keep_last: int = 2
+) -> list[int]:
+    """Retention: drop every version except the newest ``keep_last``
+    (catalog entry AND files), returning the versions removed — the
+    VACUUM half of the time-travel contract: history is readable until
+    retention reclaims it, and reclamation is explicit, ordered, and
+    observable (the wh_vacuum_retention audit query puts it under the
+    correctness gate)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (refusing to drop HEAD)")
+    versions = list_snapshots(spark, table)
+    removed = versions[:-keep_last]
+    for v in removed:
+        _drop_stale(spark, _snap_name(table, v))
+    return removed
+
+
+def drop_snapshots(spark: SparkSession, table: str) -> None:
+    """Remove ALL versions of ``table`` (test/reset path; production
+    retention goes through vacuum_snapshots, which refuses to drop
+    HEAD)."""
+    for v in list_snapshots(spark, table):
+        _drop_stale(spark, _snap_name(table, v))

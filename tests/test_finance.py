@@ -621,3 +621,52 @@ def test_customer_kmeans_is_a_fixed_point_improvement(spark, duck_smoke):
     want_sizes = sorted(len(v) for v in clusters.values())
     assert got_sizes == want_sizes
     assert inertias[1] <= inertias[0] + 1e-6
+
+
+def test_cohort_ltv_internal_consistency(spark):
+    """Within each cohort, cumulative revenue is the running sum of the
+    per-age revenue and is non-decreasing; per-customer LTV is the
+    cumulative divided by the (constant) cohort size."""
+    rows = REGISTRY["a29_cohort_ltv"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[(r["cohort_year"], r["cohort_quarter"])].append(r)
+    for key, rs in by_cohort.items():
+        ages = [r["age_quarters"] for r in rs]
+        assert ages == sorted(ages) and len(set(ages)) == len(ages), key
+        run = 0.0
+        sizes = {r["n_customers"] for r in rs}
+        assert len(sizes) == 1, key
+        for r in rs:
+            run += r["revenue"]
+            assert abs(r["cum_revenue"] - run) < 1e-4, key
+            # 2e-6 tolerance: python round() is banker's, Spark's is
+            # HALF_UP — an exact .5 at the 6th decimal differs by 1ulp6.
+            assert (
+                abs(r["ltv_per_customer"] - round(r["cum_revenue"] / r["n_customers"], 6))
+                < 2e-6
+            ), key
+        # Ages start at acquisition: the first row is age 0 by definition.
+        assert rs[0]["age_quarters"] == 0, key
+
+
+def test_mixture_weights_properties(spark):
+    """Temperature tau<1 compresses the distribution: weights sum to 1,
+    every below-average source is upsampled (w > p), every above-average
+    one downsampled, and expected epochs = w/p exceed 1 exactly for the
+    upsampled sources."""
+    rows = REGISTRY["tx_mixture_weights"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["w"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-3
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if abs(r["p"] - mean_p) < 1e-9:
+            continue
+        if r["p"] < mean_p:
+            assert r["w"] > r["p"] - 1e-9, r
+            assert r["expected_epochs"] > 1.0 - 1e-9, r
+        else:
+            assert r["w"] < r["p"] + 1e-9, r
+            assert r["expected_epochs"] < 1.0 + 1e-9, r

@@ -492,3 +492,28 @@ def test_snapshot_time_travel_isolation(spark):
     v2 = WH.read_snapshot(spark, "wh_tt_test", 2)
     assert v2.count() == n0 - n_del_in_v1
     assert v2.filter(F.col("k") % 59 == 0).count() == 0
+
+
+def test_vacuum_snapshots_retention(spark):
+    """vacuum keeps exactly the newest keep_last versions, removes the
+    rest from catalog AND disk, and refuses keep_last < 1."""
+    import os
+
+    import pytest
+
+    base = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    WH.drop_snapshots(spark, "wh_vac_test")
+    for v in range(4):
+        WH.write_snapshot(base.limit(10 + v), "wh_vac_test", v)
+    assert WH.list_snapshots(spark, "wh_vac_test") == [0, 1, 2, 3]
+    removed = WH.vacuum_snapshots(spark, "wh_vac_test", keep_last=2)
+    assert removed == [0, 1]
+    assert WH.list_snapshots(spark, "wh_vac_test") == [2, 3]
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert not os.path.exists(f"{wh_dir}/wh_vac_test__v0")
+    assert os.path.exists(f"{wh_dir}/wh_vac_test__v3")
+    assert WH.read_snapshot(spark, "wh_vac_test", 3).count() == 13
+    with pytest.raises(ValueError):
+        WH.vacuum_snapshots(spark, "wh_vac_test", keep_last=0)
