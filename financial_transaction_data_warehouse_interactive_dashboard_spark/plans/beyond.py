@@ -3556,6 +3556,70 @@ def wh_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("version")
 
 
+@query(
+    "wh_schema_evolution",
+    """
+    WITH g AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN quarter(o_orderdate) >= 3 THEN 2 ELSE 1 END AS batch,
+             CASE WHEN quarter(o_orderdate) >= 3 THEN o_orderpriority
+                  END AS channel
+      FROM orders)
+    SELECT batch, count(*) AS n_rows,
+           CAST(count(channel) AS BIGINT) AS n_channel,
+           CAST(sum(CASE WHEN channel IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_channel
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def wh_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on plain parquet: batch 1 (H1 orders) lands
+    WITHOUT the ``channel`` column, batch 2 (H2) WITH it — the standard
+    lakehouse situation where a column is added mid-history. The read
+    side reconciles via ``mergeSchema``: old files surface the new
+    column as NULL, new files carry values, and the audit counts both
+    per batch. The oracle recomputes the expected fill pattern from the
+    raw table, so the row only matches if merge-read semantics (column
+    union + NULL backfill, partition-column discovery for ``batch``)
+    hold exactly.
+
+    Scale: mergeSchema's cost is footer-sampling at planning time; the
+    scan itself stays pruned/pushed-down per file. On a real lakehouse
+    this maps to Delta/Iceberg schema evolution with the schema tracked
+    in the table log instead of sampled from footers."""
+    import atexit
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="ftdw-schema-evo-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    q = F.quarter("o_orderdate")
+    orders.filter(q <= 2).select(
+        F.col("o_orderkey").alias("k")
+    ).write.mode("overwrite").parquet(f"{base}/batch=1")
+    orders.filter(q >= 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("channel"),
+    ).write.mode("overwrite").parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy("batch")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("channel").cast("bigint").alias("n_channel"),
+            F.sum(
+                F.when(F.col("channel").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_null_channel"),
+        )
+        .orderBy("batch")
+    )
+
+
 def _cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),

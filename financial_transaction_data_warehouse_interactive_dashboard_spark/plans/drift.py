@@ -538,3 +538,87 @@ def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("day"),
         F.round(F.col("num") / F.col("den"), 6).alias("ewma"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# ev_trend_regression: OLS fit of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_trend_regression",
+    """
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1),
+    mn AS (SELECT min(d) AS d0 FROM dd),
+    xy AS (SELECT CAST(d - d0 AS BIGINT) AS x, s FROM dd, mn),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(s) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(12,0)) * s) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(s AS DECIMAL(19,6)) * s) AS DOUBLE) AS syy
+      FROM xy)
+    SELECT n AS n_days,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of daily event revenue — slope (revenue change per
+    day), intercept, and R^2 over (day index, daily sum) — the "is the
+    metric actually growing, and how linearly" line a dashboard fits
+    under its sparkline, and the degenerate-case guard for forecasts
+    (low R^2 -> don't extrapolate).
+
+    Exactness: day index x = datediff from the series minimum (exact
+    int); all five moments are exact (integer or DECIMAL sums — x*s at
+    DECIMAL(12,0)x(18,6), s*s at 37 digits); slope/intercept/R^2 are
+    closed-form double expressions with identical parenthesization,
+    round-6.
+
+    Scale: one grouped daily reduction, a broadcast 1-row min, one
+    scalar aggregate — combiner-only traffic, no window, no sort.
+    Reference analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    dd = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    mn = dd.agg(F.min("d").alias("d0"))
+    xy = dd.crossJoin(F.broadcast(mn)).select(
+        F.datediff("d", "d0").cast("bigint").alias("x"), "s"
+    )
+    x, s = F.col("x"), F.col("s")
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(s).cast("double").alias("sy"),
+        F.sum(x.cast("decimal(12,0)") * s).cast("double").alias("sxy"),
+        F.sum(s * s).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    return m.select(
+        n.alias("n_days"),
+        F.round(num / (n * sxx - sx * sx), 6).alias("slope"),
+        F.round(
+            (sy - num / (n * sxx - sx * sx) * sx) / n, 6
+        ).alias("intercept"),
+        F.round(
+            (num * num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("r2"),
+    )

@@ -147,6 +147,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a28_customer_kmeans": ("kmeans", "centroids", "unsupervised", "cluster", "segmentation"),
     "dd_incremental_dedup": ("incremental", "ingest", "daily", "batch", "index"),
     "wh_vacuum_retention": ("vacuum", "retention", "reclaim", "expire", "cleanup"),
+    "wh_schema_evolution": ("schema", "evolution", "column", "added", "mergeschema"),
+    "ev_trend_regression": ("regression", "slope", "ols", "fit", "r2"),
     "tx_mixture_weights": ("mixture", "temperature", "upsample", "sources", "weighting"),
     "a29_cohort_ltv": ("ltv", "lifetime", "value", "cumulative", "cohort"),
     "wh_time_travel": ("travel", "version", "versions", "rollback", "snapshot"),

@@ -83,3 +83,27 @@ def test_ewma_is_convex_combination(spark):
     assert all(lo <= r["ewma"] <= hi for r in rows)
     # One smoothed row per observed day (inner join to present days).
     assert len(rows) == len(daily)
+
+
+def test_trend_regression_bounds(spark):
+    (r,) = _one(spark, "ev_trend_regression")
+    assert r["n_days"] > 2
+    assert 0.0 <= r["r2"] <= 1.0
+    # The fitted line at the series' mean x passes through the mean y:
+    # intercept + slope * mean_x == mean_y (OLS normal-equation identity).
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("s"))
+        .collect()
+    )
+    d0 = min(x["d"] for x in daily)
+    mean_x = sum((x["d"] - d0).days for x in daily) / len(daily)
+    mean_y = sum(x["s"] for x in daily) / len(daily)
+    assert abs(r["intercept"] + r["slope"] * mean_x - mean_y) < 1e-2

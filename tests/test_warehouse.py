@@ -517,3 +517,21 @@ def test_vacuum_snapshots_retention(spark):
     assert WH.read_snapshot(spark, "wh_vac_test", 3).count() == 13
     with pytest.raises(ValueError):
         WH.vacuum_snapshots(spark, "wh_vac_test", keep_last=0)
+
+
+def test_schema_evolution_null_backfill(spark):
+    """merge-read of pre-column files yields NULL for every old row and
+    a value for every new row — no silent column drop either way."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    rows = {
+        r["batch"]: r
+        for r in REGISTRY["wh_schema_evolution"].spark(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_channel"] == 0
+    assert rows[1]["n_null_channel"] == rows[1]["n_rows"]
+    assert rows[2]["n_null_channel"] == 0
+    assert rows[2]["n_channel"] == rows[2]["n_rows"]
