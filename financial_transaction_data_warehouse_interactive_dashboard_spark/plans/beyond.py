@@ -3964,6 +3964,32 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_late_data",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the gate
+    (streaming.stream.run_late_data_stream): the source replays a full
+    day of events a month late; correct watermark handling DROPS every
+    replay, so the append-mode hourly aggregate equals the clean batch
+    aggregate — which is exactly what the oracle computes. A broken
+    watermark (or none) would double the first day's counts and
+    hash-mismatch. The companion metric assertion (the replay file was
+    read-and-dropped, not skipped) lives in
+    tests/test_beyond_ops.py::test_late_data_drop_metrics."""
+    return ST.run_late_data_stream(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
     "st_dedup",
     """
     SELECT event_id, ts, user_id, event_type, value, props

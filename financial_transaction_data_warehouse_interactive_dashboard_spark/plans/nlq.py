@@ -133,6 +133,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_text_profile": ("text", "profile", "stopword", "punctuation", "readability"),
     "tx_fingerprint": ("fingerprint", "fingerprints", "winnowing", "rolling"),
     "st_dedup": ("watermark", "deduplicate", "idempotent", "exactly", "once"),
+    "st_late_data": ("late", "lateness", "dropped", "arriving", "stragglers"),
     "st_stream_stream_join": ("correlate", "streams", "interval", "join"),
     "wh_gold_maintenance": ("maintenance", "upsert", "partitioned", "gold"),
     "wh_zorder_skipping": ("zorder", "morton", "skipping", "layout"),

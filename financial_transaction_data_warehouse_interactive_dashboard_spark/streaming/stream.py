@@ -841,3 +841,126 @@ def run_cdc_apply_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(state["path"])
+
+
+# ---------------------------------------------------------------------------
+# Late-data handling: watermark-dropped rows, audited
+# ---------------------------------------------------------------------------
+
+SENTINEL_TYPE = "__sentinel__"
+
+# run_late_data_stream records the watermark-drop counters of its last
+# execution here (keyed by query_name) so tests can assert the late file
+# was READ AND DROPPED, not silently skipped — the registry oracle alone
+# cannot distinguish the two.
+LATE_DROP_METRICS: dict[str, int] = {}
+
+
+def _late_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-batch source proving watermark semantics:
+
+    - file 0: ALL real events — advances the watermark to max(ts) - delay;
+    - file 1: a single watermark-carrier row (event_type __sentinel__,
+      max ts + 1 minute). Needed because the aggregation's LATE-INPUT
+      filter lags the eviction watermark by one batch in this Spark
+      build (measured here: a late row arriving in batch N is filtered
+      against the watermark derived from data up to batch N-2 — with
+      only three files the replays landed one batch too early and were
+      silently ACCEPTED, doubling day-1 counts);
+    - file 2: replays of every first-day event under fresh event_ids —
+      a whole month late by arrival, far past the 1-hour watermark, so
+      their window state has been evicted and the rows must be DROPPED;
+    - file 3: far-future sentinel flushing all surviving windows out of
+      append mode.
+
+    File mtimes are bumped monotonically (the file source orders by
+    mtime; same hazard note as _time_split_source)."""
+    from ..sources.registry import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    key = f"{path}::late"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-late-")
+        raw = normalize_event_ts(spark.read.schema(raw_schema).parquet(path))
+        _write_single_parquet(raw, d, "0-all.parquet")
+
+        def marker(shift_expr: str, fname: str) -> None:
+            _write_single_parquet(
+                raw.orderBy(F.desc("ts"))
+                .limit(1)
+                .withColumn("ts", F.col("ts") + F.expr(shift_expr))
+                .withColumn("event_type", F.lit(SENTINEL_TYPE))
+                .withColumn("user_id", F.lit(SENTINEL_USER).cast("bigint"))
+                .withColumn("event_id", F.lit(-1).cast("bigint")),
+                d,
+                fname,
+            )
+
+        marker("INTERVAL 1 MINUTE", "1-carrier.parquet")
+        lo = raw.agg(F.min("ts").alias("m")).collect()[0]["m"]
+        replays = (
+            raw.filter(
+                F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 DAY")
+            )
+            .withColumn("event_id", F.col("event_id") + F.lit(10**9))
+        )
+        _write_single_parquet(replays, d, "2-late-replays.parquet")
+        marker("INTERVAL 10 DAYS", "3-sentinel.parquet")
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    norm_schema = normalize_event_ts(
+        spark.read.schema(raw_schema).parquet(path)
+    ).schema
+    src = (
+        spark.readStream.schema(norm_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    return normalize_event_ts(src)
+
+
+def run_late_data_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    query_name: str = "st_late_data",
+    num_state_partitions: int | None = None,
+) -> DataFrame:
+    """Append-mode hourly aggregation over a source that REPLAYS a day of
+    events a month late (see _late_replay_source): correct watermark
+    semantics drop every replayed row, so the emitted windows carry
+    exactly the clean batch aggregate — duplicate-inflation-free despite
+    the duplicate file. The per-batch numRowsDroppedByWatermark counters
+    are summed into LATE_DROP_METRICS[query_name] for the test-side
+    audit (the part of the contract a result comparison can't see).
+
+    Scale: this is THE mechanism that bounds streaming state at 100 TB/
+    day — without the watermark every hour ever seen stays in the state
+    store; with it, state is O(active windows) and late data is an
+    explicit, metered drop (route it to a dead-letter sink via
+    foreachBatch when it must be reconciled instead)."""
+    src = _late_replay_source(spark, sf_dir).withWatermark("ts", watermark)
+    agg = W.tumbling(src, "1 hour")
+    with _state_partitions(spark, num_state_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    dropped = 0
+    for prog in q.recentProgress:
+        for op in (prog.get("stateOperators") or []):
+            dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+    LATE_DROP_METRICS[query_name] = dropped
+    return spark.table(query_name).filter(
+        F.col("event_type") != SENTINEL_TYPE
+    )
