@@ -119,7 +119,13 @@ def test_salted_registry_query_plan_is_salted_shuffle(spark):
 # runners, maintenance JOBs) — their final frame is a table read, so a
 # plan audit of the returned frame would be vacuous; their plans are
 # audited via their operators' own tests instead.
-EAGER_ENTRIES = {"wh_gold_maintenance", "wh_incremental_rollup"}
+EAGER_ENTRIES = {
+    "wh_gold_maintenance",
+    "wh_incremental_rollup",
+    "wh_time_travel",
+    "wh_vacuum_retention",
+    "wh_schema_evolution",
+}
 
 
 def _is_eager(name: str) -> bool:
@@ -522,3 +528,63 @@ def test_two_phase_rank_edges(spark):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r6 statistical/vector tier: plan-shape pins
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_broadcasts_all_dimension_sides(spark):
+    """Contingency chi-square: the customer dim and every tiny side frame
+    (row/col totals, grand total, cardinalities) must broadcast — the
+    only shuffle is the grouped count over the fact join."""
+    plan = plan_of(
+        REGISTRY["qa_chi_square_segment_status"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_map_only(spark):
+    """JL projection must fuse into the scan: no join anywhere, and the
+    only Exchange is the final presentation orderBy."""
+    plan = plan_of(REGISTRY["sim_random_projection"].spark(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning for orderBy
+
+
+def test_covariance_is_single_reduction(spark):
+    """The 8x8 covariance block computes all 44 moments in ONE scalar
+    aggregate over one scan — no join, no window."""
+    plan = plan_of(
+        REGISTRY["sim_embedding_covariance"].spark(spark, SF_SMOKE)
+    )
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ev_autocorr_daily", "ev_ewma_daily", "ev_trend_regression"]
+)
+def test_time_series_queries_avoid_windows(spark, name):
+    """The lag/kernel/regression series queries re-express their ordered
+    semantics as equi-joins + grouped reductions: zero window functions,
+    so nothing funnels through one partition at any series length."""
+    plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_window_is_partitioned(spark):
+    """The LTV running sum must be partitioned by cohort — a global
+    cumsum over (cohort, age) would serialize all cohorts through one
+    task."""
+    df = REGISTRY["a29_cohort_ltv"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        head = spec.split(",")[0]
+        assert " ASC" not in head and " DESC" not in head, spec
