@@ -404,6 +404,86 @@ def minhash_signatures(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     )
 
 
+def band_index(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """(doc_id, band, key) LSH bucket index of a corpus — the persisted
+    state for INCREMENTAL near-dedup: ~LSH_BANDS short rows per document
+    instead of its text, maintainable by appending each accepted batch's
+    bands. The banding expression is shared verbatim with
+    :func:`minhash_lsh_pairs` so full-corpus and incremental candidates
+    can never disagree."""
+    sigs = minhash_signatures(docs, n)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+                f" struct(b as band, "
+                f"  concat_ws(',', slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})) as key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def incremental_minhash_lsh(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = N_SHINGLE,
+    threshold: float = 0.3,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a=corpus doc, id_b=batch doc, jaccard) between
+    a NEW batch and an already-indexed corpus — the LSH analogue of
+    :func:`incremental_dedup`, and the operational shape of near-dedup
+    at 100 TB: the history's TEXT is never rescanned; its band index
+    (``corpus_index``, as produced by :func:`band_index` — derived here
+    when not supplied) equi-joins the batch's bands, and only the few
+    candidate corpus documents are fetched back (broadcast-semi-join
+    point lookups) for exact-Jaccard verification.
+
+    Candidate generation is identical to the full-corpus operator by
+    construction (shared banding), so an incremental pipeline that
+    indexes each accepted batch converges to the same pair set the batch
+    operator would find."""
+    cidx = corpus_index if corpus_index is not None else band_index(corpus, n)
+    bidx = band_index(batch, n)
+    cand = (
+        cidx.alias("a")
+        .join(bidx.alias("b"), ["band", "key"])
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+        # Same lineage-truncation rationale as minhash_lsh_pairs: the
+        # candidate set is small by LSH design but referenced repeatedly
+        # below.
+        .localCheckpoint(eager=True)
+    )
+    ids_a = cand.select(F.col("id_a").alias("doc_id")).distinct()
+    ids_b = cand.select(F.col("id_b").alias("doc_id")).distinct()
+    ex_a = shingle_rows(
+        corpus.join(F.broadcast(ids_a), "doc_id", "left_semi"), n
+    )
+    ex_b = shingle_rows(
+        batch.join(F.broadcast(ids_b), "doc_id", "left_semi"), n
+    )
+    sizes = (
+        ex_a.unionByName(ex_b)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    ra = ex_a.join(
+        F.broadcast(cand), ex_a.doc_id == cand.id_a
+    ).select("id_a", "id_b", "s")
+    rb = ex_b.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    co = (
+        ra.join(rb, (ra.id_b == rb.id_b) & (ra.s == rb.s_b))
+        .groupBy(ra.id_a, ra.id_b)
+        .agg(F.count("*").alias("common"))
+    )
+    return _jaccard_from_counts(co, sizes, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = N_SHINGLE, threshold: float = 0.3
 ) -> DataFrame:
@@ -415,17 +495,7 @@ def minhash_lsh_pairs(
     is count-based: candidate ids broadcast back onto the shingle rows, so
     only candidate pairs' shingles are co-counted — no array materialization.
     """
-    sigs = minhash_signatures(docs, n)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
-                f" struct(b as band, "
-                f"  concat_ws(',', slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})) as key))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = band_index(docs, n)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

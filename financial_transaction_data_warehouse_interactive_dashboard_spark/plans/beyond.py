@@ -4376,6 +4376,55 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_incremental_minhash",
+    f"""
+    WITH {SQL_DOCS_SHINGLES},
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',') AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < 400 AND b.doc_id >= 400)
+    SELECT id_a, id_b, {SQL_JACCARD} AS jaccard
+    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+              JOIN sh sb ON cand.id_b = sb.doc_id
+    WHERE {SQL_JACCARD} >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup (operators.dedup.incremental_minhash_lsh):
+    doc_ids >= 400 are today's batch, the rest the corpus, represented
+    by its LSH band index (operators.dedup.band_index — the state an
+    accepted batch appends to). Candidates come from the index
+    equi-join; only candidate corpus docs are re-read for the exact
+    Jaccard verify. The oracle replays the FULL LSH pipeline in DuckDB
+    restricted to cross-boundary pairs, so the incremental path must
+    find exactly the pairs the batch operator would — the convergence
+    guarantee the operator docstring claims, under the hard signal
+    (non-vacuous: 8 cross-boundary near-dup pairs at sf0.01, 31 at
+    sf0.1)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return D.incremental_minhash_lsh(batch, corpus, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "dd_passage_dupes",
     f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -622,3 +622,324 @@ def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num * num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qa_welch_t: Welch's unequal-variance t-test (means companion to the KS
+# distribution test, same two samples)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_welch_t",
+    """
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    m AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+             CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS sc2
+      FROM s GROUP BY g),
+    w AS (
+      SELECT a.n AS n1, b.n AS n2,
+             a.sc / a.n / 100 AS m1, b.sc / b.n / 100 AS m2,
+             (a.sc2 - a.sc * a.sc / a.n) / (a.n - 1) / 10000 AS v1,
+             (b.sc2 - b.sc * b.sc / b.n) / (b.n - 1) / 10000 AS v2
+      FROM m a, m b WHERE a.g = 1 AND b.g = 2)
+    SELECT n1, n2, round(m1, 6) AS mean_1, round(m2, 6) AS mean_2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
+    FROM w
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (+ Welch-Satterthwaite df)
+    comparing mean order value of URGENT vs LOW priority orders — the
+    means companion to qa_ks_two_sample's distribution test; together
+    they are the standard A/B readout.
+
+    Exactness: prices quantized to exact integer cents; per-group sums
+    and sum-of-squares are exact DECIMAL(38,0) (cents^2 fits BIGINT per
+    row; the 38-digit sum never overflows); mean/variance/t/df are
+    identically-parenthesized double expressions, round-6.
+
+    Scale: one grouped reduction (2 groups) over a pushed-down scan —
+    map-side combine does everything; the final frame is 2 rows joined
+    to itself. Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    c = F.col("c")
+    m = s.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(c.cast("decimal(38,0)")).cast("double").alias("sc"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("double").alias("sc2"),
+    )
+    a = m.filter(F.col("g") == 1).select(
+        F.col("n").alias("n1"), F.col("sc").alias("sca"),
+        F.col("sc2").alias("sc2a"),
+    )
+    b = m.filter(F.col("g") == 2).select(
+        F.col("n").alias("n2"), F.col("sc").alias("scb"),
+        F.col("sc2").alias("sc2b"),
+    )
+    w = a.crossJoin(F.broadcast(b))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("sca") / n1 / 100
+    m2 = F.col("scb") / n2 / 100
+    v1 = (F.col("sc2a") - F.col("sca") * F.col("sca") / n1) / (n1 - 1) / 10000
+    v2 = (F.col("sc2b") - F.col("scb") * F.col("scb") / n2) / (n2 - 1) / 10000
+    se2 = v1 / n1 + v2 / n2
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_1"),
+        F.round(m2, 6).alias("mean_2"),
+        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            (se2 * se2)
+            / (
+                (v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa_mann_whitney: rank-based two-sample test (robust to heavy tails)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_mann_whitney",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    pv AS (
+      SELECT v,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s GROUP BY v),
+    cum AS (
+      SELECT d1, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cbefore
+      FROM pv),
+    agg AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS n1,
+             CAST(sum(cnt - d1) AS BIGINT) AS n2,
+             CAST(sum(d1 * (2 * cbefore + cnt + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      FROM cum),
+    u AS (
+      SELECT n1, n2, ties, n1 + n2 AS n,
+             (two_r1 - n1 * (n1 + 1)) / 2.0 AS u1
+      FROM agg)
+    SELECT n1, n2, round(u1, 6) AS u1,
+           round(n1 * CAST(n2 AS DOUBLE) - u1, 6) AS u2,
+           round((u1 - n1 * CAST(n2 AS DOUBLE) / 2)
+                 / sqrt(n1 * CAST(n2 AS DOUBLE) / 12
+                        * ((n + 1) - CAST(ties AS DOUBLE) / (n * (n - 1.0)))),
+                 6) AS z
+    FROM u
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def qa_mann_whitney(
+    spark: SparkSession, sf_dir: str, scale_safe: bool = False
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with midrank tie handling and
+    the tie-corrected normal approximation z — the heavy-tail-robust
+    alternative to qa_welch_t on the same two samples; a drift monitor
+    runs both because a mean shift and a stochastic-dominance shift are
+    different alarms.
+
+    Exactness: rank sums stay INTEGER throughout via the doubled-rank
+    trick (2*R1 = sum d1*(2*c_before + cnt + 1) — midranks are halves,
+    so doubling keeps every accumulation exact BIGINT); U1/U2/z go
+    double only in the final expressions (u1 may end in .5 — exact in
+    binary). The tie correction sums t^3 - t per tied group, exactly.
+
+    Scale: same shape as qa_ks_two_sample — the window cumsum runs over
+    the DISTINCT-value frame; default keeps the single-partition window
+    (bit-exact oracle twin), ``scale_safe=True`` routes through
+    two_phase_cumsum. Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("d1"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    if scale_safe:
+        cumf, _ = two_phase_cumsum(pv, ["v"], "cnt", "cincl")
+        cum = cumf.select(
+            "d1", "cnt", (F.col("cincl") - F.col("cnt")).alias("cbefore")
+        )
+    else:
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = pv.select(
+            "d1",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cbefore"),
+        )
+    d1, cnt, cb = F.col("d1"), F.col("cnt"), F.col("cbefore")
+    agg = cum.agg(
+        F.sum(d1).cast("bigint").alias("n1"),
+        F.sum(cnt - d1).cast("bigint").alias("n2"),
+        F.sum(d1 * (2 * cb + cnt + 1)).cast("bigint").alias("two_r1"),
+        F.sum(cnt * cnt * cnt - cnt).cast("bigint").alias("ties"),
+    )
+    n1, n2, ties = F.col("n1"), F.col("n2"), F.col("ties")
+    n = n1 + n2
+    u1 = (F.col("two_r1") - n1 * (n1 + 1)) / 2.0
+    n2d = n2.cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round(n1 * n2d - u1, 6).alias("u2"),
+        F.round(
+            (u1 - n1 * n2d / 2)
+            / F.sqrt(
+                n1 * n2d / 12
+                * ((n + 1) - ties.cast("double") / (n * (n - 1.0)))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_cusum_daily: CUSUM change-point detection on the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_cusum_daily",
+    """
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1),
+    tot AS (SELECT count(*) AS n,
+                   CAST(sum(CAST(s AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS t
+            FROM dd),
+    dev AS (
+      -- scaled deviation n*x_t - T is exact DECIMAL (true deviation
+      -- x_t - mean times n, avoiding the inexact mean division)
+      SELECT d, CAST(n * CAST(s AS DECIMAL(28,6)) - t AS DECIMAL(38,6))
+                  AS dv, n
+      FROM dd, tot),
+    c AS (
+      SELECT d, n,
+             CAST(sum(dv) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,6)) AS cum
+      FROM dev),
+    r AS (
+      SELECT d, n, cum,
+             CAST(least(min(cum) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               CAST(0 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS runmin
+      FROM c)
+    SELECT d AS day,
+           round(CAST(cum AS DOUBLE) / n, 6) AS cum_dev,
+           round(CAST(cum - runmin AS DOUBLE) / n, 6) AS cusum_pos
+    FROM r ORDER BY day
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on daily revenue: the classic
+    recursive statistic S_t = max(0, S_{t-1} + (x_t - mean)) re-expressed
+    in closed form as C_t - min(0, min_{j<=t} C_j) over the deviation
+    cumsum C — recursion becomes two windowed aggregates, which is the
+    distributed-friendly form. A sustained upward level shift makes
+    cusum_pos climb; the alarm threshold is the consumer's choice.
+
+    Exactness: deviations are computed SCALED by n (n*x_t - total), so
+    the inexact mean division never enters the accumulation — every
+    cumsum/min is exact DECIMAL; the /n unscaling happens once, in the
+    final double, round-6.
+
+    Scale note: the ordered windows run over the DAILY frame, whose
+    cardinality is calendar days — invariant in data volume (100 TB of
+    events is still ~365 rows/year here), so the unpartitioned window is
+    bounded by construction, unlike value-cardinality frames (those get
+    scale_safe switches). Reference analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    dd = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    tot = dd.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("s").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("t"),
+    )
+    dev = dd.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        (F.col("n") * F.col("s").cast("decimal(28,6)") - F.col("t"))
+        .cast("decimal(38,6)")
+        .alias("dv"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = dev.select(
+        "d", "n", F.sum("dv").over(w).cast("decimal(38,6)").alias("cum")
+    )
+    r = c.select(
+        "d",
+        "n",
+        "cum",
+        F.least(
+            F.min("cum").over(w),
+            F.lit(0).cast("decimal(38,6)"),
+        )
+        .cast("decimal(38,6)")
+        .alias("runmin"),
+    )
+    return r.select(
+        F.col("d").alias("day"),
+        F.round(F.col("cum").cast("double") / F.col("n"), 6).alias(
+            "cum_dev"
+        ),
+        F.round(
+            (F.col("cum") - F.col("runmin")).cast("double") / F.col("n"), 6
+        ).alias("cusum_pos"),
+    ).orderBy("day")

@@ -147,6 +147,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),
     "a28_customer_kmeans": ("kmeans", "centroids", "unsupervised", "cluster", "segmentation"),
     "dd_incremental_dedup": ("incremental", "ingest", "daily", "batch", "index"),
+    "dd_incremental_minhash": ("incremental", "near", "nearduplicate", "fuzzy", "indexed"),
     "wh_vacuum_retention": ("vacuum", "retention", "reclaim", "expire", "cleanup"),
     "wh_schema_evolution": ("schema", "evolution", "column", "added", "mergeschema"),
     "ev_trend_regression": ("regression", "slope", "ols", "fit", "r2"),
@@ -158,6 +159,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association"),
     "qa_psi_price_drift": ("drift", "drifted", "psi", "stability", "population"),
     "qa_ks_two_sample": ("kolmogorov", "smirnov", "ks", "distributions", "differ"),
+    "qa_welch_t": ("ttest", "welch", "significant", "significance", "means"),
+    "qa_mann_whitney": ("mann", "whitney", "wilcoxon", "ranksum", "nonparametric"),
+    "ev_cusum_daily": ("cusum", "changepoint", "change", "detection", "shift"),
     "ev_autocorr_daily": ("autocorrelation", "autocorrelated", "persistence", "lag"),
     "ev_ewma_daily": ("ewma", "smoothed", "smoothing", "exponential", "exponentially"),
 }

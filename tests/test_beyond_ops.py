@@ -1536,3 +1536,33 @@ def test_late_data_drop_metrics(spark):
     # result itself is exact — the registry oracle pins that all replays
     # are excluded). Accept both accountings, reject anything looser.
     assert STm.LATE_DROP_METRICS["st_late_test"] in (n_replays, n_replays - 1)
+
+
+def test_incremental_minhash_converges_to_batch_operator(spark):
+    """The incremental index path must find EXACTLY the cross-boundary
+    pairs the full-corpus operator finds — the convergence guarantee
+    that lets a pipeline index batch-by-batch without drift."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        dedup as DD,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cut = 400
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.3).collect()
+        if r["id_a"] < cut <= r["id_b"]
+    }
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.incremental_minhash_lsh(
+            docs.filter(F.col("doc_id") >= cut),
+            docs.filter(F.col("doc_id") < cut),
+            threshold=0.3,
+        ).collect()
+    }
+    assert inc == full
+    assert inc, "fixture must plant cross-boundary near-dups"

@@ -107,3 +107,64 @@ def test_trend_regression_bounds(spark):
     mean_x = sum((x["d"] - d0).days for x in daily) / len(daily)
     mean_y = sum(x["s"] for x in daily) / len(daily)
     assert abs(r["intercept"] + r["slope"] * mean_x - mean_y) < 1e-2
+
+
+def test_welch_t_matches_numpy(spark, duck_smoke):
+    """t statistic and Welch df agree with a direct numpy recomputation
+    from the raw parquet."""
+    import numpy as np
+
+    (r,) = _one(spark, "qa_welch_t")
+    rows = duck_smoke.execute(
+        """
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END,
+               o_totalprice
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        """
+    ).fetchall()
+    a = np.array([v for g, v in rows if g == 1])
+    b = np.array([v for g, v in rows if g == 2])
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r["n1"] == len(a) and r["n2"] == len(b)
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert abs(r["welch_df"] - df) < 1e-2
+
+
+def test_mann_whitney_invariants(spark):
+    (r,) = _one(spark, "qa_mann_whitney")
+    # U1 + U2 == n1 * n2 exactly (midranks preserve the identity).
+    assert abs(r["u1"] + r["u2"] - r["n1"] * r["n2"]) < 1e-6
+    assert 0 <= r["u1"] <= r["n1"] * r["n2"]
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The windowed closed form must equal the textbook recursion
+    S_t = max(0, S_{t-1} + (x_t - mean)) replayed in python."""
+    rows = _one(spark, "ev_cusum_daily")
+    assert rows
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("s"))
+        .orderBy("d")
+        .collect()
+    )
+    mean = sum(x["s"] for x in daily) / len(daily)
+    s_t = 0.0
+    for row, x in zip(rows, daily):
+        assert row["day"] == x["d"]
+        s_t = max(0.0, s_t + (x["s"] - mean))
+        assert abs(row["cusum_pos"] - s_t) < 1e-3
+        assert row["cusum_pos"] >= -1e-9
+        assert row["cusum_pos"] >= row["cum_dev"] - 1e-9

@@ -411,7 +411,7 @@ def _rows_key(rows):
 @pytest.mark.parametrize(
     "name",
     ["a24_revenue_gini", "a16_rfm_segmentation", "a17_pareto_customers",
-     "ev_equidepth_histogram", "qa_ks_two_sample"],
+     "ev_equidepth_histogram", "qa_ks_two_sample", "qa_mann_whitney"],
 )
 def test_scale_safe_mode_equivalence(spark, name):
     """scale_safe=True (two-phase partition-offset rank/cumsum) returns
@@ -425,7 +425,7 @@ def test_scale_safe_mode_equivalence(spark, name):
 @pytest.mark.parametrize(
     "name",
     ["a24_revenue_gini", "a16_rfm_segmentation", "a17_pareto_customers",
-     "ev_equidepth_histogram", "qa_ks_two_sample"],
+     "ev_equidepth_histogram", "qa_ks_two_sample", "qa_mann_whitney"],
 )
 def test_scale_safe_plans_have_no_global_window(spark, name):
     _assert_no_global_window(REGISTRY[name].spark(spark, SF_SMOKE, scale_safe=True))
