@@ -160,6 +160,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "qa_psi_price_drift": ("drift", "drifted", "psi", "stability", "population"),
     "qa_ks_two_sample": ("kolmogorov", "smirnov", "ks", "distributions", "differ"),
     "qa_welch_t": ("ttest", "welch", "significant", "significance", "means"),
+    "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
+    "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
+    "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),
     "qa_mann_whitney": ("mann", "whitney", "wilcoxon", "ranksum", "nonparametric"),
     "ev_cusum_daily": ("cusum", "changepoint", "change", "detection", "shift"),
     "ev_autocorr_daily": ("autocorrelation", "autocorrelated", "persistence", "lag"),

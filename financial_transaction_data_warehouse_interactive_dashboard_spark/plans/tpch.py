@@ -1,0 +1,248 @@
+"""Classic TPC-H query shapes over the fixture star (beyond-reference, r6).
+
+The testdata is TPC-H-derived, so the engine carries the three canonical
+decision-support shapes as named, oracle-pinned queries — the lingua
+franca for judging an OLAP engine's plan quality:
+
+- **Q1 pricing summary**: the wide-aggregate scan (8 aggregates over a
+  date-filtered fact, 4-row result) — tests map-side combine + pushdown;
+- **Q3 shipping priority**: fact-fact join + top-k by aggregated
+  revenue — tests join order and TakeOrdered;
+- **Q5 local supplier volume**: the 6-table star/snowflake join with a
+  cross-dimension equality (customer nation == supplier nation) — tests
+  broadcast planning across a deep join tree.
+
+Exactness: all money math runs in exact DECIMAL (prices 2dp, discount/
+tax 2dp; products widen to 4/6dp with explicit casts keeping every
+intermediate inside both engines' headroom) and goes double only at the
+output boundary; averages are single divisions, round-6. Top-k orders by
+the exact DECIMAL revenue, so the selected set is engine-independent.
+
+Dialect deviations from spec text (documented, same on both sides): the
+fixture has o_orderpriority instead of o_shippriority (Q3) and the date
+constants are shifted into the fixture's 1995-2001 span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+# Column factories, not module constants: F.lit needs an active
+# SparkContext, and this module imports at registry-build time.
+def _ext():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _disc_price():
+    return (
+        _ext()
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(4,2)")
+        )
+    ).cast("decimal(20,4)")
+
+
+def _one_plus_tax():
+    return F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast(
+        "decimal(4,2)"
+    )
+
+SQL_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    " AS DECIMAL(20,4))"
+)
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST({SQL_DISC_PRICE}
+                 * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+                 AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the pricing summary report. One date-pushed scan, eight
+    exact-decimal aggregates, (returnflag, linestatus)-grouped — the
+    benchmark's canonical test that partial aggregation happens map-side
+    (a 4-row result from a fact-sized scan should move ~nothing through
+    the shuffle) and that the ship-date filter reaches the parquet
+    row groups (pinned in tests/test_plan_quality.py)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    disc_price = _disc_price()
+    charge = (disc_price * _one_plus_tax()).cast("decimal(30,6)")
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(_ext()).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_ext()).cast("double") / n, 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(4,2)"))
+                .cast("double")
+                / n,
+                6,
+            ).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+    WITH rev AS (
+      SELECT l_orderkey,
+             CAST(sum({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1998-01-01'
+        AND l_shipdate > DATE '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+    SELECT l_orderkey, CAST(revenue AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM rev
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 highest-revenue unshipped BUILDING orders. The
+    join tree is dim(customer) -> fact(orders) -> fact(lineitem): the
+    customer side must broadcast, orders-lineitem shuffles on the order
+    key, and the final top-k must plan as TakeOrderedAndProject over the
+    grouped revenue, never a global sort. The k selection orders by the
+    EXACT decimal revenue (tie-broken by date and key), so the chosen
+    set is identical on both engines before the double cast.
+
+    Fixture deviation: o_orderpriority stands in for o_shippriority
+    (column absent), date constants shifted into the data span."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    disc_price = _disc_price()
+    rev = (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+    )
+    return (
+        rev.orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the supplier and customer
+    share a nation, per ASIA nation. The snowflake join region -> nation
+    -> {customer, supplier} with the cross-dimension c_nationkey ==
+    s_nationkey constraint — the classic test that a planner broadcasts
+    the whole dimension chain and leaves only the orders-lineitem
+    shuffle (pinned in tests/test_plan_quality.py). Revenue is the same
+    exact-decimal sum as Q1/Q3."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _disc_price()
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            supp.s_nationkey == asia_nations.n_nationkey,
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

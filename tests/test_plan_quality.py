@@ -588,3 +588,38 @@ def test_cohort_ltv_window_is_partitioned(spark):
     for spec in specs:
         head = spec.split(",")[0]
         assert " ASC" not in head and " DESC" not in head, spec
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes: plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q1_pushes_shipdate_and_combines_mapside(spark):
+    plan = plan_of(REGISTRY["tpch_q1_pricing_summary"].spark(spark, SF_SMOKE))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "l_shipdate" in pushed
+    # partial_ aggregates before the exchange = map-side combine.
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q3_broadcasts_dim_and_takes_ordered(spark):
+    plan = plan_of(
+        REGISTRY["tpch_q3_shipping_priority"].spark(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_broadcasts_entire_dimension_chain(spark):
+    """Q5's only non-broadcast join may be orders-lineitem: customer,
+    supplier, nation, region all ride broadcasts, so the plan carries at
+    most one shuffle join."""
+    plan = plan_of(
+        REGISTRY["tpch_q5_local_supplier_volume"].spark(spark, SF_SMOKE)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
