@@ -83,6 +83,17 @@ def query(name: str, oracle: str | None, driver: bool = True):
       sim_topk_bruteforce, mm_features_resize, st_sessionize_stateful
       (all driver-green r5 + earlier; the two carried perf-weak entries
       keep their measured ratios in BENCH_DETAIL either way).
+    - r7 queue (never driver-checked; all added r6, locally pinned):
+      the statistical QA tier (qa_chi_square / qa_psi / qa_ks /
+      qa_welch_t / qa_mann_whitney, ev_autocorr / ev_ewma / ev_cusum /
+      ev_trend_regression), the vector tier (sim_embedding_covariance,
+      sim_random_projection), incremental dedup (dd_incremental_dedup,
+      dd_incremental_minhash — the LSH one's oracle replays the full
+      banded pipeline, strongest candidate), warehouse lifecycle
+      (wh_time_travel, wh_vacuum_retention, wh_schema_evolution),
+      st_late_data (watermark-drop proof), tx_mixture_weights,
+      a29_cohort_ltv, and the TPC-H trio (q1/q3/q5). Prefer one per
+      family per round, strongest oracle first.
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
