@@ -424,3 +424,90 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized (seeded) PageRank: the teleport vector concentrates
+    on ``seeds`` (a one-column ``node`` frame) instead of spreading
+    uniformly — rank(v) = (1-d)*s_v + d*flow(v) with s_v = 1/|S| on the
+    seed set and 0 elsewhere, started from s itself. The result ranks
+    every node by its proximity to the seeds — the similar-items /
+    related-entities primitive graph recommenders run per anchor set.
+
+    Same fixed-iteration Pregel-lite skeleton and oracle-exact
+    arithmetic as :func:`pagerank` (rounded-decimal contribution sums;
+    per-round localCheckpoint); the seed flag rides the node frame as a
+    0/1-weighted teleport column, one broadcast-joined bit per node.
+    Dangling mass is not redistributed (co-occurrence graphs have none;
+    directed callers compose the same correction as pagerank's)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select("node").distinct()
+    ns = seed_nodes.agg(F.count("*").alias("ns"))
+    sv = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(1))),
+            "node",
+            "left",
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.when(
+                F.col("_is_seed").isNotNull(),
+                F.lit(1.0) / F.col("ns"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    teleport = 1.0 - damping
+    ranks = sv.select("node", F.col("s").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(32,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s_flow"))
+        )
+        flow = F.coalesce(
+            F.col("s_flow"), F.lit(0).cast("decimal(32,12)")
+        ).cast("double")
+        ranks = (
+            sv.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) * F.col("s") + F.lit(damping) * flow
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1929,3 +1929,86 @@ def a29_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "cohort_quarter", "age_quarters")
     )
+
+
+# ---------------------------------------------------------------------------
+# a30: personalized (seeded) PageRank — related-brand discovery
+# ---------------------------------------------------------------------------
+
+PPR_SEED_PATTERN = "Brand#1%"  # Brand#1 and Brand#10..19: stable at all SFs
+
+
+def _ppr_iter_cte(i: int) -> str:
+    return f"""p{i} AS (
+      SELECT sv.node,
+             CAST('{_PR_TP}' AS DOUBLE) * sv.s
+             + CAST('{_PR_D}' AS DOUBLE)
+               * CAST(coalesce(f.s_flow, 0) AS DOUBLE) AS rank
+      FROM sv
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               sum(CAST(round(r.rank / od.deg, 12) AS DECIMAL(32,12)))
+                 AS s_flow
+        FROM e JOIN p{i - 1} r ON e.src = r.node
+               JOIN od ON e.src = od.node
+        GROUP BY 1) f ON sv.node = f.node)"""
+
+
+@query(
+    "a30_brand_ppr",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    e AS (
+      SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT node FROM nodes WHERE node LIKE '{PPR_SEED_PATTERN}'),
+    ns AS (SELECT count(*) AS n FROM seeds),
+    sv AS (
+      SELECT nodes.node,
+             CASE WHEN seeds.node IS NOT NULL
+                  THEN CAST(1 AS DOUBLE) / ns.n ELSE CAST(0 AS DOUBLE)
+             END AS s
+      FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.node = seeds.node),
+    od AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    p0 AS (SELECT node, s AS rank FROM sv),
+    {", ".join(_ppr_iter_cte(i) for i in range(1, PR_ITER + 1))}
+    SELECT node AS brand, round(rank, 6) AS rank,
+           CASE WHEN node LIKE '{PPR_SEED_PATTERN}' THEN 1 ELSE 0
+           END AS is_seed
+    FROM p{PR_ITER} ORDER BY rank DESC, brand
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the Brand#1x seed family over the
+    brand co-purchase graph (operators.graph.personalized_pagerank) —
+    "brands related to THESE brands", the related-entities primitive a
+    recommender runs per anchor set, and the third iterative graph
+    algorithm family under the oracle (after global PageRank and label
+    propagation). The oracle unrolls the same {PR_ITER} seeded power
+    iterations; seeds are a deterministic name-pattern subset so the
+    query is reproducible at every SF."""
+    from ..operators.graph import personalized_pagerank
+
+    edges = _copurchase_edges(_order_brands(spark, sf_dir), ordered=False)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node").like(PPR_SEED_PATTERN))
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=PR_ITER, damping=PR_DAMPING
+    )
+    return ranks.select(
+        F.col("node").alias("brand"),
+        F.round("rank", 6).alias("rank"),
+        F.when(F.col("node").like(PPR_SEED_PATTERN), 1)
+        .otherwise(0)
+        .alias("is_seed"),
+    ).orderBy(F.desc("rank"), "brand")

@@ -142,6 +142,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "sim_recall_at_k": ("recall", "evaluate", "evaluation", "accuracy"),
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
+    "a30_brand_ppr": ("related", "personalized", "recommendations", "seeded", "anchor"),
     "tx_chunk_documents": ("chunk", "chunks", "chunking", "overlapping", "rag"),
     "ev_top_paths": ("paths", "journeys", "sequences", "flows", "trigram"),
     "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),

@@ -670,3 +670,20 @@ def test_mixture_weights_properties(spark):
         else:
             assert r["w"] < r["p"] + 1e-9, r
             assert r["expected_epochs"] < 1.0 + 1e-9, r
+
+
+def test_personalized_pagerank_properties(spark):
+    """Seeded PageRank over the (dangling-free) co-purchase graph
+    conserves rank mass (sums to 1 every iteration) and concentrates it
+    near the seeds — the seed family must average a higher rank than
+    the non-seeds."""
+    rows = REGISTRY["a30_brand_ppr"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    seed_ranks = [r["rank"] for r in rows if r["is_seed"] == 1]
+    other_ranks = [r["rank"] for r in rows if r["is_seed"] == 0]
+    assert seed_ranks and other_ranks
+    assert (sum(seed_ranks) / len(seed_ranks)) > (
+        sum(other_ranks) / len(other_ranks)
+    )
