@@ -118,6 +118,20 @@ def sql_cosine(a: str, b: str) -> str:
     return f"list_cosine_similarity({a}, {b})"
 
 
+def dot(a: str, b: str) -> Column:
+    """Inner product of two array<double> columns, JVM-side — the
+    numerator of :func:`cosine`, summed in array order (bit-identical to
+    the DuckDB twin for the same reason)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
 def rolling_hash(arr_expr: str, mod: int = ROLL_MOD) -> Column:
     """Order-sensitive polynomial hash of a string-array column:
     fold(acc*31 + md5_long(x)) mod p. Spark higher-order aggregate."""

@@ -318,3 +318,160 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             )
 
     return emb.select("vec_id", vec_col).mapInPandas(fn, QUANT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_K = 8  # centroids per subspace codebook
+
+
+def _subvectors(vecs: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
+    """(vec_id, m, sv): each vector split into ``m`` contiguous
+    ``subdim``-dim subvectors — one explode, no shuffle."""
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("m"),
+                    F.slice("v", j * subdim + 1, subdim).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    return vecs.select("vec_id", entries.alias("e")).select(
+        "vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")
+    )
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """Per (vec_id, m): nearest codebook entry by rounded cosine (ties ->
+    lowest code) — same determinism discipline as _assign_cells."""
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.desc("sub_cos"), F.asc("code")
+    )
+    return (
+        subs.join(F.broadcast(books), "m")
+        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sv", "code")
+    )
+
+
+def pq_codebooks(
+    subs: DataFrame,
+    n_codes: int = PQ_K,
+    iterations: int = 1,
+) -> DataFrame:
+    """Per-subspace codebooks (m, code, cv): seeded from the first
+    ``n_codes`` vectors' subvectors, refined by ``iterations`` Lloyd
+    steps with DECIMAL-exact centroid means (the refine_centroids
+    discipline, applied per subspace — assignment uses the portable
+    rounded cosine, so the whole build is oracle-reproducible)."""
+    books = subs.filter(F.col("vec_id") < n_codes).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(iterations):
+        assign = _pq_assign(subs, books)
+        pos = assign.select(
+            "m", "code", F.posexplode("sv").alias("pos", "val")
+        )
+        cent = pos.groupBy("m", "code", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ).alias("cv_e")
+        )
+        books = (
+            cent.groupBy("m", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cv_e"))
+                ).alias("pc")
+            )
+            .select(
+                "m",
+                "code",
+                F.expr("transform(pc, x -> x.cv_e)").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return books
+
+
+def topk_ann_pq(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    iterations: int = 1,
+) -> DataFrame:
+    """Approximate top-k by PRODUCT QUANTIZATION with asymmetric distance
+    computation (Jegou et al. 2011, inner-product form): the corpus is
+    stored as ``m`` small codes per vector (here 8 codes -> 8 bytes vs
+    256 bytes fp32 — the 32x compression that makes 10^9-vector indexes
+    RAM-resident); a query scores a candidate as
+    sum_m round(<q_m, codebook_m[code_m]>, 6) — the exact subvector is
+    never touched at query time, only the code and the (tiny, broadcast)
+    codebook.
+
+    Determinism: per-m terms are rounded then summed as exact
+    DECIMAL(18,6) (order-independent across the m-way aggregation);
+    assignment ties break to the lowest code; final ranking ties to the
+    lowest neighbor id. Codebook training reuses the decimal-exact Lloyd
+    discipline, assignment by the portable rounded cosine.
+
+    At scale: encode is one broadcast join + per-row argmax (map-side);
+    ADC is a join against the code table keyed by (m, code) with the
+    codebook broadcast — a production deployment precomputes the m x
+    n_codes lookup table per query and mapInPandas-folds it; the plan
+    shape (broadcast dims, shuffle only on the final per-pair
+    aggregation) is the same. Cosine assignment stands in for the
+    classic L2 here because cosine is the repo's portable-oracle
+    primitive; the pipeline is identical under any subvector metric."""
+    vecs = _vecs(emb)
+    subs = _subvectors(vecs, m, subdim).localCheckpoint(eager=True)
+    books = pq_codebooks(subs, n_codes, iterations)
+    codes = _pq_assign(subs, books).select("vec_id", "m", "code")
+    q = _subvectors(
+        vecs.filter(F.col("vec_id") < n_queries), m, subdim
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("sv").alias("qsv"),
+    )
+    terms = (
+        codes.join(F.broadcast(books), ["m", "code"])
+        .join(F.broadcast(q), "m")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(P.dot("qsv", "cv"), 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    scores = (
+        terms.groupBy("query_id", "vec_id")
+        .agg(F.sum("term").cast("double").alias("approx_ip"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("vec_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("approx_ip", 6).alias("approx_ip"),
+        )
+    )

@@ -859,6 +859,73 @@ def _sql_ivf_kmeans(iters: int) -> str:
     )
 
 
+def _sql_pq_adc() -> str:
+    """DuckDB oracle for 1-Lloyd-iteration PQ + ADC (operators.similarity
+    topk_ann_pq): subspace split -> seeded codebooks -> decimal-exact
+    refine -> encode -> per-subspace dot-product terms -> exact DECIMAL
+    ADC sum -> top-5."""
+    sd = S.PQ_SUBDIM
+    assign = (
+        "(SELECT sub.vec_id, sub.m, sub.sv, code FROM sub JOIN {books} USING (m)\n"
+        "   QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.m\n"
+        "     ORDER BY round(list_cosine_similarity(sv, cv), 6) DESC,"
+        " code ASC) = 1)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, r.range AS m,
+                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
+            FROM e, range(0, {S.PQ_M}) r),
+    b0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+           WHERE vec_id < {S.PQ_K}),
+    a0 AS {assign.format(books='b0')},
+    px0 AS (SELECT m, code, u.p AS pos, u.x AS val FROM a0,
+            unnest([{{'p': i, 'x': sv[i]}}
+                    for i in range(1, len(sv) + 1)]) AS t(u)),
+    c0 AS (SELECT m, code, pos,
+                  CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*) AS cv_e
+           FROM px0 GROUP BY 1, 2, 3),
+    b1 AS (SELECT m, code, list(cv_e ORDER BY pos) AS cv
+           FROM c0 GROUP BY 1, 2),
+    enc AS {assign.format(books='b1')},
+    q AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub
+          WHERE vec_id < 8),
+    terms AS (SELECT query_id, enc.vec_id,
+                     CAST(round(list_dot_product(qsv, cv), 6)
+                          AS DECIMAL(18,6)) AS term
+              FROM enc JOIN b1 USING (m, code) JOIN q USING (m)),
+    scores AS (SELECT query_id, vec_id,
+                      CAST(sum(term) AS DOUBLE) AS approx_ip
+               FROM terms WHERE vec_id != query_id GROUP BY 1, 2)
+    SELECT query_id, vec_id AS neighbor_id,
+           round(approx_ip, 6) AS approx_ip
+    FROM scores
+    QUALIFY row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_ip DESC, vec_id ASC) <= 5
+    ORDER BY query_id, approx_ip DESC, neighbor_id
+    """
+
+
+@query(
+    "sim_ann_pq_adc",
+    _sql_pq_adc(),
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance (operators.similarity
+    .topk_ann_pq): 8 subspace codebooks of 8 centroids (one decimal-
+    exact Lloyd refine), corpus stored as 8 codes/vector (32x
+    compression), queries ranked by the exact-DECIMAL sum of rounded
+    per-subspace inner products. The oracle replays codebook training,
+    encoding, and ADC bit-for-bit — completing the oracle-checked vector
+    index triad (sign-LSH buckets, IVF cell probing, PQ compression)."""
+    return S.topk_ann_pq(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5
+    ).orderBy("query_id", F.desc("approx_ip"), "neighbor_id")
+
+
 @query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1), driver=False)
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-

@@ -156,6 +156,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a29_cohort_ltv": ("ltv", "lifetime", "value", "cumulative", "cohort"),
     "wh_time_travel": ("travel", "version", "versions", "rollback", "snapshot"),
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
+    "sim_ann_pq_adc": ("quantization", "compressed", "compression", "pq", "codes"),
     "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),
     "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association"),
     "qa_psi_price_drift": ("drift", "drifted", "psi", "stability", "population"),
