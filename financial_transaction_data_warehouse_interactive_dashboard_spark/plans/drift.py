@@ -943,3 +943,219 @@ def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") - F.col("runmin")).cast("double") / F.col("n"), 6
         ).alias("cusum_pos"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# qa_anova_segments: one-way ANOVA across market segments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_anova_segments",
+    """
+    WITH s AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    m AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sc,
+             CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS sc2
+      FROM s GROUP BY g),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             sum(sc) AS st, sum(sc2) AS sq,
+             sum(sc * sc / n) AS sg
+      FROM m),
+    f AS (
+      SELECT k, n,
+             (sg - st * st / n) AS ssb,
+             (sq - sg) AS ssw
+      FROM t)
+    SELECT k, n, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+           round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM f
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five market segments —
+    the k-group generalization of qa_welch_t (F statistic + eta-squared
+    effect size): does ANY segment's mean spend differ? The third member
+    of the parametric test family (t -> ANOVA -> chi-square), completing
+    the drift monitor's standard battery.
+
+    Exactness: integer-cents per-group sums and sum-of-squares (exact
+    DECIMAL); SSB/SSW come from the sum-of-squares identities
+    SSB = sum(S_g^2/n_g) - S^2/N, SSW = sum(Q_g) - sum(S_g^2/n_g) —
+    per-group double terms with identical shape, summed over the
+    5-row group frame (order-independent at this magnitude spread is NOT
+    assumed: the sums are over k=5 identically-computed doubles, and the
+    engines iterate the same 5-row frame — pinned by the oracle sweep);
+    F and eta^2 are final double expressions, round-6.
+
+    Scale: one grouped reduction over the broadcast-joined fact, then a
+    5-row scalar fold. Reference analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    s = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("g"),
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    c = F.col("c")
+    m = s.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(c.cast("decimal(38,0)")).cast("double").alias("sc"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("double").alias("sc2"),
+    )
+    t = m.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sc").alias("st"),
+        F.sum("sc2").alias("sq"),
+        F.sum(F.col("sc") * F.col("sc") / F.col("n")).alias("sg"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sg") - F.col("st") * F.col("st") / n
+    ssw = F.col("sq") - F.col("sg")
+    return t.select(
+        "k",
+        "n",
+        (k - 1).cast("bigint").alias("df1"),
+        (n - k).cast("bigint").alias("df2"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev_seasonal_decompose: additive trend/seasonal/residual decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_seasonal_decompose",
+    """
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-05') AS BIGINT) % 7
+               AS dow,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT d, dow, s,
+             round(CAST(sum(CAST(s AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   / 7, 6) AS trend,
+             count(*) OVER w AS wn
+      FROM dd
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dev AS (
+      SELECT d, dow, s, trend,
+             CAST(round(CAST(s AS DOUBLE) - trend, 6) AS DECIMAL(18,6))
+               AS dv
+      FROM tr WHERE wn = 7),
+    se AS (
+      SELECT dow, round(CAST(sum(dv) AS DOUBLE) / count(*), 6) AS raw_se
+      FROM dev GROUP BY dow),
+    ctr AS (
+      SELECT round(CAST(sum(CAST(raw_se AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS adj
+      FROM se)
+    SELECT dev.d AS day, CAST(dev.dow AS INTEGER) AS dow,
+           CAST(dev.s AS DOUBLE) AS observed,
+           dev.trend,
+           round(se.raw_se - ctr.adj, 6) AS seasonal,
+           round(CAST(dev.s AS DOUBLE) - dev.trend
+                 - round(se.raw_se - ctr.adj, 6), 6) AS residual
+    FROM dev JOIN se USING (dow) CROSS JOIN ctr
+    ORDER BY day
+    """,
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=False,
+)
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue into trend
+    (centered 7-day moving average), weekday seasonal (mean detrended
+    deviation per weekday, centered to sum to zero), and residual —
+    observed = trend + seasonal + residual by construction. The
+    explainability layer behind a27_dow_seasonal_outliers' screen: the
+    outlier test says WHICH days are odd; this shows the components.
+
+    Determinism: the weekday index is the portable epoch formula
+    (days since Monday 1970-01-05 mod 7 — no locale-dependent
+    dayofweek); every mean is one rounded division over an exact
+    DECIMAL sum; edge days without a full 7-day window are excluded
+    (wn = 7), matching the classical definition.
+
+    Scale note: all windows/groups run on the DAILY frame — calendar-
+    bounded cardinality, same argument as ev_cusum_daily. Reference
+    analogue: none."""
+    events = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    dd = events.groupBy(
+        d.alias("d"),
+        (F.datediff(d, F.lit("1970-01-05").cast("date")).cast("bigint") % 7)
+        .alias("dow"),
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = dd.select(
+        "d",
+        "dow",
+        "s",
+        F.round(
+            F.sum(F.col("s").cast("decimal(28,6)")).over(w).cast("double")
+            / 7,
+            6,
+        ).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    dev = tr.filter(F.col("wn") == 7).select(
+        "d",
+        "dow",
+        "s",
+        "trend",
+        F.round(F.col("s").cast("double") - F.col("trend"), 6)
+        .cast("decimal(18,6)")
+        .alias("dv"),
+    )
+    se = dev.groupBy("dow").agg(
+        F.round(
+            F.sum("dv").cast("double") / F.count("*"), 6
+        ).alias("raw_se")
+    )
+    ctr = se.agg(
+        F.round(
+            F.sum(F.col("raw_se").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("adj")
+    )
+    seasonal = F.round(F.col("raw_se") - F.col("adj"), 6)
+    return (
+        dev.join(F.broadcast(se), "dow")
+        .crossJoin(F.broadcast(ctr))
+        .select(
+            F.col("d").alias("day"),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("s").cast("double").alias("observed"),
+            "trend",
+            seasonal.alias("seasonal"),
+            F.round(
+                F.col("s").cast("double") - F.col("trend") - seasonal, 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )

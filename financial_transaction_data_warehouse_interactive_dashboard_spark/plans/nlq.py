@@ -167,6 +167,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),
     "qa_mann_whitney": ("mann", "whitney", "wilcoxon", "ranksum", "nonparametric"),
     "ev_cusum_daily": ("cusum", "changepoint", "change", "detection", "shift"),
+    "qa_anova_segments": ("anova", "variance", "analysis", "ftest", "groups"),
+    "ev_seasonal_decompose": ("decompose", "decomposition", "components", "residual", "deseasonalize"),
     "ev_autocorr_daily": ("autocorrelation", "autocorrelated", "persistence", "lag"),
     "ev_ewma_daily": ("ewma", "smoothed", "smoothing", "exponential", "exponentially"),
 }

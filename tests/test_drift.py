@@ -168,3 +168,55 @@ def test_cusum_closed_form_matches_recursion(spark):
         assert abs(row["cusum_pos"] - s_t) < 1e-3
         assert row["cusum_pos"] >= -1e-9
         assert row["cusum_pos"] >= row["cum_dev"] - 1e-9
+
+
+def test_anova_matches_numpy(spark, duck_smoke):
+    import numpy as np
+
+    (r,) = _one(spark, "qa_anova_segments")
+    rows = duck_smoke.execute(
+        """
+        SELECT c.c_mktsegment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    xs = [np.array(v) for v in groups.values()]
+    allv = np.concatenate(xs)
+    ssb = sum(len(x) * (x.mean() - allv.mean()) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    k, n = len(xs), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == k and r["n"] == n
+    assert r["df1"] == k - 1 and r["df2"] == n - k
+    assert abs(r["f_stat"] - f) < 1e-3
+    assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-6
+    assert 0.0 <= r["eta_squared"] <= 1.0
+
+
+def test_seasonal_decompose_identity(spark):
+    """observed == trend + seasonal + residual on every row, the
+    seasonal component sums to ~0 over the 7 weekdays, and the trend is
+    smoother (lower variance) than the observed series."""
+    rows = _one(spark, "ev_seasonal_decompose")
+    assert rows
+    for r in rows:
+        assert (
+            abs(r["observed"] - (r["trend"] + r["seasonal"] + r["residual"]))
+            < 1e-5
+        ), r
+    by_dow = {}
+    for r in rows:
+        by_dow[r["dow"]] = r["seasonal"]
+    assert len(by_dow) == 7
+    assert abs(sum(by_dow.values())) < 1e-4
+    obs = [r["observed"] for r in rows]
+    tr = [r["trend"] for r in rows]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    assert var(tr) < var(obs)
