@@ -211,6 +211,133 @@ def shingle_rows(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     )
 
 
+def segment_rows(docs: DataFrame, seg_tokens: int = 12) -> DataFrame:
+    """(doc_id, seg_idx, seg) rows: each document split into consecutive
+    fixed-width token segments — the deterministic stand-in for '\\n'-line
+    splitting on a corpus whose documents are single-line (the newline-
+    delimited variant is the same pipeline with ``split(text, '\\n')`` and
+    no width constant).
+
+    Physical: same codegen posexplode + window-lead pipeline as
+    :func:`shingle_rows`, but STRIDED — only rows at ``pos % seg_tokens
+    == 0`` survive as segment heads, and ``concat_ws`` (which skips the
+    NULL leads past the document end) assembles the possibly-short final
+    segment for free. One shuffle on doc_id, all whole-stage codegen."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [
+        F.lead("t", i).over(w).alias(f"l{i}") for i in range(1, seg_tokens)
+    ]
+    return (
+        tok.select("doc_id", "pos", "t", *leads)
+        .filter(F.col("pos") % seg_tokens == 0)
+        .select(
+            "doc_id",
+            (F.col("pos") / seg_tokens).cast("long").alias("seg_idx"),
+            F.concat_ws(
+                " ", "t", *[f"l{i}" for i in range(1, seg_tokens)]
+            ).alias("seg"),
+        )
+    )
+
+
+def segment_dedup(docs: DataFrame, seg_tokens: int = 12) -> DataFrame:
+    """C4-style LINE-level corpus dedup (Raffel et al. 2020 §2.2: 'we
+    removed any line that occurred more than once in the data set,
+    keeping one occurrence'), at segment granularity: across the WHOLE
+    corpus each distinct segment survives only at its globally-first
+    occurrence (min (doc_id, seg_idx)); every later copy is dropped and
+    the documents are reassembled in original segment order.
+
+    Returns (doc_id, n_segments, n_kept, clean_text) — clean_text is ''
+    for a document whose every segment first appeared elsewhere, which is
+    exactly the boilerplate-only page the C4 pass exists to empty out.
+
+    Scale shape: the global first-occurrence choice is a row_number over
+    a window PARTITIONED BY the 60-bit segment hash — key cardinality =
+    distinct segments (corpus-sized, massively parallel), never a global
+    sort. One shuffle on doc_id (segmenting window), one on the segment
+    hash (winner election), one back on doc_id (reassembly). Reassembly
+    sorts WITHIN one document only (array_sort over a bounded per-doc
+    collect_list), so no skew beyond document length itself."""
+    segs = segment_rows(docs, seg_tokens).select(
+        "doc_id", "seg_idx", "seg", P.md5_long("seg").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    keep = segs.withColumn("rn", F.row_number().over(w))
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def blocked_levenshtein_pairs(
+    names: DataFrame,
+    name_col: str,
+    block_col: Column,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct names, blocked by
+    ``block_col`` (a cheap deterministic key — last token, soundex,
+    sorted-neighborhood window...), exhaustively compared WITHIN each
+    block by JVM-side ``levenshtein`` and kept under ``max_dist``. The
+    classic blocking+verify ER skeleton (Fellegi-Sunter style candidate
+    generation): never all-pairs — quadratic only inside a block, so
+    block-key design bounds the cost exactly like LSH banding bounds
+    MinHash candidates.
+
+    Returns (block, name_a, name_b, dist, sim) with name_a < name_b and
+    sim = 1 - dist/len(longer) in [0,1]. Scale: the self-join shuffles
+    once on the block key; skewed blocks are the known ER failure mode —
+    at 100 TB swap the single key for sorted-neighborhood windows or
+    multi-pass blocking (each pass is this same operator), and cap block
+    width with a pre-aggregated block-size filter."""
+    base = (
+        names.select(
+            F.col(name_col).alias("name"), block_col.alias("block")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = base.select(F.col("block"), F.col("name").alias("name_a"))
+    b = base.select(F.col("block").alias("block_b"), F.col("name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, a.block == b.block_b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("block", "name_a", "name_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .withColumn(
+            "sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("dist")
+                / F.greatest(F.length("name_a"), F.length("name_b")),
+                6,
+            ),
+        )
+    )
+
+
 def contamination_report(
     train: DataFrame,
     test: DataFrame,

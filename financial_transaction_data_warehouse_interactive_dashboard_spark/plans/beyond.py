@@ -4793,3 +4793,205 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd_segment_dedup: C4-style line-level corpus dedup (segment granularity)
+# ---------------------------------------------------------------------------
+
+SEG_TOKENS = 12
+
+
+@query(
+    "dd_segment_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(0, (len(w) + {SEG_TOKENS - 1}) // {SEG_TOKENS}))
+               AS seg_idx,
+             unnest([array_to_string(
+                       w[s * {SEG_TOKENS} + 1 : s * {SEG_TOKENS} + {SEG_TOKENS}],
+                       ' ')
+                     for s in range(0, (len(w) + {SEG_TOKENS - 1})
+                                       // {SEG_TOKENS})]) AS seg
+      FROM tok),
+    k AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(seg), 1, 15))::BIGINT
+               ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id,
+           count(*) AS n_segments,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS clean_text
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level dedup (Raffel et al. 2020 §2.2 — drop every
+    repeated line corpus-wide, keeping the globally FIRST occurrence)
+    at fixed-width segment granularity, with documents reassembled in
+    original order (operators.dedup.segment_dedup). The parallel-unnest
+    oracle replays the identical segmentation, winner election
+    (row_number over the same 60-bit hash partitioning) and ordered
+    string_agg reassembly. Two fixture docs come back EMPTY — the
+    boilerplate-only pages the C4 pass exists to drain."""
+    return D.segment_dedup(
+        _t(spark, sf_dir, "documents"), SEG_TOKENS
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dd_er_blocked_pairs: entity-resolution blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+
+ER_MAX_DIST = 3
+
+
+@query(
+    "dd_er_blocked_pairs",
+    f"""
+    WITH n AS (SELECT DISTINCT p_name AS name,
+                      string_split(p_name, ' ')[-1] AS block
+               FROM part)
+    SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist,
+           round(1.0 - levenshtein(a.name, b.name)
+                       / greatest(length(a.name), length(b.name)), 6)
+             AS sim
+    FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
+    ORDER BY 1, 2, 3
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over the part-name vocabulary:
+    block on the head noun (last token), verify within blocks by JVM-side
+    levenshtein under {ER_MAX_DIST} (operators.dedup.
+    blocked_levenshtein_pairs) — the Fellegi-Sunter blocking+verify
+    skeleton every record-linkage pipeline runs before scoring. Both
+    engines ship the same edit-distance primitive, so the oracle is
+    exact. At 100 TB the single blocking key becomes multi-pass /
+    sorted-neighborhood keys; each pass is this operator unchanged."""
+    pairs = D.blocked_levenshtein_pairs(
+        _t(spark, sf_dir, "part"),
+        "p_name",
+        F.substring_index(F.col("p_name"), " ", -1),
+        ER_MAX_DIST,
+    )
+    return pairs.orderBy("block", "name_a", "name_b")
+
+
+# ---------------------------------------------------------------------------
+# ev_peak_concurrency: sweep-line daily peak concurrent sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_peak_concurrency",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    sess AS (SELECT user_id, sid, min(ts) AS f, max(ts) AS l
+             FROM s GROUP BY 1, 2),
+    sd AS (SELECT f, l,
+                  unnest(generate_series(f::DATE, l::DATE,
+                                         INTERVAL 1 DAY))::DATE AS day
+           FROM sess),
+    m AS (
+      SELECT day, greatest(f, day::TIMESTAMP) AS ts, 1 AS delta FROM sd
+      UNION ALL
+      SELECT day, least(l, (day + INTERVAL 1 DAY)::TIMESTAMP), -1 FROM sd),
+    c AS (SELECT day, delta,
+            sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                             ROWS UNBOUNDED PRECEDING) AS conc
+          FROM m)
+    SELECT day, max(conc)::BIGINT AS peak_concurrency,
+           sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_session_days
+    FROM c GROUP BY day ORDER BY day
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily PEAK concurrent sessions — the sweep-line / interval-overlap
+    primitive (±1 boundary marks, running sum, per-day max) behind
+    capacity planning and "how many users were on at once" dashboards.
+
+    Sessions are the same 30-min-gap gaps-and-islands islands as
+    ev_sessionize; each session interval [first_ts, last_ts] (CLOSED at
+    both ends — a single-event session still counts 1) is split at
+    midnight via an exploded day sequence so the sweep windows partition
+    BY DAY: no global sort anywhere, per-partition work bounded by one
+    day's session count at any scale. Boundary pins: +1 marks sort
+    before -1 at the same instant (ORDER BY ts, delta DESC — two
+    sessions meeting end-to-start at the same microsecond DO overlap),
+    and a midnight-spanning session counts in both adjacent days. The
+    running-sum max is order-independent under ties (every tied +1
+    contributes the same +1 to the partial-sum multiset), so both
+    engines agree exactly."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    # Exact integer-microsecond gap test (unix_micros), bit-identical to
+    # the oracle's timestamp-minus-timestamp < INTERVAL comparison.
+    brk = F.when(
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+        < 1800 * 1_000_000,
+        0,
+    ).otherwise(1)
+    sid = F.sum(brk).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    sd = sess.select(
+        "f",
+        "l",
+        F.explode(
+            F.sequence(F.to_date("f"), F.to_date("l"))
+        ).alias("day"),
+    )
+    day_start = F.col("day").cast("timestamp")
+    day_end = F.date_add(F.col("day"), 1).cast("timestamp")
+    marks = sd.select(
+        "day",
+        F.greatest(F.col("f"), day_start).alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        sd.select(
+            "day",
+            F.least(F.col("l"), day_end).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marks.withColumn("conc", F.sum("delta").over(wd))
+        .groupBy("day")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.sum((F.col("delta") == 1).cast("int")).alias(
+                "n_session_days"
+            ),
+        )
+        .orderBy("day")
+    )

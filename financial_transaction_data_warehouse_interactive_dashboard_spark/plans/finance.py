@@ -2012,3 +2012,93 @@ def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_seed"),
     ).orderBy(F.desc("rank"), "brand")
+
+
+# ---------------------------------------------------------------------------
+# a31: bounded-depth BFS over the kNN-sparsified co-purchase graph
+# ---------------------------------------------------------------------------
+
+KHOP_K = 3  # strongest co-purchase neighbors kept per brand
+KHOP_MAX = 3  # BFS depth bound
+
+
+def _khop_cte(i: int) -> str:
+    return f"""f{i} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM e JOIN d{i - 1} d ON e.src = d.node
+      WHERE e.dst NOT IN (SELECT node FROM d{i - 1})),
+    d{i} AS (SELECT * FROM d{i - 1} UNION ALL SELECT node, {i} FROM f{i})"""
+
+
+@query(
+    "a31_brand_khop",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    ec AS (
+      SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS w
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM ec)
+          WHERE rn <= {KHOP_K}),
+    seed AS (SELECT min(p_brand) AS node FROM part),
+    d0 AS (SELECT node, 0 AS hops FROM seed),
+    {", ".join(_khop_cte(i) for i in range(1, KHOP_MAX + 1))}
+    SELECT node AS brand, hops FROM d{KHOP_MAX} ORDER BY hops, brand
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def a31_brand_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS distances from the lexicographically-first brand over
+    the kNN-SPARSIFIED co-purchase graph: each brand keeps only its
+    {KHOP_K} strongest co-purchase arcs (by shared-order count, dst
+    tie-break — a per-src row_number window, never a global sort), then
+    operators.graph.khop_distances runs {KHOP_MAX} level-synchronous
+    BFS rounds. The FIFTH iterative graph algorithm in the engine, and
+    the one with frontier semantics (settled nodes never re-expanded).
+
+    The kNN sparsification is the standard trick that makes hop
+    distance meaningful on co-occurrence graphs (the raw basket graph
+    is near-complete: everything is 1 hop from everything); it is also
+    exactly the similar-items graph a recommender materializes. The
+    oracle unrolls the same {KHOP_MAX} BFS levels as anti-joined CTEs.
+    Scale: arcs bounded at nodes x {KHOP_K}; each round shuffles
+    frontier x out-degree rows."""
+    from ..operators.graph import khop_distances
+
+    ec = (
+        _copurchase_edges_weighted(_order_brands(spark, sf_dir))
+    )
+    wn = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    e = (
+        ec.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= KHOP_K)
+        .select("src", "dst")
+    )
+    part = _t(spark, sf_dir, "part")
+    seeds = part.agg(F.min("p_brand").alias("node"))
+    return (
+        khop_distances(e, seeds, KHOP_MAX)
+        .select(F.col("node").alias("brand"), "hops")
+        .orderBy("hops", "brand")
+    )
+
+
+def _copurchase_edges_weighted(ob: DataFrame) -> DataFrame:
+    """Directed co-purchase arcs with shared-order counts — the weighted
+    sibling of _copurchase_edges (same distinct-first basket frame, same
+    bounded fan-out), feeding the kNN sparsification in a31."""
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )

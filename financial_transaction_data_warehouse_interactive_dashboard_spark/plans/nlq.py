@@ -171,6 +171,10 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_seasonal_decompose": ("decompose", "decomposition", "components", "residual", "deseasonalize"),
     "ev_autocorr_daily": ("autocorrelation", "autocorrelated", "persistence", "lag"),
     "ev_ewma_daily": ("ewma", "smoothed", "smoothing", "exponential", "exponentially"),
+    "dd_segment_dedup": ("line", "lines", "c4", "boilerplate", "remove", "repeated"),
+    "dd_er_blocked_pairs": ("entity", "resolution", "matching", "linkage", "misspelled", "blocking"),
+    "ev_peak_concurrency": ("peak", "concurrent", "concurrency", "simultaneous", "capacity"),
+    "a31_brand_khop": ("hops", "hop", "degrees", "reachable", "within", "bfs"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -93,7 +93,13 @@ def query(name: str, oracle: str | None, driver: bool = True):
       (wh_time_travel, wh_vacuum_retention, wh_schema_evolution),
       st_late_data (watermark-drop proof), tx_mixture_weights,
       a29_cohort_ltv, and the TPC-H trio (q1/q3/q5). Prefer one per
-      family per round, strongest oracle first.
+      family per round, strongest oracle first. Added later in r6 (also
+      never driver-checked): dd_segment_dedup (C4 line-level dedup —
+      its oracle replays segmentation + global winner election +
+      reassembly, a strong candidate), dd_er_blocked_pairs
+      (entity-resolution blocking + levenshtein), ev_peak_concurrency
+      (sweep-line interval overlap), a31_brand_khop (frontier BFS on
+      the kNN-sparsified brand graph).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1586,3 +1586,124 @@ def test_pq_adc_recall_beats_chance(spark):
         bf[r["query_id"]].add(r["neighbor_id"])
     recalls = [len(pq[q] & bf[q]) / 5 for q in sorted(bf)]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_segment_dedup_planted_boilerplate(spark):
+    """A doc made entirely of another doc's segments must come back
+    EMPTY (the C4 boilerplate-only page), unique docs survive intact,
+    and reassembly preserves original segment order."""
+    seg_a = " ".join(f"a{i}" for i in range(4))
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{seg_a} {seg_b}"),  # original: keeps both segments
+            (1, f"{seg_b} {seg_a}"),  # pure boilerplate: emptied
+            (2, f"{seg_c} {seg_a}"),  # keeps only its novel lead segment
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert out[0]["clean_text"] == f"{seg_a} {seg_b}"
+    assert out[0]["n_kept"] == 2
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_kept"] == 0
+    assert out[2]["clean_text"] == seg_c
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+
+
+def test_segment_dedup_short_tail_segment(spark):
+    """The final partial segment (doc length not a multiple of the
+    width) is a first-class segment: deduped and reassembled like any
+    other."""
+    docs = spark.createDataFrame(
+        [(0, "w0 w1 w2 w3 tail"), (1, "tail")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.segment_dedup(docs, seg_tokens=4).collect()
+    }
+    # doc 0 owns 'tail' (global first occurrence at (0, seg 1)).
+    assert out[0]["clean_text"] == "w0 w1 w2 w3 tail"
+    assert out[1]["clean_text"] == ""
+
+
+def test_blocked_levenshtein_pairs_semantics(spark):
+    """Pairs only within a block, name_a < name_b, dist bound enforced,
+    sim consistent with the JVM levenshtein."""
+    df = spark.createDataFrame(
+        [("red gear",), ("rod gear",), ("red bear",), ("titanium gear",)],
+        ["name"],
+    )
+    rows = D.blocked_levenshtein_pairs(
+        df, "name", F.substring_index(F.col("name"), " ", -1), max_dist=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"]): r for r in rows}
+    # cross-block (red gear, red bear) dist 1 but different blocks ->
+    # absent; within-block far pair (titanium gear) pruned by max_dist.
+    assert set(got) == {("red gear", "rod gear")}
+    r = got[("red gear", "rod gear")]
+    assert r["dist"] == 1 and r["block"] == "gear"
+    assert abs(r["sim"] - (1 - 1 / 8)) < 1e-9
+
+
+def test_khop_distances_chain_and_frontier(spark):
+    """Hand-built chain 0->1->2->3->4: hops are exact, depth bound
+    respected, early exit on an exhausted frontier, and a reconverging
+    edge (2->1) never overwrites the settled hop-1 label."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        khop_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 1)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in khop_distances(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # exhausted frontier: isolated seed terminates after round 1
+    lone = spark.createDataFrame([(99,)], ["node"])
+    got2 = {
+        r["node"]: r["hops"]
+        for r in khop_distances(edges, lone, max_hops=3).collect()
+    }
+    assert got2 == {99: 0}
+
+
+def test_peak_concurrency_hand_case(spark):
+    """Three users, known overlap structure: two overlapping sessions
+    peak at 2; the boundary pin counts an end meeting a start at the
+    same instant as overlapping."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def ev(uid, *minutes):
+        return [(uid, base + dt.timedelta(minutes=m)) for m in minutes]
+
+    rows = (
+        ev(1, 0, 10, 20)  # session 10:00-10:20
+        + ev(2, 15, 25)  # session 10:15-10:25 (overlaps user 1)
+        + ev(3, 25, 30)  # session starts exactly at user 2's end
+    )
+    events = spark.createDataFrame(rows, ["user_id", "ts"])
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        ev_peak_concurrency,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(os.path.join(d, "events.parquet"))
+        out = ev_peak_concurrency(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 10:15-10:20 user1+user2 overlap = 2; user3 meets user2 at 10:25
+    # (closed-interval pin) = 2 as well; never 3.
+    assert r["peak_concurrency"] == 2
+    assert r["n_session_days"] == 3
