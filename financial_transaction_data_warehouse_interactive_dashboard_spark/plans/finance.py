@@ -1995,7 +1995,14 @@ def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is reproducible at every SF."""
     from ..operators.graph import personalized_pagerank
 
-    edges = _copurchase_edges(_order_brands(spark, sf_dir), ordered=False)
+    # Checkpoint the co-purchase edge list HERE, not only inside the
+    # operator: seeds derive from the same frame, and without truncation
+    # the seed branch re-executes the whole lineitem self-join lineage a
+    # second time (measured 4.0s -> 2.8s median-of-3 at sf0.1).
+    edges = (
+        _copurchase_edges(_order_brands(spark, sf_dir), ordered=False)
+        .localCheckpoint(eager=True)
+    )
     seeds = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
