@@ -145,3 +145,72 @@ def equidepth_bins(
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — broadcastable join-prune sketch with an exact
+# false-positive audit (the explicit form of the runtime bloom pruning
+# Spark's AQE injects; here the bits are a first-class, oracle-checkable
+# frame built from the portable md5 hash family).
+# ---------------------------------------------------------------------------
+
+from ..functions import portable as P  # noqa: E402  (module tail import)
+
+
+def _bloom_positions(key_col: str, m: int, k: int) -> F.Column:
+    """Array of the k bit positions for a key: md5_long(key || '|' || i)
+    mod m — the same double-hash-free salted family the LSH minhashes
+    use, bit-identical in DuckDB."""
+    return F.array(
+        *[
+            P.md5_long(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"|{i}"))
+            )
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m: int, k: int) -> DataFrame:
+    """The filter itself: the DISTINCT set-bit positions (one-column
+    ``bit`` frame, <= min(k*|keys|, m) rows) for the build-side key set.
+    At scale this is the frame you broadcast to prune a probe side
+    before its shuffle — k*|keys| longs, independent of build-row
+    payload width."""
+    return (
+        keys.select(
+            F.explode(_bloom_positions(key_col, m, k)).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_candidates(
+    probe: DataFrame, key_col: str, bits: DataFrame, m: int, k: int
+) -> DataFrame:
+    """Probe-side membership: keys whose EVERY bit position is set in
+    ``bits`` (matched distinct positions == the key's own distinct
+    position count — self-collisions of the k hashes are counted once
+    on both sides, so a key colliding into 3 bits needs 3 matches, not
+    4). Guarantees no false negatives; false positives are bounded by
+    the (1 - e^(-k n / m))^k load curve and audited exactly by the
+    wh_bloom_prune query."""
+    pb = (
+        probe.select(
+            F.col(key_col).alias("key"),
+            F.explode(_bloom_positions(key_col, m, k)).alias("bit"),
+        )
+        .distinct()
+    )
+    nb = pb.groupBy("key").agg(F.count("*").alias("nb"))
+    matched = (
+        pb.join(F.broadcast(bits), "bit")
+        .groupBy("key")
+        .agg(F.count("*").alias("nm"))
+    )
+    return (
+        nb.join(matched, "key")
+        .filter(F.col("nm") == F.col("nb"))
+        .select("key")
+    )

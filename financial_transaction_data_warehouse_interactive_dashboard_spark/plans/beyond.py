@@ -4995,3 +4995,258 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_wau_stickiness: trailing 7-day active users + DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_wau_stickiness",
+    """
+    WITH ev AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+    sc AS (SELECT user_id,
+                  unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY))::DATE AS day_w
+           FROM ev),
+    wau AS (SELECT day_w AS day, count(DISTINCT user_id) AS wau
+            FROM sc GROUP BY 1),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1)
+    SELECT d.day AS day, d.dau AS dau, w.wau AS wau,
+           round(d.dau::DOUBLE / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
+    day — the engagement triple every product dashboard leads with.
+
+    The WAU is EXACT without any sliding-window distinct (no engine has
+    a distributed COUNT(DISTINCT) OVER RANGE): each distinct (user, day)
+    activity row SCATTERS to the 7 trailing windows it belongs to
+    (explode of a 7-date sequence — the same scatter-convolution trick
+    as ev_ewma_daily's kernel), then a plain two-phase count-distinct
+    per target day. Shuffle volume = 7x the distinct activity frame,
+    keyed by day; partial trailing windows at the corpus head are
+    reported as-is (standard dashboard convention). The inner join back
+    to DAU confines output to OBSERVED days, dropping the phantom
+    scatter targets past the last day."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    sc = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day_w"),
+    )
+    wau = sc.groupBy(F.col("day_w").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx_negative_sampling: deterministic contrastive negatives per user
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+
+
+@query(
+    "tx_negative_sampling",
+    f"""
+    WITH pb AS (SELECT DISTINCT o_custkey AS ck, p_brand AS b
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                            JOIN part ON l_partkey = p_partkey),
+    u AS (SELECT DISTINCT ck FROM pb),
+    br AS (SELECT DISTINCT p_brand AS b FROM part),
+    cand AS (SELECT u.ck AS ck, br.b AS b FROM u CROSS JOIN br
+             WHERE NOT EXISTS (SELECT 1 FROM pb
+                               WHERE pb.ck = u.ck AND pb.b = br.b)),
+    r AS (SELECT ck, b,
+            row_number() OVER (
+              PARTITION BY ck
+              ORDER BY ('0x' || substr(md5(ck::VARCHAR || '|' || b), 1, 15))
+                         ::BIGINT, b) AS rnk
+          FROM cand)
+    SELECT ck AS custkey, b AS neg_brand, rnk
+    FROM r WHERE rnk <= {NEG_K} ORDER BY custkey, rnk
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def tx_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every purchasing customer, the {NEG_K} hash-ranked brands they
+    have NOT bought — the negatives a two-tower recommender or
+    contrastive embedding job pairs against each positive. Sampling by
+    portable-hash rank (not rand()) makes the draw reproducible,
+    shardable, and oracle-checkable — the same policy as every split/
+    sample operator in this engine (Efraimidis-Spirakis family).
+
+    Scale shape: candidates = purchasers x broadcast BRAND DIM (catalog-
+    sized, bounded) anti-joined against the distinct purchase pairs;
+    ranking is a row_number window PARTITIONED PER CUSTOMER (width <=
+    |brands|), never a global sort. At a 10^6-item catalog the cross
+    join becomes hash-bucketed candidate generation (sample buckets,
+    then anti-join), same skeleton."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    u = pb.select("ck").distinct()
+    br = part.select(F.col("p_brand").alias("b")).distinct()
+    cand = u.crossJoin(F.broadcast(br)).join(pb, ["ck", "b"], "left_anti")
+    h = _P.md5_long(
+        F.concat(F.col("ck").cast("string"), F.lit("|"), F.col("b"))
+    )
+    wr = Window.partitionBy("ck").orderBy(h.asc(), F.col("b").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= NEG_K)
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("b").alias("neg_brand"),
+            "rnk",
+        )
+        .orderBy("custkey", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wh_bloom_prune: portable Bloom filter join-prune audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14  # 16384 bits: ~2.7% FPR at the sf0.1 key load
+BLOOM_K = 4
+
+
+def _sql_bloom_positions(key: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"('0x' || substr(md5({key}::VARCHAR || '|{i}'), 1, 15))::BIGINT"
+            f" % {BLOOM_M}"
+            for i in range(BLOOM_K)
+        )
+        + "]"
+    )
+
+
+@query(
+    "wh_bloom_prune",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderstatus = 'F' AND quarter(o_orderdate) = 4
+        AND o_orderpriority = '1-URGENT'),
+    bits AS (SELECT DISTINCT unnest({_sql_bloom_positions('k')}) AS bit
+             FROM keys),
+    pb AS (SELECT DISTINCT c_custkey AS k, unnest({_sql_bloom_positions('c_custkey')}) AS bit
+           FROM customer),
+    nb AS (SELECT k, count(*) AS nb FROM pb GROUP BY 1),
+    nm AS (SELECT pb.k AS k, count(*) AS nm
+           FROM pb JOIN bits ON pb.bit = bits.bit GROUP BY 1),
+    cand AS (SELECT nb.k AS k FROM nb JOIN nm ON nb.k = nm.k
+             WHERE nm.nm = nb.nb),
+    audit AS (
+      SELECT (SELECT count(*) FROM keys) AS n_keys,
+             (SELECT count(*) FROM bits) AS n_bits_set,
+             (SELECT count(*) FROM customer) AS n_probe,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM cand JOIN keys ON cand.k = keys.k)
+               AS n_true_members)
+    SELECT n_keys, n_bits_set, n_probe, n_candidates, n_true_members,
+           n_candidates - n_true_members AS n_false_positives,
+           round((n_candidates - n_true_members)::DOUBLE
+                 / (n_probe - n_true_members), 6) AS fpr
+    FROM audit
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def wh_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit portable Bloom-filter join pruning with an EXACT
+    false-positive audit — the first-class form of the runtime bloom
+    Spark's AQE injects under joins (here the bits are an inspectable,
+    broadcastable frame from the md5 hash family, m={BLOOM_M} k={BLOOM_K}).
+    The build side is a selective key set (urgent Q4 finalized orders,
+    ~14% of customers); the probe is the whole customer dim; the audit
+    row reports the candidate count, exact true members, false
+    positives, and observed FPR — no false negatives by construction
+    (operators.sketch.bloom_candidates counts a key's own distinct
+    positions, so hash self-collisions cannot fail a member).
+
+    At 100 TB this is the pattern that prunes a fact scan before its
+    shuffle when the dim-side filter is selective: ship the bit frame
+    (<= k x |keys| longs), semi-join probe bits map-side, and pay the
+    documented FPR in extra rows instead of a full shuffle."""
+    from ..operators.sketch import bloom_bits, bloom_candidates
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.quarter("o_orderdate") == 4)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    customer = _t(spark, sf_dir, "customer")
+    bits = bloom_bits(keys, "k", BLOOM_M, BLOOM_K)
+    cand = bloom_candidates(
+        customer, "c_custkey", bits, BLOOM_M, BLOOM_K
+    ).localCheckpoint(eager=True)
+    n_keys = keys.agg(F.count("*").alias("n_keys"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    n_probe = customer.agg(F.count("*").alias("n_probe"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_true = (
+        cand.join(keys, cand.key == keys.k)
+        .agg(F.count("*").alias("n_true_members"))
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_probe",
+            "n_candidates",
+            "n_true_members",
+            (F.col("n_candidates") - F.col("n_true_members")).alias(
+                "n_false_positives"
+            ),
+            F.round(
+                (F.col("n_candidates") - F.col("n_true_members")).cast(
+                    "double"
+                )
+                / (F.col("n_probe") - F.col("n_true_members")),
+                6,
+            ).alias("fpr"),
+        )
+    )

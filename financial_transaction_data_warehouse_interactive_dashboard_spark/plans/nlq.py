@@ -175,6 +175,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_er_blocked_pairs": ("entity", "resolution", "matching", "linkage", "misspelled", "blocking"),
     "ev_peak_concurrency": ("peak", "concurrent", "concurrency", "simultaneous", "capacity"),
     "a31_brand_khop": ("hops", "hop", "degrees", "reachable", "within", "bfs"),
+    "ev_wau_stickiness": ("wau", "dau", "stickiness", "active", "users", "weekly"),
+    "tx_negative_sampling": ("negative", "negatives", "contrastive", "sampling", "pairs"),
+    "wh_bloom_prune": ("bloom", "membership", "prune", "pruning", "filter"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -99,7 +99,10 @@ def query(name: str, oracle: str | None, driver: bool = True):
       reassembly, a strong candidate), dd_er_blocked_pairs
       (entity-resolution blocking + levenshtein), ev_peak_concurrency
       (sweep-line interval overlap), a31_brand_khop (frontier BFS on
-      the kNN-sparsified brand graph).
+      the kNN-sparsified brand graph), ev_wau_stickiness (exact sliding
+      WAU via scatter-explode), tx_negative_sampling (hash-ranked
+      contrastive negatives), wh_bloom_prune (portable Bloom join-prune
+      with exact FPR audit).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1707,3 +1707,95 @@ def test_peak_concurrency_hand_case(spark):
     # (closed-interval pin) = 2 as well; never 3.
     assert r["peak_concurrency"] == 2
     assert r["n_session_days"] == 3
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every build key must pass the filter (no false negatives — the
+    Bloom contract), and the filter must actually prune some
+    non-members at the fixture load."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.sketch import (
+        bloom_bits,
+        bloom_candidates,
+    )
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    keys = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    customer = load_table(spark, SF_ORACLE, "customer")
+    m, k = 1 << 12, 4
+    bits = bloom_bits(keys, "k", m, k)
+    cand = {
+        r["key"]
+        for r in bloom_candidates(customer, "c_custkey", bits, m, k).collect()
+    }
+    members = {r["k"] for r in keys.collect()}
+    probe = {r["c_custkey"] for r in customer.collect()}
+    assert members <= cand  # no false negatives
+    assert cand <= probe
+    # at m=4096 the filter is loaded but must still prune SOMETHING
+    # unless every customer is a member
+    if probe - members:
+        fps = cand - members
+        assert len(fps) < len(probe - members)
+
+
+def test_negative_sampling_disjoint_and_sized(spark):
+    """Negatives never collide with a user's positives, are unique per
+    user, and exactly NEG_K per user when the catalog allows."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        NEG_K,
+        tx_negative_sampling,
+    )
+
+    rows = tx_negative_sampling(spark, SF_ORACLE).collect()
+    orders = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    part = load_table(spark, SF_ORACLE, "part")
+    pos = {
+        (r["o_custkey"], r["p_brand"])
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .collect()
+    }
+    per_user: dict[int, set] = {}
+    for r in rows:
+        assert (r["custkey"], r["neg_brand"]) not in pos
+        per_user.setdefault(r["custkey"], set()).add(r["neg_brand"])
+    n_brands = part.select("p_brand").distinct().count()
+    for ck, negs in per_user.items():
+        n_pos = sum(1 for c, _ in pos if c == ck)
+        assert len(negs) == min(NEG_K, n_brands - n_pos)
+
+
+def test_wau_stickiness_hand_case(spark):
+    """3-day toy activity: WAU accumulates the trailing week, stickiness
+    = DAU/WAU, output confined to observed days."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (1, base),  # day 1: users {1, 2}
+        (2, base),
+        (2, base + dt.timedelta(days=1)),  # day 2: {2}
+        (3, base + dt.timedelta(days=2)),  # day 3: {3}
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts"])
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        ev_wau_stickiness,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(os.path.join(d, "events.parquet"))
+        out = {str(r["day"]): r for r in ev_wau_stickiness(spark, d).collect()}
+    assert len(out) == 3  # only observed days
+    assert (out["2024-05-01"]["dau"], out["2024-05-01"]["wau"]) == (2, 2)
+    assert (out["2024-05-02"]["dau"], out["2024-05-02"]["wau"]) == (1, 2)
+    assert (out["2024-05-03"]["dau"], out["2024-05-03"]["wau"]) == (1, 3)
+    assert abs(out["2024-05-03"]["stickiness"] - round(1 / 3, 6)) < 1e-9
