@@ -5250,3 +5250,247 @@ def wh_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wh_bucketed_join: co-located bucketed join proof (zero-shuffle SMJ)
+# ---------------------------------------------------------------------------
+
+BUCKET_N = 8
+
+
+@query(
+    "wh_bucketed_join",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS revenue,
+           0 AS n_shuffle_exchanges, 1 AS used_sort_merge_join
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def wh_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Bucketed CO-LOCATED join proof under the hash gate: orders and
+    customer are written as bucketBy({BUCKET_N}, custkey) tables (one
+    file per bucket via repartition-before-write), then merge-joined —
+    and the physical plan must contain ZERO Exchange operators: matching
+    bucket counts on the join key make the shuffle disappear entirely,
+    the storage-level answer to "this join shuffles 100 TB every run".
+    The audit columns are the CLAIM: the Spark side counts Exchange
+    nodes in the executed plan string and reports SortMergeJoin usage;
+    the oracle hard-codes the asserted values (0 shuffles, SMJ used), so
+    any regression that reintroduces a shuffle or demotes the join
+    fails the value-hash gate, not just a unit test. (In-bucket sorts
+    remain: Spark 4 does not propagate bucket-file ordering unless the
+    legacy scan-ordering flag is set; the shuffle, not the linear
+    per-bucket sort, is the scale cost this layout removes.)
+
+    Like wh_gold_maintenance and wh_zorder_skipping this is a storage
+    JOB (eager: creates a temp database, writes both bucketed tables,
+    plans the join, audits, drops the database). At 100 TB the same
+    declaration is the pre-shuffled layout both nightly jobs read, and
+    the write cost amortizes over every downstream co-located join.
+    Reference analogue: none (single CSV)."""
+    import atexit
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ftdw-bucketed-join-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    db = "ftdw_bkt_" + os.path.basename(base).replace("ftdw-bucketed-join-", "")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{base}'")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        customer = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        (
+            orders.repartition(BUCKET_N, "o_custkey")
+            .write.bucketBy(BUCKET_N, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            customer.repartition(BUCKET_N, "c_custkey")
+            .write.bucketBy(BUCKET_N, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.customer_b")
+        )
+        ob = spark.table(f"{db}.orders_b")
+        cb = spark.table(f"{db}.customer_b")
+        joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        n_exchanges = len(re.findall(r"\bExchange\b", plan))
+        used_smj = int("SortMergeJoin" in plan)
+        rows = (
+            joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("segment")
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["segment"],
+                r["n_orders"],
+                r["revenue"],
+                n_exchanges,
+                used_smj,
+            )
+            for r in rows
+        ],
+        "segment string, n_orders long, revenue double,"
+        " n_shuffle_exchanges int, used_sort_merge_join int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# wh_incremental_join: bilinear delta maintenance of a materialized join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wh_incremental_join",
+    """
+    WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                      ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))
+                        ::BIGINT % 10 = 0 AS is_d
+               FROM orders),
+    c AS (SELECT c_custkey, c_mktsegment,
+                 ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))
+                   ::BIGINT % 10 = 0 AS is_d
+          FROM customer),
+    mb AS (SELECT o_totalprice FROM a JOIN c ON o_custkey = c_custkey
+           WHERE NOT a.is_d AND NOT c.is_d),
+    d1 AS (SELECT o_totalprice FROM a JOIN c ON o_custkey = c_custkey
+           WHERE a.is_d AND NOT c.is_d),
+    d2 AS (SELECT o_totalprice FROM a JOIN c ON o_custkey = c_custkey
+           WHERE NOT a.is_d AND c.is_d),
+    d3 AS (SELECT o_totalprice FROM a JOIN c ON o_custkey = c_custkey
+           WHERE a.is_d AND c.is_d),
+    inc AS (SELECT * FROM mb UNION ALL SELECT * FROM d1
+            UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3),
+    full_j AS (SELECT o_totalprice FROM a JOIN c ON o_custkey = c_custkey)
+    SELECT (SELECT count(*) FROM mb) AS n_base,
+           (SELECT count(*) FROM d1) + (SELECT count(*) FROM d3)
+             AS n_from_delta_orders,
+           (SELECT count(*) FROM d2) AS n_from_delta_customers,
+           (SELECT count(*) FROM inc) AS n_incremental,
+           (SELECT count(*) FROM full_j) AS n_full,
+           CASE WHEN (SELECT count(*) FROM inc)
+                     = (SELECT count(*) FROM full_j)
+                THEN 1 ELSE 0 END AS counts_match,
+           (SELECT CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,2))),
+                                 0) AS DOUBLE) FROM inc)
+             AS revenue_incremental,
+           (SELECT CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(30,2))),
+                                 0) AS DOUBLE) FROM full_j)
+             AS revenue_full
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def wh_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a materialized JOIN, proved by
+    the bilinear delta rule under the hash gate: with base/delta splits
+    A = Ab + dA, C = Cb + dC (deterministic 10% hash deltas standing in
+    for a late-arriving fact batch and a late-arriving dim batch),
+
+        (Ab + dA) x (Cb + dC) = Ab x Cb  (the stored view)
+                              + dA x Cb + Ab x dC + dA x dC  (the delta)
+
+    so refreshing the view costs three DELTA-SIDED joins — each sized
+    by a batch, never a re-join of the full fact — instead of the full
+    recompute. The audit row carries both sides of the identity (counts
+    and exact decimal revenue of incremental vs full); the oracle
+    replays the same algebra, so the gate pins the IVM claim itself.
+    Completes the maintenance trio: wh_incremental_rollup (aggregate
+    IVM), wh_cdc_apply (upsert folding), and now join IVM — the three
+    deltas a 100 TB nightly pipeline composes instead of recomputing.
+    Reference analogue: none (the reference recomputes its merged CSV
+    end-to-end every run, etl.ipynb top-to-bottom)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = orders.withColumn(
+        "is_d", _P.md5_long(F.col("o_orderkey").cast("string")) % 10 == 0
+    )
+    c = customer.withColumn(
+        "is_d", _P.md5_long(F.col("c_custkey").cast("string")) % 10 == 0
+    )
+
+    def seg(fact_delta: bool, dim_delta: bool) -> DataFrame:
+        fa = a.filter(F.col("is_d") if fact_delta else ~F.col("is_d"))
+        fc = c.filter(F.col("is_d") if dim_delta else ~F.col("is_d"))
+        return fa.join(
+            F.broadcast(fc.select("c_custkey")),
+            fa.o_custkey == F.col("c_custkey"),
+        ).select("o_totalprice")
+
+    mb, d1, d2, d3 = (
+        seg(False, False),
+        seg(True, False),
+        seg(False, True),
+        seg(True, True),
+    )
+    inc = mb.unionAll(d1).unionAll(d2).unionAll(d3)
+    full_j = a.join(
+        F.broadcast(c.select("c_custkey")),
+        a.o_custkey == F.col("c_custkey"),
+    ).select("o_totalprice")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias(name))
+
+    def rev(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")),
+                F.lit(0).cast("decimal(30,2)"),
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    out = (
+        cnt(mb, "n_base")
+        .crossJoin(F.broadcast(cnt(d1, "nd1")))
+        .crossJoin(F.broadcast(cnt(d2, "n_from_delta_customers")))
+        .crossJoin(F.broadcast(cnt(d3, "nd3")))
+        .crossJoin(F.broadcast(cnt(inc, "n_incremental")))
+        .crossJoin(F.broadcast(cnt(full_j, "n_full")))
+        .crossJoin(F.broadcast(rev(inc, "revenue_incremental")))
+        .crossJoin(F.broadcast(rev(full_j, "revenue_full")))
+    )
+    return out.select(
+        "n_base",
+        (F.col("nd1") + F.col("nd3")).alias("n_from_delta_orders"),
+        "n_from_delta_customers",
+        "n_incremental",
+        "n_full",
+        F.when(F.col("n_incremental") == F.col("n_full"), 1)
+        .otherwise(0)
+        .alias("counts_match"),
+        "revenue_incremental",
+        "revenue_full",
+    )

@@ -178,6 +178,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_wau_stickiness": ("wau", "dau", "stickiness", "active", "users", "weekly"),
     "tx_negative_sampling": ("negative", "negatives", "contrastive", "sampling", "pairs"),
     "wh_bloom_prune": ("bloom", "membership", "prune", "pruning", "filter"),
+    "wh_bucketed_join": ("bucketed", "bucketing", "colocated", "shuffle", "free"),
+    "wh_incremental_join": ("materialized", "view", "delta", "deltas", "refresh"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -102,7 +102,9 @@ def query(name: str, oracle: str | None, driver: bool = True):
       the kNN-sparsified brand graph), ev_wau_stickiness (exact sliding
       WAU via scatter-explode), tx_negative_sampling (hash-ranked
       contrastive negatives), wh_bloom_prune (portable Bloom join-prune
-      with exact FPR audit).
+      with exact FPR audit), wh_bucketed_join (zero-shuffle co-located
+      bucketed join, plan claim under the gate), wh_incremental_join
+      (bilinear-delta join-view maintenance).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1799,3 +1799,37 @@ def test_wau_stickiness_hand_case(spark):
     assert (out["2024-05-02"]["dau"], out["2024-05-02"]["wau"]) == (1, 2)
     assert (out["2024-05-03"]["dau"], out["2024-05-03"]["wau"]) == (1, 3)
     assert abs(out["2024-05-03"]["stickiness"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_bucketed_join_cleans_up_and_claims(spark):
+    """wh_bucketed_join must leave no database behind and its audit row
+    must carry the zero-shuffle claim it gates on."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        wh_bucketed_join,
+    )
+
+    before = {d.name for d in spark.catalog.listDatabases()}
+    rows = wh_bucketed_join(spark, SF_ORACLE).collect()
+    after = {d.name for d in spark.catalog.listDatabases()}
+    assert after == before  # temp bucket database dropped
+    assert rows and all(r["n_shuffle_exchanges"] == 0 for r in rows)
+    assert all(r["used_sort_merge_join"] == 1 for r in rows)
+
+
+def test_incremental_join_identity(spark):
+    """The bilinear delta decomposition must reproduce the full join
+    exactly — counts and exact decimal revenue."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        wh_incremental_join,
+    )
+
+    r = wh_incremental_join(spark, SF_ORACLE).collect()[0]
+    assert r["counts_match"] == 1
+    assert r["revenue_incremental"] == r["revenue_full"]
+    assert (
+        r["n_base"]
+        + r["n_from_delta_orders"]
+        + r["n_from_delta_customers"]
+        == r["n_incremental"]
+    )
+    assert r["n_from_delta_orders"] > 0 and r["n_from_delta_customers"] > 0
