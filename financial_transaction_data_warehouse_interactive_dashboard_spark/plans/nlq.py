@@ -180,6 +180,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "wh_bloom_prune": ("bloom", "membership", "prune", "pruning", "filter"),
     "wh_bucketed_join": ("bucketed", "bucketing", "colocated", "shuffle", "free"),
     "wh_incremental_join": ("materialized", "view", "delta", "deltas", "refresh"),
+    "ev_active_users_hll": ("mau", "monthly", "active", "sketches", "estimate"),
+    "dd_qgram_edit_join": ("edit", "distance", "typo", "typos", "levenshtein", "spelling"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

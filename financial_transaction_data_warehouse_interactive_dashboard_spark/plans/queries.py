@@ -104,7 +104,9 @@ def query(name: str, oracle: str | None, driver: bool = True):
       contrastive negatives), wh_bloom_prune (portable Bloom join-prune
       with exact FPR audit), wh_bucketed_join (zero-shuffle co-located
       bucketed join, plan claim under the gate), wh_incremental_join
-      (bilinear-delta join-view maintenance).
+      (bilinear-delta join-view maintenance), ev_active_users_hll
+      (sliding actives via mergeable day sketches), dd_qgram_edit_join
+      (PassJoin edit-distance join, complete recall).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1833,3 +1833,44 @@ def test_incremental_join_identity(spark):
         == r["n_incremental"]
     )
     assert r["n_from_delta_orders"] > 0 and r["n_from_delta_customers"] > 0
+
+
+def test_qgram_edit_join_complete_recall(spark):
+    """PassJoin candidates must find EVERY pair with ed <= k: compare
+    against the exhaustive all-pairs ground truth on the smoke corpus."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        EDJ_K,
+        EDJ_PLEN,
+        dd_qgram_edit_join,
+    )
+
+    got = {
+        (r["s_a"], r["s_b"], r["dist"])
+        for r in dd_qgram_edit_join(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    truth = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH p AS (SELECT DISTINCT substr(text, 1, {EDJ_PLEN}) AS s
+                       FROM read_parquet('{SF_SMOKE}/documents.parquet'))
+            SELECT a.s, b.s, levenshtein(a.s, b.s)
+            FROM p a JOIN p b ON a.s < b.s
+            WHERE levenshtein(a.s, b.s) <= {EDJ_K}
+            """
+        ).fetchall()
+    }
+    assert got == truth
+
+
+def test_active_users_hll_claim_holds(spark):
+    """The sketch estimate must sit within tolerance of exact on every
+    output day (the claim column the oracle hard-codes)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        ev_active_users_hll,
+    )
+
+    rows = ev_active_users_hll(spark, SF_ORACLE).collect()
+    assert rows and all(r["hll_within_tol"] == 1 for r in rows)
+    assert all(r["active_exact"] > 0 for r in rows)
