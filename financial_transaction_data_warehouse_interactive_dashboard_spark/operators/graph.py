@@ -564,3 +564,61 @@ def khop_distances(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded-round single-source(-set) shortest paths over WEIGHTED
+    arcs — Bellman-Ford relaxation, the SIXTH iterative algorithm and
+    the weighted sibling of :func:`khop_distances` (BFS is this with
+    unit weights). After ``rounds`` relaxations the distances are exact
+    for every shortest path of <= ``rounds`` arcs, which is the bounded
+    contract every other iterative operator here states (fixed-round
+    PageRank, capped min-label components).
+
+    Costs are DECIMAL(18,6): path cost sums are exact and
+    order-independent, so the frame is oracle-able by an unrolled CTE
+    with no float drift. One shuffle per round (min-aggregate on dst);
+    the tiny (node, dist) frame is localCheckpoint-ed per round — the
+    module-wide materialize-small-frames policy. Per-round cost tracks
+    |settled| x out-degree; delta-stepping's bucketed frontier is the
+    production upgrade at web scale, same relaxation core."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("decimal(18,6)").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("decimal(18,6)"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w"))
+                .cast("decimal(18,6)")
+                .alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -2109,3 +2109,166 @@ def _copurchase_edges_weighted(ob: DataFrame) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
+
+
+# ---------------------------------------------------------------------------
+# a32: weighted cheapest paths over the co-purchase graph (Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+BF_ROUNDS = 4
+
+
+def _bf_iter_cte(i: int) -> str:
+    return f"""b{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM b{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, CAST(d.dist + e.w AS DECIMAL(18,6)) AS dist
+        FROM b{i - 1} d JOIN e ON e.src = d.node)
+      GROUP BY node)"""
+
+
+@query(
+    "a32_brand_cheapest_path",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    ec AS (
+      SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS n
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst,
+                 CAST(round(1.0 / n, 6) AS DECIMAL(18,6)) AS w
+          FROM ec),
+    seed AS (SELECT min(p_brand) AS node FROM part),
+    b0 AS (SELECT node, CAST(0 AS DECIMAL(18,6)) AS dist FROM seed),
+    {", ".join(_bf_iter_cte(i) for i in range(1, BF_ROUNDS + 1))}
+    SELECT node AS brand, CAST(dist AS DOUBLE) AS cost
+    FROM b{BF_ROUNDS} ORDER BY cost, brand
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Cheapest-path costs from the lexicographically-first brand over
+    the WEIGHTED co-purchase graph — arc cost = round(1/shared_orders,
+    6), so strongly co-purchased brands are "close" — via {BF_ROUNDS}
+    Bellman-Ford relaxation rounds (operators.graph.bellman_ford, the
+    SIXTH iterative algorithm; exact for all shortest paths of <=
+    {BF_ROUNDS} arcs, the same bounded-round contract as the capped
+    min-label components). Unlike a31's hop counts on the sparsified
+    graph, the dense graph's geometry lives in the WEIGHTS: multi-hop
+    routes through popular brands can undercut a direct weak arc — the
+    related-products distance a recommender actually ranks by. Costs
+    are DECIMAL(18,6) so path sums are exact in both engines; the
+    oracle unrolls the same {BF_ROUNDS} relaxations as min-over-union
+    CTEs."""
+    from ..operators.graph import bellman_ford
+
+    ec = _copurchase_edges_weighted(_order_brands(spark, sf_dir))
+    e = ec.select(
+        "src",
+        "dst",
+        F.round(F.lit(1.0) / F.col("w"), 6)
+        .cast("decimal(18,6)")
+        .alias("cost"),
+    )
+    part = _t(spark, sf_dir, "part")
+    seeds = part.agg(F.min("p_brand").alias("node"))
+    return (
+        bellman_ford(e, seeds, BF_ROUNDS, weight_col="cost")
+        .select(
+            F.col("node").alias("brand"),
+            F.col("dist").cast("double").alias("cost"),
+        )
+        .orderBy("cost", "brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a33: per-segment Pareto frontier (2-D skyline) of customers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a33_segment_skyline",
+    """
+    WITH sp AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3)
+    SELECT a.c_mktsegment AS segment, a.c_custkey AS custkey,
+           a.spend AS spend, a.c_acctbal AS acctbal
+    FROM sp a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sp b
+      WHERE b.c_mktsegment = a.c_mktsegment
+        AND b.spend >= a.spend AND b.c_acctbal >= a.c_acctbal
+        AND (b.spend > a.spend OR b.c_acctbal > a.c_acctbal))
+    ORDER BY segment, custkey
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def a33_segment_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Pareto frontier (2-D SKYLINE): customers no other
+    same-segment customer dominates on (total spend, account balance) —
+    the multi-objective "best tradeoffs" operator behind top-customer
+    shortlists and any price/quality frontier. Dominance is the
+    standard one (>= on both dims, > on at least one); coincident
+    points survive together.
+
+    The Spark side is the SORT-BASED skyline, not the quadratic
+    definition: one partial aggregate per (segment, spend) level, a
+    running-max-balance window over strictly-higher spend levels
+    (ROWS ... -1 on the level frame, partitioned BY SEGMENT — bounded
+    partitions, no global sort), and a point survives iff it tops its
+    own level and beats every higher level's max. O(n log n) per
+    segment vs the oracle's O(n^2) NOT EXISTS — two INDEPENDENT
+    formulations of dominance agreeing bit-for-bit, the strongest
+    oracle shape in the registry family. Spend is the decimal-exact
+    money sum; all comparisons are on identical doubles in both
+    engines."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    sp = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    levels = sp.groupBy("c_mktsegment", "spend").agg(
+        F.max("c_acctbal").alias("gmax")
+    )
+    wl = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("spend"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = levels.withColumn("prev_max", F.max("gmax").over(wl))
+    return (
+        sp.join(lv, ["c_mktsegment", "spend"])
+        .filter(
+            (F.col("c_acctbal") == F.col("gmax"))
+            & (
+                F.col("prev_max").isNull()
+                | (F.col("c_acctbal") > F.col("prev_max"))
+            )
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+            "spend",
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .orderBy("segment", "custkey")
+    )

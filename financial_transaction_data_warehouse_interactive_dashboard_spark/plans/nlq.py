@@ -182,6 +182,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "wh_incremental_join": ("materialized", "view", "delta", "deltas", "refresh"),
     "ev_active_users_hll": ("mau", "monthly", "active", "sketches", "estimate"),
     "dd_qgram_edit_join": ("edit", "distance", "typo", "typos", "levenshtein", "spelling"),
+    "a32_brand_cheapest_path": ("shortest", "cheapest", "route", "weighted", "distance"),
+    "a33_segment_skyline": ("skyline", "pareto", "frontier", "dominated", "tradeoff", "tradeoffs"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

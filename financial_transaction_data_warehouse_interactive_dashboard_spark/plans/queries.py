@@ -106,7 +106,10 @@ def query(name: str, oracle: str | None, driver: bool = True):
       bucketed join, plan claim under the gate), wh_incremental_join
       (bilinear-delta join-view maintenance), ev_active_users_hll
       (sliding actives via mergeable day sketches), dd_qgram_edit_join
-      (PassJoin edit-distance join, complete recall).
+      (PassJoin edit-distance join, complete recall),
+      a32_brand_cheapest_path (Bellman-Ford weighted shortest paths),
+      a33_segment_skyline (2-D Pareto frontier, sort-based vs
+      NOT-EXISTS oracle).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

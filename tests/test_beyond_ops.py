@@ -1874,3 +1874,82 @@ def test_active_users_hll_claim_holds(spark):
     rows = ev_active_users_hll(spark, SF_ORACLE).collect()
     assert rows and all(r["hll_within_tol"] == 1 for r in rows)
     assert all(r["active_exact"] > 0 for r in rows)
+
+
+def test_bellman_ford_multihop_beats_direct(spark):
+    """Hand graph where the 2-hop route undercuts the direct arc; exact
+    decimal path sums; bounded rounds leave farther nodes at their
+    best-within-bound cost."""
+    from decimal import Decimal
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10.0),
+            ("a", "c", 1.0),
+            ("c", "b", 2.0),  # a->c->b = 3 < direct 10
+            ("b", "d", 1.0),
+        ],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(edges, seeds, rounds=3).collect()
+    }
+    assert got == {
+        "a": Decimal("0"),
+        "b": Decimal("3"),
+        "c": Decimal("1"),
+        "d": Decimal("4"),
+    }
+    # with only 1 round the relaxation hasn't reached d, and b still
+    # carries the direct-arc cost
+    got1 = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(edges, seeds, rounds=1).collect()
+    }
+    assert got1["b"] == Decimal("10") and "d" not in got1
+
+
+def test_skyline_dominance_hand_case(spark):
+    """Planted 2-D points: dominated rows drop, coincident maxima
+    survive together, frontiers are per-segment."""
+    import os
+    import tempfile
+
+    cust = spark.createDataFrame(
+        [
+            (1, "S1", 50.0),  # spend 100  -> frontier (best spend)
+            (2, "S1", 90.0),  # spend 100 dup bal? no: see orders below
+            (3, "S1", 90.0),  # same (spend, bal) as 2 -> both survive
+            (4, "S1", 10.0),  # dominated by everyone
+            (5, "S2", 10.0),  # alone in its segment -> frontier
+        ],
+        ["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 100.0),
+            (2, 80.0),
+            (3, 80.0),
+            (4, 80.0),
+            (5, 5.0),
+        ],
+        ["o_custkey", "o_totalprice"],
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.finance import (
+        a33_segment_skyline,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["custkey"] for r in a33_segment_skyline(spark, d).collect()
+        }
+    # 1: top spend; 2,3: coincident top-balance points; 4 dominated
+    assert got == {1, 2, 3, 5}
