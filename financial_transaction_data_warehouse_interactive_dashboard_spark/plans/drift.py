@@ -1159,3 +1159,184 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_forecast_backtest: naive / seasonal-naive one-step backtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_forecast_backtest",
+    """
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1),
+    u AS (
+      SELECT 'naive_1' AS model, a.s AS actual, b.s AS fc
+      FROM dd a JOIN dd b ON a.d = b.d + 1
+      UNION ALL
+      SELECT 'seasonal_7', a.s, b.s
+      FROM dd a JOIN dd b ON a.d = b.d + 7),
+    t AS (
+      SELECT model,
+             CAST(abs(actual - fc) AS DECIMAL(19,6)) AS ae,
+             CAST(round(CAST(abs(actual - fc) AS DOUBLE)
+                        / CAST(actual AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS ape,
+             CAST(round(2 * CAST(abs(actual - fc) AS DOUBLE)
+                        / (CAST(actual AS DOUBLE) + CAST(fc AS DOUBLE)),
+                        6)
+                  AS DECIMAL(18,6)) AS sape
+      FROM u)
+    SELECT model, count(*) AS n_days,
+           round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae,
+           round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+           round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape
+    FROM t GROUP BY model ORDER BY model
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast BACKTEST of the daily revenue series for
+    the two standard baselines every forecasting effort must beat:
+    naive (yesterday's value) and seasonal-naive (same weekday last
+    week), scored by MAE / MAPE / sMAPE — the evaluation harness half
+    of forecasting, complementing the model-side tier (ev_ewma_daily,
+    ev_trend_regression, ev_seasonal_decompose).
+
+    Same exactness discipline as ev_autocorr_daily: daily sums and
+    absolute errors are exact DECIMAL; the two ratio metrics round each
+    day's term to 6 BEFORE the exact decimal mean (the LM-scoring
+    pattern — one documented quantization instead of an order-dependent
+    float sum); lags are d+1 / d+7 equi-joins, window-free, so calendar
+    gaps pair nothing and the plan shuffles on date only. The fixture's
+    revenue is strictly positive, so MAPE's division is total."""
+    events = _t(spark, sf_dir, "events")
+    dd = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+
+    def lagged(days: int, model: str) -> DataFrame:
+        a, b = dd.alias("a"), dd.alias("b")
+        return a.join(
+            b, F.col("a.d") == F.date_add(F.col("b.d"), days)
+        ).select(
+            F.lit(model).alias("model"),
+            F.col("a.s").alias("actual"),
+            F.col("b.s").alias("fc"),
+        )
+
+    u = lagged(1, "naive_1").unionAll(lagged(7, "seasonal_7"))
+    act_d = F.col("actual").cast("double")
+    fc_d = F.col("fc").cast("double")
+    abs_d = F.abs(F.col("actual") - F.col("fc")).cast("double")
+    t = u.select(
+        "model",
+        F.abs(F.col("actual") - F.col("fc"))
+        .cast("decimal(19,6)")
+        .alias("ae"),
+        F.round(abs_d / act_d, 6).cast("decimal(18,6)").alias("ape"),
+        F.round(F.lit(2) * abs_d / (act_d + fc_d), 6)
+        .cast("decimal(18,6)")
+        .alias("sape"),
+    )
+    return (
+        t.groupBy("model")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.sum("ae").cast("double") / F.count("*"), 6).alias(
+                "mae"
+            ),
+            F.round(F.sum("ape").cast("double") / F.count("*"), 6).alias(
+                "mape"
+            ),
+            F.round(F.sum("sape").cast("double") / F.count("*"), 6).alias(
+                "smape"
+            ),
+        )
+        .orderBy("model")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa_wilson_ci: Wilson score interval for per-segment proportions
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959963984540054  # 97.5th normal quantile, repr-exact
+
+
+@query(
+    "qa_wilson_ci",
+    f"""
+    WITH g AS (
+      SELECT c_mktsegment AS segment, count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS n_success
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    m AS (
+      SELECT segment, n, n_success,
+             CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST('{WILSON_Z}' AS DOUBLE) AS z
+      FROM g)
+    SELECT segment, n, n_success, round(p, 6) AS p_hat,
+           round((p + z * z / (2 * n)
+                  - z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n), 6) AS ci_lo,
+           round((p + z * z / (2 * n)
+                  + z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n), 6) AS ci_hi
+    FROM m ORDER BY segment
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% WILSON score interval for the finalized-order share per
+    market segment — the binomial-proportion CI that stays inside [0,1]
+    and behaves at small n, the standard for conversion/defect-rate
+    reporting (and the corrected replacement for the Wald interval a
+    naive dashboard ships). Completes the inference tier: the qa_*
+    tests decide "is there an effect", this reports "how precisely do
+    we know the rate".
+
+    Exactness: counts are exact; p and every interval term are ONE
+    identically-parenthesized double expression in both engines (IEEE
+    ops and sqrt are correctly rounded, so matching operand order means
+    matching bits — the module-wide float discipline), z enters through
+    repr-exact string parsing, outputs round-6."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    g = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_success"),
+        )
+    )
+    p = F.col("n_success").cast("double") / F.col("n").cast("double")
+    z = F.lit(WILSON_Z)
+    n = F.col("n")
+    m = g.select("segment", "n", "n_success", p.alias("p"), z.alias("z"))
+    pp, zz, nn = F.col("p"), F.col("z"), F.col("n")
+    center = pp + zz * zz / (2 * nn)
+    half = zz * F.sqrt((pp * (1 - pp) + zz * zz / (4 * nn)) / nn)
+    denom = 1 + zz * zz / nn
+    return m.select(
+        "segment",
+        "n",
+        "n_success",
+        F.round(pp, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    ).orderBy("segment")

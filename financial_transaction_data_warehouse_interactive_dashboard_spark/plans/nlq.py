@@ -184,6 +184,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_qgram_edit_join": ("edit", "distance", "typo", "typos", "levenshtein", "spelling"),
     "a32_brand_cheapest_path": ("shortest", "cheapest", "route", "weighted", "distance"),
     "a33_segment_skyline": ("skyline", "pareto", "frontier", "dominated", "tradeoff", "tradeoffs"),
+    "ev_forecast_backtest": ("forecast", "backtest", "mape", "smape", "baseline", "naive"),
+    "qa_wilson_ci": ("confidence", "interval", "wilson", "proportion", "margin"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -109,7 +109,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       (PassJoin edit-distance join, complete recall),
       a32_brand_cheapest_path (Bellman-Ford weighted shortest paths),
       a33_segment_skyline (2-D Pareto frontier, sort-based vs
-      NOT-EXISTS oracle).
+      NOT-EXISTS oracle), ev_forecast_backtest (naive/seasonal-naive
+      MAE/MAPE/sMAPE), qa_wilson_ci (binomial proportion intervals).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

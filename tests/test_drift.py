@@ -220,3 +220,27 @@ def test_seasonal_decompose_identity(spark):
         return sum((x - m) ** 2 for x in xs) / len(xs)
 
     assert var(tr) < var(obs)
+
+
+def test_wilson_ci_bounds_and_ordering(spark):
+    rows = _one(spark, "qa_wilson_ci")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        assert r["n_success"] <= r["n"]
+        # Wilson never collapses to a point for 0 < p < 1
+        if 0 < r["n_success"] < r["n"]:
+            assert r["ci_lo"] < r["ci_hi"]
+
+
+def test_forecast_backtest_metric_ranges(spark):
+    rows = {r["model"]: r for r in _one(spark, "ev_forecast_backtest")}
+    assert set(rows) == {"naive_1", "seasonal_7"}
+    for r in rows.values():
+        assert r["n_days"] > 0
+        assert r["mae"] >= 0.0
+        assert r["mape"] >= 0.0
+        # sMAPE is bounded by 2 for positive series
+        assert 0.0 <= r["smape"] <= 2.0
+    # seasonal-naive pairs 6 fewer days than naive on a contiguous series
+    assert rows["naive_1"]["n_days"] >= rows["seasonal_7"]["n_days"]
