@@ -5707,3 +5707,182 @@ def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= EDJ_K)
         .orderBy("s_a", "s_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# tx_span_corruption: T5-style span-corruption denoising pairs
+# ---------------------------------------------------------------------------
+
+SPAN_STRIDE = 5  # candidate span starts every 5 tokens
+SPAN_RATE = 5  # ... of which hash%5==0 actually mask (~12% of tokens)
+SPAN_LEN = 3
+
+
+@query(
+    "tx_span_corruption",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    t AS (
+      SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tk
+      FROM tok),
+    starts AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+               AS sid
+      FROM t
+      WHERE pos % {SPAN_STRIDE} = 0
+        AND ('0x' || substr(md5(doc_id::VARCHAR || '|' || pos::VARCHAR),
+                            1, 15))::BIGINT % {SPAN_RATE} = 0),
+    masked AS (
+      SELECT s.doc_id AS doc_id, s.pos AS start_pos, s.sid AS sid,
+             t.pos AS pos, t.tk AS tk
+      FROM starts s JOIN t
+        ON t.doc_id = s.doc_id
+       AND t.pos BETWEEN s.pos AND s.pos + {SPAN_LEN - 1}),
+    corrupted AS (
+      SELECT t.doc_id AS doc_id,
+             string_agg(
+               CASE WHEN m.start_pos = t.pos
+                    THEN '<extra_id_' || m.sid || '>'
+                    WHEN m.pos IS NOT NULL THEN NULL
+                    ELSE t.tk END, ' ' ORDER BY t.pos) AS corrupted
+      FROM t LEFT JOIN masked m
+        ON m.doc_id = t.doc_id AND m.pos = t.pos
+      GROUP BY 1),
+    tgt AS (
+      SELECT doc_id, sid,
+             '<extra_id_' || sid || '> '
+               || string_agg(tk, ' ' ORDER BY pos) AS seg
+      FROM masked GROUP BY 1, 2),
+    target AS (
+      SELECT doc_id, count(*) AS n_spans,
+             string_agg(seg, ' ' ORDER BY sid) AS target
+      FROM tgt GROUP BY 1)
+    SELECT c.doc_id AS doc_id, coalesce(tg.n_spans, 0) AS n_spans,
+           c.corrupted AS corrupted, coalesce(tg.target, '') AS target
+    FROM corrupted c LEFT JOIN target tg ON c.doc_id = tg.doc_id
+    ORDER BY doc_id
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): mask
+    deterministic {SPAN_LEN}-token spans (~12% of tokens: candidate
+    starts every {SPAN_STRIDE} tokens, kept when the portable hash of
+    (doc_id, pos) lands in 1/{SPAN_RATE}), replace each span with a
+    numbered sentinel in the input, and emit the denoising TARGET
+    (sentinel + the masked tokens, in span order) — the encoder/decoder
+    pair a T5-family pretraining job consumes. Hash-gated spans make
+    the draw reproducible and shardable — same policy as every sampling
+    operator here — and non-overlapping by construction (stride
+    {SPAN_STRIDE} > span {SPAN_LEN}).
+
+    Physical: one posexplode token frame, span starts filtered by
+    arithmetic (no rand()), spans expanded by an EXPLODE of the
+    {SPAN_LEN} positions and equi-joined back (never a BETWEEN theta
+    join), reassembly per doc via the usual bounded array_sort. Three
+    shuffles, all keyed by doc_id. Docs whose candidates all miss the
+    hash gate pass through uncorrupted with an empty target."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    starts = (
+        tok.filter(
+            (F.col("pos") % SPAN_STRIDE == 0)
+            & (
+                _P.md5_long(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("pos").cast("string"),
+                    )
+                )
+                % SPAN_RATE
+                == 0
+            )
+        )
+        .select("doc_id", F.col("pos").alias("start_pos"))
+        .withColumn("sid", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("start_pos")
+        ) - 1)
+    )
+    mask_pos = starts.select(
+        "doc_id",
+        "start_pos",
+        "sid",
+        F.explode(
+            F.array(
+                *[F.col("start_pos") + i for i in range(SPAN_LEN)]
+            )
+        ).alias("pos"),
+    )
+    masked = mask_pos.join(tok, ["doc_id", "pos"])
+    out_tok = (
+        tok.join(
+            masked.select("doc_id", "pos", "start_pos", "sid"),
+            ["doc_id", "pos"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("start_pos") == F.col("pos"),
+                F.concat(
+                    F.lit("<extra_id_"),
+                    F.col("sid").cast("string"),
+                    F.lit(">"),
+                ),
+            )
+            .when(F.col("start_pos").isNotNull(), F.lit(None))
+            .otherwise(F.col("tk"))
+            .alias("out"),
+        )
+        .filter(F.col("out").isNotNull())
+    )
+    corrupted = out_tok.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                lambda s: s["out"],
+            ),
+            " ",
+        ).alias("corrupted")
+    )
+    segs = masked.groupBy("doc_id", "sid").agg(
+        F.concat(
+            F.lit("<extra_id_"),
+            F.col("sid").cast("string"),
+            F.lit("> "),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                    lambda s: s["tk"],
+                ),
+                " ",
+            ),
+        ).alias("seg")
+    )
+    target = segs.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sid", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("target"),
+    )
+    return (
+        corrupted.join(target, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            "corrupted",
+            F.coalesce("target", F.lit("")).alias("target"),
+        )
+        .orderBy("doc_id")
+    )

@@ -186,6 +186,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a33_segment_skyline": ("skyline", "pareto", "frontier", "dominated", "tradeoff", "tradeoffs"),
     "ev_forecast_backtest": ("forecast", "backtest", "mape", "smape", "baseline", "naive"),
     "qa_wilson_ci": ("confidence", "interval", "wilson", "proportion", "margin"),
+    "tx_span_corruption": ("span", "corruption", "denoising", "mask", "masked", "t5", "pretraining"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

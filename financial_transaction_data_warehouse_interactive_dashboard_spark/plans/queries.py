@@ -110,7 +110,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       a32_brand_cheapest_path (Bellman-Ford weighted shortest paths),
       a33_segment_skyline (2-D Pareto frontier, sort-based vs
       NOT-EXISTS oracle), ev_forecast_backtest (naive/seasonal-naive
-      MAE/MAPE/sMAPE), qa_wilson_ci (binomial proportion intervals).
+      MAE/MAPE/sMAPE), qa_wilson_ci (binomial proportion intervals),
+      tx_span_corruption (T5 denoising pairs, roundtrip-pinned).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1953,3 +1953,43 @@ def test_skyline_dominance_hand_case(spark):
         }
     # 1: top spend; 2,3: coincident top-balance points; 4 dominated
     assert got == {1, 2, 3, 5}
+
+
+def test_span_corruption_roundtrip(spark):
+    """Splicing each target span back over its sentinel must reproduce
+    the original document exactly — the denoising-objective invariant
+    (corrupted + target carry the full information of the input)."""
+    import re
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond import (
+        tx_span_corruption,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    rows = tx_span_corruption(spark, SF_SMOKE).collect()
+    assert {r["doc_id"] for r in rows} == set(docs)
+    n_corrupted = 0
+    for r in rows:
+        # parse target: "<extra_id_0> t t t <extra_id_1> t ..."
+        spans: dict[str, str] = {}
+        if r["target"]:
+            parts = re.split(r"(<extra_id_\d+>) ", r["target"])
+            # parts = ['', sent0, toks0, sent1, toks1, ...]
+            for i in range(1, len(parts), 2):
+                spans[parts[i]] = parts[i + 1].rstrip()
+        restored = " ".join(
+            spans[t] if t in spans else t
+            for t in r["corrupted"].split(" ")
+        )
+        assert restored == docs[r["doc_id"]], r["doc_id"]
+        assert len(spans) == r["n_spans"]
+        if r["n_spans"]:
+            n_corrupted += 1
+            # sentinels are numbered 0..n-1 in order of appearance
+            assert sorted(spans) == sorted(
+                f"<extra_id_{i}>" for i in range(r["n_spans"])
+            )
+    assert n_corrupted > 0
