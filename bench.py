@@ -61,6 +61,9 @@ LARGE_RESULT = {
     "tx_token_count",
     "tx_tfidf_top_terms",
     "tx_chunk_documents",
+    "dd_segment_dedup",
+    "tx_span_corruption",
+    "tx_negative_sampling",
 }
 
 

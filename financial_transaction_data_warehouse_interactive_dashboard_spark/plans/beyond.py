@@ -5886,3 +5886,97 @@ def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_time_to_convert: view->purchase latency percentiles per day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_time_to_convert",
+    """
+    WITH v AS (SELECT DISTINCT user_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    m AS (SELECT p.event_id, p.ts,
+                 max(v.ts) AS vts
+          FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+          GROUP BY 1, 2),
+    lat AS (SELECT CAST(ts AS DATE) AS day,
+                   epoch_us(ts) - epoch_us(vts) AS us
+            FROM m),
+    r AS (SELECT day, us,
+                 row_number() OVER (PARTITION BY day ORDER BY us) AS rn,
+                 count(*) OVER (PARTITION BY day) AS n
+          FROM lat)
+    SELECT day, min(n) AS n_conversions,
+           round(min(CASE WHEN rn = (n + 1) // 2 THEN us END)
+                 / 1000000.0, 6) AS median_s,
+           round(min(CASE WHEN rn = (9 * n + 9) // 10 THEN us END)
+                 / 1000000.0, 6) AS p90_s
+    FROM r GROUP BY day ORDER BY day
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion LATENCY per day (lower median and
+    discrete p90 of the time since the user's most recent preceding
+    view, inclusive at zero) — the funnel-timing panel next to the
+    funnel counts (ev_funnel_vcp) and attribution values.
+
+    Composition: the backward as-of join (operators.temporal.asof_join
+    — union + carry-forward window, ONE shuffle, never a per-key nested
+    loop) attaches the latest view; latency is EXACT integer
+    microseconds (unix_micros); percentiles are DISCRETE rank picks
+    (element at ceil(p*n), pure integer arithmetic — interpolated
+    percentile over ~1e10-scale integers differs between engines in
+    the last ulp, found and pinned here), so the selected values are
+    actual data points and the /1e6 seconds conversion is exact to all
+    6 digits. Tied latencies make the rank pick order-independent (same
+    multiset, same k-th element). Purchases with no preceding view are
+    excluded. Per-day windows bound the sort; unbounded groups swap in
+    approx_percentile per the a13 contract."""
+    from ..operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(p, v, by="user_id", direction="backward")
+    lat = j.filter(F.col("r_ts").isNotNull()).select(
+        F.col("ts").cast("date").alias("day"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("us"),
+    )
+    wd = Window.partitionBy("day")
+    r = lat.select(
+        "day",
+        "us",
+        F.row_number().over(wd.orderBy("us")).alias("rn"),
+        F.count("*").over(wd).alias("n"),
+    )
+    k_med = F.floor((F.col("n") + 1) / 2)
+    k_p90 = F.floor((9 * F.col("n") + 9) / 10)
+    return (
+        r.groupBy("day")
+        .agg(
+            F.min("n").alias("n_conversions"),
+            F.round(
+                F.min(F.when(F.col("rn") == k_med, F.col("us")))
+                / 1000000.0,
+                6,
+            ).alias("median_s"),
+            F.round(
+                F.min(F.when(F.col("rn") == k_p90, F.col("us")))
+                / 1000000.0,
+                6,
+            ).alias("p90_s"),
+        )
+        .orderBy("day")
+    )

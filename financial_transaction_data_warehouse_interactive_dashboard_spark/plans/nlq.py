@@ -187,6 +187,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_forecast_backtest": ("forecast", "backtest", "mape", "smape", "baseline", "naive"),
     "qa_wilson_ci": ("confidence", "interval", "wilson", "proportion", "margin"),
     "tx_span_corruption": ("span", "corruption", "denoising", "mask", "masked", "t5", "pretraining"),
+    "ev_time_to_convert": ("latency", "convert", "timing", "median", "long", "takes"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

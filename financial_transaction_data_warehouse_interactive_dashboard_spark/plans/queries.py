@@ -111,7 +111,9 @@ def query(name: str, oracle: str | None, driver: bool = True):
       a33_segment_skyline (2-D Pareto frontier, sort-based vs
       NOT-EXISTS oracle), ev_forecast_backtest (naive/seasonal-naive
       MAE/MAPE/sMAPE), qa_wilson_ci (binomial proportion intervals),
-      tx_span_corruption (T5 denoising pairs, roundtrip-pinned).
+      tx_span_corruption (T5 denoising pairs, roundtrip-pinned),
+      ev_time_to_convert (conversion latency, discrete rank
+      percentiles).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
