@@ -623,3 +623,33 @@ def test_tpch_q5_broadcasts_entire_dimension_chain(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_new_r6_late_entries_plan_shapes(spark):
+    """The late-r6 additions must plan without cartesian products, and
+    the pair-finding/aggregation entries without nested-loop joins
+    (everything is equi-join/blocked/broadcast by design). Entries
+    whose deliberate broadcast cross joins of 1-row aggregates plan as
+    BroadcastNestedLoopJoin (the sanctioned scalar-stat pattern) are
+    checked for no-cartesian only."""
+    equi_only = [
+        "dd_segment_dedup",
+        "dd_er_blocked_pairs",
+        "dd_qgram_edit_join",
+        "ev_peak_concurrency",
+        "ev_wau_stickiness",
+        "ev_forecast_backtest",
+        "qa_wilson_ci",
+        "a33_segment_skyline",
+        "tx_span_corruption",
+        "ev_time_to_convert",
+    ]
+    for name in equi_only:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    scalar_stat = ["ev_active_users_hll", "wh_incremental_join",
+                   "tx_negative_sampling"]
+    for name in scalar_stat:
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
