@@ -5980,3 +5980,64 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# st_daily_actives_hll: streaming distinct-count rollup via HLL sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_daily_actives_hll",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           count(DISTINCT user_id) AS active_exact,
+           1 AS hll_within_tol
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def st_daily_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct active users computed by a REAL Structured
+    Streaming job — COUNT(DISTINCT) is unsupported in streaming
+    aggregations, so this is the canonical workaround every streaming
+    pipeline ships: a mergeable HLL sketch per day window under a
+    watermark (streaming.stream.run_daily_actives_hll), O(KB) state per
+    window instead of an unbounded user-id set, arrival-order
+    insensitive (per-register max), late-data-correct up to the
+    watermark.
+
+    Oracle contract (the ev_active_users_hll split): event counts and
+    the EXACT batch distinct are value-checked; the streamed estimate
+    rides as the hll_within_tol claim column per day (1 iff within 5%
+    of exact — lgK=12 gives ~1.6% se). The stream==batch sketch
+    estimate EQUALITY is additionally asserted in the unit tests (the
+    11th streaming operator, and the module's stream==batch design rule
+    applied to sketches)."""
+    stream = ST.run_daily_actives_hll(
+        spark, sf_dir, num_state_partitions=8
+    )
+    events = _t(spark, sf_dir, "events")
+    exact = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("active_exact")
+    )
+    s = stream.select(
+        F.col("day_start").cast("date").alias("day"),
+        "est",
+        "n_events",
+    )
+    return (
+        s.join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "active_exact",
+            (
+                F.abs(F.col("est") - F.col("active_exact"))
+                <= F.lit(0.05) * F.col("active_exact")
+            )
+            .cast("int")
+            .alias("hll_within_tol"),
+        )
+        .orderBy("day")
+    )

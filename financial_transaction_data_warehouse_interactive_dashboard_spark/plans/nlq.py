@@ -188,6 +188,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "qa_wilson_ci": ("confidence", "interval", "wilson", "proportion", "margin"),
     "tx_span_corruption": ("span", "corruption", "denoising", "mask", "masked", "t5", "pretraining"),
     "ev_time_to_convert": ("latency", "convert", "timing", "median", "long", "takes"),
+    "st_daily_actives_hll": ("streaming", "distinct", "actives", "sketch", "daily"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

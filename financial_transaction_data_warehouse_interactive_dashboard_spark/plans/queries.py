@@ -113,7 +113,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       MAE/MAPE/sMAPE), qa_wilson_ci (binomial proportion intervals),
       tx_span_corruption (T5 denoising pairs, roundtrip-pinned),
       ev_time_to_convert (conversion latency, discrete rank
-      percentiles).
+      percentiles), st_daily_actives_hll (streaming HLL distinct
+      rollup, stream == batch sketch).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -964,3 +964,45 @@ def run_late_data_stream(
     return spark.table(query_name).filter(
         F.col("event_type") != SENTINEL_TYPE
     )
+
+
+def run_daily_actives_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 day",
+    query_name: str = "st_daily_actives_hll",
+    num_state_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming DISTINCT-count rollup: per-day active users via
+    hll_sketch_agg under a watermark. COUNT(DISTINCT) is unsupported in
+    streaming aggregations (it would need unbounded per-key state); the
+    mergeable HLL sketch IS the streaming answer — per-register max is
+    order- and arrival-insensitive, so the streamed estimate equals the
+    batch estimate EXACTLY (asserted in tests), late data folds in
+    correctly up to the watermark, and state per window is one sketch
+    (kilobytes), not a user-id set. Same availableNow/memory-sink
+    harness as every run_* here; production writes update-mode deltas
+    keyed by window start."""
+    src = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        src.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            F.hll_sketch_estimate("sk").alias("est"),
+            "n_events",
+        )
+    )
+    with _state_partitions(spark, num_state_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

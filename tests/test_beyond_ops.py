@@ -1993,3 +1993,32 @@ def test_span_corruption_roundtrip(spark):
                 f"<extra_id_{i}>" for i in range(r["n_spans"])
             )
     assert n_corrupted > 0
+
+
+def test_streaming_hll_equals_batch_sketch(spark):
+    """The streamed per-day HLL estimate must equal the batch sketch
+    estimate EXACTLY — HLL register updates are max-merges, so arrival
+    order and microbatching cannot change the result."""
+    stream = ST.run_daily_actives_hll(
+        spark, SF_SMOKE, query_name="st_hll_eqtest"
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id")
+            ).alias("est"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("day_start"), "est", "n_events")
+    )
+    got = {
+        r["day_start"]: (r["est"], r["n_events"])
+        for r in stream.collect()
+    }
+    want = {
+        r["day_start"]: (r["est"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want and got
