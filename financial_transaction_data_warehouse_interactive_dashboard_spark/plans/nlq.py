@@ -189,6 +189,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_span_corruption": ("span", "corruption", "denoising", "mask", "masked", "t5", "pretraining"),
     "ev_time_to_convert": ("latency", "convert", "timing", "median", "long", "takes"),
     "st_daily_actives_hll": ("streaming", "distinct", "actives", "sketch", "daily"),
+    "tpch_q4_late_orders": ("late", "delayed", "shipped", "priority", "overdue"),
+    "tpch_q16_supplier_cnt": ("suppliers", "deliver", "excluding", "blacklist", "variants"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -114,7 +114,9 @@ def query(name: str, oracle: str | None, driver: bool = True):
       tx_span_corruption (T5 denoising pairs, roundtrip-pinned),
       ev_time_to_convert (conversion latency, discrete rank
       percentiles), st_daily_actives_hll (streaming HLL distinct
-      rollup, stream == batch sketch).
+      rollup, stream == batch sketch), tpch_q4_late_orders (EXISTS
+      semi with date residual), tpch_q16_supplier_cnt (NOT IN anti +
+      grouped distinct).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1,6 +1,6 @@
 """Classic TPC-H query shapes over the fixture star (beyond-reference, r6).
 
-The testdata is TPC-H-derived, so the engine carries the three canonical
+The testdata is TPC-H-derived, so the engine carries five canonical
 decision-support shapes as named, oracle-pinned queries — the lingua
 franca for judging an OLAP engine's plan quality:
 
@@ -10,7 +10,11 @@ franca for judging an OLAP engine's plan quality:
   revenue — tests join order and TakeOrdered;
 - **Q5 local supplier volume**: the 6-table star/snowflake join with a
   cross-dimension equality (customer nation == supplier nation) — tests
-  broadcast planning across a deep join tree.
+  broadcast planning across a deep join tree;
+- **Q4 late orders**: EXISTS -> left-semi join with a cross-table date
+  residual on the hash join — tests semi-join planning;
+- **Q16 supplier counts**: NOT IN -> anti join feeding a grouped
+  COUNT(DISTINCT) — tests the two-phase distinct expansion.
 
 Exactness: all money math runs in exact DECIMAL (prices 2dp, discount/
 tax 2dp; products widen to 4/6dp with explicit casts keeping every
@@ -245,4 +249,99 @@ def tpch_q5_local_supplier_volume(
         joined.groupBy("n_name")
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4: order priority checking — EXISTS semi-join with a row-level
+# date predicate across the join
+# ---------------------------------------------------------------------------
+
+Q4_LATE_DAYS = 90
+
+
+@query(
+    "tpch_q4_late_orders",
+    f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+    GROUP BY 1 ORDER BY 1
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""TPC-H Q4 shape: orders with at least one LATE lineitem
+    (shipped more than {Q4_LATE_DAYS} days after the order date —
+    dialect adaptation: the fixture has l_shipdate but not
+    commit/receipt dates), counted per priority. The operator under
+    test is the EXISTS -> LEFT SEMI join whose condition mixes the
+    equi key with a row-level date comparison ACROSS the two tables:
+    Spark must plan the equi part as the hash-join key and evaluate
+    the date predicate as a join residual — never a nested loop — and
+    the semi form must not duplicate orders with several late lines.
+    (Q4 also runs the spec's date-window filter on orders in the full
+    benchmark; elided here to keep every fixture priority populated.)"""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16: parts/supplier relationship — NOT IN exclusion + grouped
+# COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_name, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p_name, p_size
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    part variant, excluding a blacklisted supplier set (dialect: the
+    fixture's lineitem plays partsupp, nation-0 suppliers play the
+    complaint filter, and (p_name, p_size) plays (brand, type, size)).
+    Exercises the NOT IN -> broadcast ANTI join (s_suppkey is
+    non-nullable, so anti-join == NOT IN with no three-valued-logic
+    trap — the j5 family note) feeding a grouped COUNT(DISTINCT) whose
+    two-phase expansion Spark plans as partial-distinct before the
+    exchange, and a multi-key ORDER BY on the aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_name", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_name", "p_size")
     )
