@@ -232,3 +232,138 @@ def test_two_phase_cumsum_matches_window(spark, rows):
         ref_m = {r["i"]: r["cum"] for r in ref.collect()}
         assert got_m == ref_m, exclusive
         assert total == sum(v for _, v in rows)
+
+
+SET5 = settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=18).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs_strategy)
+@SET5
+def test_segment_dedup_matches_python_reference(spark, texts):
+    """segment_dedup == the obvious sequential implementation of the C4
+    rule (global first occurrence by (doc_id, seg_idx), ordered
+    reassembly) on arbitrary small corpora."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    k = 4
+    docs = {i: t for i, t in enumerate(texts)}
+    first: dict[str, tuple[int, int]] = {}
+    segmented = {}
+    for did in sorted(docs):
+        toks = docs[did].split(" ")
+        segs = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+        segmented[did] = segs
+        for idx, s in enumerate(segs):
+            first.setdefault(s, (did, idx))
+    want = {}
+    for did, segs in segmented.items():
+        kept = [
+            s for idx, s in enumerate(segs) if first[s] == (did, idx)
+        ]
+        want[did] = (len(segs), len(kept), " ".join(kept))
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+        for r in segment_dedup(df, seg_tokens=k).collect()
+    }
+    assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5), st.integers(0, 5), st.integers(1, 9)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(edges_strategy, st.integers(0, 5), st.integers(1, 4))
+@SET5
+def test_bellman_ford_matches_python_reference(spark, es, seed, rounds):
+    """bellman_ford == synchronous per-round relaxation in plain Python
+    on arbitrary small weighted digraphs (integer weights keep both
+    sides exact)."""
+    from decimal import Decimal
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    best = {}
+    for s, d_, w in es:
+        if s != d_:
+            best[(s, d_)] = min(best.get((s, d_), w), w)
+    if not best:
+        return
+    dist = {seed: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (s, d_), w in best.items():
+            if s in dist:
+                cand = dist[s] + w
+                if cand < nxt.get(d_, cand + 1):
+                    nxt[d_] = cand
+        dist = nxt
+    edges = spark.createDataFrame(
+        [(s, d_, float(w)) for s, d_, w in es if s != d_],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([(seed,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(edges, seeds, rounds).collect()
+    }
+    assert got == {n: Decimal(v) for n, v in dist.items()}
+
+
+@given(edges_strategy, st.integers(0, 5))
+@SET5
+def test_khop_matches_python_bfs(spark, es, seed):
+    """khop_distances == plain BFS levels on arbitrary small digraphs."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        khop_distances,
+    )
+
+    adj: dict[int, set[int]] = {}
+    for s, d_, _ in es:
+        if s != d_:
+            adj.setdefault(s, set()).add(d_)
+    want = {seed: 0}
+    frontier = {seed}
+    for h in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= set(want)
+        for v in nxt:
+            want[v] = h
+        frontier = nxt
+    edges = spark.createDataFrame(
+        [(s, d_) for s, d_, _ in es if s != d_] or [(98, 99)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(seed,)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in khop_distances(edges, seeds, max_hops=3).collect()
+    }
+    if not any(s != d_ for s, d_, _ in es):
+        want = {seed: 0}
+    assert got == want
