@@ -2272,3 +2272,95 @@ def a33_segment_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# a34: harmonic closeness centrality via all-pairs bounded-hop BFS
+# ---------------------------------------------------------------------------
+
+
+def _cc_round_cte(i: int) -> str:
+    return f"""g{i} AS (
+      SELECT DISTINCT m.root AS root, e.dst AS node
+      FROM f{i - 1} m JOIN e ON e.src = m.node),
+    f{i} AS (
+      SELECT g.root AS root, g.node AS node
+      FROM g{i} g LEFT JOIN m{i - 1} p
+        ON p.root = g.root AND p.node = g.node
+      WHERE p.node IS NULL),
+    m{i} AS (SELECT * FROM m{i - 1}
+             UNION ALL SELECT root, node, {i} FROM f{i})"""
+
+
+@query(
+    "a34_brand_closeness",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    ec AS (
+      SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS w
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM ec)
+          WHERE rn <= {KHOP_K}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    m0 AS (SELECT node AS root, node, 0 AS hops FROM nodes),
+    f0 AS (SELECT root, node FROM m0),
+    {", ".join(_cc_round_cte(i) for i in range(1, KHOP_MAX + 1))},
+    cnt AS (
+      SELECT root,
+             sum(CASE WHEN hops = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN hops = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN hops = 3 THEN 1 ELSE 0 END)::BIGINT AS n3
+      FROM m{KHOP_MAX} GROUP BY 1)
+    SELECT root AS brand, n1, n2, n3,
+           round(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
+    FROM cnt ORDER BY harmonic DESC, brand
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""HARMONIC closeness centrality of every brand in the
+    kNN-sparsified co-purchase graph: sum of 1/d over nodes within
+    {KHOP_MAX} hops, computed from ALL-PAIRS bounded-hop distances in
+    ONE batched job (operators.graph.multi_source_khop — the SEVENTH
+    iterative algorithm; BFS state keyed by the composite (root, node)
+    pair, so every root's search shares each round's single shuffle
+    instead of looping the driver per source). Harmonic, not classic
+    closeness: it is well-defined on disconnected graphs and
+    hop-bounded frames. The score is assembled from INTEGER per-hop
+    counts (n1 + n2/2 + n3/3 as one identically-written double
+    expression), so no order-dependent float sum exists anywhere; the
+    oracle unrolls the same {KHOP_MAX} anti-joined rounds CARRYING the
+    root key."""
+    from ..operators.graph import multi_source_khop
+
+    ec = _copurchase_edges_weighted(_order_brands(spark, sf_dir))
+    wn = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    e = (
+        ec.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= KHOP_K)
+        .select("src", "dst")
+    )
+    dist = multi_source_khop(e, KHOP_MAX)
+    cnt = dist.groupBy(F.col("root").alias("brand")).agg(
+        *[
+            F.sum((F.col("hops") == h).cast("int")).alias(f"n{h}")
+            for h in (1, 2, 3)
+        ]
+    )
+    return cnt.select(
+        "brand",
+        "n1",
+        "n2",
+        "n3",
+        F.round(
+            F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0, 6
+        ).alias("harmonic"),
+    ).orderBy(F.desc("harmonic"), "brand")

@@ -191,6 +191,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "st_daily_actives_hll": ("streaming", "distinct", "actives", "sketch", "daily"),
     "tpch_q4_late_orders": ("late", "delayed", "shipped", "priority", "overdue"),
     "tpch_q16_supplier_cnt": ("suppliers", "deliver", "excluding", "blacklist", "variants"),
+    "a34_brand_closeness": ("closeness", "harmonic", "central", "wellconnected", "proximity"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -116,7 +116,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       percentiles), st_daily_actives_hll (streaming HLL distinct
       rollup, stream == batch sketch), tpch_q4_late_orders (EXISTS
       semi with date residual), tpch_q16_supplier_cnt (NOT IN anti +
-      grouped distinct).
+      grouped distinct), a34_brand_closeness (harmonic closeness via
+      batched all-pairs BFS).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -2022,3 +2022,32 @@ def test_streaming_hll_equals_batch_sketch(spark):
         for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_multi_source_khop_equals_per_root_bfs(spark):
+    """The batched all-pairs frame must slice to exactly what the
+    single-source operator produces from every root — the two
+    implementations cross-check each other."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.graph import (
+        khop_distances,
+        multi_source_khop,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4), (4, 2)],
+        ["src", "dst"],
+    )
+    all_pairs = {
+        (r["root"], r["node"]): r["hops"]
+        for r in multi_source_khop(edges, max_hops=3).collect()
+    }
+    for root in range(5):
+        seeds = spark.createDataFrame([(root,)], ["node"])
+        single = {
+            (root, r["node"]): r["hops"]
+            for r in khop_distances(edges, seeds, max_hops=3).collect()
+        }
+        sliced = {
+            k: v for k, v in all_pairs.items() if k[0] == root
+        }
+        assert sliced == single, root
