@@ -493,6 +493,86 @@ def _jaccard_from_counts(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = N_SHINGLE,
+    threshold: float = 0.8,
+    max_df: int | float | None = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — |A n B| / min(|A|, |B|)
+    — the asymmetric overlap measure that catches a document EMBEDDED
+    in a longer one (quote farms, boilerplate-wrapped copies, partial
+    scrapes), which symmetric Jaccard structurally under-scores: a 50-
+    shingle doc fully inside a 500-shingle doc has Jaccard 0.1 but
+    containment 1.0 (the Lee et al. 2021 substring-dedup motivation at
+    shingle granularity).
+
+    Same inverted-index blocking, stop-shingle cap, and count-only
+    verification as :func:`ngram_jaccard_pairs` (the co-occurrence
+    count IS the intersection; no second pass over shingle sets), plus
+    both directional fractions so the caller can tell which side is
+    the container. One extra column, zero extra shuffles."""
+    ex = shingle_rows(docs, n).localCheckpoint(eager=True)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    join_side = ex
+    if max_df is not None:
+        df = ex.groupBy("s").agg(F.count("*").alias("df"))
+        if isinstance(max_df, float):
+            ndocs = docs.agg(F.count("*").alias("n_docs"))
+            cap = F.greatest(
+                F.lit(2).cast("bigint"),
+                F.floor(F.lit(max_df) * F.col("n_docs")),
+            )
+            stop = F.broadcast(
+                df.crossJoin(F.broadcast(ndocs))
+                .filter(F.col("df") > cap)
+                .select("s")
+            )
+        else:
+            stop = df.filter(F.col("df") > F.lit(int(max_df))).select("s")
+        join_side = ex.join(stop, "s", "left_anti")
+    a, b = join_side.alias("a"), join_side.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        co.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "sz", "sz_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("common") / F.col("sz_a"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("common") / F.col("sz_b"), 6).alias(
+                "cont_b_in_a"
+            ),
+            F.round(
+                F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     """doc_id + minhash signature (MINHASH_N min-hashes by double hashing).
 

@@ -6041,3 +6041,48 @@ def st_daily_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd_containment_pairs: asymmetric shingle-containment near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_containment_pairs",
+    f"""
+    WITH {SQL_DOCS_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    rare AS (SELECT s FROM ex GROUP BY s
+             HAVING count(*) <= greatest(2,
+               floor(0.5 * (SELECT count(*) FROM documents)))),
+    exf AS (SELECT ex.* FROM ex JOIN rare USING (s)),
+    co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
+    SELECT id_a, id_b,
+           round(common::DOUBLE / sa.sz, 6) AS cont_a_in_b,
+           round(common::DOUBLE / sb.sz, 6) AS cont_b_in_a,
+           round(common::DOUBLE / least(sa.sz, sb.sz), 6) AS containment
+    FROM co JOIN sz sa ON co.id_a = sa.doc_id
+            JOIN sz sb ON co.id_b = sb.doc_id
+    WHERE round(common::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT >= 0.8 — |A n B| over the
+    SMALLER set, the asymmetric measure that catches a short document
+    embedded in a long one (boilerplate-wrapped copies, partial
+    scrapes) where symmetric Jaccard reads 0.1 and misses it
+    (operators.dedup.containment_pairs; Lee et al. 2021's substring-
+    dedup motivation at shingle granularity). Both directional
+    fractions ride along so curation policy can keep the container and
+    drop the contained. Same inverted-index blocking + stop-shingle
+    cap + count-only verify as the Jaccard sibling — one extra
+    projection, zero extra shuffles."""
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    ).orderBy("id_a", "id_b")

@@ -192,6 +192,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q4_late_orders": ("late", "delayed", "shipped", "priority", "overdue"),
     "tpch_q16_supplier_cnt": ("suppliers", "deliver", "excluding", "blacklist", "variants"),
     "a34_brand_closeness": ("closeness", "harmonic", "central", "wellconnected", "proximity"),
+    "dd_containment_pairs": ("containment", "contained", "embedded", "superset", "subset"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

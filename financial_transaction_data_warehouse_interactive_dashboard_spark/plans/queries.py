@@ -117,7 +117,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       rollup, stream == batch sketch), tpch_q4_late_orders (EXISTS
       semi with date residual), tpch_q16_supplier_cnt (NOT IN anti +
       grouped distinct), a34_brand_closeness (harmonic closeness via
-      batched all-pairs BFS).
+      batched all-pairs BFS), dd_containment_pairs (asymmetric
+      containment near-dups).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -2051,3 +2051,23 @@ def test_multi_source_khop_equals_per_root_bfs(spark):
             k: v for k, v in all_pairs.items() if k[0] == root
         }
         assert sliced == single, root
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one must score containment
+    1.0 even when Jaccard is far below any useful threshold."""
+    short = " ".join(f"w{i}" for i in range(10))
+    long_ = short + " " + " ".join(f"z{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long_)], ["doc_id", "text"]
+    )
+    pairs = D.containment_pairs(docs, threshold=0.8, max_df=None).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert r["containment"] == 1.0 and r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] < 0.1
+    # symmetric Jaccard would have rejected this pair
+    jac = D.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_df=None
+    ).collect()
+    assert jac == []
