@@ -493,6 +493,44 @@ def _jaccard_from_counts(
     )
 
 
+def novelty_fractions(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct word-n-gram
+    shingles whose globally FIRST occurrence (min doc_id — ingestion
+    order) is this document. The temporal complement of
+    :func:`passage_dup_report`: that one asks "is this span shared",
+    this one asks "did WE contribute it" — the curve a curation pipeline
+    watches to see marginal data value decay as a corpus grows (novelty
+    ~1 early, falling as later batches re-crawl the same content; a
+    pure re-crawl scores 0).
+
+    Physical: the shingle_rows codegen pipeline, one min-aggregate per
+    60-bit shingle hash (key cardinality = distinct shingles, massively
+    parallel), one hash-keyed join back, one per-doc aggregate — the
+    exact shuffle shape of passage_dup_report."""
+    rows = shingle_rows(docs, n).select(
+        "doc_id", P.md5_long("s").alias("h")
+    )
+    fo = rows.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        rows.join(fo, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     n: int = N_SHINGLE,

@@ -6086,3 +6086,39 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.8
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# dd_novelty_fractions: per-doc marginal-novelty curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_novelty_fractions",
+    f"""
+    WITH {SQL_DOCS_SHINGLES},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    fo AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+    SELECT ex.doc_id AS doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN fo.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+             ::BIGINT AS n_novel,
+           round(sum(CASE WHEN fo.first_doc = ex.doc_id
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS novelty
+    FROM ex JOIN fo ON ex.s = fo.s
+    GROUP BY 1 ORDER BY 1
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve per document: what fraction of each doc's
+    distinct shingles did the corpus see HERE first (min doc_id ==
+    ingestion order)? The decision metric behind "is another crawl
+    batch still worth ingesting" — novelty ~1 for fresh content, 0 for
+    a pure re-crawl (the fixture's planted copies score exactly 0).
+    operators.dedup.novelty_fractions; same hash-keyed shuffle shape as
+    passage_dup_report, oracle replays the identical first-occurrence
+    election over the portable shingles."""
+    return D.novelty_fractions(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )

@@ -1340,3 +1340,110 @@ def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# qa_higher_moments: exact population skewness / excess kurtosis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qa_higher_moments",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(CAST(round(value, 3) AS DECIMAL(18,3)) * 1000
+                  AS BIGINT) AS mi
+      FROM events),
+    p AS (
+      SELECT event_type, mi, mi * mi AS mi2 FROM m),
+    a AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(mi AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(mi2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(mi2 AS DECIMAL(19,0))
+                      * CAST(mi AS DECIMAL(19,0))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(mi2 AS DECIMAL(19,0))
+                      * CAST(mi2 AS DECIMAL(19,0))) AS DOUBLE) AS s4
+      FROM p GROUP BY 1),
+    c AS (
+      SELECT event_type, n,
+             s1 / n AS mu, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+      FROM a)
+    SELECT event_type, n,
+           round(mu / 1000, 6) AS mean,
+           round(sqrt(r2 - mu * mu) / 1000, 6) AS std_pop,
+           round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / pow(sqrt(r2 - mu * mu), 3), 6) AS skewness,
+           round((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu)
+                 / pow(r2 - mu * mu, 2) - 3, 6) AS kurtosis_excess
+    FROM c ORDER BY event_type
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def qa_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact POPULATION skewness and excess kurtosis of event values per
+    type — the tail-shape panel behind distribution-drift triage (PSI
+    says "it moved"; these say "it grew a tail"). Built-in skewness()/
+    kurtosis() differ between engines in bias convention and float
+    order, so both sides compute from the same four raw power sums:
+    values quantized to EXACT integer milli-units, mi^2 in BIGINT
+    (2.5e11 max), mi^3/mi^4 as DECIMAL(19)x(19) products summed at
+    DECIMAL(38) (6.25e22/row x 600k rows ~ 4e28, inside headroom), all
+    order-independent; the central-moment assembly is one
+    identically-parenthesized double expression (skew/kurtosis are
+    scale-free, so milli-units need no unscaling; mean/std divide once
+    by 1000). Same integer-quantization discipline as
+    ev_winsorized_stats."""
+    events = _t(spark, sf_dir, "events")
+    mi = (
+        F.round("value", 3).cast("decimal(18,3)") * 1000
+    ).cast("bigint")
+    p = events.select(
+        "event_type", mi.alias("mi"), (mi * mi).alias("mi2")
+    )
+    a = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("mi").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("mi2").cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum(
+            F.col("mi2").cast("decimal(19,0)")
+            * F.col("mi").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            F.col("mi2").cast("decimal(19,0)")
+            * F.col("mi2").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    c = a.select(
+        "event_type",
+        "n",
+        (F.col("s1") / n).alias("mu"),
+        (F.col("s2") / n).alias("r2"),
+        (F.col("s3") / n).alias("r3"),
+        (F.col("s4") / n).alias("r4"),
+    )
+    mu, r2, r3, r4 = (F.col(x) for x in ("mu", "r2", "r3", "r4"))
+    return c.select(
+        "event_type",
+        "n",
+        F.round(mu / 1000, 6).alias("mean"),
+        F.round(F.sqrt(r2 - mu * mu) / 1000, 6).alias("std_pop"),
+        F.round(
+            (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+            / F.pow(F.sqrt(r2 - mu * mu), 3),
+            6,
+        ).alias("skewness"),
+        F.round(
+            (r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+            / F.pow(r2 - mu * mu, 2)
+            - 3,
+            6,
+        ).alias("kurtosis_excess"),
+    ).orderBy("event_type")

@@ -193,6 +193,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q16_supplier_cnt": ("suppliers", "deliver", "excluding", "blacklist", "variants"),
     "a34_brand_closeness": ("closeness", "harmonic", "central", "wellconnected", "proximity"),
     "dd_containment_pairs": ("containment", "contained", "embedded", "superset", "subset"),
+    "dd_novelty_fractions": ("novelty", "novel", "fresh", "recrawl", "marginal"),
+    "qa_higher_moments": ("skewness", "skew", "kurtosis", "tail", "tails", "moments"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

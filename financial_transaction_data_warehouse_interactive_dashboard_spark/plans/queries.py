@@ -118,7 +118,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       semi with date residual), tpch_q16_supplier_cnt (NOT IN anti +
       grouped distinct), a34_brand_closeness (harmonic closeness via
       batched all-pairs BFS), dd_containment_pairs (asymmetric
-      containment near-dups).
+      containment near-dups), dd_novelty_fractions (marginal-novelty
+      curve), qa_higher_moments (exact skewness/kurtosis).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -2071,3 +2071,20 @@ def test_containment_catches_embedded_doc(spark):
         docs, threshold=0.3, max_df=None
     ).collect()
     assert jac == []
+
+
+def test_novelty_pure_recopy_scores_zero(spark):
+    """A document whose shingles all first appeared in an earlier doc
+    must score novelty 0; the first doc scores 1."""
+    base = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " unique tail here now more")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["novelty"]
+        for r in D.novelty_fractions(docs).collect()
+    }
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+    assert 0.0 < got[2] < 1.0

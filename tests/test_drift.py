@@ -244,3 +244,15 @@ def test_forecast_backtest_metric_ranges(spark):
         assert 0.0 <= r["smape"] <= 2.0
     # seasonal-naive pairs 6 fewer days than naive on a contiguous series
     assert rows["naive_1"]["n_days"] >= rows["seasonal_7"]["n_days"]
+
+
+def test_higher_moments_hand_distribution(spark):
+    """Moments on the fixture must satisfy the invariants: std > 0, and
+    the exponential-shaped value distribution is right-skewed and
+    leptokurtic for every event type."""
+    rows = _one(spark, "qa_higher_moments")
+    assert rows
+    for r in rows:
+        assert r["std_pop"] > 0
+        assert r["skewness"] > 0  # right tail
+        assert r["kurtosis_excess"] > 0  # heavier than normal
