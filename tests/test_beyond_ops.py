@@ -2088,3 +2088,24 @@ def test_novelty_pure_recopy_scores_zero(spark):
     assert got[0] == 1.0
     assert got[1] == 0.0
     assert 0.0 < got[2] < 1.0
+
+
+def test_text_ops_null_and_short_doc_contract(spark):
+    """Contract pin for degenerate inputs, matching the module-wide
+    shingle_rows convention: NULL-text docs drop (posexplode of null
+    yields no rows); empty-string docs are one empty segment for
+    segment_dedup; docs shorter than the shingle width have no shingles
+    and are absent from novelty output."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, None), (2, "")], ["doc_id", "text"]
+    )
+    seg = {
+        r["doc_id"]: (r["n_segments"], r["clean_text"])
+        for r in D.segment_dedup(docs, seg_tokens=4).collect()
+    }
+    assert set(seg) == {0, 2}
+    assert seg[0] == (1, "a b c d") and seg[2] == (1, "")
+    nov = {
+        r["doc_id"] for r in D.novelty_fractions(docs, n=2).collect()
+    }
+    assert nov == {0}
