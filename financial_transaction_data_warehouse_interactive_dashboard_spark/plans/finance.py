@@ -2364,3 +2364,151 @@ def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0, 6
         ).alias("harmonic"),
     ).orderBy(F.desc("harmonic"), "brand")
+
+
+# ---------------------------------------------------------------------------
+# a35: Kaplan-Meier customer survival (churn) curve
+# ---------------------------------------------------------------------------
+
+KM_CHURN_GAP_DAYS = 90  # last order this close to corpus end => censored
+KM_BUCKET_DAYS = 30  # lifetime granularity (months)
+
+
+@query(
+    "a35_survival_km",
+    f"""
+    WITH c AS (SELECT o_custkey, min(o_orderdate) AS f,
+                      max(o_orderdate) AS l
+               FROM orders GROUP BY 1),
+    x AS (SELECT max(o_orderdate) AS mx FROM orders),
+    s AS (SELECT CAST(floor(date_diff('day', f, l) / {KM_BUCKET_DAYS}.0)
+                      AS BIGINT) AS t,
+                 CASE WHEN l < mx - INTERVAL {KM_CHURN_GAP_DAYS} DAY
+                      THEN 1 ELSE 0 END AS churned
+          FROM c CROSS JOIN x),
+    tot AS (SELECT count(*) AS total FROM s),
+    g AS (SELECT t, count(*) AS cnt, sum(churned)::BIGINT AS d
+          FROM s GROUP BY 1),
+    o AS (SELECT t, d,
+                 CAST(total - coalesce(sum(cnt) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n
+          FROM g CROSS JOIN tot),
+    f AS (SELECT t, d, n,
+                 CAST(round(1 - d::DOUBLE / n, 6) AS DECIMAL(10,6))
+                   AS factor
+          FROM o),
+    arr AS (SELECT list(factor ORDER BY t) AS fl,
+                   list(t ORDER BY t) AS tl,
+                   list(d ORDER BY t) AS dl,
+                   list(n ORDER BY t) AS nl
+            FROM f)
+    SELECT tl[i] AS t_months, nl[i] AS n_at_risk, dl[i] AS n_churned,
+           CAST(list_reduce(
+                  list_prepend(CAST(1.0 AS DECIMAL(10,6)), fl[1:i]),
+                  (a, b) -> CAST(round(a * b, 6) AS DECIMAL(10,6)))
+                AS DOUBLE) AS survival
+    FROM arr, unnest(range(1, len(fl) + 1)) AS r(i)
+    ORDER BY t_months
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def a35_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""KAPLAN-MEIER customer survival curve: S(t) = prod over lifetime
+    buckets t' <= t of (1 - churned_t'/at_risk_t'), with customers whose
+    last order falls within {KM_CHURN_GAP_DAYS} days of the corpus end
+    treated as CENSORED (still alive — they leave the at-risk set
+    without a churn event, the estimator's whole point and what a naive
+    churn-rate cumsum gets wrong). Lifetime = days between first and
+    last order in {KM_BUCKET_DAYS}-day buckets. The churn/retention
+    curve every subscription dashboard leads with.
+
+    Cross-engine exactness for a CUMULATIVE PRODUCT (no product
+    window exists, and exp(sum(log)) is out — libm exp/log are not
+    correctly rounded and differ between JVM and DuckDB): each factor
+    is rounded to 6dp as DECIMAL(10,6), and the running product is a
+    per-step-rounded decimal FOLD — Spark aggregate() over the ordered
+    factor array slice vs DuckDB list_reduce over the same prepended-1
+    list, step = CAST(round(a*b, 6) AS DECIMAL(10,6)) in both. One
+    documented quantization per step, zero float drift. The fold is
+    O(buckets^2) on a ~70-element array inside one row — bounded by
+    construction (the at-risk window itself runs on the t-aggregated
+    frame, the module's bounded-frame convention)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    s = c.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.datediff("l", "f") / KM_BUCKET_DAYS)
+        .cast("bigint")
+        .alias("t"),
+        F.when(
+            F.col("l")
+            < F.col("mx") - F.expr(f"INTERVAL {KM_CHURN_GAP_DAYS} DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    tot = s.agg(F.count("*").alias("total"))
+    g = s.groupBy("t").agg(
+        F.count("*").alias("cnt"), F.sum("churned").alias("d")
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    o = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n",
+            (
+                F.col("total")
+                - F.coalesce(F.sum("cnt").over(wt), F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    f = o.select(
+        "t",
+        "d",
+        "n",
+        F.round(F.lit(1) - F.col("d").cast("double") / F.col("n"), 6)
+        .cast("decimal(10,6)")
+        .alias("factor"),
+    )
+    arr = f.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "factor"))),
+            lambda x: x["factor"],
+        ).alias("fl"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "factor"))),
+            lambda x: x["t"],
+        ).alias("tl"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "d"))),
+            lambda x: x["d"],
+        ).alias("dl"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "n"))),
+            lambda x: x["n"],
+        ).alias("nl"),
+    )
+    return (
+        arr.select(
+            F.posexplode("tl").alias("i0", "t_months"),
+            "fl",
+            "dl",
+            "nl",
+        )
+        .select(
+            "t_months",
+            F.expr("nl[i0]").alias("n_at_risk"),
+            F.expr("dl[i0]").alias("n_churned"),
+            F.expr(
+                "CAST(aggregate(slice(fl, 1, i0 + 1),"
+                " CAST(1.0 AS DECIMAL(10,6)),"
+                " (acc, x) -> CAST(round(acc * x, 6) AS DECIMAL(10,6)))"
+                " AS DOUBLE)"
+            ).alias("survival"),
+        )
+        .orderBy("t_months")
+    )

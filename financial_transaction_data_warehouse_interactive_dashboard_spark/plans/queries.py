@@ -119,7 +119,8 @@ def query(name: str, oracle: str | None, driver: bool = True):
       grouped distinct), a34_brand_closeness (harmonic closeness via
       batched all-pairs BFS), dd_containment_pairs (asymmetric
       containment near-dups), dd_novelty_fractions (marginal-novelty
-      curve), qa_higher_moments (exact skewness/kurtosis).
+      curve), qa_higher_moments (exact skewness/kurtosis),
+      a35_survival_km (Kaplan-Meier churn curve with censoring).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

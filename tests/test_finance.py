@@ -687,3 +687,45 @@ def test_personalized_pagerank_properties(spark):
     assert (sum(seed_ranks) / len(seed_ranks)) > (
         sum(other_ranks) / len(other_ranks)
     )
+
+
+def test_survival_km_hand_cohort(spark):
+    """Planted cohort with known censoring: two churns at t=0 (S=0.5),
+    one at t=1 (S=0.25), one censored at the corpus end (flat tail,
+    never counted as a churn event)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    d0 = dt.datetime(2020, 1, 1)
+
+    def o(ck, *dates):
+        return [(len(dates) * 100 + ck * 10 + i, ck, d)
+                for i, d in enumerate(dates)]
+
+    rows = (
+        o(1, d0)  # lifetime 0, churned
+        + o(2, d0, d0 + dt.timedelta(days=19))  # t=0, churned
+        + o(3, d0, d0 + dt.timedelta(days=45))  # t=1, churned
+        + o(4, d0, d0 + dt.timedelta(days=152))  # t=5, censored (corpus end)
+    )
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.finance import (
+        a35_survival_km,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        orders.write.parquet(os.path.join(tmp, "orders.parquet"))
+        got = {
+            r["t_months"]: r for r in a35_survival_km(spark, tmp).collect()
+        }
+    assert set(got) == {0, 1, 5}
+    assert (got[0]["n_at_risk"], got[0]["n_churned"]) == (4, 2)
+    assert got[0]["survival"] == 0.5
+    assert (got[1]["n_at_risk"], got[1]["n_churned"]) == (2, 1)
+    assert got[1]["survival"] == 0.25
+    # censored customer: at risk, no event, curve stays flat
+    assert (got[5]["n_at_risk"], got[5]["n_churned"]) == (1, 0)
+    assert got[5]["survival"] == 0.25
