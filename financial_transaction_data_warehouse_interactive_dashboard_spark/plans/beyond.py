@@ -6122,3 +6122,134 @@ def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.novelty_fractions(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# tx_curriculum_order: scale-safe global curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_curriculum_order",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    q AS (SELECT doc_id,
+            ( (least(len(w), 100) * 25) // 100
+              + (len(list_distinct(w)) * 35) // len(w)
+              + least((len([t for t in w
+                            if t IN ('the','a','of','and','to','in',
+                                     'is','it','that','for')]) * 100)
+                      // len(w), 20)
+              + least((list_sum([length(t) for t in w]) * 20)
+                      // (8 * len(w)), 20)
+            )::BIGINT AS quality_pts
+          FROM d)
+    SELECT doc_id, quality_pts,
+           row_number() OVER (ORDER BY quality_pts DESC, doc_id)
+             AS curriculum_pos
+    FROM q ORDER BY curriculum_pos
+    """,
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering of the training corpus: every document gets a
+    GLOBAL position by (quality DESC, doc_id) — highest-quality text
+    first, the easy-to-hard schedule curriculum-learning pipelines feed
+    the data loader. The interesting part is WHERE the global ordering
+    comes from: this entry runs operators.surrogate.two_phase_rank BY
+    DEFAULT (range-partition histogram + per-partition offsets — no
+    single-partition window anywhere), so the scale_safe machinery that
+    elsewhere sits behind opt-in flags is itself under the driver's
+    value-hash gate here, checked against the oracle's plain
+    row_number() — the two formulations must agree to the last row.
+    Quality is the same map-only C4/Gopher composite as
+    tx_quality_score (shared oracle arithmetic, integer points)."""
+    from ..operators.surrogate import two_phase_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = T.quality_columns("text")
+    q = docs.select(
+        "doc_id", cols["quality_pts"].alias("quality_pts")
+    )
+    ranked, _ = two_phase_rank(
+        q,
+        [F.desc("quality_pts"), F.asc("doc_id")],
+        rank_col="curriculum_pos",
+    )
+    return ranked.select(
+        "doc_id", "quality_pts", "curriculum_pos"
+    ).orderBy("curriculum_pos")
+
+
+# ---------------------------------------------------------------------------
+# wh_orphan_audit: referential-integrity audit across every star edge
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey", "customer",
+     "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier",
+     "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def _orphan_edge_sql(rel, child, ck, parent, pk) -> str:
+    return f"""SELECT '{rel}' AS relationship,
+       (SELECT count(*) FROM {child}) AS n_child_rows,
+       (SELECT count(*) FROM {child}
+        WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) AS n_orphans"""
+
+
+@query(
+    "wh_orphan_audit",
+    "\nUNION ALL\n".join(_orphan_edge_sql(*e) for e in _FK_EDGES)
+    + "\nORDER BY relationship",
+    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+)
+def wh_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over EVERY foreign-key edge of the
+    star at once: child row count and orphan count (child keys with no
+    parent) per relationship — the wh_expectations sibling that checks
+    the JOIN GRAPH instead of column domains, and the generalization of
+    the reference's single missing-symbol anti-join (etl.ipynb:16-29)
+    to the whole schema. All seven edges audit green on the fixtures;
+    the row shape is what a nightly quality job alerts on.
+
+    Physical: per edge one broadcast LEFT ANTI join (parent key
+    columns are dims — always the broadcast side) counted alongside
+    the child count, unioned into the 7-row audit. Keys are
+    non-nullable fixture-wide, so anti-join == NOT IN with no
+    three-valued-logic trap (the j5/q16 note)."""
+    parts = []
+    for rel, child, ck, parent, pk in _FK_EDGES:
+        cdf = _t(spark, sf_dir, child)
+        pdf = _t(spark, sf_dir, parent).select(
+            F.col(pk).alias(ck)
+        ).distinct()
+        n_child = cdf.agg(F.count("*").alias("n_child_rows"))
+        n_orph = (
+            cdf.select(ck)
+            .join(F.broadcast(pdf), ck, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        parts.append(
+            n_child.crossJoin(F.broadcast(n_orph)).select(
+                F.lit(rel).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("relationship")

@@ -196,6 +196,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_novelty_fractions": ("novelty", "novel", "fresh", "recrawl", "marginal"),
     "qa_higher_moments": ("skewness", "skew", "kurtosis", "tail", "tails", "moments"),
     "a35_survival_km": ("survival", "churn", "churned", "kaplan", "meier", "retention curve"),
+    "tx_curriculum_order": ("curriculum", "ordering", "easy", "hard", "schedule"),
+    "wh_orphan_audit": ("orphans", "orphan", "referential", "foreign", "broken", "keys"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

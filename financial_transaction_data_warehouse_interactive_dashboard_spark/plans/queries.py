@@ -120,7 +120,10 @@ def query(name: str, oracle: str | None, driver: bool = True):
       batched all-pairs BFS), dd_containment_pairs (asymmetric
       containment near-dups), dd_novelty_fractions (marginal-novelty
       curve), qa_higher_moments (exact skewness/kurtosis),
-      a35_survival_km (Kaplan-Meier churn curve with censoring).
+      a35_survival_km (Kaplan-Meier churn curve with censoring),
+      tx_curriculum_order (two_phase_rank global ordering as the
+      default path under the gate), wh_orphan_audit (all-edge FK
+      integrity).
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
