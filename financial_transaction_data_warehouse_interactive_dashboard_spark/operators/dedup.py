@@ -422,41 +422,7 @@ def ngram_jaccard_pairs(
     # which is itself O(pairs); the linear-scale path is minhash_lsh_pairs.
     ex = shingle_rows(docs, n).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    join_side = ex
-    if max_df is not None:
-        # Filter by the COMPLEMENT: the stop set (df > cap) is tiny by
-        # definition — a stop-shingle appears in more than cap*n_docs
-        # documents, so there can be at most ~1/max_df of them — which
-        # makes the exclusion a BROADCAST anti-join instead of shuffling
-        # the full shingle set against the (huge) rare-shingle list.
-        # At sf0.1 this measures neutral (the df COUNT aggregate, not
-        # the join, dominates the cap's ~45% overhead vs capless); at
-        # cluster scale broadcasting a bounded set beats shuffling an
-        # unbounded one regardless.
-        df = ex.groupBy("s").agg(F.count("*").alias("df"))
-        if isinstance(max_df, float):
-            # Fraction of corpus: resolve the cap lazily against a 1-row
-            # broadcast aggregate so the operator stays a single lazy plan.
-            ndocs = docs.agg(F.count("*").alias("n_docs"))
-            cap = F.greatest(
-                F.lit(2).cast("bigint"),
-                F.floor(F.lit(max_df) * F.col("n_docs")),
-            )
-            stop = (
-                df.crossJoin(F.broadcast(ndocs))
-                .filter(F.col("df") > cap)
-                .select("s")
-            )
-            # The ≤~1/max_df bound on the stop set holds ONLY for the
-            # fractional form, so only this branch forces the broadcast.
-            stop = F.broadcast(stop)
-        else:
-            # Absolute count: a small integer cap (e.g. 2) makes the stop
-            # set nearly the whole shingle vocabulary — forcing a
-            # broadcast there would OOM the driver at scale. Let AQE pick
-            # the strategy from the runtime size instead.
-            stop = df.filter(F.col("df") > F.lit(int(max_df))).select("s")
-        join_side = ex.join(stop, "s", "left_anti")
+    join_side = _stop_shingle_filter(ex, docs, max_df)
     a, b = join_side.alias("a"), join_side.alias("b")
     co = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -466,6 +432,50 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     return _jaccard_from_counts(co, sizes, threshold)
+
+
+def _stop_shingle_filter(
+    ex: DataFrame, docs: DataFrame, max_df: int | float | None
+) -> DataFrame:
+    """Shared stop-shingle exclusion for the pair-finding operators
+    (ngram_jaccard_pairs, containment_pairs): drop shingles whose
+    document frequency exceeds ``max_df`` from CANDIDATE GENERATION.
+
+    Filter by the COMPLEMENT: the stop set (df > cap) is tiny by
+    definition — a stop-shingle appears in more than cap*n_docs
+    documents, so there can be at most ~1/max_df of them — which
+    makes the exclusion a BROADCAST anti-join instead of shuffling
+    the full shingle set against the (huge) rare-shingle list.
+    At sf0.1 this measures neutral (the df COUNT aggregate, not
+    the join, dominates the cap's ~45% overhead vs capless); at
+    cluster scale broadcasting a bounded set beats shuffling an
+    unbounded one regardless."""
+    if max_df is None:
+        return ex
+    df = ex.groupBy("s").agg(F.count("*").alias("df"))
+    if isinstance(max_df, float):
+        # Fraction of corpus: resolve the cap lazily against a 1-row
+        # broadcast aggregate so the operator stays a single lazy plan.
+        ndocs = docs.agg(F.count("*").alias("n_docs"))
+        cap = F.greatest(
+            F.lit(2).cast("bigint"),
+            F.floor(F.lit(max_df) * F.col("n_docs")),
+        )
+        stop = (
+            df.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("df") > cap)
+            .select("s")
+        )
+        # The ≤~1/max_df bound on the stop set holds ONLY for the
+        # fractional form, so only this branch forces the broadcast.
+        stop = F.broadcast(stop)
+    else:
+        # Absolute count: a small integer cap (e.g. 2) makes the stop
+        # set nearly the whole shingle vocabulary — forcing a
+        # broadcast there would OOM the driver at scale. Let AQE pick
+        # the strategy from the runtime size instead.
+        stop = df.filter(F.col("df") > F.lit(int(max_df))).select("s")
+    return ex.join(stop, "s", "left_anti")
 
 
 def _jaccard_from_counts(
@@ -545,30 +555,15 @@ def containment_pairs(
     containment 1.0 (the Lee et al. 2021 substring-dedup motivation at
     shingle granularity).
 
-    Same inverted-index blocking, stop-shingle cap, and count-only
-    verification as :func:`ngram_jaccard_pairs` (the co-occurrence
-    count IS the intersection; no second pass over shingle sets), plus
-    both directional fractions so the caller can tell which side is
-    the container. One extra column, zero extra shuffles."""
+    Same inverted-index blocking, stop-shingle cap (the shared
+    :func:`_stop_shingle_filter` policy), and count-only verification
+    as :func:`ngram_jaccard_pairs` (the co-occurrence count IS the
+    intersection; no second pass over shingle sets), plus both
+    directional fractions so the caller can tell which side is the
+    container. One extra column, zero extra shuffles."""
     ex = shingle_rows(docs, n).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    join_side = ex
-    if max_df is not None:
-        df = ex.groupBy("s").agg(F.count("*").alias("df"))
-        if isinstance(max_df, float):
-            ndocs = docs.agg(F.count("*").alias("n_docs"))
-            cap = F.greatest(
-                F.lit(2).cast("bigint"),
-                F.floor(F.lit(max_df) * F.col("n_docs")),
-            )
-            stop = F.broadcast(
-                df.crossJoin(F.broadcast(ndocs))
-                .filter(F.col("df") > cap)
-                .select("s")
-            )
-        else:
-            stop = df.filter(F.col("df") > F.lit(int(max_df))).select("s")
-        join_side = ex.join(stop, "s", "left_anti")
+    join_side = _stop_shingle_filter(ex, docs, max_df)
     a, b = join_side.alias("a"), join_side.alias("b")
     co = (
         a.join(

@@ -196,12 +196,18 @@ def bloom_candidates(
     4). Guarantees no false negatives; false positives are bounded by
     the (1 - e^(-k n / m))^k load curve and audited exactly by the
     wh_bloom_prune query."""
+    # The probe-side explode + distinct (k md5s per key — the operator's
+    # dominant cost) feeds BOTH the per-key position count and the bits
+    # join; materialize it once (the module-wide
+    # materialize-multi-branch-frames policy) instead of recomputing the
+    # shuffle per branch.
     pb = (
         probe.select(
             F.col(key_col).alias("key"),
             F.explode(_bloom_positions(key_col, m, k)).alias("bit"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nb = pb.groupBy("key").agg(F.count("*").alias("nb"))
     matched = (

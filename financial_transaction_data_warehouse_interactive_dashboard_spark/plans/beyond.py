@@ -4872,7 +4872,7 @@ ER_MAX_DIST = 3
 def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs over the part-name vocabulary:
     block on the head noun (last token), verify within blocks by JVM-side
-    levenshtein under {ER_MAX_DIST} (operators.dedup.
+    levenshtein under 3 (operators.dedup.
     blocked_levenshtein_pairs) — the Fellegi-Sunter blocking+verify
     skeleton every record-linkage pipeline runs before scoring. Both
     engines ship the same edit-distance primitive, so the oracle is
@@ -5093,7 +5093,7 @@ NEG_K = 3
 )
 def tx_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training pairs:
-    for every purchasing customer, the {NEG_K} hash-ranked brands they
+    for every purchasing customer, the 3 hash-ranked brands they
     have NOT bought — the negatives a two-tower recommender or
     contrastive embedding job pairs against each positive. Sampling by
     portable-hash rank (not rand()) makes the draw reproducible,
@@ -5189,7 +5189,7 @@ def wh_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit portable Bloom-filter join pruning with an EXACT
     false-positive audit — the first-class form of the runtime bloom
     Spark's AQE injects under joins (here the bits are an inspectable,
-    broadcastable frame from the md5 hash family, m={BLOOM_M} k={BLOOM_K}).
+    broadcastable frame from the md5 hash family, m=16384 k=4).
     The build side is a selective key set (urgent Q4 finalized orders,
     ~14% of customers); the probe is the whole customer dim; the audit
     row reports the candidate count, exact true members, false
@@ -5272,8 +5272,8 @@ BUCKET_N = 8
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def wh_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Bucketed CO-LOCATED join proof under the hash gate: orders and
-    customer are written as bucketBy({BUCKET_N}, custkey) tables (one
+    """Bucketed CO-LOCATED join proof under the hash gate: orders and
+    customer are written as bucketBy(8, custkey) tables (one
     file per bucket via repartition-before-write), then merge-joined —
     and the physical plan must contain ZERO Exchange operators: matching
     bucket counts on the join key make the shuffle disappear entirely,
@@ -5524,19 +5524,19 @@ HLL_TOL = 0.05
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Trailing {HLL_WINDOW_DAYS}-day active users two ways: EXACT (the
+    """Trailing 14-day active users two ways: EXACT (the
     scatter-explode count-distinct, same skeleton as ev_wau_stickiness)
     and via MERGEABLE per-day HLL sketches — ONE sketch per day
-    (hll_sketch_agg), scattered to the {HLL_WINDOW_DAYS} windows it
+    (hll_sketch_agg), scattered to the 14 windows it
     serves and union-merged (hll_union_agg). The sketch path is the
-    100 TB answer: its scatter is days x {HLL_WINDOW_DAYS} sketch ROWS
-    (kilobytes), not users x days x {HLL_WINDOW_DAYS} data rows, and
+    100 TB answer: its scatter is days x 14 sketch ROWS
+    (kilobytes), not users x days x 14 data rows, and
     the same persisted day sketches answer any window length
     retroactively (the a15_hll_mergeable pattern rolled along time).
 
     Oracle contract (the a5 split): the exact half is value-checked
     against DuckDB; the sketch half rides as a CLAIM column —
-    hll_within_tol = 1 iff the estimate lands within {HLL_TOL:.0%} of
+    hll_within_tol = 1 iff the estimate lands within 5% of
     exact on EVERY output day (HLL lgK=12 gives ~1.6% standard error,
     so 5% is a hard bound, not a hope) — the oracle hard-codes 1 and
     the hash gate fails if the sketch ever drifts out."""
@@ -5635,14 +5635,14 @@ EDJ_SEGS = ((1, 1, 6), (2, 7, 5), (3, 12, 5))
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Corpus-wide edit-distance similarity JOIN (all pairs of distinct
-    {EDJ_PLEN}-char document prefixes with levenshtein <= {EDJ_K})
+    """Corpus-wide edit-distance similarity JOIN (all pairs of distinct
+    16-char document prefixes with levenshtein <= 2)
     WITHOUT the quadratic scan — the PassJoin pigeonhole (Li, Deng,
-    Feng 2011): split each key into k+1 = {len(EDJ_SEGS)} segments; if
+    Feng 2011): split each key into k+1 = 3 segments; if
     ed(a, b) <= k then b contains one of a's segments EXACTLY, at a
     position shifted by at most k. So the build side emits canonical
     segments, the probe side emits the same windows at shifts
-    -{EDJ_K}..{EDJ_K}, candidates come from the (segment_id, gram)
+    -2..2, candidates come from the (segment_id, gram)
     equi-join, and only candidates pay the levenshtein verify. At sf0.1
     this checks ~0.4% of the 10M all-pairs space (measured 348k
     candidates, 1129 true pairs) — recall is COMPLETE by the
@@ -5650,7 +5650,7 @@ def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins. Same blocked-verify skeleton as MinHash-LSH, for the
     edit-distance metric the LSH family can't index; the scale answer
     to dd_er_blocked_pairs' single-key blocking caveat. Fixed-length
-    keys by construction (every fixture doc is >= {EDJ_PLEN} chars);
+    keys by construction (every fixture doc is >= 16 chars);
     variable-length corpora use PassJoin's length-bucketed segment
     table, same join shape."""
     p = (
@@ -5767,20 +5767,20 @@ SPAN_LEN = 3
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): mask
-    deterministic {SPAN_LEN}-token spans (~12% of tokens: candidate
-    starts every {SPAN_STRIDE} tokens, kept when the portable hash of
-    (doc_id, pos) lands in 1/{SPAN_RATE}), replace each span with a
+    """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): mask
+    deterministic 3-token spans (~12% of tokens: candidate
+    starts every 5 tokens, kept when the portable hash of
+    (doc_id, pos) lands in 1/5), replace each span with a
     numbered sentinel in the input, and emit the denoising TARGET
     (sentinel + the masked tokens, in span order) — the encoder/decoder
     pair a T5-family pretraining job consumes. Hash-gated spans make
     the draw reproducible and shardable — same policy as every sampling
     operator here — and non-overlapping by construction (stride
-    {SPAN_STRIDE} > span {SPAN_LEN}).
+    5 > span 3).
 
     Physical: one posexplode token frame, span starts filtered by
     arithmetic (no rand()), spans expanded by an EXPLODE of the
-    {SPAN_LEN} positions and equi-joined back (never a BETWEEN theta
+    3 positions and equi-joined back (never a BETWEEN theta
     join), reassembly per doc via the usual bounded array_sort. Three
     shuffles, all keyed by doc_id. Docs whose candidates all miss the
     hash gate pass through uncorrupted with an empty target."""
@@ -6131,19 +6131,9 @@ def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tx_curriculum_order",
-    """
+    f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    q AS (SELECT doc_id,
-            ( (least(len(w), 100) * 25) // 100
-              + (len(list_distinct(w)) * 35) // len(w)
-              + least((len([t for t in w
-                            if t IN ('the','a','of','and','to','in',
-                                     'is','it','that','for')]) * 100)
-                      // len(w), 20)
-              + least((list_sum([length(t) for t in w]) * 20)
-                      // (8 * len(w)), 20)
-            )::BIGINT AS quality_pts
-          FROM d)
+    q AS (SELECT doc_id, {_SQL_QUALITY_PTS} AS quality_pts FROM d)
     SELECT doc_id, quality_pts,
            row_number() OVER (ORDER BY quality_pts DESC, doc_id)
              AS curriculum_pos

@@ -693,8 +693,8 @@ def _pr_iter_cte(i: int) -> str:
 )
 def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the brand co-purchase graph (edge = two
-    brands sharing at least one order), {PR_ITER} power iterations at
-    damping {PR_DAMPING} — the influence/centrality primitive behind
+    brands sharing at least one order), 3 power iterations at
+    damping 0.85 — the influence/centrality primitive behind
     product-importance ranking and graph-based recommendation, and the
     second ITERATIVE algorithm in the engine (operators.graph.pagerank,
     same Pregel-lite one-shuffle-per-round skeleton as the dedup
@@ -702,7 +702,7 @@ def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The symmetric co-purchase edge list has no dangling nodes, so no
     teleport-mass correction is needed. The oracle UNROLLS the same
-    {PR_ITER} iterations as SQL CTEs — contributions rounded to 12
+    3 iterations as SQL CTEs — contributions rounded to 12
     decimals and summed as exact DECIMAL in both engines, so the only
     order-sensitive float reduction is pinned. Graph shape at scale:
     nodes = catalog entities (bounded), edges = co-occurrence pairs from
@@ -1990,7 +1990,7 @@ def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brands related to THESE brands", the related-entities primitive a
     recommender runs per anchor set, and the third iterative graph
     algorithm family under the oracle (after global PageRank and label
-    propagation). The oracle unrolls the same {PR_ITER} seeded power
+    propagation). The oracle unrolls the same 3 seeded power
     iterations; seeds are a deterministic name-pattern subset so the
     query is reproducible at every SF."""
     from ..operators.graph import personalized_pagerank
@@ -2057,16 +2057,16 @@ def _khop_cte(i: int) -> str:
     seed AS (SELECT min(p_brand) AS node FROM part),
     d0 AS (SELECT node, 0 AS hops FROM seed),
     {", ".join(_khop_cte(i) for i in range(1, KHOP_MAX + 1))}
-    SELECT node AS brand, hops FROM d{KHOP_MAX} ORDER BY hops, brand
+    SELECT node AS brand, hops FROM d3 ORDER BY hops, brand
     """,
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def a31_brand_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS distances from the lexicographically-first brand over
     the kNN-SPARSIFIED co-purchase graph: each brand keeps only its
-    {KHOP_K} strongest co-purchase arcs (by shared-order count, dst
+    3 strongest co-purchase arcs (by shared-order count, dst
     tie-break — a per-src row_number window, never a global sort), then
-    operators.graph.khop_distances runs {KHOP_MAX} level-synchronous
+    operators.graph.khop_distances runs 3 level-synchronous
     BFS rounds. The FIFTH iterative graph algorithm in the engine, and
     the one with frontier semantics (settled nodes never re-expanded).
 
@@ -2074,8 +2074,8 @@ def a31_brand_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance meaningful on co-occurrence graphs (the raw basket graph
     is near-complete: everything is 1 hop from everything); it is also
     exactly the similar-items graph a recommender materializes. The
-    oracle unrolls the same {KHOP_MAX} BFS levels as anti-joined CTEs.
-    Scale: arcs bounded at nodes x {KHOP_K}; each round shuffles
+    oracle unrolls the same 3 BFS levels as anti-joined CTEs.
+    Scale: arcs bounded at nodes x 3; each round shuffles
     frontier x out-degree rows."""
     from ..operators.graph import khop_distances
 
@@ -2146,23 +2146,23 @@ def _bf_iter_cte(i: int) -> str:
     b0 AS (SELECT node, CAST(0 AS DECIMAL(18,6)) AS dist FROM seed),
     {", ".join(_bf_iter_cte(i) for i in range(1, BF_ROUNDS + 1))}
     SELECT node AS brand, CAST(dist AS DOUBLE) AS cost
-    FROM b{BF_ROUNDS} ORDER BY cost, brand
+    FROM b4 ORDER BY cost, brand
     """,
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Cheapest-path costs from the lexicographically-first brand over
+    """Cheapest-path costs from the lexicographically-first brand over
     the WEIGHTED co-purchase graph — arc cost = round(1/shared_orders,
-    6), so strongly co-purchased brands are "close" — via {BF_ROUNDS}
+    6), so strongly co-purchased brands are "close" — via 4
     Bellman-Ford relaxation rounds (operators.graph.bellman_ford, the
     SIXTH iterative algorithm; exact for all shortest paths of <=
-    {BF_ROUNDS} arcs, the same bounded-round contract as the capped
+    4 arcs, the same bounded-round contract as the capped
     min-label components). Unlike a31's hop counts on the sparsified
     graph, the dense graph's geometry lives in the WEIGHTS: multi-hop
     routes through popular brands can undercut a direct weak arc — the
     related-products distance a recommender actually ranks by. Costs
     are DECIMAL(18,6) so path sums are exact in both engines; the
-    oracle unrolls the same {BF_ROUNDS} relaxations as min-over-union
+    oracle unrolls the same 4 relaxations as min-over-union
     CTEs."""
     from ..operators.graph import bellman_ford
 
@@ -2315,20 +2315,23 @@ def _cc_round_cte(i: int) -> str:
     {", ".join(_cc_round_cte(i) for i in range(1, KHOP_MAX + 1))},
     cnt AS (
       SELECT root,
-             sum(CASE WHEN hops = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
-             sum(CASE WHEN hops = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
-             sum(CASE WHEN hops = 3 THEN 1 ELSE 0 END)::BIGINT AS n3
+             {", ".join(f"sum(CASE WHEN hops = {h} THEN 1 ELSE 0 END)"
+                        f"::BIGINT AS n{h}"
+                        for h in range(1, KHOP_MAX + 1))}
       FROM m{KHOP_MAX} GROUP BY 1)
-    SELECT root AS brand, n1, n2, n3,
-           round(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
+    SELECT root AS brand,
+           {", ".join(f"n{h}" for h in range(1, KHOP_MAX + 1))},
+           round({" + ".join(f"n{h} / {h}.0" if h > 1 else f"n{h}"
+                             for h in range(1, KHOP_MAX + 1))}, 6)
+             AS harmonic
     FROM cnt ORDER BY harmonic DESC, brand
     """,
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""HARMONIC closeness centrality of every brand in the
+    """HARMONIC closeness centrality of every brand in the
     kNN-sparsified co-purchase graph: sum of 1/d over nodes within
-    {KHOP_MAX} hops, computed from ALL-PAIRS bounded-hop distances in
+    3 hops, computed from ALL-PAIRS bounded-hop distances in
     ONE batched job (operators.graph.multi_source_khop — the SEVENTH
     iterative algorithm; BFS state keyed by the composite (root, node)
     pair, so every root's search shares each round's single shuffle
@@ -2337,7 +2340,7 @@ def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop-bounded frames. The score is assembled from INTEGER per-hop
     counts (n1 + n2/2 + n3/3 as one identically-written double
     expression), so no order-dependent float sum exists anywhere; the
-    oracle unrolls the same {KHOP_MAX} anti-joined rounds CARRYING the
+    oracle unrolls the same 3 anti-joined rounds CARRYING the
     root key."""
     from ..operators.graph import multi_source_khop
 
@@ -2349,20 +2352,24 @@ def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     dist = multi_source_khop(e, KHOP_MAX)
+    hops = range(1, KHOP_MAX + 1)
     cnt = dist.groupBy(F.col("root").alias("brand")).agg(
         *[
             F.sum((F.col("hops") == h).cast("int")).alias(f"n{h}")
-            for h in (1, 2, 3)
+            for h in hops
         ]
     )
+    # Both the column list and the harmonic sum derive from KHOP_MAX
+    # (mirroring the oracle's generated CTEs), so raising the depth is
+    # a one-knob change that cannot silently drop a hop term.
+    harmonic = F.col("n1")
+    for h in hops:
+        if h > 1:
+            harmonic = harmonic + F.col(f"n{h}") / float(h)
     return cnt.select(
         "brand",
-        "n1",
-        "n2",
-        "n3",
-        F.round(
-            F.col("n1") + F.col("n2") / 2.0 + F.col("n3") / 3.0, 6
-        ).alias("harmonic"),
+        *[f"n{h}" for h in hops],
+        F.round(harmonic, 6).alias("harmonic"),
     ).orderBy(F.desc("harmonic"), "brand")
 
 
@@ -2381,9 +2388,9 @@ KM_BUCKET_DAYS = 30  # lifetime granularity (months)
                       max(o_orderdate) AS l
                FROM orders GROUP BY 1),
     x AS (SELECT max(o_orderdate) AS mx FROM orders),
-    s AS (SELECT CAST(floor(date_diff('day', f, l) / {KM_BUCKET_DAYS}.0)
+    s AS (SELECT CAST(floor(date_diff('day', f, l) / 30.0)
                       AS BIGINT) AS t,
-                 CASE WHEN l < mx - INTERVAL {KM_CHURN_GAP_DAYS} DAY
+                 CASE WHEN l < mx - INTERVAL 90 DAY
                       THEN 1 ELSE 0 END AS churned
           FROM c CROSS JOIN x),
     tot AS (SELECT count(*) AS total FROM s),
@@ -2414,13 +2421,13 @@ KM_BUCKET_DAYS = 30  # lifetime granularity (months)
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def a35_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""KAPLAN-MEIER customer survival curve: S(t) = prod over lifetime
+    """KAPLAN-MEIER customer survival curve: S(t) = prod over lifetime
     buckets t' <= t of (1 - churned_t'/at_risk_t'), with customers whose
-    last order falls within {KM_CHURN_GAP_DAYS} days of the corpus end
+    last order falls within 90 days of the corpus end
     treated as CENSORED (still alive — they leave the at-risk set
     without a churn event, the estimator's whole point and what a naive
     churn-rate cumsum gets wrong). Lifetime = days between first and
-    last order in {KM_BUCKET_DAYS}-day buckets. The churn/retention
+    last order in 30-day buckets. The churn/retention
     curve every subscription dashboard leads with.
 
     Cross-engine exactness for a CUMULATIVE PRODUCT (no product
@@ -2445,7 +2452,7 @@ def a35_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(
             F.col("l")
-            < F.col("mx") - F.expr(f"INTERVAL {KM_CHURN_GAP_DAYS} DAY"),
+            < F.col("mx") - F.expr(f"INTERVAL 90 DAY"),
             1,
         )
         .otherwise(0)
@@ -2474,23 +2481,26 @@ def a35_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(10,6)")
         .alias("factor"),
     )
-    arr = f.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("t", "factor"))),
-            lambda x: x["factor"],
-        ).alias("fl"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("t", "factor"))),
-            lambda x: x["t"],
-        ).alias("tl"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("t", "d"))),
-            lambda x: x["d"],
-        ).alias("dl"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("t", "n"))),
-            lambda x: x["n"],
-        ).alias("nl"),
+    # ONE sorted struct array projected four ways — a single aggregation
+    # buffer and sort, and the four lists cannot disagree on order.
+    rows = F.array_sort(
+        F.collect_list(F.struct("t", "factor", "d", "n"))
+    )
+    def _field(fld):
+        # single-arg lambda factory: a two-arg lambda would be read by
+        # F.transform as the (element, index) form
+        return lambda x: x[fld]
+
+    arr = f.agg(rows.alias("rows")).select(
+        *[
+            F.transform(F.col("rows"), _field(fld)).alias(al)
+            for fld, al in (
+                ("factor", "fl"),
+                ("t", "tl"),
+                ("d", "dl"),
+                ("n", "nl"),
+            )
+        ]
     )
     return (
         arr.select(

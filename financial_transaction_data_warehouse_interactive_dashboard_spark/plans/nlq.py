@@ -195,7 +195,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_containment_pairs": ("containment", "contained", "embedded", "superset", "subset"),
     "dd_novelty_fractions": ("novelty", "novel", "fresh", "recrawl", "marginal"),
     "qa_higher_moments": ("skewness", "skew", "kurtosis", "tail", "tails", "moments"),
-    "a35_survival_km": ("survival", "churn", "churned", "kaplan", "meier", "retention curve"),
+    "a35_survival_km": ("survival", "churn", "churned", "kaplan", "meier", "censored"),
     "tx_curriculum_order": ("curriculum", "ordering", "easy", "hard", "schedule"),
     "wh_orphan_audit": ("orphans", "orphan", "referential", "foreign", "broken", "keys"),
 }

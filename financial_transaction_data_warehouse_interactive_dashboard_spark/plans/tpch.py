@@ -268,14 +268,14 @@ Q4_LATE_DAYS = 90
     WHERE EXISTS (
       SELECT 1 FROM lineitem
       WHERE l_orderkey = o_orderkey
-        AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
     GROUP BY 1 ORDER BY 1
     """,
     driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
 )
 def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""TPC-H Q4 shape: orders with at least one LATE lineitem
-    (shipped more than {Q4_LATE_DAYS} days after the order date —
+    """TPC-H Q4 shape: orders with at least one LATE lineitem
+    (shipped more than 90 days after the order date —
     dialect adaptation: the fixture has l_shipdate but not
     commit/receipt dates), counted per priority. The operator under
     test is the EXISTS -> LEFT SEMI join whose condition mixes the
@@ -289,7 +289,7 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAY")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL 90 DAY")
     )
     return (
         orders.join(li, cond, "left_semi")
