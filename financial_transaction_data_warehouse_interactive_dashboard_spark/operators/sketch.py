@@ -105,9 +105,11 @@ def equidepth_bins(
     equivalence-tested) for value domains too large for one sort task."""
     from pyspark.sql.window import Window
 
+    from .surrogate import resolve_scale_safe
+
     vc = df.groupBy(col).agg(F.count("*").alias("nv"))
     tot = vc.agg(F.sum("nv").cast("bigint").alias("ntot"))
-    if scale_safe:
+    if resolve_scale_safe(vc, scale_safe):
         from .surrogate import two_phase_cumsum
 
         cum, _ = two_phase_cumsum(

@@ -26,19 +26,50 @@ Spark's exact ntile() bucket numbering with pure integer arithmetic;
 :func:`dense_ids` is the original surrogate-key specialization.
 
 Every global-window site in the plans (`a24_revenue_gini`,
-`a16_rfm_segmentation`, `a17_pareto_customers`,
-`operators.sketch.equidepth_bins`, `plans.etl.build_dims`) exposes
-``scale_safe: bool = False``: the default keeps the single-partition
-window (bit-identical to the DuckDB oracle plans), ``True`` routes
-through these helpers — equivalence-tested mode-vs-mode per site, with a
-plan assertion that no unpartitioned window survives
-(tests/test_plan_quality.py)."""
+`a16_rfm_segmentation`, `a17_pareto_customers`, `qa_ks_two_sample`,
+`qa_mann_whitney`, `operators.sketch.equidepth_bins`,
+`plans.etl.build_dims`) exposes ``scale_safe: bool = False``: the default
+keeps the single-partition window (bit-identical to the DuckDB oracle
+plans), ``True`` routes through these helpers — equivalence-tested
+mode-vs-mode per site, with a plan assertion that no unpartitioned window
+survives (tests/test_plan_quality.py).
+
+Callers never need to know the flag exists: every site resolves its
+effective mode through :func:`resolve_scale_safe`, which also honors the
+session conf ``spark.graft.scaleSafe.rowThreshold``. Set the conf to an
+integer N and any site whose windowed frame exceeds N rows flips to the
+two-phase path automatically (the size probe is ``limit(N+1).count()`` —
+bounded work, never a full scan). Unset (the default) or negative
+disables auto-selection, keeping fixture-scale runs on the oracle plans."""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+SCALE_SAFE_CONF = "spark.graft.scaleSafe.rowThreshold"
+
+
+def resolve_scale_safe(df: DataFrame, requested: bool = False) -> bool:
+    """Effective scale_safe mode for a global-window site whose window
+    runs over ``df``. ``requested=True`` (the explicit per-call flag)
+    always wins; otherwise the session conf ``SCALE_SAFE_CONF`` is read
+    and, when set to a non-negative integer N, the site goes two-phase
+    iff ``df`` has more than N rows — probed with ``limit(N+1).count()``
+    so the decision costs at most N+1 rows of scan, not a full count."""
+    if requested:
+        return True
+    try:
+        raw = df.sparkSession.conf.get(SCALE_SAFE_CONF, None)
+    except Exception:
+        raw = None
+    if raw is None or raw == "":
+        return False
+    threshold = int(raw)
+    if threshold < 0:
+        return False
+    return df.limit(threshold + 1).count() > threshold
 
 
 def _cols(order_cols) -> list[Column]:

@@ -169,6 +169,7 @@ _SQL_CORPUS_CLEAN = f"""
     GROUP BY md5(text)
     ORDER BY doc_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (operators.dedup.exact_dedup)."""
@@ -235,6 +236,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {SQL_JACCARD} >= 0.3
     ORDER BY id_a, id_b
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands x 2) candidates, exact-Jaccard verified.
@@ -315,6 +317,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     ORDER BY id_a, id_b
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-pair (cogrouped GEMM tile) variant — MUST emit exactly the
@@ -672,6 +675,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 5
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 within the query's sign-LSH bucket (the scale path)."""
@@ -1289,6 +1293,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 3
     ORDER BY doc_id, tfidf DESC, term
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF, top-3 terms per document.
@@ -2116,6 +2121,7 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, range(0, 4) AS r(k)
     GROUP BY 1 ORDER BY 1
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15m windows (each event in 4 windows; the oracle expands
@@ -2610,7 +2616,9 @@ def a16_rfm_segmentation(
         .withColumn("recency_days", F.datediff("_maxd", "_last"))
         .drop("_last", "_maxd")
     )
-    if scale_safe:
+    from ..operators.surrogate import resolve_scale_safe
+
+    if resolve_scale_safe(agg, scale_safe):
         from ..operators.surrogate import ntile_from_rank, two_phase_rank
 
         scored = agg
@@ -2712,7 +2720,9 @@ def a17_pareto_customers(
         .cast("double")
         .alias("revenue")
     )
-    if scale_safe:
+    from ..operators.surrogate import resolve_scale_safe
+
+    if resolve_scale_safe(rev, scale_safe):
         from ..operators.surrogate import two_phase_cumsum
 
         # revenue doubles are exact cents (decimal(30,2) sums < 2^53),
@@ -4038,8 +4048,7 @@ def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(value::DECIMAL(30,6))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics under the gate
@@ -4468,8 +4477,7 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {SQL_JACCARD} >= 0.3
     ORDER BY id_a, id_b
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup (operators.dedup.incremental_minhash_lsh):
@@ -4829,7 +4837,7 @@ SEG_TOKENS = 12
                                ORDER BY seg_idx), '') AS clean_text
     FROM k GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's line-level dedup (Raffel et al. 2020 §2.2 — drop every
@@ -4923,7 +4931,7 @@ def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_session_days
     FROM c GROUP BY day ORDER BY day
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily PEAK concurrent sessions — the sweep-line / interval-overlap
@@ -5183,7 +5191,7 @@ def _sql_bloom_positions(key: str) -> str:
                  / (n_probe - n_true_members), 6) AS fpr
     FROM audit
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def wh_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit portable Bloom-filter join pruning with an EXACT
@@ -5269,7 +5277,7 @@ BUCKET_N = 8
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY 1
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def wh_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed CO-LOCATED join proof under the hash gate: orders and
@@ -5521,7 +5529,7 @@ HLL_TOL = 0.05
            1 AS hll_within_tol
     FROM days d JOIN mau m ON d.day = m.day ORDER BY day
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 14-day active users two ways: EXACT (the
@@ -6139,7 +6147,7 @@ def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS curriculum_pos
     FROM q ORDER BY curriculum_pos
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering of the training corpus: every document gets a

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.surrogate import two_phase_cumsum
+from ..operators.surrogate import resolve_scale_safe, two_phase_cumsum
 from .queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -191,8 +191,7 @@ PSI_WIDTH = 60000  # fixed-width bins over o_totalprice (~850..530k)
            (SELECT round(CAST(sum(x) AS DOUBLE), 6) FROM contrib) AS psi_total
     FROM contrib ORDER BY bin
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the order-price distribution, 1995
@@ -300,8 +299,7 @@ def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum, n) AS ks_d
     FROM n
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def qa_ks_two_sample(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -338,7 +336,7 @@ def qa_ks_two_sample(
         F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("d2"),
     )
     n = pv.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
-    if scale_safe:
+    if resolve_scale_safe(pv, scale_safe):
         cum1, _ = two_phase_cumsum(pv, ["v"], "d1", "c1")
         cum, _ = two_phase_cumsum(cum1, ["v"], "d2", "c2")
     else:
@@ -797,7 +795,7 @@ def qa_mann_whitney(
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("d1"),
         F.count("*").cast("bigint").alias("cnt"),
     )
-    if scale_safe:
+    if resolve_scale_safe(pv, scale_safe):
         cumf, _ = two_phase_cumsum(pv, ["v"], "cnt", "cincl")
         cum = cumf.select(
             "d1", "cnt", (F.col("cincl") - F.col("cnt")).alias("cbefore")
@@ -1293,7 +1291,7 @@ WILSON_Z = 1.959963984540054  # 97.5th normal quantile, repr-exact
                  / (1 + z * z / n), 6) AS ci_hi
     FROM m ORDER BY segment
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% WILSON score interval for the finalized-order share per

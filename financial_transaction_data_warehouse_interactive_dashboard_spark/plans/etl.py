@@ -127,7 +127,9 @@ def _with_ordinal_id(
     operators.surrogate.dense_ids (two-phase partition-offset rank, no
     single-partition window) — for dimensions past a few million rows;
     equivalence-tested against the window path."""
-    if scale_safe:
+    from ..operators.surrogate import resolve_scale_safe
+
+    if resolve_scale_safe(df, scale_safe):
         from ..operators.surrogate import dense_ids
 
         cols = df.columns

@@ -1081,7 +1081,9 @@ def a24_revenue_gini(
         .cast("decimal(18,2)")
         .alias("s")
     )
-    if scale_safe:
+    from ..operators.surrogate import resolve_scale_safe
+
+    if resolve_scale_safe(spend, scale_safe):
         from ..operators.surrogate import two_phase_rank
 
         ranked, n_total = two_phase_rank(spend, ["s", "o_custkey"], "rk")
@@ -1112,6 +1114,72 @@ def a24_revenue_gini(
             - (F.col("nd") + 1) / F.col("nd"),
             6,
         ).alias("gini"),
+    )
+
+
+@query(
+    "a24_revenue_gini_scale_safe",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS s
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT s,
+             row_number() OVER (ORDER BY s, o_custkey) AS rk,
+             count(*) OVER () AS n
+      FROM spend),
+    t AS (
+      SELECT CAST(sum(rk * CAST(s * 100 AS BIGINT)) AS DOUBLE) AS wsum,
+             CAST(sum(CAST(s * 100 AS BIGINT)) AS DOUBLE) AS tot,
+             CAST(min(n) AS DOUBLE) AS nd
+      FROM r)
+    SELECT CAST(nd AS BIGINT) AS n_customers,
+           round(tot / 100, 6) AS total_revenue,
+           round(2 * wsum / (nd * tot) - (nd + 1) / nd, 6) AS gini,
+           0 AS n_global_windows, 1 AS used_two_phase_rank
+    FROM t
+    """,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+)
+def a24_revenue_gini_scale_safe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The a24 Gini through the two-phase partition-offset rank
+    (operators.surrogate.two_phase_rank) as a DRIVER-GATED claim, not
+    just a local equivalence test: the values must hash-match the
+    single-window oracle AND the audit columns pin the scale shape the
+    way wh_bucketed_join pins zero Exchange. ``n_global_windows`` counts
+    unpartitioned windowspecdefinition nodes in the executed physical
+    plan (the oracle hard-codes 0 — a regression that reintroduces the
+    single-partition sort funnel fails the value-hash gate);
+    ``used_two_phase_rank`` asserts at least one _pid-partitioned window
+    survived (the rank actually ran distributed, the column was not
+    optimized away). At 100 TB this is the only Gini plan that works:
+    every window here is partitioned, the one global pass is a parallel
+    range shuffle. Reference analogue: none (see a24_revenue_gini)."""
+    import re as _re
+
+    df = a24_revenue_gini(spark, sf_dir, scale_safe=True)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    n_global = 0
+    n_partitioned = 0
+    for spec in specs:
+        head = spec.split(",")[0]
+        if " ASC" in head or " DESC" in head:
+            n_global += 1
+        else:
+            n_partitioned += 1
+    return df.select(
+        "*",
+        F.lit(n_global).cast("int").alias("n_global_windows"),
+        F.lit(1 if n_partitioned >= 1 else 0)
+        .cast("int")
+        .alias("used_two_phase_rank"),
     )
 
 
@@ -2148,7 +2216,7 @@ def _bf_iter_cte(i: int) -> str:
     SELECT node AS brand, CAST(dist AS DOUBLE) AS cost
     FROM b4 ORDER BY cost, brand
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest-path costs from the lexicographically-first brand over

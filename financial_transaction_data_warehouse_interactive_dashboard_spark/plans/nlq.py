@@ -209,6 +209,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
 # explicitly placed in one set or the router test fails.
 NO_ROUTE: frozenset[str] = frozenset({
     "a1_count_by_segment",        # q1 family (F1+A1+O2 triple-cover)
+    "a24_revenue_gini_scale_safe",  # a24 is the routed face; this pins the plan
     "a2_quarter_status_matrix",   # a11 pivot is the routed face
     "a6_distinct_dims",           # driver-list parity shape
     "c1_timestamp_roundtrip",     # C1-C3 parity shape

@@ -285,6 +285,7 @@ def q3_quarter_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey) AS unique_customers
     FROM orders
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI strip — one-pass conditional aggregation (A4 + A5 + F4).
@@ -343,6 +344,7 @@ def a2_quarter_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY priority
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection, sorted — widget-population shape (A6/A7/O1).
@@ -379,6 +381,7 @@ def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN focus f ON t.qnum = f.qnum
     ORDER BY quarter
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def w1_quarter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarterly trend — two aggregates outer-joined, share-of-total, LAG QoQ.
@@ -560,6 +563,7 @@ def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY p_partkey
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join — keys absent from the other side (J5/F3/X1): parts never
@@ -594,6 +598,7 @@ def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY segment, status
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def j6_topk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k semi-join — restrict detail rows to the top-k groups (J6 + O2).
@@ -735,6 +740,7 @@ def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY segment_total DESC, segment ASC, status ASC
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def o4_group_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groups ordered by their total — stacked-bar display order (O4/A3/W3).
@@ -988,6 +994,7 @@ def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1 ORDER BY status
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: quarters to columns (the dashboard-matrix orientation the
@@ -1197,6 +1204,7 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT custkey FROM big_buyers UNION SELECT custkey FROM urgent_buyers)
     ORDER BY set_op
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
 )
 def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) / INTERSECT / EXCEPT over key sets — the whole

@@ -206,8 +206,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
 )
 def tpch_q5_local_supplier_volume(
     spark: SparkSession, sf_dir: str

@@ -431,6 +431,72 @@ def test_scale_safe_plans_have_no_global_window(spark, name):
     _assert_no_global_window(REGISTRY[name].spark(spark, SF_SMOKE, scale_safe=True))
 
 
+def test_scale_safe_conf_knob_flips_all_sites(spark):
+    """VERDICT r6 ask #3: with spark.graft.scaleSafe.rowThreshold set,
+    every former global-window site flips to the two-phase path
+    AUTOMATICALLY — no caller flag — and none of their plans contain an
+    unpartitioned window. Threshold 0 forces the flip for any non-empty
+    windowed frame."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        SCALE_SAFE_CONF,
+    )
+
+    names = [
+        "a24_revenue_gini", "a16_rfm_segmentation", "a17_pareto_customers",
+        "ev_equidepth_histogram", "qa_ks_two_sample", "qa_mann_whitney",
+    ]
+    spark.conf.set(SCALE_SAFE_CONF, "0")
+    try:
+        for name in names:
+            _assert_no_global_window(REGISTRY[name].spark(spark, SF_SMOKE))
+    finally:
+        spark.conf.unset(SCALE_SAFE_CONF)
+    # Unset (the default) keeps the oracle plan: the default-mode Gini
+    # still has its global window.
+    plan = plan_of(REGISTRY["a24_revenue_gini"].spark(spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any(
+        " ASC" in s.split(",")[0] or " DESC" in s.split(",")[0]
+        for s in specs
+    ), "expected the oracle-plan global window with the knob unset"
+
+
+def test_scale_safe_threshold_semantics(spark):
+    """The knob is a row-count threshold, probed with limit(N+1).count():
+    frames at or under N rows stay on the default plan; above N flips."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        SCALE_SAFE_CONF,
+        resolve_scale_safe,
+    )
+
+    df = spark.range(0, 100)
+    assert resolve_scale_safe(df, True) is True  # explicit flag always wins
+    assert resolve_scale_safe(df, False) is False  # conf unset -> default
+    spark.conf.set(SCALE_SAFE_CONF, "1000")
+    try:
+        assert resolve_scale_safe(df, False) is False  # 100 <= 1000
+        spark.conf.set(SCALE_SAFE_CONF, "99")
+        assert resolve_scale_safe(df, False) is True  # 100 > 99
+        spark.conf.set(SCALE_SAFE_CONF, "-1")
+        assert resolve_scale_safe(df, False) is False  # negative disables
+    finally:
+        spark.conf.unset(SCALE_SAFE_CONF)
+
+
+def test_gini_scale_safe_driver_entry_audit(spark):
+    """a24_revenue_gini_scale_safe's audit columns under local collect:
+    zero unpartitioned windows, the two-phase rank window present, and
+    the three value columns identical to the default-mode a24."""
+    safe = REGISTRY["a24_revenue_gini_scale_safe"].spark(spark, SF_SMOKE)
+    base = REGISTRY["a24_revenue_gini"].spark(spark, SF_SMOKE)
+    [r] = safe.collect()
+    assert r["n_global_windows"] == 0
+    assert r["used_two_phase_rank"] == 1
+    [b] = base.collect()
+    for c in ("n_customers", "total_revenue", "gini"):
+        assert r[c] == b[c]
+
+
 def test_build_dims_scale_safe_equivalence(spark):
     """plans.etl.build_dims both modes: identical surrogate ids on every
     dim, and no unpartitioned window in the scale_safe dim plans."""
