@@ -60,70 +60,15 @@ def query(name: str, oracle: str | None, driver: bool = True):
     locally-pinned status so every driver-facing query gets a
     CORRECTNESS row every round.
 
-    ROTATION PROTOCOL (since r5): each round, 4-7 locally-pinned entries
-    that have never had a driver CORRECTNESS row are swapped in for
-    siblings whose operator family already has multiple green rows, so
-    the whole registry (see len(REGISTRY)) accumulates driver-grade evidence over
-    rounds while the surface stays at exactly 50.
-    - r5 in: mm_blob_meta (now real-BMP decode), wh_expectations,
-      wh_table_profile, tx_pii_scrub, tx_decontaminate,
-      st_stream_stream_join, sim_quantize_int8; second wave:
-      a22_brand_pagerank (first iterative-tier row under the gate).
-    - r5 out: dd_simhash_pairs, st_tumbling_hourly, ev_props_extract,
-      j7_name_remap, f4_contains, c1_timestamp_roundtrip,
-      a8_rollup_region_nation, w4_surrogate_keys (all driver-green r4
-      or earlier; w4 additionally equivalence-tested locally).
-    - r6 in (all first-timers): a23_brand_triangles, a24_revenue_gini,
-      ev_attribution_last_touch, j8_fx_convert, mm_wav_features,
-      wh_scd2_history, tx_split_by_cluster (its oracle replays the full
-      LSH->components->split chain), wh_zorder_skipping (new this
-      round: storage-layout audit under the hard signal).
-    - r6 out: q2_top_priorities_q4, q3_quarter_ranking (q1 triple-covers
-      F1+A1+O2), ev_rolling_7d, ev_funnel_vcp, dd_ngram_jaccard,
-      sim_topk_bruteforce, mm_features_resize, st_sessionize_stateful
-      (all driver-green r5 + earlier; the two carried perf-weak entries
-      keep their measured ratios in BENCH_DETAIL either way).
-    - r7 queue (never driver-checked; all added r6, locally pinned):
-      the statistical QA tier (qa_chi_square / qa_psi / qa_ks /
-      qa_welch_t / qa_mann_whitney, ev_autocorr / ev_ewma / ev_cusum /
-      ev_trend_regression), the vector tier (sim_embedding_covariance,
-      sim_random_projection), incremental dedup (dd_incremental_dedup,
-      dd_incremental_minhash — the LSH one's oracle replays the full
-      banded pipeline, strongest candidate), warehouse lifecycle
-      (wh_time_travel, wh_vacuum_retention, wh_schema_evolution),
-      st_late_data (watermark-drop proof), tx_mixture_weights,
-      a29_cohort_ltv, and the TPC-H trio (q1/q3/q5). Prefer one per
-      family per round, strongest oracle first. Added later in r6 (also
-      never driver-checked): dd_segment_dedup (C4 line-level dedup —
-      its oracle replays segmentation + global winner election +
-      reassembly, a strong candidate), dd_er_blocked_pairs
-      (entity-resolution blocking + levenshtein), ev_peak_concurrency
-      (sweep-line interval overlap), a31_brand_khop (frontier BFS on
-      the kNN-sparsified brand graph), ev_wau_stickiness (exact sliding
-      WAU via scatter-explode), tx_negative_sampling (hash-ranked
-      contrastive negatives), wh_bloom_prune (portable Bloom join-prune
-      with exact FPR audit), wh_bucketed_join (zero-shuffle co-located
-      bucketed join, plan claim under the gate), wh_incremental_join
-      (bilinear-delta join-view maintenance), ev_active_users_hll
-      (sliding actives via mergeable day sketches), dd_qgram_edit_join
-      (PassJoin edit-distance join, complete recall),
-      a32_brand_cheapest_path (Bellman-Ford weighted shortest paths),
-      a33_segment_skyline (2-D Pareto frontier, sort-based vs
-      NOT-EXISTS oracle), ev_forecast_backtest (naive/seasonal-naive
-      MAE/MAPE/sMAPE), qa_wilson_ci (binomial proportion intervals),
-      tx_span_corruption (T5 denoising pairs, roundtrip-pinned),
-      ev_time_to_convert (conversion latency, discrete rank
-      percentiles), st_daily_actives_hll (streaming HLL distinct
-      rollup, stream == batch sketch), tpch_q4_late_orders (EXISTS
-      semi with date residual), tpch_q16_supplier_cnt (NOT IN anti +
-      grouped distinct), a34_brand_closeness (harmonic closeness via
-      batched all-pairs BFS), dd_containment_pairs (asymmetric
-      containment near-dups), dd_novelty_fractions (marginal-novelty
-      curve), qa_higher_moments (exact skewness/kurtosis),
-      a35_survival_km (Kaplan-Meier churn curve with censoring),
-      tx_curriculum_order (two_phase_rank global ordering as the
-      default path under the gate), wh_orphan_audit (all-edge FK
-      integrity).
+    ROTATION PROTOCOL (since r5): each round, a batch of locally-pinned
+    entries that have never had a driver CORRECTNESS row is swapped in
+    for siblings whose operator family already has multiple green rows,
+    so the whole registry accumulates driver-grade evidence over rounds
+    while the surface stays at exactly rotation.SURFACE_SIZE. The
+    per-round in/out ledger, the next-round queue, and the re-promotion
+    exceptions live in plans/rotation.py (rendered in ROTATION.md);
+    tests/test_rotation.py pins the ledger against the committed
+    CORRECTNESS_r{N}.json files.
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -1,0 +1,88 @@
+"""Rotation-ledger integrity (VERDICT r6 ask #8): the driver surface and
+the structured history in plans/rotation.py must agree with the
+committed CORRECTNESS_r{N}.json evidence — every driver=True entry is
+either historically driver-green or a declared first-timer this round,
+no stale names survive in the ledger, and the surface stays at exactly
+SURFACE_SIZE entries."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
+    queries as Q,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
+    rotation as R,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_green() -> set[str]:
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        seen.update(json.load(open(path)))
+    return seen
+
+
+def test_surface_is_exactly_surface_size():
+    surface = {n for n, q in Q.REGISTRY.items() if q.driver}
+    assert len(surface) == R.SURFACE_SIZE
+
+
+def test_every_ledger_name_is_registered():
+    names = set(Q.REGISTRY)
+    for rnd, swap in R.ROTATION_HISTORY.items():
+        for key in ("in", "out"):
+            missing = set(swap[key]) - names
+            assert not missing, (rnd, key, missing)
+    assert not set(R.NEXT_QUEUE) - names
+
+
+def test_driver_entries_are_green_or_declared_first_timers():
+    """The ask's exact contract: every driver=True entry either has a
+    CORRECTNESS row in some committed round or is listed as a
+    first-timer ('in') for CURRENT_ROUND."""
+    surface = {n for n, q in Q.REGISTRY.items() if q.driver}
+    green = _driver_green()
+    first_timers = set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"])
+    unexplained = surface - green - first_timers
+    assert not unexplained, unexplained
+
+
+def test_first_timers_are_actually_new_and_in_surface():
+    """Promotions must be genuine first-timers (no prior driver row at
+    promotion time — rows from CURRENT_ROUND onward are the rotation
+    paying off, not a violation) and must be driver=True now."""
+    surface = {n for n, q in Q.REGISTRY.items() if q.driver}
+    for rnd, swap in R.ROTATION_HISTORY.items():
+        prior: set[str] = set()
+        for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+            n = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            if n < rnd:
+                prior.update(json.load(open(path)))
+        stale = {
+            n
+            for n in set(swap["in"]) & prior
+            if R.RE_PROMOTED.get(n) != rnd
+        }
+        assert not stale, (rnd, stale)
+    assert set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"]) <= surface
+    assert not set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["out"]) & surface
+
+
+def test_next_queue_is_never_driver_checked():
+    green = _driver_green()
+    current_in = set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"])
+    stale = set(R.NEXT_QUEUE) & (green | current_in)
+    assert not stale, stale
+
+
+def test_rotation_md_mentions_current_round():
+    text = open(os.path.join(REPO, "ROTATION.md")).read()
+    assert f"| {R.CURRENT_ROUND} |" in text
+    for name in R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"]:
+        assert name in text, name
