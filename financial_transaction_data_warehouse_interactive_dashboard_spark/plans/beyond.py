@@ -5037,10 +5037,15 @@ def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode of a 7-date sequence — the same scatter-convolution trick
     as ev_ewma_daily's kernel), then a plain two-phase count-distinct
     per target day. Shuffle volume = 7x the distinct activity frame,
-    keyed by day; partial trailing windows at the corpus head are
-    reported as-is (standard dashboard convention). The inner join back
-    to DAU confines output to OBSERVED days, dropping the phantom
-    scatter targets past the last day."""
+    keyed by day.
+
+    PARTIAL-WINDOW CONVENTION (shared with ev_active_users_hll — one
+    registry, one rule): windows at the corpus HEAD that span fewer
+    than the full 7 days are reported as-is (standard dashboard
+    convention: day 3's WAU is "actives in the data so far"), and the
+    inner join back to observed days drops the phantom scatter targets
+    past the last day, so the corpus TAIL never fabricates future
+    windows. Both oracles encode the same rule."""
     ev = (
         _t(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("day"), "user_id")
@@ -5541,6 +5546,12 @@ def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kilobytes), not users x days x 14 data rows, and
     the same persisted day sketches answer any window length
     retroactively (the a15_hll_mergeable pattern rolled along time).
+
+    PARTIAL-WINDOW CONVENTION (shared with ev_wau_stickiness — one
+    registry, one rule): head windows spanning fewer than the full 14
+    days are reported as-is, and the join to observed days drops
+    phantom scatter targets past the last day. Both oracles encode the
+    same rule.
 
     Oracle contract (the a5 split): the exact half is value-checked
     against DuckDB; the sketch half rides as a CLAIM column —

@@ -158,18 +158,18 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
     "sim_ann_pq_adc": ("quantization", "compressed", "compression", "pq", "codes"),
     "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),
-    "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association"),
-    "qa_psi_price_drift": ("drift", "drifted", "psi", "stability", "population"),
+    "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association", "status"),
+    "qa_psi_price_drift": ("drift", "drifted", "drifting", "psi", "stability", "population", "distribution"),
     "qa_ks_two_sample": ("kolmogorov", "smirnov", "ks", "distributions", "differ"),
     "qa_welch_t": ("ttest", "welch", "significant", "significance", "means"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),
     "qa_mann_whitney": ("mann", "whitney", "wilcoxon", "ranksum", "nonparametric"),
-    "ev_cusum_daily": ("cusum", "changepoint", "change", "detection", "shift"),
+    "ev_cusum_daily": ("cusum", "changepoint", "change", "detect", "detection", "shift"),
     "qa_anova_segments": ("anova", "variance", "analysis", "ftest", "groups"),
     "ev_seasonal_decompose": ("decompose", "decomposition", "components", "residual", "deseasonalize"),
-    "ev_autocorr_daily": ("autocorrelation", "autocorrelated", "persistence", "lag"),
+    "ev_autocorr_daily": ("autocorrelation", "autocorrelated", "persistence", "lag", "daily"),
     "ev_ewma_daily": ("ewma", "smoothed", "smoothing", "exponential", "exponentially"),
     "dd_segment_dedup": ("line", "lines", "c4", "boilerplate", "remove", "repeated"),
     "dd_er_blocked_pairs": ("entity", "resolution", "matching", "linkage", "misspelled", "blocking"),
@@ -194,7 +194,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a34_brand_closeness": ("closeness", "harmonic", "central", "wellconnected", "proximity"),
     "dd_containment_pairs": ("containment", "contained", "embedded", "superset", "subset"),
     "dd_novelty_fractions": ("novelty", "novel", "fresh", "recrawl", "marginal"),
-    "qa_higher_moments": ("skewness", "skew", "kurtosis", "tail", "tails", "moments"),
+    "qa_higher_moments": ("skewness", "skew", "kurtosis", "tail", "tails", "moments", "distribution"),
     "a35_survival_km": ("survival", "churn", "churned", "kaplan", "meier", "censored"),
     "tx_curriculum_order": ("curriculum", "ordering", "easy", "hard", "schedule"),
     "wh_orphan_audit": ("orphans", "orphan", "referential", "foreign", "broken", "keys"),

@@ -68,3 +68,47 @@ def test_sql_text_matches_dataframe(views, name):
     a = sorted(map(str, (tuple(r) for r in df_api.collect())))
     b = sorted(map(str, (tuple(r) for r in df_sql.collect())))
     assert a == b, f"{name}: spark.sql(oracle) != DataFrame result"
+
+
+# ---------------------------------------------------------------------------
+# Phrase-level NL routing for the statistical QA/drift tier (VERDICT r6
+# ask #7): intents a warehouse analyst would actually type must land on
+# the right registry entry, not just the keyword lists partitioning.
+# ---------------------------------------------------------------------------
+
+ANALYST_PHRASES = [
+    ("is spend drifting compared to last period", "qa_psi_price_drift"),
+    ("population stability index of prices", "qa_psi_price_drift"),
+    ("has the price distribution drifted", "qa_psi_price_drift"),
+    ("are these two samples from different distributions", "qa_ks_two_sample"),
+    ("kolmogorov smirnov test urgent vs low prices", "qa_ks_two_sample"),
+    ("do the price distributions differ between priorities", "qa_ks_two_sample"),
+    ("is the difference in means statistically significant", "qa_welch_t"),
+    ("run a welch ttest on order prices", "qa_welch_t"),
+    ("are segment and order status independent", "qa_chi_square_segment_status"),
+    ("chi square association between segment and status", "qa_chi_square_segment_status"),
+    ("nonparametric ranksum comparison of the two groups", "qa_mann_whitney"),
+    ("mann whitney u test on prices", "qa_mann_whitney"),
+    ("detect a changepoint in daily revenue", "ev_cusum_daily"),
+    ("cusum shift detection on the revenue series", "ev_cusum_daily"),
+    ("exponentially smoothed daily revenue", "ev_ewma_daily"),
+    ("ewma smoothing of the series", "ev_ewma_daily"),
+    ("is daily revenue autocorrelated", "ev_autocorr_daily"),
+    ("lag persistence of the revenue series", "ev_autocorr_daily"),
+    ("fit an ols regression slope to daily revenue", "ev_trend_regression"),
+    ("anova analysis of variance across segments", "qa_anova_segments"),
+    ("decompose the series into trend and seasonal components", "ev_seasonal_decompose"),
+    ("wilson confidence interval for the error proportion", "qa_wilson_ci"),
+    ("skewness and kurtosis of order prices", "qa_higher_moments"),
+    ("how heavy are the tails of the price distribution", "qa_higher_moments"),
+    ("kaplan meier survival curve for churned customers", "a35_survival_km"),
+]
+
+
+@pytest.mark.parametrize("phrase,expected", ANALYST_PHRASES)
+def test_statistical_tier_analyst_phrases(phrase, expected):
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.nlq import (
+        route,
+    )
+
+    assert route(phrase) == expected
