@@ -365,6 +365,7 @@ def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
     FROM reach GROUP BY n ORDER BY doc_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE dedup clusters: connected components over the MinHash-LSH
@@ -942,7 +943,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3))
+@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3), driver=False)  # demoted r7 (rotation)
 def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration Lloyd refinement (3 iterations, each materialized
     once and decimal-exact): the converged-quantizer path. The oracle SQL
@@ -959,7 +960,7 @@ def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
-@query("dd_corpus_clean", _SQL_CORPUS_CLEAN)
+@query("dd_corpus_clean", _SQL_CORPUS_CLEAN, driver=False)  # demoted r7 (rotation)
 def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship LLM-training-data pipeline, end to end: language
     filter -> quality filter -> exact dedup -> MinHash-LSH near-dup
@@ -1054,6 +1055,7 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h JOIN hw USING (doc_id)
     ORDER BY doc_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document text-analysis profile in ONE driver row:
@@ -1335,6 +1337,7 @@ _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
            CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY 1, 2 ORDER BY split, lang
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by key hash
@@ -1397,6 +1400,7 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) ORDER BY col_name
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table profile (operators.quality.profile): counts,
@@ -1452,6 +1456,7 @@ def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM checks ORDER BY check_name
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations battery (operators.quality) over the
@@ -1633,6 +1638,7 @@ def wh_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s ORDER BY vec_id
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (operators.similarity.quantize_int8):
@@ -1665,6 +1671,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_shared DESC, doc_id ASC
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination report
@@ -1983,6 +1990,7 @@ _PII_PHONE = r"\+?\d[\d-]{7,}\d"
     FROM injected ORDER BY doc_id
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every LLM training pipeline
@@ -2367,6 +2375,7 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4)     OVER (ORDER BY n DESC, nation) AS INTEGER) AS quartile
     FROM counts ORDER BY rnk
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile over grouped counts (SURVEY.md section 2.5
@@ -2517,6 +2526,7 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS approx_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,
@@ -2579,8 +2589,7 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'regular' END AS segment
     FROM scored ORDER BY custkey
     """,
-    # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a16_rfm_segmentation(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -2692,8 +2701,7 @@ def a16_rfm_segmentation(
                 ELSE 'C' END AS abc_class
     FROM c ORDER BY cum_share, custkey
     """,
-    # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a17_pareto_customers(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -3039,6 +3047,7 @@ def wh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Promoted r5 into the driver surface: the decode stage now parses a
     # REAL format (BMP header round-trip) instead of the md5 stand-in,
     # which mm_features_resize still pins driver-side.
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline over a REAL format: per document a
@@ -3288,6 +3297,7 @@ def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bv JOIN ne USING (event_id)
     ORDER BY event_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH as-of directions on one driver row: each purchase gets (a) the
@@ -3350,6 +3360,7 @@ def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY event_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: views in the hour before each purchase,
@@ -3409,6 +3420,7 @@ def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
              AS total_price
     FROM final GROUP BY 1, 2 ORDER BY quarter, status
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORAGE layer under the driver's correctness gate: build a
@@ -3498,8 +3510,7 @@ def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v2
     ORDER BY version
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def wh_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel under the correctness gate: commit version 0 (the raw
@@ -3573,8 +3584,7 @@ def wh_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 3, 1, (SELECT count(*) FROM v3)
     ORDER BY version
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def wh_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention VACUUM under the gate: build four snapshot versions
@@ -3648,8 +3658,7 @@ def wh_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_null_channel
     FROM g GROUP BY 1 ORDER BY 1
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def wh_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on plain parquet: batch 1 (H1 orders) lands
@@ -4071,6 +4080,7 @@ def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, user_id, event_type, value, props
     FROM events ORDER BY event_id
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup (dropDuplicatesWithinWatermark) against an
@@ -4146,6 +4156,7 @@ def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode streaming session windows (the hard case: a session is
@@ -4167,6 +4178,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1 ORDER BY event_type
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming egress through foreachBatch into a PARQUET sink (the
@@ -4259,6 +4271,7 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id, v_ts
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join run end-to-end as a real
@@ -4295,6 +4308,7 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM probe JOIN build USING (uid)
     GROUP BY 1 ORDER BY segment
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def sk_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation salted join under the correctness gate: the probe
@@ -4418,8 +4432,7 @@ def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE h NOT IN (SELECT h FROM ch)
     ORDER BY doc_id
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators.dedup.incremental_dedup):
@@ -5025,7 +5038,7 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d.dau::DOUBLE / w.wau, 6) AS stickiness
     FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
@@ -5418,7 +5431,7 @@ def wh_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  0) AS DOUBLE) FROM full_j)
              AS revenue_full
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def wh_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance for a materialized JOIN, proved by
@@ -5651,7 +5664,7 @@ EDJ_SEGS = ((1, 1, 6), (2, 7, 5), (3, 12, 5))
     FROM cand WHERE levenshtein(s_a, s_b) <= {EDJ_K}
     ORDER BY s_a, s_b
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide edit-distance similarity JOIN (all pairs of distinct
@@ -5783,7 +5796,7 @@ SPAN_LEN = 3
     FROM corrupted c LEFT JOIN target tg ON c.doc_id = tg.doc_id
     ORDER BY doc_id
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): mask
@@ -5937,7 +5950,7 @@ def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 6) AS p90_s
     FROM r GROUP BY day ORDER BY day
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View-to-purchase conversion LATENCY per day (lower median and
@@ -6014,7 +6027,7 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS hll_within_tol
     FROM events GROUP BY 1 ORDER BY 1
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def st_daily_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day distinct active users computed by a REAL Structured
@@ -6223,7 +6236,7 @@ def _orphan_edge_sql(rel, child, ck, parent, pk) -> str:
     "wh_orphan_audit",
     "\nUNION ALL\n".join(_orphan_edge_sql(*e) for e in _FK_EDGES)
     + "\nORDER BY relationship",
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def wh_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over EVERY foreign-key edge of the

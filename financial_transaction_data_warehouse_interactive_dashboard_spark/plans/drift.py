@@ -67,8 +67,7 @@ from .queries import _t, query
                          * least(nr - 1, nc - 1))), 6) AS cramers_v
     FROM dims
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def qa_chi_square_segment_status(
     spark: SparkSession, sf_dir: str
@@ -394,8 +393,7 @@ def qa_ks_two_sample(
                  6) AS autocorr_lag1
     FROM m
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of daily event revenue: Pearson r over
@@ -569,8 +567,7 @@ def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS trend of daily event revenue — slope (revenue change per
@@ -653,8 +650,7 @@ def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
     FROM w
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t statistic (+ Welch-Satterthwaite df)
@@ -760,8 +756,7 @@ def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS z
     FROM u
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def qa_mann_whitney(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -875,8 +870,7 @@ def qa_mann_whitney(
            round(CAST(cum - runmin AS DOUBLE) / n, 6) AS cusum_pos
     FROM r ORDER BY day
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection on daily revenue: the classic
@@ -1077,8 +1071,7 @@ def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev JOIN se USING (dow) CROSS JOIN ctr
     ORDER BY day
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of daily revenue into trend
@@ -1195,7 +1188,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape
     FROM t GROUP BY model ORDER BY model
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead forecast BACKTEST of the daily revenue series for
@@ -1378,7 +1371,7 @@ def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / pow(r2 - mu * mu, 2) - 3, 6) AS kurtosis_excess
     FROM c ORDER BY event_type
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def qa_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact POPULATION skewness and excess kurtosis of event values per

@@ -690,6 +690,7 @@ def _pr_iter_cte(i: int) -> str:
     # Promoted r5 (rotation, second wave): first driver row for the
     # iterative tier's second algorithm; funded by demoting
     # w4_surrogate_keys (driver-green r1-r4, equivalence-tested).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the brand co-purchase graph (edge = two
@@ -1641,8 +1642,7 @@ def _lpa_iter_cte(i: int) -> str:
     SELECT node AS brand, lbl AS community
     FROM l{LPA_ITER} ORDER BY brand
     """,
-    # New r6 (locally pinned; future rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a26_brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the brand co-purchase graph — the FOURTH
@@ -2049,8 +2049,7 @@ def _ppr_iter_cte(i: int) -> str:
            END AS is_seed
     FROM p{PR_ITER} ORDER BY rank DESC, brand
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the Brand#1x seed family over the
@@ -2127,7 +2126,7 @@ def _khop_cte(i: int) -> str:
     {", ".join(_khop_cte(i) for i in range(1, KHOP_MAX + 1))}
     SELECT node AS brand, hops FROM d3 ORDER BY hops, brand
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a31_brand_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS distances from the lexicographically-first brand over
@@ -2278,7 +2277,7 @@ def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (b.spend > a.spend OR b.c_acctbal > a.c_acctbal))
     ORDER BY segment, custkey
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a33_segment_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment Pareto frontier (2-D SKYLINE): customers no other
@@ -2394,7 +2393,7 @@ def _cc_round_cte(i: int) -> str:
              AS harmonic
     FROM cnt ORDER BY harmonic DESC, brand
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARMONIC closeness centrality of every brand in the

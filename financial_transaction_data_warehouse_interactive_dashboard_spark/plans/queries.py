@@ -135,6 +135,7 @@ def dsum_expr(expr, scale: int = 6):
     ORDER BY n DESC, segment ASC
     LIMIT 5
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def q1_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 shape — 2-predicate filter -> group count -> top-5 with tie-break.
@@ -412,6 +413,7 @@ def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     ORDER BY o_orderkey
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact build — chained inner FK-resolution joins (J1/J2).
@@ -458,6 +460,7 @@ def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
     ORDER BY o_orderkey
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold denormalization — star-join the fact back to all dims (J3).
@@ -982,6 +985,7 @@ def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY nation, part_type
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/AVG of fact MEASURES through a multi-dim star join — the
@@ -1034,6 +1038,7 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS sketch_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group value stats (MIN/MAX/decimal-exact AVG — a10_value_stats'
@@ -1099,6 +1104,7 @@ def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (o_orderstatus), (o_orderpriority), ())
     ORDER BY gid, status, priority
     """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
 )
 def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS: all four aggregation levels of

@@ -55,24 +55,57 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
         ),
     },
     7: {
-        # 13 never-driver-checked promotions + 1 new entry
+        # The evidence-backlog round (VERDICT r6 ask #1, taken to its
+        # stated maximum: "retire every entry with >=2 green driver
+        # rows"). 41 never-driver-checked promotions + 1 new entry
         # (a24_revenue_gini_scale_safe, the driver-gated two-phase-rank
-        # plan claim) — the evidence-backlog round (VERDICT r6 ask #1).
+        # plan claim); the surface keeps the 8 single-green r6
+        # first-timers for their second row. Every promotion was
+        # verified bit-exact against its oracle at BOTH sf0.01 and
+        # sf0.1 from a fresh process this round before the flip.
         "in": (
+            # wave 1
             "qa_ks_two_sample", "qa_psi_price_drift", "qa_wilson_ci",
             "dd_incremental_minhash", "dd_segment_dedup", "st_late_data",
             "ev_peak_concurrency", "ev_active_users_hll", "wh_bloom_prune",
             "wh_bucketed_join", "tx_curriculum_order",
             "a32_brand_cheapest_path", "tpch_q5_local_supplier_volume",
             "a24_revenue_gini_scale_safe",
+            # wave 2 (maximal backlog burn-down)
+            "qa_mann_whitney", "dd_incremental_dedup", "wh_time_travel",
+            "wh_incremental_join", "st_daily_actives_hll",
+            "ev_time_to_convert", "tx_span_corruption",
+            "a34_brand_closeness", "tpch_q1_pricing_summary",
+            "ev_cusum_daily", "dd_qgram_edit_join", "a33_segment_skyline",
+            "qa_higher_moments", "ev_forecast_backtest", "qa_welch_t",
+            "qa_chi_square_segment_status", "ev_autocorr_daily",
+            "ev_trend_regression", "ev_seasonal_decompose",
+            "a16_rfm_segmentation", "a17_pareto_customers",
+            "a30_brand_ppr", "a31_brand_khop", "a26_brand_communities",
+            "wh_schema_evolution", "wh_vacuum_retention",
+            "wh_orphan_audit", "ev_wau_stickiness",
         ),
         "out": (
+            # wave 1
             "a4_kpis", "a6_distinct_dims", "w1_quarter_trend",
             "j5_anti_join", "j6_topk_semi", "o4_group_total_order",
             "a11_pivot_quarter_status", "x2_union_intersect",
             "dd_exact_dedup", "dd_minhash_lsh",
             "dd_embedding_neardup_blocked", "sim_ann_signlsh",
             "tx_tfidf_top_terms", "ev_sliding_1h_15m",
+            # wave 2
+            "q1_top_segments", "j1_fact_build", "j3_gold_denorm",
+            "a12_star_measures", "a13_percentile_sketch",
+            "a14_grouping_sets", "dd_neardup_components",
+            "sim_ann_ivf_kmeans_iter3", "dd_corpus_clean",
+            "tx_hash_split", "w5_rank_functions",
+            "a5_unique_customers_approx", "tx_text_profile",
+            "ev_asof_purchase", "ev_range_views_before_purchase",
+            "wh_gold_maintenance", "st_dedup", "st_sessionize",
+            "mm_blob_meta", "st_foreach_batch_sink", "sk_salted_hot_join",
+            "wh_table_profile", "wh_expectations", "sim_quantize_int8",
+            "tx_decontaminate", "tx_pii_scrub", "st_stream_stream_join",
+            "a22_brand_pagerank",
         ),
     },
 }
@@ -91,18 +124,18 @@ RE_PROMOTED: dict[str, int] = {
 #: surface allows). Kept here, not in docstrings, so the queue and the
 #: history live together.
 NEXT_QUEUE: tuple[str, ...] = (
-    "qa_mann_whitney",          # doubled-rank exact U statistic
-    "dd_incremental_dedup",     # hash-index incremental exact dedup
-    "wh_time_travel",           # snapshot-versioned reads
-    "wh_incremental_join",      # bilinear-delta join-view maintenance
-    "st_daily_actives_hll",     # stream==batch mergeable sketches
-    "ev_time_to_convert",       # discrete-rank conversion latency
-    "tx_span_corruption",       # T5 denoising pairs, roundtrip-pinned
-    "a34_brand_closeness",      # batched all-source BFS
-    "tpch_q1_pricing_summary",  # TPC-H Q1
-    "ev_cusum_daily",           # window-free CUSUM drift
-    "dd_qgram_edit_join",       # PassJoin complete-recall edit join
-    "a33_segment_skyline",      # 2-D Pareto frontier
-    "qa_higher_moments",        # exact skewness/kurtosis
-    "ev_forecast_backtest",     # seasonal-naive MAE/MAPE/sMAPE
+    "sim_recall_at_k",          # ANN quality measured in-engine
+    "sim_ann_pq_adc",           # product quantization + ADC
+    "mm_bmp_pixels",            # real BMP decode + brightness stats
+    "mm_avi_frames",            # real AVI container walk
+    "st_cdc_apply",             # streaming microbatch CDC fold
+    "st_stream_merge_rollup",   # kappa ingest upsert + rollup
+    "tpch_q3_shipping_priority",  # TPC-H Q3
+    "tpch_q4_late_orders",      # TPC-H Q4 EXISTS semi
+    "a28_customer_kmeans",      # fixed-iteration Lloyd, exact centroids
+    "a35_survival_km",          # Kaplan-Meier churn with censoring
+    "ev_ewma_daily",            # bounded scatter-convolution EWMA
+    "dd_passage_dupes",         # 16-gram duplicated-passage spans
+    "tx_stratified_sample",     # per-language quota sampling
+    "wh_incremental_rollup",    # materialized rollup maintenance
 )

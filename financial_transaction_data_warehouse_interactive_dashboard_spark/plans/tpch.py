@@ -86,8 +86,7 @@ SQL_DISC_PRICE = (
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the pricing summary report. One date-pushed scan, eight
