@@ -132,6 +132,20 @@ def _is_eager(name: str) -> bool:
     return name.startswith("st_") or name in EAGER_ENTRIES
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _registry_plans(spark) -> dict[str, str]:
+    """Formatted physical plan for every lazy registry entry, built once
+    per test session (the registry-wide audits below share the pass)."""
+    if not _PLAN_CACHE:
+        for name, q in sorted(REGISTRY.items()):
+            if _is_eager(name):
+                continue
+            _PLAN_CACHE[name] = plan_of(q.spark(spark, SF_SMOKE))
+    return _PLAN_CACHE
+
+
 def test_no_cartesian_product_in_registry(spark):
     """No registry query — driver-facing OR locally-pinned — may plan an
     unpartitioned CartesianProduct, the one join shape that cannot scale
@@ -140,14 +154,59 @@ def test_no_cartesian_product_in_registry(spark):
     never CartesianProduct). Widened from driver-only in r5: local
     entries are rotation candidates for the driver surface, so they meet
     the same bar."""
-    offenders = []
-    for name, q in sorted(REGISTRY.items()):
-        if _is_eager(name):
-            continue
-        plan = plan_of(q.spark(spark, SF_SMOKE))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    offenders = [
+        name
+        for name, plan in _registry_plans(spark).items()
+        if "CartesianProduct" in plan
+    ]
     assert not offenders, offenders
+
+
+# The CLOSED inventory of registry entries whose default plan contains an
+# unpartitioned (global) window, each with why that is acceptable at
+# scale: either the windowed frame is PROVABLY BOUNDED (calendar days,
+# quarters, a dim, or a LIMIT k head — growing the corpus does not grow
+# the frame), or the site has a scale_safe two-phase escape (explicit
+# flag + the spark.graft.scaleSafe.rowThreshold auto-knob). Any NEW entry
+# that plans a global window must be added here with a justification or
+# this audit fails — no single-partition sort funnel sneaks in unnoticed.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    # scale_safe-switched sites (two-phase path + conf auto-knob)
+    "a16_rfm_segmentation": "scale_safe switch (three quintile windows)",
+    "a17_pareto_customers": "scale_safe switch (cumulative share)",
+    "a24_revenue_gini": "scale_safe switch (rank window)",
+    "ev_equidepth_histogram": "scale_safe switch (prefix sum)",
+    "qa_ks_two_sample": "scale_safe switch (two running counts)",
+    "qa_mann_whitney": "scale_safe switch (running rank counts)",
+    "w4_surrogate_keys": "W4 parity shape; dense_ids is the scale path",
+    # provably bounded frames
+    "ev_rolling_7d": "daily series (bounded by calendar days)",
+    "ev_cumulative_uniques": "daily series",
+    "ev_cusum_daily": "daily series",
+    "ev_seasonal_decompose": "daily series",
+    "w1_quarter_trend": "4-quarter series",
+    "w5_rank_functions": "25-row nation dim",
+    "a28_customer_kmeans": "LIMIT k seed head (k rows)",
+    "a35_survival_km": "distinct churn-day steps",
+}
+
+
+def test_global_window_inventory_is_closed(spark):
+    """Every registry entry whose plan contains an unpartitioned window
+    is in GLOBAL_WINDOW_ALLOWED (with a boundedness/scale_safe reason),
+    and the allowlist carries no stale rows."""
+    found = set()
+    for name, plan in _registry_plans(spark).items():
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if any(
+            " ASC" in s.split(",")[0] or " DESC" in s.split(",")[0]
+            for s in specs
+        ):
+            found.add(name)
+    unexplained = found - set(GLOBAL_WINDOW_ALLOWED)
+    stale = set(GLOBAL_WINDOW_ALLOWED) - found
+    assert not unexplained, f"new global-window entries: {unexplained}"
+    assert not stale, f"stale allowlist rows: {stale}"
 
 
 def test_dense_ids_matches_global_row_number(spark):
