@@ -64,6 +64,26 @@ LARGE_RESULT = {
     "dd_segment_dedup",
     "tx_span_corruption",
     "tx_negative_sampling",
+    # r7 audit: remaining one-row-per-document/embedding/event outputs
+    # (each grows linearly with the corpus; collect-timing them measured
+    # driver materialization, not the distributed compute path).
+    "tx_curriculum_order",
+    "tx_pii_scrub",
+    "sim_quantize_int8",
+    "mm_wav_features",
+    "mm_bmp_pixels",
+    "mm_avi_frames",
+    "tx_text_profile",
+    "dd_normalized_dedup",
+    "tx_unigram_logprob",
+    "tx_bigram_logprob",
+    "tx_repetition_ratio",
+    "sim_random_projection",
+    "dd_incremental_dedup",
+    "ev_asof_purchase",
+    "ev_range_views_before_purchase",
+    "w6_user_day_gapfill",
+    "ev_sliding_1h_15m",
 }
 
 
