@@ -80,3 +80,18 @@ def test_no_toPandas_in_engine():
             if ".toPandas()" in line:
                 offenders.append(f"{os.path.relpath(path, REPO)}:{i}")
     assert not offenders, offenders
+
+
+def test_bench_large_result_names_are_registered():
+    """A typo in bench.LARGE_RESULT silently demotes that entry back to
+    collect-timing; pin membership against the registry."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import LARGE_RESULT
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    unknown = LARGE_RESULT - set(REGISTRY)
+    assert not unknown, unknown
