@@ -367,3 +367,64 @@ def test_khop_matches_python_bfs(spark, es, seed):
     if not any(s != d_ for s, d_, _ in es):
         want = {seed: 0}
     assert got == want
+
+
+@given(st.integers(1, 300), st.integers(1, 12))
+@SET
+def test_ntile_from_rank_matches_builtin_ntile(spark, n, k):
+    """ntile_from_rank's pure-integer bucket formula == Spark's ntile(k)
+    window for arbitrary (n, k), including n < k, n % k != 0, and k = 1
+    — the exactness the scale_safe RFM path rests on."""
+    from pyspark.sql.window import Window
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        ntile_from_rank,
+    )
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+    got = {
+        r["rk"]: r["b"]
+        for r in df.select(
+            "rk", ntile_from_rank(F.col("rk"), n, k).alias("b")
+        ).collect()
+    }
+    want = {
+        r["rk"]: r["b"]
+        for r in df.select(
+            "rk", F.ntile(k).over(Window.orderBy("rk")).alias("b")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 3)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 5),
+)
+@SET
+def test_two_phase_rank_is_global_row_number(spark, rows, parts):
+    """two_phase_rank over a random multi-partition frame == the global
+    row_number of the single-partition window, including duplicate keys
+    (tie-broken by the unique index) and the free total-count return."""
+    from pyspark.sql.window import Window
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        two_phase_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(rows)], "i long, k long, s long"
+    )
+    got_df, total = two_phase_rank(df, ["k", "s", "i"], "rk", num_partitions=parts)
+    got = {r["i"]: r["rk"] for r in got_df.collect()}
+    w = Window.orderBy("k", "s", "i")
+    want = {
+        r["i"]: r["rk"]
+        for r in df.select("i", F.row_number().over(w).alias("rk")).collect()
+    }
+    assert got == want
+    assert total == len(rows)
