@@ -77,7 +77,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_weighted_sample": ("weighted", "proportional", "importance", "probability"),
     "ev_cumulative_uniques": ("cumulative", "unique", "uniques", "returning"),
     "ev_cohort_retention": ("cohort", "cohorts", "retention", "churn"),
-    "tx_split_by_cluster": ("leakage", "safe", "cluster", "holdout", "contamination"),
+    "tx_split_by_cluster": ("leakage", "safe", "cluster", "split", "holdout", "contamination"),
     "a15_hll_mergeable": ("sketch", "sketches", "mergeable", "hll", "hyperloglog"),
     "wh_incremental_rollup": ("incremental", "refresh", "rollup", "materialized", "maintain"),
     "sim_hybrid_rrf": ("hybrid", "fusion", "fuse", "rrf", "keyword", "rerank"),
@@ -133,16 +133,16 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_text_profile": ("text", "profile", "stopword", "punctuation", "readability"),
     "tx_fingerprint": ("fingerprint", "fingerprints", "winnowing", "rolling"),
     "st_dedup": ("watermark", "deduplicate", "idempotent", "exactly", "once"),
-    "st_late_data": ("late", "lateness", "dropped", "arriving", "stragglers"),
+    "st_late_data": ("late", "lateness", "dropped", "drop", "watermark", "arriving", "stragglers"),
     "st_stream_stream_join": ("correlate", "streams", "interval", "join"),
     "wh_gold_maintenance": ("maintenance", "upsert", "partitioned", "gold"),
     "wh_zorder_skipping": ("zorder", "morton", "skipping", "layout"),
     "ev_attribution_linear": ("linear", "multitouch", "split", "evenly", "shared"),
     "ev_winsorized_stats": ("winsorized", "winsorize", "clipped", "clip", "trimmed"),
-    "sim_recall_at_k": ("recall", "evaluate", "evaluation", "accuracy"),
+    "sim_recall_at_k": ("recall", "ann", "k", "evaluate", "evaluation", "accuracy"),
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
-    "a30_brand_ppr": ("related", "personalized", "recommendations", "seeded", "anchor"),
+    "a30_brand_ppr": ("related", "personalized", "pagerank", "recommendations", "seeded", "seed", "anchor"),
     "tx_chunk_documents": ("chunk", "chunks", "chunking", "overlapping", "rag"),
     "ev_top_paths": ("paths", "journeys", "sequences", "flows", "trigram"),
     "a27_dow_seasonal_outliers": ("seasonal", "weekday", "baseline", "spike", "spikes"),
@@ -154,7 +154,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_trend_regression": ("regression", "slope", "ols", "fit", "r2"),
     "tx_mixture_weights": ("mixture", "temperature", "upsample", "sources", "weighting"),
     "a29_cohort_ltv": ("ltv", "lifetime", "value", "cumulative", "cohort"),
-    "wh_time_travel": ("travel", "version", "versions", "rollback", "snapshot"),
+    "wh_time_travel": ("travel", "version", "versions", "rollback", "roll", "earlier", "snapshot"),
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
     "sim_ann_pq_adc": ("quantization", "compressed", "compression", "pq", "codes"),
     "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),
@@ -179,7 +179,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_negative_sampling": ("negative", "negatives", "contrastive", "sampling", "pairs"),
     "wh_bloom_prune": ("bloom", "membership", "prune", "pruning", "filter"),
     "wh_bucketed_join": ("bucketed", "bucketing", "colocated", "shuffle", "free"),
-    "wh_incremental_join": ("materialized", "view", "delta", "deltas", "refresh"),
+    "wh_incremental_join": ("materialized", "view", "delta", "deltas", "refresh", "join", "incrementally", "maintain"),
     "ev_active_users_hll": ("mau", "monthly", "active", "sketches", "estimate"),
     "dd_qgram_edit_join": ("edit", "distance", "typo", "typos", "levenshtein", "spelling"),
     "a32_brand_cheapest_path": ("shortest", "cheapest", "route", "weighted", "distance"),
@@ -196,7 +196,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_novelty_fractions": ("novelty", "novel", "fresh", "recrawl", "marginal"),
     "qa_higher_moments": ("skewness", "skew", "kurtosis", "tail", "tails", "moments", "distribution"),
     "a35_survival_km": ("survival", "churn", "churned", "kaplan", "meier", "censored"),
-    "tx_curriculum_order": ("curriculum", "ordering", "easy", "hard", "schedule"),
+    "tx_curriculum_order": ("curriculum", "ordering", "easy", "hard", "difficulty", "training", "schedule"),
     "wh_orphan_audit": ("orphans", "orphan", "referential", "foreign", "broken", "keys"),
 }
 

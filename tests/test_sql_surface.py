@@ -112,3 +112,53 @@ def test_statistical_tier_analyst_phrases(phrase, expected):
     )
 
     assert route(phrase) == expected
+
+
+# Engine-wide analyst phrases (r7 extension of the statistical-tier set):
+# warehouse lifecycle, dedup/curation, multimodal, streaming, similarity,
+# and finance families.
+ANALYST_PHRASES_WIDE = [
+    ("find near duplicate documents", "dd_minhash_lsh"),
+    ("remove exact duplicate documents", "dd_exact_dedup"),
+    ("which documents leak benchmark test data", "tx_decontaminate"),
+    ("redact emails and phone numbers from documents", "tx_pii_scrub"),
+    ("leakage safe train test split by cluster", "tx_split_by_cluster"),
+    ("roll back the table to an earlier version", "wh_time_travel"),
+    ("vacuum old snapshots and reclaim storage", "wh_vacuum_retention"),
+    ("did the schema evolve when new columns arrived", "wh_schema_evolution"),
+    ("find orphan foreign keys in the warehouse", "wh_orphan_audit"),
+    ("slowly changing dimension history of customers", "wh_scd2_history"),
+    ("incrementally maintain the join view", "wh_incremental_join"),
+    ("prune the join with a bloom filter", "wh_bloom_prune"),
+    ("decode audio loudness from the wav blobs", "mm_wav_features"),
+    ("image brightness statistics from bmp files", "mm_bmp_pixels"),
+    ("sample frames from the video container", "mm_avi_frames"),
+    ("sessionize the live event stream", "st_sessionize"),
+    ("how many late events did the watermark drop", "st_late_data"),
+    ("join two live streams within a time bound", "st_stream_stream_join"),
+    ("order training documents by curriculum difficulty", "tx_curriculum_order"),
+    ("pack token sequences into fixed bins", "tx_pack_sequences"),
+    ("approximate nearest neighbors over embeddings", "sim_ann_ivf_kmeans_iter3"),
+    ("exact nearest neighbors full scan", "sim_topk_bruteforce"),
+    ("recall at k of the ann index", "sim_recall_at_k"),
+    ("peak concurrent sessions per day", "ev_peak_concurrency"),
+    ("how long it takes to convert from view to purchase", "ev_time_to_convert"),
+    ("kaplan meier survival curve for churned customers", "a35_survival_km"),
+    ("bellman ford cheapest path between brands", "a32_brand_cheapest_path"),
+    ("personalized pagerank around a seed brand", "a30_brand_ppr"),
+    ("gini coefficient of revenue inequality", "a24_revenue_gini"),
+    ("pareto abc classification of customers", "a17_pareto_customers"),
+    ("rfm recency frequency monetary segmentation", "a16_rfm_segmentation"),
+    ("backtest a seasonal naive forecast", "ev_forecast_backtest"),
+    ("weekly active users and stickiness", "ev_wau_stickiness"),
+    ("sliding count of active users with sketches", "ev_active_users_hll"),
+]
+
+
+@pytest.mark.parametrize("phrase,expected", ANALYST_PHRASES_WIDE)
+def test_engine_wide_analyst_phrases(phrase, expected):
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.nlq import (
+        route,
+    )
+
+    assert route(phrase) == expected
