@@ -84,6 +84,10 @@ LARGE_RESULT = {
     "ev_range_views_before_purchase",
     "w6_user_day_gapfill",
     "ev_sliding_1h_15m",
+    # Its weak-ratio twin st_sessionize is noop-timed; the stateful
+    # variant must be measured the same way or the twin-pair ratio
+    # compares collect-vs-noop paths instead of operator costs.
+    "st_sessionize_stateful",
 }
 
 
