@@ -510,6 +510,24 @@ def test_scale_safe_conf_knob_flips_all_sites(spark):
             _assert_no_global_window(REGISTRY[name].spark(spark, SF_SMOKE))
     finally:
         spark.conf.unset(SCALE_SAFE_CONF)
+    # The ETL surrogate-key site honors the same knob: every dim built
+    # with the conf set plans its ids through dense_ids (no global
+    # window anywhere).
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
+        etl as E,
+    )
+
+    from test_etl_golden import ACCOUNT, COUNTRY, SYMBOLS
+
+    spark.conf.set(SCALE_SAFE_CONF, "0")
+    try:
+        account, symbols, _ = E.read_raw(spark, ACCOUNT, SYMBOLS, COUNTRY)
+        acc = E.clean_account(account, symbols)
+        sym = E.remap_country(symbols, spark)
+        for dim in E.build_dims(acc, sym, spark):
+            _assert_no_global_window(dim)
+    finally:
+        spark.conf.unset(SCALE_SAFE_CONF)
     # Unset (the default) keeps the oracle plan: the default-mode Gini
     # still has its global window.
     plan = plan_of(REGISTRY["a24_revenue_gini"].spark(spark, SF_SMOKE))
