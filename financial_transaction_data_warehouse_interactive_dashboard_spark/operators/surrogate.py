@@ -66,7 +66,13 @@ def resolve_scale_safe(df: DataFrame, requested: bool = False) -> bool:
         raw = None
     if raw is None or raw == "":
         return False
-    threshold = int(raw)
+    try:
+        threshold = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"{SCALE_SAFE_CONF} must be an integer row threshold, "
+            f"got {raw!r}"
+        ) from exc
     if threshold < 0:
         return False
     return df.limit(threshold + 1).count() > threshold

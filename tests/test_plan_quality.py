@@ -556,6 +556,9 @@ def test_scale_safe_threshold_semantics(spark):
         assert resolve_scale_safe(df, False) is True  # 100 > 99
         spark.conf.set(SCALE_SAFE_CONF, "-1")
         assert resolve_scale_safe(df, False) is False  # negative disables
+        spark.conf.set(SCALE_SAFE_CONF, "not-a-number")
+        with pytest.raises(ValueError, match=SCALE_SAFE_CONF):
+            resolve_scale_safe(df, False)
     finally:
         spark.conf.unset(SCALE_SAFE_CONF)
 
