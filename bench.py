@@ -83,7 +83,8 @@ LARGE_RESULT = {
     "ev_asof_purchase",
     "ev_range_views_before_purchase",
     "w6_user_day_gapfill",
-    "ev_sliding_1h_15m",
+    # (ev_sliding_1h_15m deliberately NOT here: its row count is bounded
+    # by the calendar window grid, not the corpus.)
     # Its weak-ratio twin st_sessionize is noop-timed; the stateful
     # variant must be measured the same way or the twin-pair ratio
     # compares collect-vs-noop paths instead of operator costs.
@@ -163,6 +164,7 @@ def main() -> None:
         return statistics.median(run_once(name) for _ in range(3))
 
     weak_ratios = {}
+    weak_method = {}
     for label, slow, fast in (
         ("st_sessionize_stateful_vs_session_window",
          "st_sessionize_stateful", "st_sessionize"),
@@ -172,11 +174,14 @@ def main() -> None:
         if timings.get(slow) and timings.get(fast):
             try:
                 weak_ratios[label] = round(_median3(slow) / _median3(fast), 2)
+                weak_method[label] = "warmed_median_of_3"
             except Exception:  # noqa: BLE001 — fall back to sweep timings
                 weak_ratios[label] = round(timings[slow] / timings[fast], 2)
+                weak_method[label] = "sweep_min_of_2_fallback"
     if weak_ratios:
         detail["weak_entry_ratios"] = weak_ratios
-        detail["weak_entry_method"] = "warmed_median_of_3"
+        # Per-pair so a fallback cannot masquerade as a median-of-3.
+        detail["weak_entry_method"] = weak_method
 
     # Regression diff vs the previous round's driver-recorded bench (same
     # sf only — cross-scale deltas are meaningless). Informational: bench
@@ -311,7 +316,9 @@ def main() -> None:
         try:
             with open(detail_path) as fh:
                 prior = json.load(fh)
-            if isinstance(prior, dict):
+            # Same-sf only: adjudication blocks written about an sf0.1
+            # run must not silently annotate an sf0.01 re-run's numbers.
+            if isinstance(prior, dict) and prior.get("sf") == detail["sf"]:
                 for k in ("median3_recheck", "notes"):
                     if k in prior and k not in detail:
                         detail[k] = prior[k]

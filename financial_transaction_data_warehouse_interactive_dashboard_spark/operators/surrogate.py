@@ -38,11 +38,19 @@ Callers never need to know the flag exists: every site resolves its
 effective mode through :func:`resolve_scale_safe`, which also honors the
 session conf ``spark.graft.scaleSafe.rowThreshold``. Set the conf to an
 integer N and any site whose windowed frame exceeds N rows flips to the
-two-phase path automatically (the size probe is ``limit(N+1).count()`` —
-bounded work, never a full scan). Unset (the default) or negative
-disables auto-selection, keeping fixture-scale runs on the oracle plans."""
+two-phase path automatically. The probe is ``limit(N+1).count()``: on a
+raw scan the limit early-stops after N+1 rows; on the aggregated frames
+these sites actually window (the limit cannot push below a blocking
+aggregate) it costs one extra execution of the frame's pre-window plan —
+still never a single-partition sort. The knob is the SAFETY NET for
+mixed-scale callers; a pipeline that knows it runs at scale passes
+``scale_safe=True`` explicitly and pays no probe at all. Unset (the
+default) or negative disables auto-selection, keeping fixture-scale runs
+on the oracle plans."""
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,13 +59,51 @@ from pyspark.sql.window import Window
 SCALE_SAFE_CONF = "spark.graft.scaleSafe.rowThreshold"
 
 
+def classify_windows(plan: str) -> tuple[int, int]:
+    """(n_global, n_partitioned) windows in a formatted physical plan —
+    the ONE classifier behind the a24_revenue_gini_scale_safe audit
+    columns and every plan test (a copy in each consumer drifted; a
+    miss here is a single-partition sort funnel shipping undetected).
+
+    A ``windowspecdefinition(...)`` is PARTITIONED iff its first
+    top-level argument is a partition column. The first argument is
+    found by splitting at depth-0 commas (an ``ORDER BY coalesce(a,b)``
+    sort spec contains commas inside parens); it is a sort spec if it
+    carries ``ASC``/``DESC``, and the frame-only form (a GLOBAL window
+    with neither partitioning nor ordering, e.g. ``count(*) OVER ()``)
+    starts directly with ``specifiedwindowframe``."""
+    n_global = n_partitioned = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            elif plan[i] == "," and depth == 1:
+                break
+            i += 1
+        head = plan[start:i]
+        if head.startswith("specifiedwindowframe") or (
+            " ASC" in head or " DESC" in head
+        ):
+            n_global += 1
+        else:
+            n_partitioned += 1
+    return n_global, n_partitioned
+
+
 def resolve_scale_safe(df: DataFrame, requested: bool = False) -> bool:
     """Effective scale_safe mode for a global-window site whose window
     runs over ``df``. ``requested=True`` (the explicit per-call flag)
-    always wins; otherwise the session conf ``SCALE_SAFE_CONF`` is read
-    and, when set to a non-negative integer N, the site goes two-phase
-    iff ``df`` has more than N rows — probed with ``limit(N+1).count()``
-    so the decision costs at most N+1 rows of scan, not a full count."""
+    always wins and skips the probe; otherwise the session conf
+    ``SCALE_SAFE_CONF`` is read and, when set to a non-negative integer
+    N, the site goes two-phase iff ``df`` has more than N rows — probed
+    with ``limit(N+1).count()``. On a raw frame the limit early-stops
+    the scan; on an aggregated frame (every current call site) the probe
+    executes the frame's plan once, so enabling the knob trades one
+    extra pre-window pass for never hitting a single-partition sort."""
     if requested:
         return True
     try:

@@ -1153,28 +1153,22 @@ def a24_revenue_gini_scale_safe(
     single-window oracle AND the audit columns pin the scale shape the
     way wh_bucketed_join pins zero Exchange. ``n_global_windows`` counts
     unpartitioned windowspecdefinition nodes in the executed physical
-    plan (the oracle hard-codes 0 — a regression that reintroduces the
-    single-partition sort funnel fails the value-hash gate);
-    ``used_two_phase_rank`` asserts at least one _pid-partitioned window
+    plan — via operators.surrogate.classify_windows, the shared
+    classifier that also recognizes ORDER-LESS global windows like
+    ``count(*) OVER ()`` (the oracle hard-codes 0 — a regression that
+    reintroduces any single-partition funnel fails the value-hash gate);
+    ``used_two_phase_rank`` asserts at least one partitioned window
     survived (the rank actually ran distributed, the column was not
     optimized away). At 100 TB this is the only Gini plan that works:
     every window here is partitioned, the one global pass is a parallel
     range shuffle. Reference analogue: none (see a24_revenue_gini)."""
-    import re as _re
+    from ..operators.surrogate import classify_windows
 
     df = a24_revenue_gini(spark, sf_dir, scale_safe=True)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    n_global = 0
-    n_partitioned = 0
-    for spec in specs:
-        head = spec.split(",")[0]
-        if " ASC" in head or " DESC" in head:
-            n_global += 1
-        else:
-            n_partitioned += 1
+    n_global, n_partitioned = classify_windows(plan)
     return df.select(
         "*",
         F.lit(n_global).cast("int").alias("n_global_windows"),

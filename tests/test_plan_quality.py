@@ -193,20 +193,56 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
 
 def test_global_window_inventory_is_closed(spark):
     """Every registry entry whose plan contains an unpartitioned window
-    is in GLOBAL_WINDOW_ALLOWED (with a boundedness/scale_safe reason),
-    and the allowlist carries no stale rows."""
-    found = set()
-    for name, plan in _registry_plans(spark).items():
-        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-        if any(
-            " ASC" in s.split(",")[0] or " DESC" in s.split(",")[0]
-            for s in specs
-        ):
-            found.add(name)
+    — ordered or order-less (count(*) OVER ()) — is in
+    GLOBAL_WINDOW_ALLOWED (with a boundedness/scale_safe reason), and
+    the allowlist carries no stale rows."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        classify_windows,
+    )
+
+    found = {
+        name
+        for name, plan in _registry_plans(spark).items()
+        if classify_windows(plan)[0] > 0
+    }
     unexplained = found - set(GLOBAL_WINDOW_ALLOWED)
     stale = set(GLOBAL_WINDOW_ALLOWED) - found
     assert not unexplained, f"new global-window entries: {unexplained}"
     assert not stale, f"stale allowlist rows: {stale}"
+
+
+def test_classify_windows_catches_orderless_global(spark):
+    """The classifier's order-less blind spot is closed: count(*) OVER ()
+    (no partition, no order — pure frame) counts as GLOBAL, a
+    partitioned order-less window does not, and a comma-bearing sort
+    expression (ORDER BY coalesce(a,b)) is still classified global."""
+    from pyspark.sql.window import Window
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        classify_windows,
+    )
+
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 2).alias("k"), (F.col("id") % 3).alias("j")
+    )
+    orderless_global = df.select(
+        F.count("*").over(Window.partitionBy()).alias("n")
+    )
+    assert classify_windows(plan_of(orderless_global)) == (1, 0)
+    orderless_part = df.select(
+        F.count("*").over(Window.partitionBy("k")).alias("n")
+    )
+    assert classify_windows(plan_of(orderless_part)) == (0, 1)
+    comma_sort = df.select(
+        F.row_number()
+        .over(Window.orderBy(F.coalesce(F.col("k"), F.col("j"))))
+        .alias("rn")
+    )
+    assert classify_windows(plan_of(comma_sort)) == (1, 0)
+    part_and_sort = df.select(
+        F.row_number().over(Window.partitionBy("k").orderBy("id")).alias("rn")
+    )
+    assert classify_windows(plan_of(part_and_sort)) == (0, 1)
 
 
 def test_dense_ids_matches_global_row_number(spark):
@@ -448,19 +484,18 @@ def test_runtime_bloom_filter_injection(spark):
 
 def _assert_no_global_window(df):
     """Every window in the executed plan must be partitioned: a global
-    window shows windowspecdefinition(<sort specs only>) and plans an
-    Exchange SinglePartition sort funnel. The two-phase frames partition
-    every window by _pid."""
-    plan = plan_of(df)
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, "expected at least one window in the scale_safe plan"
-    for spec in specs:
-        head = spec.split(",")[0]
-        # A partition column leads the spec as a bare attribute; a
-        # global window starts directly with a sort spec ("x ASC ...").
-        assert " ASC" not in head and " DESC" not in head, (
-            f"unpartitioned window in scale_safe plan: {spec}"
-        )
+    window (ordered OR order-less, e.g. count(*) OVER ()) plans an
+    Exchange SinglePartition funnel. Classification is shared with the
+    production audit entry via operators.surrogate.classify_windows."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        classify_windows,
+    )
+
+    n_global, n_partitioned = classify_windows(plan_of(df))
+    assert n_global + n_partitioned, (
+        "expected at least one window in the scale_safe plan"
+    )
+    assert n_global == 0, f"{n_global} unpartitioned window(s) in plan"
 
 
 def _rows_key(rows):
@@ -530,12 +565,13 @@ def test_scale_safe_conf_knob_flips_all_sites(spark):
         spark.conf.unset(SCALE_SAFE_CONF)
     # Unset (the default) keeps the oracle plan: the default-mode Gini
     # still has its global window.
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        classify_windows,
+    )
+
     plan = plan_of(REGISTRY["a24_revenue_gini"].spark(spark, SF_SMOKE))
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert any(
-        " ASC" in s.split(",")[0] or " DESC" in s.split(",")[0]
-        for s in specs
-    ), "expected the oracle-plan global window with the knob unset"
+    n_global, _ = classify_windows(plan)
+    assert n_global, "expected the oracle-plan global window with the knob unset"
 
 
 def test_scale_safe_threshold_semantics(spark):

@@ -84,10 +84,8 @@ def test_no_toPandas_in_engine():
 
 def test_bench_large_result_names_are_registered():
     """A typo in bench.LARGE_RESULT silently demotes that entry back to
-    collect-timing; pin membership against the registry."""
-    import sys
-
-    sys.path.insert(0, REPO)
+    collect-timing; pin membership against the registry. (conftest.py
+    already puts the repo root on sys.path — no mutation here.)"""
     from bench import LARGE_RESULT
     from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
         REGISTRY,
