@@ -1568,6 +1568,49 @@ def test_incremental_minhash_converges_to_batch_operator(spark):
     assert inc, "fixture must plant cross-boundary near-dups"
 
 
+def test_incremental_dedup_folds_to_batch_operator(spark):
+    """Folding incremental_dedup batch-by-batch — appending the
+    survivors' hashes to the index after each batch, the maintenance
+    loop the operator's docstring prescribes — must keep exactly the
+    representatives batch exact_dedup keeps over the whole corpus.
+    n_copies stays per-batch by design (a later replay of an indexed
+    hash is dropped, not recounted into the historical survivor), so
+    the convergence claim is on the survivor ID set; representatives
+    match globally because batches arrive in ascending-id order and
+    both operators elect the min id."""
+    texts = [
+        "alpha", "beta", "gamma", "delta",       # batch 1: all novel
+        "alpha", "beta", "epsilon", "alpha",     # batch 2: 2 replays + twin
+        "zeta", "gamma", "eta", "eta",           # batch 3: replay + twin
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    batch_full = {r["doc_id"] for r in D.exact_dedup(docs).collect()}
+
+    index = D.hash_index(docs.filter(F.lit(False)))  # empty history
+    survivors: dict[int, int] = {}
+    for lo, hi in ((0, 4), (4, 8), (8, 12)):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        kept = D.incremental_dedup(batch, index).collect()
+        survivors.update({r["doc_id"]: r["n_copies"] for r in kept})
+        kept_docs = batch.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in kept])
+        )
+        index = index.unionAll(D.hash_index(kept_docs)).distinct()
+
+    assert set(survivors) == batch_full
+    assert len(survivors) < len(texts), "fixture must plant duplicates"
+    # Both observable paths fired: within-batch twins collapsed
+    # (batch-3 'eta' pair -> one survivor counting 2), and a replayed
+    # hash was dropped by the index without disturbing the historical
+    # survivor's count (batch-1 'alpha' stays at 1 despite 2 replays).
+    assert survivors[10] == 2
+    assert survivors[0] == 1
+
+
 def test_pq_adc_recall_beats_chance(spark):
     """PQ/ADC is approximate, but 8x8 codebooks on 64d must land far
     above chance: mean recall@5 vs exact cosine top-5 >= 0.2 (measured
