@@ -162,6 +162,27 @@ def test_no_cartesian_product_in_registry(spark):
     assert not offenders, offenders
 
 
+def test_no_sort_merge_join_against_fixed_dims(spark):
+    """region (5 rows) and nation (25 rows) are FIXED-SIZE at every
+    scale factor — a SortMergeJoin touching either shuffles the big
+    side across the cluster to meet a table that fits in a closure.
+    Registry-wide invariant (audited clean in r7: the 12 entries that
+    do plan SMJ are all fact-fact or self-join shapes, where SMJ is the
+    right call at 100 TB): no entry's plan may contain a SortMergeJoin
+    while also scanning region or nation. If a legitimate future entry
+    trips the co-occurrence (an SMJ between facts beside a broadcast
+    nation join in the same plan), split the check for it here with a
+    comment — same classify-don't-ignore rule as the other closed
+    inventories."""
+    offenders = [
+        name
+        for name, plan in _registry_plans(spark).items()
+        if "SortMergeJoin" in plan
+        and ("region.parquet" in plan or "nation.parquet" in plan)
+    ]
+    assert not offenders, offenders
+
+
 # The CLOSED inventory of registry entries whose default plan contains an
 # unpartitioned (global) window, each with why that is acceptable at
 # scale: either the windowed frame is PROVABLY BOUNDED (calendar days,
