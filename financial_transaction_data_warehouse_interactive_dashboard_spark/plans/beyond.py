@@ -439,6 +439,7 @@ _CLUSTER_SPLIT_CASE = SP.sql_split_column(
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
     # promoted r6 (rotation: first driver row)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/test split: a document's split is decided by
@@ -725,7 +726,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY measurement — recall@5 of the sign-LSH bucket path
@@ -916,7 +917,7 @@ def _sql_pq_adc() -> str:
     "sim_ann_pq_adc",
     _sql_pq_adc(),
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization + asymmetric distance (operators.similarity
@@ -1513,6 +1514,7 @@ def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v ORDER BY custkey, version
     """,
     # Promoted r6 (rotation: first driver row).
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def wh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history (operators.scd.scd2_from_changes):
@@ -1704,7 +1706,7 @@ def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): same portable-md5
     # determinism family as tx_hash_split, which is driver-green.
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-20-docs-per-language stratified sample
@@ -2327,7 +2329,7 @@ def ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle — users grouped by first-active
@@ -2589,7 +2591,7 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'regular' END AS segment
     FROM scored ORDER BY custkey
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def a16_rfm_segmentation(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -2701,7 +2703,7 @@ def a16_rfm_segmentation(
                 ELSE 'C' END AS abc_class
     FROM c ORDER BY cum_share, custkey
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def a17_pareto_customers(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -2945,7 +2947,7 @@ def a15_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY 1, 2 ORDER BY quarter, status
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def wh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL summary-table maintenance — the other half of the
@@ -3827,7 +3829,7 @@ def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st_cdc_apply",
     _CDC_ORACLE,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING face of wh_cdc_apply — same base, same synthetic
@@ -3899,6 +3901,7 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r6 (driver-facing from birth — VERDICT r5 ask #5: put the
     # Z-order storage-layout claim under the hard signal).
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def wh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Z-order/file-skipping proof as a DRIVER query (r5 verdict ask
@@ -4211,7 +4214,7 @@ def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2 ORDER BY day, event_type
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def st_stream_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming warehouse ingest — the Kappa capstone composing the
@@ -4532,7 +4535,7 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ph JOIN df USING (h)
     GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-passage report (operators.dedup.passage_dup_report):
@@ -4628,6 +4631,7 @@ def ev_equidepth_histogram(
     FROM x GROUP BY doc_id ORDER BY doc_id
     """,
     # Promoted r6 (rotation: first driver row for the decoder tier).
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio feature extraction end-to-end (operators.multimodal.
@@ -4662,7 +4666,7 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p GROUP BY doc_id ORDER BY doc_id
     """,
     # New r5 (locally pinned; r6 rotation candidate for the mm family).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image payload decode end-to-end (operators.multimodal.
@@ -4701,7 +4705,7 @@ def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p GROUP BY doc_id, f ORDER BY doc_id, frame_idx
     """,
     # New r5 (locally pinned; r6 rotation candidate for the mm family).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real video container parsing end-to-end (operators.multimodal.

@@ -67,7 +67,7 @@ from .queries import _t, query
                          * least(nr - 1, nc - 1))), 6) AS cramers_v
     FROM dims
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def qa_chi_square_segment_status(
     spark: SparkSession, sf_dir: str
@@ -190,7 +190,7 @@ PSI_WIDTH = 60000  # fixed-width bins over o_totalprice (~850..530k)
            (SELECT round(CAST(sum(x) AS DOUBLE), 6) FROM contrib) AS psi_total
     FROM contrib ORDER BY bin
     """,
-    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the order-price distribution, 1995
@@ -298,7 +298,7 @@ def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum, n) AS ks_d
     FROM n
     """,
-    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def qa_ks_two_sample(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -476,7 +476,7 @@ EWMA_WEIGHTS = [0.5**k for k in range(EWMA_K)]
     FROM e ORDER BY day
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event revenue with
@@ -650,7 +650,7 @@ def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
     FROM w
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t statistic (+ Welch-Satterthwaite df)
@@ -756,7 +756,7 @@ def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS z
     FROM u
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def qa_mann_whitney(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -971,7 +971,7 @@ def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
 )
 def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order value across the five market segments —
@@ -1266,8 +1266,8 @@ WILSON_Z = 1.959963984540054  # 97.5th normal quantile, repr-exact
     f"""
     WITH g AS (
       SELECT c_mktsegment AS segment, count(*) AS n,
-             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-               AS n_success
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_success
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1),
     m AS (
@@ -1371,7 +1371,7 @@ def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / pow(r2 - mu * mu, 2) - 3, 6) AS kurtosis_excess
     FROM c ORDER BY event_type
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
 )
 def qa_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact POPULATION skewness and excess kurtosis of event values per

@@ -89,3 +89,31 @@ def test_registry_oracle_coverage():
     for name, q in REGISTRY.items():
         assert q.spark is not None
         assert q.oracle is None or "SELECT" in q.oracle.upper()
+
+
+def test_oracle_output_types_have_no_hugeint(duck_smoke):
+    """Registry-wide oracle output-type audit (VERDICT r7 ask #1b).
+
+    DuckDB types an un-cast ``sum()`` over integers as HUGEINT, a width
+    Spark has no analogue for; the driver's value-hash canonicalizes
+    HUGEINT differently from Spark's bigint, so an oracle emitting one
+    fails the hash gate even when every value is bit-identical (r7:
+    ``qa_wilson_ci``'s ``n_success``, the registry's only raw-HUGEINT
+    output). ``DESCRIBE`` binds and types the query without executing
+    it, so scanning all 182 oracles costs seconds. Any integer sum an
+    oracle outputs must be wrapped in ``CAST(... AS BIGINT)``.
+    """
+    offenders = {}
+    for name in ORACLE_QUERIES:
+        res = duck_smoke.execute(f"DESCRIBE {REGISTRY[name].oracle}")
+        bad = [
+            (col, typ)
+            for col, typ, *_ in res.fetchall()
+            if "HUGEINT" in typ.upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with HUGEINT/UHUGEINT output columns (cast them to "
+        f"BIGINT): {offenders}"
+    )

@@ -21,7 +21,32 @@ from financial_transaction_data_warehouse_interactive_dashboard_spark.plans impo
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _row_green(row) -> bool:
+    return bool(
+        isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
 def _driver_green() -> set[str]:
+    """Names with at least one PASSING committed driver row. A failed
+    row (hash/rows/schema false or err set — e.g. qa_wilson_ci r7) must
+    not let an entry be demoted as if verified (ADVICE r7)."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if _row_green(row):
+                seen.add(name)
+    return seen
+
+
+def _driver_checked() -> set[str]:
+    """Names that have ANY committed driver row, pass or fail — the raw
+    'has been on the surface' semantics the first-timer/queue checks
+    need (a failed attempt still used up the entry's first-timer slot)."""
     seen: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         seen.update(json.load(open(path)))
@@ -75,9 +100,9 @@ def test_first_timers_are_actually_new_and_in_surface():
 
 
 def test_next_queue_is_never_driver_checked():
-    green = _driver_green()
+    checked = _driver_checked()
     current_in = set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"])
-    stale = set(R.NEXT_QUEUE) & (green | current_in)
+    stale = set(R.NEXT_QUEUE) & (checked | current_in)
     assert not stale, stale
 
 
