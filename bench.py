@@ -80,6 +80,12 @@ LARGE_RESULT = {
     "tx_repetition_ratio",
     "sim_random_projection",
     "dd_incremental_dedup",
+    # r8: duplicated-passage spans grow linearly with the corpus (4,691
+    # rows at sf0.1); promoted to the driver surface this round, so time
+    # the distributed path. (Basis change vs r7 is recorded by the new
+    # per-round "sink" map; r7's detail predates the map, so the one
+    # cross-basis vs_prev cell is called out here instead.)
+    "dd_passage_dupes",
     "ev_asof_purchase",
     "ev_range_views_before_purchase",
     "w6_user_day_gapfill",
@@ -92,6 +98,61 @@ LARGE_RESULT = {
 }
 
 
+def run_canary(spark, tables) -> dict[str, float]:
+    """Host-state calibration canary (VERDICT r7 ask #3).
+
+    Three fixed micro-probes with pinned, code-stable plans, timed as
+    warmed median-of-3. Their cost depends only on host state (CPU
+    contention, JVM scheduling), never on round-over-round code changes,
+    so `canary_total_s` is a per-run yardstick: cross-round wall-time
+    ratios divide out the canary ratio to separate host drift from real
+    regressions (r7 burned five full suite runs adjudicating what this
+    settles in ~2 seconds).
+    """
+    import statistics
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    lineitem, orders, customer = (
+        tables["lineitem"], tables["orders"], tables["customer"],
+    )
+
+    def scan_agg():
+        lineitem.groupBy("l_returnflag").agg(
+            F.sum("l_quantity"), F.count("*")
+        ).collect()
+
+    def bcast_join():
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        ).groupBy("c_mktsegment").count().collect()
+
+    def window_1k():
+        w = Window.partitionBy("g").orderBy("id")
+        (spark.range(0, 100_000)
+         .withColumn("g", F.col("id") % 16)
+         .withColumn("rn", F.row_number().over(w))
+         .groupBy("g").agg(F.max("rn")).collect())
+
+    out: dict[str, float] = {}
+    for label, fn in (("scan_agg", scan_agg), ("bcast_join", bcast_join),
+                      ("window_1k", window_1k)):
+        fn()  # warm the plan shape once
+        out[label] = round(statistics.median(
+            _timed(fn) for _ in range(3)
+        ), 4)
+    out["total_s"] = round(sum(out.values()), 4)
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -101,8 +162,11 @@ def main() -> None:
     # Warm-up: cache every input table (the reference's @st.cache_data
     # posture — load once, query many; Spark's CacheManager plan-matches
     # later reads of the same path onto the InMemoryRelation).
-    for df in load_tables(spark, sf_dir).values():
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
         df.cache().count()
+
+    canary = run_canary(spark, tables)
 
     def run_once(name: str) -> float:
         q = REGISTRY[name]
@@ -148,6 +212,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
+        "canary": canary,
+        # Timing basis per query (ADVICE r7): a reclassification between
+        # collect- and noop-sink timing changes the measurement path, so
+        # vs_prev must not diff across a basis change as if it were a
+        # perf delta. The map makes each round's basis machine-readable.
+        "sink": {
+            n: ("noop" if n in LARGE_RESULT else "collect")
+            for n in timings
+        },
     }
     if errors:
         detail["errors"] = errors
@@ -249,22 +322,49 @@ def main() -> None:
                 prev = prev["parsed"]
             if isinstance(prev, dict) and prev.get("sf") == detail["sf"]:
                 pq = prev.get("queries", {})
+                # Exclude entries whose timing basis changed since the
+                # compared round (ADVICE r7): a collect-vs-noop flip is a
+                # measurement-path change, not a perf delta. Only
+                # enforceable when the prior file recorded its basis.
+                prev_sink = prev.get("sink") or {}
+                basis_changed = sorted(
+                    n for n in timings
+                    if n in pq and n in prev_sink
+                    and prev_sink[n] != detail["sink"][n]
+                )
                 deltas = {
                     n: round(timings[n] / pq[n], 2)
                     for n in timings
-                    if n in pq and pq[n] > 0
+                    if n in pq and pq[n] > 0 and n not in basis_changed
                 }
                 # Totals compare ONLY the shared query set — the registry
                 # grows every round, so whole-suite totals from different
                 # rounds are different workloads and their ratio is noise.
                 shared_now = sum(timings[n] for n in deltas)
                 shared_prev = sum(pq[n] for n in deltas)
+                total_ratio = (
+                    round(shared_now / shared_prev, 3)
+                    if shared_prev > 0 else None
+                )
+                # Canary normalization (VERDICT r7 ask #3): divide out
+                # the host-state ratio so cross-round comparisons read
+                # code changes, not box load. Only when the prior round
+                # recorded a canary.
+                prev_canary = (prev.get("canary") or {}).get("total_s")
+                canary_ratio = (
+                    round(canary["total_s"] / prev_canary, 3)
+                    if prev_canary else None
+                )
                 detail["vs_prev"] = {
                     "file": os.path.basename(prev_path),
                     "n_shared": len(deltas),
-                    "total_ratio": round(shared_now / shared_prev, 3)
-                    if shared_prev > 0
-                    else None,
+                    "total_ratio": total_ratio,
+                    "canary_ratio": canary_ratio,
+                    "total_ratio_canary_norm": (
+                        round(total_ratio / canary_ratio, 3)
+                        if total_ratio and canary_ratio else None
+                    ),
+                    "basis_changed_excluded": basis_changed,
                     "regressed_1_3x": {
                         n: r for n, r in sorted(deltas.items()) if r > 1.3
                     },
@@ -319,11 +419,29 @@ def main() -> None:
             # Same-sf only: adjudication blocks written about an sf0.1
             # run must not silently annotate an sf0.01 re-run's numbers.
             if isinstance(prior, dict) and prior.get("sf") == detail["sf"]:
-                for k in ("median3_recheck", "notes"):
+                for k in ("median3_recheck", "notes",
+                          "weak_ratio_adjudicated"):
                     if k in prior and k not in detail:
                         detail[k] = prior[k]
         except (OSError, json.JSONDecodeError):
             pass
+        # VERDICT r7 ask #4: when a hand-recorded idle-host adjudication
+        # exists for a weak-pair ratio (carried block
+        # `weak_ratio_adjudicated`, written during a drift post-mortem),
+        # the machine-readable `weak_entry_ratios` field must carry the
+        # adjudicated number, not the drifted recording — the raw
+        # measurement moves to `weak_entry_ratios_measured` so nothing
+        # is hidden and the method field says which is which.
+        if isinstance(detail.get("weak_ratio_adjudicated"), dict):
+            for label, ratio in detail["weak_ratio_adjudicated"].items():
+                if label in detail.get("weak_entry_ratios", {}):
+                    detail.setdefault("weak_entry_ratios_measured", {})[
+                        label
+                    ] = detail["weak_entry_ratios"][label]
+                    detail["weak_entry_ratios"][label] = ratio
+                    detail["weak_entry_method"][label] = (
+                        "adjudicated_idle_host_median3"
+                    )
         # Atomic: write-temp + rename, so a crash mid-dump can never
         # leave a truncated half-JSON detail file behind.
         tmp = detail_path + ".tmp"
@@ -351,6 +469,7 @@ def main() -> None:
         "sf": detail["sf"],
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "canary_s": canary["total_s"],
         "detail_file": detail_name,
         "run_id": run_id,
     }
@@ -362,6 +481,8 @@ def main() -> None:
             "file": vp["file"],
             "n_shared": vp["n_shared"],
             "total_ratio": vp["total_ratio"],
+            "canary_ratio": vp["canary_ratio"],
+            "total_ratio_canary_norm": vp["total_ratio_canary_norm"],
             "n_regressed_1_3x": len(vp["regressed_1_3x"]),
             "n_improved_0_7x": len(vp["improved_0_7x"]),
         }

@@ -94,16 +94,50 @@ def classify_windows(plan: str) -> tuple[int, int]:
     return n_global, n_partitioned
 
 
+def _catalog_row_count(df: DataFrame) -> int | None:
+    """Exact row count from Catalyst's stats, WITHOUT running a job —
+    defined when ``df`` is a bare scan of a catalog table carrying fresh
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` row counts (VERDICT r7 ask
+    #7). Restricted to LEAF optimized plans: above a filter/join, CBO
+    rowCounts are estimates, and a safety knob must not flip plans on an
+    estimate. Returns None whenever stats are absent or the plan is not
+    a leaf — callers fall back to the probe."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.children().size() != 0:
+            return None
+        # Plan-level stats carry rowCount for intrinsically-sized leaves
+        # (Range, LocalRelation) and, under CBO, analyzed relations.
+        rc = plan.stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        # Without spark.sql.cbo.enabled, Catalyst keeps the analyzed
+        # rowCount out of plan stats (sizeInBytes only) — read it
+        # straight off the leaf's CatalogTable metadata instead.
+        ct = plan.catalogTable()
+        if ct.isDefined():
+            st = ct.get().stats()
+            if st.isDefined():
+                rc = st.get().rowCount()
+                if rc.isDefined():
+                    return int(str(rc.get()))
+    except Exception:  # py4j surface varies across versions; probe instead
+        return None
+    return None
+
+
 def resolve_scale_safe(df: DataFrame, requested: bool = False) -> bool:
     """Effective scale_safe mode for a global-window site whose window
     runs over ``df``. ``requested=True`` (the explicit per-call flag)
     always wins and skips the probe; otherwise the session conf
     ``SCALE_SAFE_CONF`` is read and, when set to a non-negative integer
-    N, the site goes two-phase iff ``df`` has more than N rows — probed
-    with ``limit(N+1).count()``. On a raw frame the limit early-stops
-    the scan; on an aggregated frame (every current call site) the probe
-    executes the frame's plan once, so enabling the knob trades one
-    extra pre-window pass for never hitting a single-partition sort."""
+    N, the site goes two-phase iff ``df`` has more than N rows. The row
+    count comes free from catalog stats when ``df`` is a bare scan of an
+    ANALYZEd table (no job at all); otherwise it is probed with
+    ``limit(N+1).count()``. On a raw frame the limit early-stops the
+    scan; on an aggregated frame the probe executes the frame's plan
+    once, so enabling the knob trades one extra pre-window pass for
+    never hitting a single-partition sort."""
     if requested:
         return True
     try:
@@ -121,6 +155,9 @@ def resolve_scale_safe(df: DataFrame, requested: bool = False) -> bool:
         ) from exc
     if threshold < 0:
         return False
+    exact = _catalog_row_count(df)
+    if exact is not None:
+        return exact > threshold
     return df.limit(threshold + 1).count() > threshold
 
 

@@ -139,7 +139,10 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "wh_zorder_skipping": ("zorder", "morton", "skipping", "layout"),
     "ev_attribution_linear": ("linear", "multitouch", "split", "evenly", "shared"),
     "ev_winsorized_stats": ("winsorized", "winsorize", "clipped", "clip", "trimmed"),
-    "sim_recall_at_k": ("recall", "ann", "k", "evaluate", "evaluation", "accuracy"),
+    # No bare "k" keyword (ADVICE r7): any phrase tokenizing to a lone
+    # 'k' ("evaluate top k segments") would score for the ANN-recall
+    # route; rely on the multi-token evidence instead.
+    "sim_recall_at_k": ("recall", "ann", "evaluate", "evaluation", "accuracy", "groundtruth"),
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
     "a30_brand_ppr": ("related", "personalized", "pagerank", "recommendations", "seeded", "seed", "anchor"),

