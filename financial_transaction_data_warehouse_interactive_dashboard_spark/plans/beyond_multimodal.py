@@ -1,0 +1,262 @@
+"""Multimodal-tier named queries (mm_*) — split from ``plans/beyond.py`` in round 8.
+
+Pure mechanical move (VERDICT r7 ask #8): registry names, oracles, and
+driver history are unchanged; ``plans.beyond`` still imports and
+re-exports every entry, so existing import paths keep working. Shared
+DuckDB fragments/helpers stay in ``plans.beyond`` and are imported from
+there (it is mid-initialization at that point, but the shared block is
+defined before the tier imports at its bottom run).
+"""
+
+from __future__ import annotations
+
+from ..operators import multimodal as M
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from .queries import _t, query
+
+
+
+
+# ===========================================================================
+# Multimodal + streaming (rows-only entries)
+# ===========================================================================
+
+
+@query(
+    "mm_blob_meta",
+    """
+    SELECT doc_id,
+           (54 + ((3 * w + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+           w AS width, h AS height, 'bmp' AS format
+    FROM (SELECT doc_id,
+                 (doc_id % 64 + 1)::BIGINT AS w,
+                 (doc_id * 7 % 64 + 1)::BIGINT AS h
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    # Promoted r5 into the driver surface: the decode stage now parses a
+    # REAL format (BMP header round-trip) instead of the md5 stand-in,
+    # which mm_features_resize still pins driver-side.
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
+)
+def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline over a REAL format: per document a
+    genuine 24-bit BMP payload is synthesized (dims derived from doc_id)
+    and decoded back by parsing actual BMP header bytes (struct unpack at
+    the format's fixed offsets — operators.multimodal.bmp_roundtrip_meta).
+    The oracle recomputes width/height/file size from doc_id arithmetic
+    (54-byte header + 4-byte-aligned scanline math), independent of the
+    encoder/decoder code."""
+    return M.bmp_roundtrip_meta(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+
+
+@query(
+    "mm_features_resize",
+    f"""
+    SELECT doc_id,
+           array_to_string(
+             [(('0x' || substr(md5(text || '_' || i), 1, 8))::BIGINT % 1000)
+              for i in range(0, {M.FEATURE_DIM})], ',') AS features_csv,
+           CASE WHEN w >= h THEN 256 ELSE (w * 256) // h END AS out_w,
+           CASE WHEN w >= h THEN (h * 256) // w ELSE 256 END AS out_h,
+           strlen(text)::BIGINT AS n_bytes,
+           w AS width, h AS height, 'fake' AS format
+    FROM (SELECT doc_id, text,
+                 ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 + 1 AS w,
+                 ('0x' || substr(md5(text), 9, 8))::BIGINT % 1024 + 1 AS h
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+)
+def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature-extraction + resize-planning in one
+    driver row: BOTH Arrow mapInPandas stages run — blob_metadata (the
+    decode stage the demoted mm_blob_meta entry pins individually) and
+    extract_features — joined on doc_id. The oracle recomputes the
+    md5-derived metadata, embedding, and integer resize geometry over
+    the same bytes.
+
+    The operator's API output is ``array<double>`` (the schema the
+    similarity operators consume); the checked registry projection
+    serializes it to canonical integer milli-values (features are exactly
+    k/1000, k in 0..999) because the driver's comparator hashes scalar
+    columns only — arrays are unhashable in its pandas canonicalizer.
+    """
+    docs = M.attach_blob(_t(spark, sf_dir, "documents"))
+    feats = M.extract_features(docs)
+    meta = M.blob_metadata(docs)
+    return (
+        feats.select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "features",
+                    lambda x: F.round(x * 1000).cast("int").cast("string"),
+                ),
+            ).alias("features_csv"),
+            "out_w",
+            "out_h",
+        )
+        .join(meta, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+
+
+@query(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, j AS frame_idx,
+           md5(substr(text, j * 64 + 1, 64)) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 2))
+                   AS j
+          FROM documents)
+    ORDER BY doc_id, frame_idx
+    """,
+    # Demoted r4 to fund sk_salted_hot_join under the 50-row driver cap:
+    # sibling of mm_features_resize (same Arrow mapInPandas multimodal
+    # plumbing, driver-green r3); locally oracle-pinned.
+    driver=False,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 2nd 64-byte frame) —
+    mapInPandas row fan-out; the oracle slices the same bytes with
+    substr (fixture text is ASCII, so char and byte offsets coincide)."""
+    docs = M.attach_blob(_t(spark, sf_dir, "documents"))
+    return M.frame_sample(docs, frame_bytes=64, every=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+
+
+@query(
+    "mm_wav_features",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 100 + 50 AS n,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents),
+    s AS (
+      SELECT doc_id, n, rate, i,
+             ((doc_id * 37 + i * 17) % 2048) - 1024 AS v
+      FROM d, range(0, 150) r(i) WHERE i < n),
+    x AS (
+      SELECT doc_id, n, rate, i, v,
+             CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg,
+             lag(CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS psg
+      FROM s)
+    SELECT doc_id,
+           min(n) AS n_samples,
+           min(rate) AS sample_rate,
+           CAST((min(n) * 1000000) // min(rate) AS BIGINT) AS duration_us,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           round(sqrt(sum(v * v) / min(n)), 6) AS rms,
+           CAST(sum(CASE WHEN psg IS NOT NULL AND sg <> psg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
+    # Promoted r6 (rotation: first driver row for the decoder tier).
+    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+)
+def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio feature extraction end-to-end (operators.multimodal.
+    wav_pcm_features): per-doc PCM16 WAV bytes are synthesized, RIFF
+    chunk-walked, numpy-decoded, and reduced to peak / RMS / zero-
+    crossings / duration — the first-pass audio QC features a training
+    pipeline computes before any model touches the waveform. The oracle
+    recomputes every feature from doc_id arithmetic WITHOUT the bytes,
+    so the whole encode -> chunk walk -> int16 decode -> feature path
+    must be byte-exact. Integer features stay integer end-to-end; RMS is
+    the one double (sqrt of an exact integer ratio, rounded 6dp).
+    Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.wav_pcm_features(docs).orderBy("doc_id")
+
+
+
+
+@query(
+    "mm_bmp_pixels",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, (doc_id * 7) % 64 + 1 AS h
+      FROM documents),
+    p AS (
+      SELECT doc_id, w, h, (doc_id + 3 * x + 5 * y) % 256 AS v
+      FROM d, range(0, 64) rx(x), range(0, 64) ry(y)
+      WHERE x < w AND y < h)
+    SELECT doc_id, min(w) AS width, min(h) AS height,
+           round(sum(v) / (min(w) * min(h)), 6) AS mean_brightness,
+           CAST(min(v) AS BIGINT) AS min_brightness,
+           CAST(max(v) AS BIGINT) AS max_brightness,
+           CAST(min(doc_id) % 256 AS BIGINT) AS top_left
+    FROM p GROUP BY doc_id ORDER BY doc_id
+    """,
+    # New r5 (locally pinned; r6 rotation candidate for the mm family).
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+)
+def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image payload decode end-to-end (operators.multimodal.
+    bmp_pixel_features): per-doc 24-bit BMPs with an arithmetic pixel
+    gradient are synthesized, then the PIXEL BUFFER is decoded — header
+    data offset, 4-byte scanline padding, and bottom-up row order all
+    load-bearing — into brightness statistics. The oracle recomputes the
+    features from doc_id arithmetic without the bytes; top_left in
+    particular is image coordinate (0,0), which lives in the LAST stored
+    scanline, so a decoder that skips the vertical flip fails on every
+    doc with height > 1. Completes the modality pair with
+    mm_wav_features (audio). Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.bmp_pixel_features(docs).orderBy("doc_id")
+
+
+
+
+@query(
+    "mm_avi_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 12 + 4 AS nf, doc_id % 16 + 1 AS w,
+             (doc_id * 3) % 16 + 1 AS h
+      FROM documents),
+    fr AS (
+      SELECT doc_id, nf, w, h, f
+      FROM d, range(0, 16) rf(f) WHERE f < nf AND f % 3 = 0),
+    p AS (
+      SELECT doc_id, f, nf, w, h,
+             (doc_id + 7 * f + 3 * x + 5 * y) % 256 AS v
+      FROM fr, range(0, 16) rx(x), range(0, 16) ry(y)
+      WHERE x < w AND y < h)
+    SELECT doc_id, f AS frame_idx, min(nf) AS n_frames,
+           min(w) AS width, min(h) AS height,
+           round(sum(v) / (min(w) * min(h)), 6) AS mean_brightness,
+           CAST((min(doc_id) + 7 * f) % 256 AS BIGINT) AS top_left
+    FROM p GROUP BY doc_id, f ORDER BY doc_id, frame_idx
+    """,
+    # New r5 (locally pinned; r6 rotation candidate for the mm family).
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+)
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video container parsing end-to-end (operators.multimodal.
+    avi_frame_features): per-doc AVI files — nested RIFF LISTs, an avih
+    main header, one uncompressed DIB chunk per frame — are synthesized
+    and walked back out, sampling every third frame into brightness
+    features. The avih frame count is cross-checked against the counted
+    movi chunks inside the task (container-walk drift fails loudly), and
+    the oracle recomputes every sampled frame's features from doc_id
+    arithmetic without the bytes. Completes the image/audio/video
+    modality triple with REAL payload decoding in each.
+    Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.avi_frame_features(docs).orderBy("doc_id", "frame_idx")

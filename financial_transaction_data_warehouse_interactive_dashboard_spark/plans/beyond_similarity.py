@@ -1,0 +1,452 @@
+"""Similarity/ANN-tier named queries (sim_*) — split from ``plans/beyond.py`` in round 8.
+
+Pure mechanical move (VERDICT r7 ask #8): registry names, oracles, and
+driver history are unchanged; ``plans.beyond`` still imports and
+re-exports every entry, so existing import paths keep working. Shared
+DuckDB fragments/helpers stay in ``plans.beyond`` and are imported from
+there (it is mid-initialization at that point, but the shared block is
+defined before the tier imports at its bottom run).
+"""
+
+from __future__ import annotations
+
+from ..operators import similarity as S
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .beyond import (  # shared fragments/helpers
+    _sql_ivf_kmeans,
+    _sql_pq_adc,
+)
+from .queries import _t, query
+
+
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@query(
+    "sim_hybrid_rrf",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    qterms AS (
+      SELECT doc_id AS query_id, term,
+             round(ln(n_docs / df), 6) AS idf
+      FROM tf JOIN dfreq USING (term), n
+      WHERE doc_id < 8
+      QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(tf * ln(n_docs / df), 6) DESC, term ASC) <= 3),
+    kw AS (
+      SELECT q.query_id, t.doc_id,
+             round(sum(t.tf * q.idf), 6) AS kw_score
+      FROM qterms q JOIN tf t USING (term)
+      WHERE t.doc_id != q.query_id
+      GROUP BY 1, 2),
+    kwr AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY kw_score DESC, doc_id ASC) AS r
+      FROM kw
+      QUALIFY r <= 10),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    vr AS (
+      SELECT query_id, e.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                        e.vec_id ASC) AS r
+      FROM q JOIN e ON e.vec_id != q.query_id
+      QUALIFY r <= 10),
+    fused AS (
+      SELECT coalesce(kwr.query_id, vr.query_id) AS query_id,
+             coalesce(kwr.doc_id, vr.doc_id) AS doc_id,
+             round(coalesce(1.0::DOUBLE / (60 + kwr.r), 0)
+                   + coalesce(1.0::DOUBLE / (60 + vr.r), 0), 6) AS rrf,
+             kwr.r AS kw_rank, vr.r AS vec_rank
+      FROM kwr FULL OUTER JOIN vr
+        ON kwr.query_id = vr.query_id AND kwr.doc_id = vr.doc_id)
+    SELECT query_id, doc_id, rrf, kw_rank, vec_rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) <= 10
+    ORDER BY query_id, rrf DESC, doc_id
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=False,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion — the modern search
+    stack in one lazy plan: a KEYWORD leg (each query doc's top-3 TF-IDF
+    terms probe the inverted index; candidates scored by matched
+    tf x idf) and a VECTOR leg (cosine top-10 over the embedding
+    column) are fused per (query, doc) by RRF
+    (score = sum 1/(60 + rank); Cormack et al.'s k=60), which needs no
+    score calibration between legs — the reason RRF is the default
+    fusion everywhere. Docs found by only one leg still rank (outer
+    join + coalesce 0).
+
+    Scale: the keyword leg is an inverted-index equi-join on term
+    (selective: 3 terms/query), never a doc x doc scan; the vector leg
+    is the exactness baseline here — swap in the IVF cell-probe for a
+    production corpus. Ranks are integers and scores round before
+    ranking, so the oracle pins the fused ORDER, not just membership."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n))
+    wq = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).desc(),
+        F.asc("term"),
+    )
+    qterms = (
+        scored.filter(F.col("doc_id") < 8)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+    )
+    kw = (
+        qterms.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("kw_score"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("kw_score"), F.asc("doc_id")
+    )
+    kwr = (
+        kw.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "doc_id", F.col("r").alias("kw_rank"))
+    )
+    vr = S.topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=10
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
+        )
+        .alias("vec_rank"),
+    )
+    fused = (
+        kwr.join(vr, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("_fr", F.row_number().over(wf))
+        .filter(F.col("_fr") <= 10)
+        .select("query_id", "doc_id", "rrf", "kw_rank", "vec_rank")
+        .orderBy("query_id", F.desc("rrf"), "doc_id")
+    )
+
+
+
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8)
+    SELECT query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 6) AS cosine
+    FROM q JOIN e ON e.vec_id != q.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, e.vec_id ASC
+    ) <= 10
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 8 vectors.
+
+    SCALE NOTE — exactness BASELINE, not the 100 TB path: this is a full
+    linear corpus scan per query batch (right up to ~10^7 vectors, and
+    the recall yardstick for the ANN tests). Route large-corpus serving
+    to sim_ann_ivf / sim_ann_ivf_kmeans* (partition-pruned probes over
+    the write_ivf_layout cell layout) or sim_ann_signlsh."""
+    return S.topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=10
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+
+
+@query(
+    "sim_ann_signlsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+            list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+                      for i in range(0, {S.SIGN_BITS})])::BIGINT AS bkt
+          FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt FROM b WHERE vec_id < 8)
+    SELECT query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 6) AS cosine
+    FROM q JOIN b ON b.bkt = q.qbkt AND b.vec_id != q.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, b.vec_id ASC
+    ) <= 5
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+)
+def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within the query's sign-LSH bucket (the scale path)."""
+    return S.topk_ann_signlsh(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+
+
+@query(
+    "sim_recall_at_k",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    ex AS (
+      SELECT query_id, e.vec_id AS neighbor_id
+      FROM q JOIN e ON e.vec_id != q.query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, e.vec_id ASC
+      ) <= 5),
+    b AS (SELECT vec_id, v,
+            list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+                      for i in range(0, {S.SIGN_BITS})])::BIGINT AS bkt
+          FROM e),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+           FROM b WHERE vec_id < 8),
+    ann AS (
+      SELECT query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN b ON b.bkt = qb.qbkt AND b.vec_id != qb.query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, b.vec_id ASC
+      ) <= 5),
+    na AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+    h AS (SELECT a.query_id, count(*) AS n_hits
+          FROM ann a JOIN ex ON ex.query_id = a.query_id
+                            AND ex.neighbor_id = a.neighbor_id
+          GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM ex)
+    SELECT qs.query_id,
+           CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6)
+             AS recall_at_5
+    FROM qs LEFT JOIN na USING (query_id) LEFT JOIN h USING (query_id)
+    ORDER BY query_id
+    """,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY measurement — recall@5 of the sign-LSH bucket path
+    against the exact brute-force top-5, per query ('measure, don't
+    guess' applied to the index itself: the number a 100 TB deployment
+    watches when tuning SIGN_BITS / nprobe, produced by the engine
+    instead of asserted in a docstring). n_ann < 5 exposes undersized
+    buckets; n_hits counts exact neighbors the ANN path found; the
+    recall denominator is the requested k, so empty buckets score 0.
+
+    Scale: the exact leg is the linear yardstick run over a bounded
+    QUERY SAMPLE (8 probes here) — evaluation cost is n_queries x
+    corpus, not corpus^2; the ANN leg is the production bucket
+    equi-join. Composes the two already-oracled retrieval pipelines and
+    re-derives both in the oracle, so the measurement is itself under
+    the hash gate. Reference analogue: none."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.topk_ann_signlsh(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    qs = exact.select("query_id").distinct()
+    na = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.join(na, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 5, 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+
+
+@query(
+    "sim_ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, cell
+      FROM e, c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell ASC
+      ) = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (
+      SELECT query_id, qv, cell
+      FROM q, c
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cell ASC
+      ) <= 2)
+    SELECT query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, a.v), 6) AS cosine
+    FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(qv, a.v), 6) DESC, a.vec_id ASC
+    ) <= 5
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+    driver=False,  # folded: iter3 kmeans variant supersets the IVF mechanics
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse cells + nprobe probing) — the oracle reproduces the
+    quantizer, cell assignment, and probing, so the index STRUCTURE is
+    correctness-checked, not just final scores."""
+    return S.topk_ann_ivf(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_cells=16, nprobe=2
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+
+
+@query(
+    "sim_ann_pq_adc",
+    _sql_pq_adc(),
+    # New r6 (locally pinned; r7 rotation candidate).
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance (operators.similarity
+    .topk_ann_pq): 8 subspace codebooks of 8 centroids (one decimal-
+    exact Lloyd refine), corpus stored as 8 codes/vector (32x
+    compression), queries ranked by the exact-DECIMAL sum of rounded
+    per-subspace inner products. The oracle replays codebook training,
+    encoding, and ADC bit-for-bit — completing the oracle-checked vector
+    index triad (sign-LSH buckets, IVF cell probing, PQ compression)."""
+    return S.topk_ann_pq(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5
+    ).orderBy("query_id", F.desc("approx_ip"), "neighbor_id")
+
+
+
+
+@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1), driver=False)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
+    exact centroid means). The oracle reproduces seeding, assignment, the
+    refinement arithmetic, and probing — the full index build is
+    correctness-checked bit-for-bit."""
+    return S.topk_ann_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_cells=16, nprobe=2
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+
+
+
+@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3), driver=False)  # demoted r7 (rotation)
+def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration Lloyd refinement (3 iterations, each materialized
+    once and decimal-exact): the converged-quantizer path. The oracle SQL
+    is GENERATED for the same iteration count (_sql_ivf_kmeans), so Spark
+    and DuckDB run the identical iteration-unrolled algorithm — every
+    intermediate centroid set is implicitly pinned."""
+    return S.topk_ann_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=8,
+        k=5,
+        n_cells=16,
+        nprobe=2,
+        iterations=3,
+    ).orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+
+
+@query(
+    "sim_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v, list_max([abs(x) for x in v]) / 127 AS scale FROM v)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           round(scale, 9) AS scale9,
+           array_to_string(
+             [CAST(CASE WHEN scale = 0 THEN 0
+                        WHEN x >= 0 THEN floor(x / scale + 0.5)
+                        ELSE -floor(-x / scale + 0.5) END AS BIGINT)
+              for x in v], ',') AS codes_csv
+    FROM s ORDER BY vec_id
+    """,
+    # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (operators.similarity.quantize_int8):
+    per-vector symmetric scale + half-away-from-zero codes, byte-pinned
+    by an oracle that reproduces the same float64 arithmetic over the
+    same float32 inputs — codes AND scales must match exactly, so a
+    rounding-mode drift (numpy's half-to-even default, for instance)
+    fails the gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb).orderBy("vec_id")

@@ -1,0 +1,405 @@
+"""Streaming-tier named queries (st_*) — split from ``plans/beyond.py`` in round 8.
+
+Pure mechanical move (VERDICT r7 ask #8): registry names, oracles, and
+driver history are unchanged; ``plans.beyond`` still imports and
+re-exports every entry, so existing import paths keep working. Shared
+DuckDB fragments/helpers stay in ``plans.beyond`` and are imported from
+there (it is mid-initialization at that point, but the shared block is
+defined before the tier imports at its bottom run).
+"""
+
+from __future__ import annotations
+
+from ..streaming import stream as ST
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .beyond import (  # shared fragments/helpers
+    _CDC_ORACLE,
+    _cdc_audit,
+    _cdc_base,
+    _cdc_changelog,
+)
+from .queries import _t, query
+
+
+
+
+@query(
+    "st_cdc_apply",
+    _CDC_ORACLE,
+    # New r6 (locally pinned; future rotation candidate).
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+)
+def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of wh_cdc_apply — same base, same synthetic
+    changelog (shared _cdc_changelog, so the twins cannot drift), but
+    folded one REAL microbatch at a time (streaming.stream.
+    run_cdc_apply_stream: seq<=1 then seq>1 as two files under
+    maxFilesPerTrigger=1, foreachBatch applying the last-wins fold into
+    versioned parquet state). Shares wh_cdc_apply's oracle verbatim:
+    stream == batch is the checked contract, and a dropped / doubled /
+    out-of-order microbatch shifts the audit aggregate and fails the
+    hash. Eager maintenance-JOB posture (fresh source + checkpoint +
+    state per invocation)."""
+    from ..streaming.stream import run_cdc_apply_stream
+
+    base = _cdc_base(spark, sf_dir)
+    final = run_cdc_apply_stream(
+        spark, base, _cdc_changelog(base), key="k", tie_break="op"
+    )
+    return _cdc_audit(final)
+
+
+
+
+@query(
+    "st_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # Demoted r5 (rotation: family already multiply driver-green; stays
+    # pinned by the local oracle sweep).
+    driver=False,
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.windows.tumbling executed as a real Structured Streaming
+    job (file source -> watermark -> complete mode -> memory sink).
+
+    Oracle: identical to batch twin ev_tumbling_hourly — the design rule
+    (window expressions authored once, lifted to streaming unchanged)
+    makes stream == batch an exact contract, so the streaming execution
+    gets the same DuckDB oracle instead of a rows-only blind spot. The
+    equality is also asserted directly in tests/test_beyond_ops.py. State-store count sized to check
+    scale via num_state_partitions (streaming.stream._state_partitions)."""
+    return ST.run_tumbling_stream(spark, sf_dir, num_state_partitions=8).orderBy(
+        "window_start", "event_type"
+    )
+
+
+
+
+@query(
+    "st_late_data",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+)
+def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the gate
+    (streaming.stream.run_late_data_stream): the source replays a full
+    day of events a month late; correct watermark handling DROPS every
+    replay, so the append-mode hourly aggregate equals the clean batch
+    aggregate — which is exactly what the oracle computes. A broken
+    watermark (or none) would double the first day's counts and
+    hash-mismatch. The companion metric assertion (the replay file was
+    read-and-dropped, not skipped) lives in
+    tests/test_beyond_ops.py::test_late_data_drop_metrics."""
+    return ST.run_late_data_stream(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )
+
+
+
+
+@query(
+    "st_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events ORDER BY event_id
+    """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
+)
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark) against an
+    input that really contains duplicates: the source replays the final
+    hour of events in a second microbatch (streaming.stream.
+    run_dedup_stream). The every-event-exactly-once oracle only holds if
+    the dedup state actually drops the replay — a missing or expired
+    dedup would fail on row count. State-store count sized to check
+    scale via num_state_partitions (streaming.stream._state_partitions)."""
+    return ST.run_dedup_stream(spark, sf_dir, num_state_partitions=8).orderBy(
+        "event_id"
+    )
+
+
+
+
+@query(
+    "st_sessionize_stateful",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes'
+             THEN 0 ELSE 1 END AS brk
+      FROM events WHERE user_id % 10 = 0),
+    s AS (SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, first_ts
+    """,
+    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+)
+def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator (applyInPandasWithState +
+    event-time timeout, streaming.stream.sessionize_stateful) run
+    end-to-end: per-user O(1) state (three longs), sessions emitted when
+    the watermark fires the timeout, sentinel-flushed tail. Same
+    gaps-and-islands oracle as the built-in session_window twins — the
+    hand-rolled state machine must agree with both the batch operator
+    and DuckDB.
+
+    Runs on a deterministic 10% key-domain sample (user_id % 10 == 0,
+    mirrored in the oracle): the operator's cost is one Python call per
+    key per microbatch, so the full key domain belongs on a cluster, not
+    in the correctness loop — see run_session_stream_stateful's
+    docstring for the measured overhead rate. The built-in session_window
+    twin (st_sessionize) covers the full domain. num_state_partitions=16
+    balances state-store maintenance against Python-worker parallelism
+    (measured best at check scale)."""
+    return ST.run_session_stream_stateful(
+        spark, sf_dir, user_mod=10, num_state_partitions=16
+    ).orderBy("user_id", "first_ts")
+
+
+
+
+@query(
+    "st_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes'
+             THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (SELECT user_id, ts, value,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           count(*) AS n_events,
+           sum(value::DECIMAL(30,6))::DOUBLE AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, first_ts
+    """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming session windows (the hard case: a session is
+    emitted only when the watermark proves it closed) — multi-batch file
+    source, sentinel-driven watermark advance, availableNow; see
+    streaming.stream.run_session_stream. Oracle: the same gaps-and-islands
+    SQL as batch twin ev_sessionize, because append-mode flush emits
+    exactly the batch session set once the watermark passes the tail. State-store count sized to check
+    scale via num_state_partitions (streaming.stream._state_partitions)."""
+    return ST.run_session_stream(spark, sf_dir, num_state_partitions=8).orderBy(
+        "user_id", "first_ts"
+    )
+
+
+
+
+@query(
+    "st_foreach_batch_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
+)
+def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming egress through foreachBatch into a PARQUET sink (the
+    production write path; the other streaming rows use test-only memory
+    sinks): the sentinel multi-batch source streams events through 2+
+    microbatches, each appended to parquet by a plain batch writer
+    (streaming.stream.run_foreach_batch_sink), and the sink is read BACK
+    and aggregated. The every-event-exactly-once oracle fails on row
+    count if any microbatch is dropped or written twice — it checks the
+    sink's contents, not the stream's in-memory state."""
+    sink = ST.run_foreach_batch_sink(spark, sf_dir)
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+
+
+@query(
+    "st_stream_merge_rollup",
+    """
+    SELECT date_trunc('day', ts)::DATE AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    # New r5 (locally pinned; rotation candidate for r6's driver swap).
+    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+)
+def st_stream_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming warehouse ingest — the Kappa capstone composing the
+    streaming and maintenance tiers (streaming.stream.
+    run_stream_merge_rollup): a multi-microbatch event stream merges
+    each batch's partial (day, event_type) aggregate into a
+    day-partitioned rollup table via mergeable re-summation + dynamic
+    partition overwrite, the SAME incremental-refresh mechanics as
+    wh_incremental_rollup. The from-scratch batch recompute oracle only
+    matches if every microbatch merged exactly once — a dropped or
+    doubled merge breaks counts AND decimal sums."""
+    t = ST.run_stream_merge_rollup(spark, sf_dir)
+    return (
+        t.select(
+            "day",
+            "event_type",
+            "n",
+            F.col("total").cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+
+
+@query(
+    "st_stream_static_enrich",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+    # Locally-pinned (driver surface capped at 50): the stateless
+    # broadcast-enrichment half of the streaming join story; the
+    # stateful half is st_stream_stream_join.
+    driver=False,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment executed as a real streaming
+    job (streaming.stream.run_stream_static_enrich): events microbatches
+    probe the static customer dim — no join state — into a complete-mode
+    segment aggregate, oracled by the equivalent batch join."""
+    return ST.run_stream_static_enrich(spark, sf_dir).orderBy("segment")
+
+
+
+
+@query(
+    "st_stream_stream_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts,
+           v.value AS v_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts < p.ts
+    ORDER BY event_id, v_ts
+    """,
+    # Promoted r5 into the driver surface (rotation: first driver row).
+    driver=False,  # demoted r7 (rotation; multiply driver-green)
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join run end-to-end as a real
+    Structured Streaming job (streaming.stream.run_stream_stream_join):
+    purchases x views of the same user within the trailing hour, matches
+    found ACROSS microbatches out of join state, state eviction bounded
+    by the range condition + watermarks. The batch interval-join oracle
+    (same semantics as ev_range_views_before_purchase's inner form)
+    fails if cross-batch state is dropped or leaks duplicate emits.
+
+    num_state_partitions=8: state-store count sized to the check-scale
+    key domain (the standard stateful-streaming capacity knob). Cost
+    adjudicated under median-of-3 at sf0.1 (r6): 1.17x vs a single
+    state partition (4.45s vs 3.81s) — the deliberate scale posture for
+    a ~17% check-scale premium; the r4->r5 2x reading was this plus
+    host noise (numbers pinned in BENCH_DETAIL_r06.json's
+    median3_recheck block). A production deployment sizes it to
+    throughput instead."""
+    return ST.run_stream_stream_join(
+        spark, sf_dir, num_state_partitions=8
+    ).orderBy("event_id", "v_ts")
+
+
+
+
+# ---------------------------------------------------------------------------
+# st_daily_actives_hll: streaming distinct-count rollup via HLL sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_daily_actives_hll",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           count(DISTINCT user_id) AS active_exact,
+           1 AS hll_within_tol
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+)
+def st_daily_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct active users computed by a REAL Structured
+    Streaming job — COUNT(DISTINCT) is unsupported in streaming
+    aggregations, so this is the canonical workaround every streaming
+    pipeline ships: a mergeable HLL sketch per day window under a
+    watermark (streaming.stream.run_daily_actives_hll), O(KB) state per
+    window instead of an unbounded user-id set, arrival-order
+    insensitive (per-register max), late-data-correct up to the
+    watermark.
+
+    Oracle contract (the ev_active_users_hll split): event counts and
+    the EXACT batch distinct are value-checked; the streamed estimate
+    rides as the hll_within_tol claim column per day (1 iff within 5%
+    of exact — lgK=12 gives ~1.6% se). The stream==batch sketch
+    estimate EQUALITY is additionally asserted in the unit tests (the
+    11th streaming operator, and the module's stream==batch design rule
+    applied to sketches)."""
+    stream = ST.run_daily_actives_hll(
+        spark, sf_dir, num_state_partitions=8
+    )
+    events = _t(spark, sf_dir, "events")
+    exact = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("active_exact")
+    )
+    s = stream.select(
+        F.col("day_start").cast("date").alias("day"),
+        "est",
+        "n_events",
+    )
+    return (
+        s.join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "active_exact",
+            (
+                F.abs(F.col("est") - F.col("active_exact"))
+                <= F.lit(0.05) * F.col("active_exact")
+            )
+            .cast("int")
+            .alias("hll_within_tol"),
+        )
+        .orderBy("day")
+    )

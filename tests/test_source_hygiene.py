@@ -52,7 +52,10 @@ def test_no_row_at_a_time_python():
 # NEW collect anywhere still fails it.
 COLLECT_ALLOWED: dict[str, int] = {
     f"{PKG}/operators/surrogate.py": 2,
-    f"{PKG}/plans/beyond.py": 3,
+    # the three audited beyond-tier sites (snapshot manifests /
+    # partition lists) all live in the warehouse tier, so the r8 split
+    # moved them wholesale from beyond.py to beyond_warehouse.py
+    f"{PKG}/plans/beyond_warehouse.py": 3,
     f"{PKG}/sources/warehouse.py": 3,
     f"{PKG}/streaming/stream.py": 3,
 }
@@ -80,6 +83,36 @@ def test_no_toPandas_in_engine():
             if ".toPandas()" in line:
                 offenders.append(f"{os.path.relpath(path, REPO)}:{i}")
     assert not offenders, offenders
+
+
+def test_beyond_tier_first_import_order():
+    """The r8 beyond.py split re-exports tier entries via star-imports
+    plus a PEP 562 ``__getattr__`` fallback. The fallback exists for ONE
+    scenario: a tier module imported before ``plans.beyond`` leaves
+    beyond's star-import looking at the tier mid-init (binding nothing),
+    so attribute access must resolve lazily. Pin that order in a fresh
+    interpreter — the in-process suite can't, its conftest already
+    imported the package in the normal order."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import financial_transaction_data_warehouse_interactive_dashboard_spark"
+        ".plans.beyond_text as bt\n"
+        "from financial_transaction_data_warehouse_interactive_dashboard_spark"
+        ".plans import beyond\n"
+        "assert beyond.tx_text_profile.__name__ == 'tx_text_profile'\n"
+        "assert beyond.wh_bucketed_join.__name__ == 'wh_bucketed_join'\n"
+        "from financial_transaction_data_warehouse_interactive_dashboard_spark"
+        ".plans.queries import REGISTRY\n"
+        "assert len(REGISTRY) == 182, len(REGISTRY)\n"
+        "print('OK')\n"
+    )
+    res = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=REPO, timeout=120,
+    )
+    assert res.returncode == 0 and "OK" in res.stdout, res.stderr[-2000:]
 
 
 def test_bench_large_result_names_are_registered():
