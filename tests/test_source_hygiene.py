@@ -115,6 +115,27 @@ def test_beyond_tier_first_import_order():
     assert res.returncode == 0 and "OK" in res.stdout, res.stderr[-2000:]
 
 
+def test_bench_canary_contract(spark):
+    """The calibration canary (VERDICT r7 ask #3) must always produce
+    its four keys with positive sub-minute timings — a canary that
+    errors or returns zeros would silently disable the drift
+    normalization in vs_prev."""
+    from bench import run_canary
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_tables,
+    )
+
+    from conftest import SF_SMOKE
+
+    out = run_canary(spark, load_tables(spark, SF_SMOKE))
+    assert set(out) == {"scan_agg", "bcast_join", "window_1k", "total_s"}
+    for k, v in out.items():
+        assert 0 < v < 60, (k, v)
+    assert abs(out["total_s"]
+               - (out["scan_agg"] + out["bcast_join"] + out["window_1k"])
+               ) < 0.01
+
+
 def test_bench_large_result_names_are_registered():
     """A typo in bench.LARGE_RESULT silently demotes that entry back to
     collect-timing; pin membership against the registry. (conftest.py
