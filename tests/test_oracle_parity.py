@@ -48,6 +48,54 @@ def cells_equal(a, b) -> bool:
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
 
+def _duck_type_class(t: str) -> str:
+    """Coarse type class of a DuckDB DESCRIBE type string."""
+    import re as _re
+
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if _re.match(r"(TINY|SMALL|BIG|U?INT|INTEGER)", t) or t == "UBIGINT":
+        return "int"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("VARCHAR", "TEXT"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.endswith("[]"):
+        return "list"
+    return "other:" + t
+
+
+def _spark_type_class(dt) -> str:
+    """Coarse type class of a Spark DataType (same partition as above)."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("double", "float"):
+        return "float"
+    if s == "string":
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith("array"):
+        return "list"
+    return "other:" + s
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck_oracle, name):
     q = REGISTRY[name]
@@ -61,6 +109,26 @@ def test_query_matches_oracle(spark, duck_oracle, name):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+
+    # Output TYPE-CLASS parity (r8, generalizing the HUGEINT audit): the
+    # driver's value-hash canonicalizes by type, so a class divergence
+    # (int vs decimal vs float...) can fail the hash on bit-identical
+    # values — qa_wilson_ci's HUGEINT n_success was exactly this. A full
+    # registry scan found ZERO class mismatches; keep it that way.
+    duck_types = {
+        r[0]: r[1]
+        for r in duck_oracle.execute(f"DESCRIBE {q.oracle}").fetchall()
+    }
+    class_mismatch = [
+        (c, duck_types[c], f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if (c := f.name) in duck_types
+        and _duck_type_class(duck_types[c]) != _spark_type_class(f.dataType)
+    ]
+    assert not class_mismatch, (
+        f"{name}: output type-class divergence (col, duck, spark): "
+        f"{class_mismatch}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
