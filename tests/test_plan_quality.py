@@ -904,3 +904,43 @@ def test_new_r6_late_entries_plan_shapes(spark):
     for name in scalar_stat:
         plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q4_semi_join_is_hashed_with_residual(spark):
+    """Q4's EXISTS must plan as a LEFT SEMI **hash** join: the equi key
+    (l_orderkey = o_orderkey) carries the join and the cross-table date
+    comparison rides as a residual condition — never a nested-loop or
+    cartesian evaluation of the mixed predicate, which would be
+    quadratic at scale."""
+    plan = plan_of(REGISTRY["tpch_q4_late_orders"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q16_anti_and_dim_joins_broadcast(spark):
+    """Q16's NOT-IN exclusion must plan as a broadcast LEFT ANTI join
+    (the blacklist is a filtered dim) and the part attachment as a
+    broadcast hash join — lineitem, the only corpus-scaled input, must
+    shuffle ONLY for the grouped COUNT(DISTINCT), not for either join."""
+    plan = plan_of(REGISTRY["tpch_q16_supplier_cnt"].spark(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_stream_equals_batch(spark):
+    """st_cdc_apply shares wh_cdc_apply's oracle because stream == batch
+    is the checked contract (same base, same shared changelog, same
+    last-wins fold). Assert the equality DIRECTLY: the streaming
+    microbatch fold's audit rows must be identical to the batch twin's —
+    a dropped, doubled, or out-of-order microbatch breaks this before it
+    ever reaches the driver."""
+    st_rows = sorted(
+        map(tuple, REGISTRY["st_cdc_apply"].spark(spark, SF_SMOKE).collect())
+    )
+    wh_rows = sorted(
+        map(tuple, REGISTRY["wh_cdc_apply"].spark(spark, SF_SMOKE).collect())
+    )
+    assert st_rows == wh_rows
+    assert len(st_rows) == 3
