@@ -944,3 +944,41 @@ def test_cdc_stream_equals_batch(spark):
     )
     assert st_rows == wh_rows
     assert len(st_rows) == 3
+
+
+def test_no_full_width_fact_scans_in_registry(spark):
+    """Registry-wide column-pruning invariant (r8): no lazy entry's plan
+    may scan EVERY column of a wide (>3-col) input table — a full-width
+    read of orders/lineitem/events/documents at 100 TB pays IO for
+    columns the query provably never touches. Audited clean across all
+    166 lazy entries at introduction; any new entry tripping this either
+    needs a .select() before its first shuffle or a justified allowlist
+    entry here (none exist yet)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    full = {}
+    for t in ("orders", "lineitem", "events", "documents", "embeddings",
+              "customer", "supplier", "part"):
+        p = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if os.path.exists(p):
+            full[t] = len(pq.read_schema(p).names)
+    offenders = {}
+    for name, plan in _registry_plans(spark).items():
+        hits = []
+        for block in re.split(r"\(\d+\) Scan parquet", plan)[1:]:
+            loc = re.search(r"/(\w+)\.parquet", block)
+            rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+            if not (loc and rs) or loc.group(1) not in full:
+                continue
+            tbl = loc.group(1)
+            ncols = rs.group(1).count(":") if rs.group(1).strip() else 0
+            if ncols >= full[tbl] > 3:
+                hits.append((tbl, ncols, full[tbl]))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"full-width scans of wide tables (entry -> (table, read, "
+        f"total)): {offenders}"
+    )
