@@ -226,15 +226,21 @@ def main() -> None:
         detail["errors"] = errors
 
     # Quantified carried-weak-entry ratios (r4 ask #8, upgraded per r6
-    # ask #4): the two documented perf-weak baselines, each against its
-    # production twin, measured as WARMED MEDIAN-OF-3 right here (the
-    # main sweep already warmed both sides) — the single-pass min-of-2
-    # numbers were noisier than the adjudicated med-of-3 rechecks they
-    # were supposed to summarize (r6: printed 1.65x vs adjudicated 1.30x).
-    def _median3(name: str) -> float:
+    # ask #4 and again r8): the two documented perf-weak baselines, each
+    # against its production twin, measured warmed as INTERLEAVED
+    # median-of-3 pairs (slow,fast,slow,fast,...) — host drift inside
+    # the measurement window hits both sides of each pair equally, so
+    # the ratio is drift-immune in a way back-to-back medians are not
+    # (r7/r8: the stateful-sessionize ratio read 1.3x-2.7x across runs
+    # of identical code when the two sides were timed minutes apart).
+    def _interleaved_ratio(slow: str, fast: str) -> float:
         import statistics
 
-        return statistics.median(run_once(name) for _ in range(3))
+        s_times, f_times = [], []
+        for _ in range(3):
+            s_times.append(run_once(slow))
+            f_times.append(run_once(fast))
+        return statistics.median(s_times) / statistics.median(f_times)
 
     weak_ratios = {}
     weak_method = {}
@@ -246,8 +252,8 @@ def main() -> None:
     ):
         if timings.get(slow) and timings.get(fast):
             try:
-                weak_ratios[label] = round(_median3(slow) / _median3(fast), 2)
-                weak_method[label] = "warmed_median_of_3"
+                weak_ratios[label] = round(_interleaved_ratio(slow, fast), 2)
+                weak_method[label] = "interleaved_median_of_3"
             except Exception:  # noqa: BLE001 — fall back to sweep timings
                 weak_ratios[label] = round(timings[slow] / timings[fast], 2)
                 weak_method[label] = "sweep_min_of_2_fallback"
@@ -372,6 +378,15 @@ def main() -> None:
                         n: r for n, r in sorted(deltas.items()) if r < 0.7
                     },
                 }
+                # Canary-normalized per-query flags: with a recorded
+                # prior canary, a query is only a REAL regression if it
+                # slowed more than the host did.
+                if canary_ratio:
+                    detail["vs_prev"]["regressed_1_3x_canary_norm"] = {
+                        n: round(r / canary_ratio, 2)
+                        for n, r in sorted(deltas.items())
+                        if r / canary_ratio > 1.3
+                    }
         except (json.JSONDecodeError, OSError, KeyError, TypeError):
             pass  # diff is best-effort; never break the bench contract
 
@@ -486,6 +501,10 @@ def main() -> None:
             "n_regressed_1_3x": len(vp["regressed_1_3x"]),
             "n_improved_0_7x": len(vp["improved_0_7x"]),
         }
+        if "regressed_1_3x_canary_norm" in vp:
+            out["vs_prev"]["n_regressed_canary_norm"] = len(
+                vp["regressed_1_3x_canary_norm"]
+            )
 
     # Emit the contract line LAST and flushed, after spark.stop(), so no
     # trailing JVM/log output can follow it on stdout (both r2 and r3
