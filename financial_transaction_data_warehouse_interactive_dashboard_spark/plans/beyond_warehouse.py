@@ -1306,3 +1306,125 @@ def wh_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# wh_compaction: small-files compaction audit (file-level claims hashed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wh_compaction",
+    """
+    WITH g AS (
+      SELECT CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             count(*) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS total_price
+      FROM orders GROUP BY 1)
+    SELECT q,
+           CASE WHEN q IN (1, 2) THEN 8 ELSE 1 END AS files_before,
+           1 AS files_after,
+           CASE WHEN q IN (1, 2) THEN 1 ELSE 0 END AS compacted,
+           CASE WHEN q IN (1, 2) THEN 0 ELSE 1 END AS files_untouched,
+           n_rows, total_price
+    FROM g ORDER BY q
+    """,
+    # New r8 (locally pinned; backlog — rotation candidate once the r9
+    # queue clears).
+    driver=False,
+)
+def wh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION under the oracle gate — the standing
+    maintenance job of every incrementally-fed partitioned table
+    (sources.warehouse.compact_partitions; operator-level invariants in
+    tests/test_warehouse.py). Q1/Q2 of a quarter-partitioned gold are
+    deliberately fragmented to exactly 8 files each (round-robin
+    repartition(8) of the interleaved rows — deterministic for a fixed
+    dataset), Q3/Q4 appended healthy as 1 file each; the compactor must
+    then (a) pick EXACTLY the fragmented quarters from a file listing,
+    (b) rewrite each victim to one file via dynamic partition overwrite,
+    and (c) leave the healthy quarters' files untouched ON DISK.
+
+    Every claim sits inside the driver-hashed output: files_before /
+    files_after are measured physical file counts (the oracle hard-codes
+    the contract 8/8/1/1 -> 1/1/1/1, the a24-style plan-shape-in-the-
+    hash pattern), files_untouched compares the exact pre/post file path
+    sets (a rewrite changes part-file names, so 1 proves the healthy
+    partitions were not rewritten), and n_rows / total_price are
+    re-aggregated FROM THE COMPACTED TABLE while the oracle computes
+    them from raw orders — bit-equality proves the rewrite preserved
+    every row and every cent. Beyond the reference's surface (its pandas
+    layer has no storage tier); the operator itself is the 100 TB story:
+    victims from a pure LISTING, reads pruned to victim partitions only,
+    one output file per victim via hash repartition on the partition
+    key."""
+    import glob as _glob
+    import os as _os
+
+    from ..sources.inline import inline_table
+    from ..sources.warehouse import compact_partitions, write_partitioned
+
+    orders = _t(spark, sf_dir, "orders")
+    gold = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.quarter("o_orderdate").alias("q"),
+    )
+    table = "wh_compact_gold"
+    # Fragment Q1/Q2: round-robin repartition(8) interleaves both
+    # quarters across all 8 tasks, so each quarter directory lands 8
+    # part files. Healthy Q3/Q4 append as a single task -> 1 file each.
+    write_partitioned(
+        gold.filter(F.col("q").isin(1, 2)).repartition(8), table, ["q"]
+    )
+    (gold.filter(F.col("q").isin(3, 4)).coalesce(1)
+     .write.mode("append").format("parquet").insertInto(table))
+
+    wh_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def _files() -> dict[int, tuple[str, ...]]:
+        out = {}
+        for d in _glob.glob(f"{wh_dir}/{table}/q=*"):
+            qv = int(_os.path.basename(d).split("=", 1)[1])
+            out[qv] = tuple(
+                sorted(_os.path.basename(f)
+                       for f in _glob.glob(_os.path.join(d, "*.parquet")))
+            )
+        return out
+
+    before = _files()
+    victims = set(compact_partitions(spark, table, "q", min_files=2))
+    after = _files()
+
+    claims = inline_table(
+        spark,
+        [
+            (
+                qv,
+                len(before[qv]),
+                len(after[qv]),
+                int(str(qv) in victims),
+                int(before[qv] == after[qv]),
+            )
+            for qv in sorted(before)
+        ],
+        ["q", "files_before", "files_after", "compacted",
+         "files_untouched"],
+    )
+    agg = (
+        spark.table(table)
+        .groupBy("q")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return (
+        claims.join(agg, "q")
+        .select("q", "files_before", "files_after", "compacted",
+                "files_untouched", "n_rows", "total_price")
+        .orderBy("q")
+    )

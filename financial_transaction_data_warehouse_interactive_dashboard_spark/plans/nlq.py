@@ -153,6 +153,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "dd_incremental_dedup": ("incremental", "ingest", "daily", "batch", "index"),
     "dd_incremental_minhash": ("incremental", "near", "nearduplicate", "fuzzy", "indexed"),
     "wh_vacuum_retention": ("vacuum", "retention", "reclaim", "expire", "cleanup"),
+    "wh_compaction": ("compact", "compaction", "fragmented", "fragmentation", "defragment"),
     "wh_schema_evolution": ("schema", "evolution", "column", "added", "mergeschema"),
     "ev_trend_regression": ("regression", "slope", "ols", "fit", "r2"),
     "tx_mixture_weights": ("mixture", "temperature", "upsample", "sources", "weighting"),

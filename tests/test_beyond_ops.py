@@ -1181,6 +1181,9 @@ def test_nlq_routing(spark):
     assert nlq.route("apply the cdc changelog with tombstones") == (
         "wh_cdc_apply"
     )
+    assert nlq.route("compact the fragmented partitions") == (
+        "wh_compaction"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )

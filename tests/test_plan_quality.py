@@ -125,6 +125,7 @@ EAGER_ENTRIES = {
     "wh_time_travel",
     "wh_vacuum_retention",
     "wh_schema_evolution",
+    "wh_compaction",  # r8: small-files compaction JOB; audit frame only
 }
 
 
