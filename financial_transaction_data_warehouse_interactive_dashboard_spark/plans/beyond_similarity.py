@@ -450,3 +450,154 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the gate."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.quantize_int8(emb).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# sim_ndcg_at_k: ranking-quality eval of the ANN path (graded NDCG@5)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: Position discounts 1/log2(i+1), i = 1..5, entering BOTH engines as
+#: repr-exact string literals (libm log2 is not correctly-rounded across
+#: implementations, so the constants are computed ONCE here instead of
+#: in-engine — the _PR_TP pattern).
+_NDCG_DISC = {i: repr(1.0 / _math.log2(i + 1)) for i in range(1, 6)}
+
+_NDCG_DISC_SQL = " ".join(
+    f"WHEN {i} THEN CAST('{w}' AS DOUBLE)" for i, w in _NDCG_DISC.items()
+)
+
+
+@query(
+    "sim_ndcg_at_k",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    ex AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                          e.vec_id ASC) AS r
+        FROM q JOIN e ON e.vec_id != q.query_id)
+      WHERE r <= 5),
+    b AS (SELECT vec_id, v,
+            list_sum([CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END
+                      for i in range(0, {{SIGN_BITS}})])::BIGINT AS bkt
+          FROM e),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bkt AS qbkt
+           FROM b WHERE vec_id < 8),
+    ann AS (
+      SELECT query_id, neighbor_id, pos FROM (
+        SELECT query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+                          b.vec_id ASC) AS pos
+        FROM qb JOIN b ON b.bkt = qb.qbkt AND b.vec_id != qb.query_id)
+      WHERE pos <= 5),
+    dcg AS (
+      SELECT a.query_id,
+             sum(CAST(round((6 - ex.r)
+                            * CASE a.pos {_NDCG_DISC_SQL} END, 6)
+                      AS DECIMAL(18,6))) AS dcg_dec
+      FROM ann a JOIN ex ON ex.query_id = a.query_id
+                        AND ex.neighbor_id = a.neighbor_id
+      GROUP BY 1),
+    idcg AS (
+      SELECT query_id,
+             sum(CAST(round((6 - r)
+                            * CASE r {_NDCG_DISC_SQL} END, 6)
+                      AS DECIMAL(18,6))) AS idcg_dec
+      FROM ex GROUP BY 1),
+    na AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM ex)
+    SELECT qs.query_id,
+           CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(coalesce(dcg.dcg_dec, CAST(0 AS DECIMAL(18,6)))
+                AS DOUBLE) AS dcg,
+           CAST(idcg.idcg_dec AS DOUBLE) AS idcg,
+           round(CAST(coalesce(dcg.dcg_dec, CAST(0 AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / CAST(idcg.idcg_dec AS DOUBLE), 6) AS ndcg_at_5
+    FROM qs
+    LEFT JOIN na USING (query_id)
+    LEFT JOIN dcg ON dcg.query_id = qs.query_id
+    JOIN idcg ON idcg.query_id = qs.query_id
+    ORDER BY qs.query_id
+    """.replace("{SIGN_BITS}", str(S.SIGN_BITS)),
+    # New r8 (locally pinned; backlog — rotation candidate with
+    # wh_compaction once the r9 queue clears).
+    driver=False,
+)
+def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded RANKING quality of the ANN path — NDCG@5 of sign-LSH
+    retrieval against the exact brute-force top-5, per query. The
+    recall sibling (sim_recall_at_k) counts set overlap; this scores
+    ORDER: an exact neighbor surfaced at ANN position 1 is worth more
+    than at position 5 (discount 1/log2(pos+1)), with graded relevance
+    6 - exact_rank, so the pair separates 'found the right docs' from
+    'ranked them right' — the second number a 100 TB vector deployment
+    tunes against (reranker budgets, nprobe).
+
+    Exactness: libm log2 is not correctly-rounded across engines, so
+    the five position discounts enter BOTH plans as repr-exact Python
+    literals; each DCG term is rounded to 6dp and summed as
+    DECIMAL(18,6) (order-independent exact sum), IDCG is computed by
+    the same machinery over the exact list's own ranks, and the final
+    ratio is one identically-parenthesized double division. Composes
+    the two already-oracled retrieval pipelines; the oracle re-derives
+    both plus the scoring. Reference analogue: none."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact = (
+        S.topk_bruteforce(emb, n_queries=8, k=5)
+        .withColumn("r", F.row_number().over(w))
+        .select("query_id", "neighbor_id", "r")
+    )
+    ann = (
+        S.topk_ann_signlsh(emb, n_queries=8, k=5)
+        .withColumn("pos", F.row_number().over(w))
+        .select("query_id", "neighbor_id", "pos")
+    )
+
+    def _disc(col: str) -> F.Column:
+        expr = F.lit(None).cast("double")
+        c = F.col(col)
+        for i, wstr in _NDCG_DISC.items():
+            expr = F.when(c == i, F.lit(float(wstr))).otherwise(expr)
+        return expr
+
+    term = lambda rel, pos: F.round(rel * _disc(pos), 6).cast(  # noqa: E731
+        "decimal(18,6)"
+    )
+    dcg = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.sum(term(6 - F.col("r"), "pos")).alias("dcg_dec"))
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(term(6 - F.col("r"), "r")).alias("idcg_dec")
+    )
+    na = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    qs = exact.select("query_id").distinct()
+    zero = F.lit(0).cast("decimal(18,6)")
+    dcg_d = F.coalesce("dcg_dec", zero).cast("double")
+    idcg_d = F.col("idcg_dec").cast("double")
+    return (
+        qs.join(na, "query_id", "left")
+        .join(dcg, "query_id", "left")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            dcg_d.alias("dcg"),
+            idcg_d.alias("idcg"),
+            F.round(dcg_d / idcg_d, 6).alias("ndcg_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -143,6 +143,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     # 'k' ("evaluate top k segments") would score for the ANN-recall
     # route; rely on the multi-token evidence instead.
     "sim_recall_at_k": ("recall", "ann", "evaluate", "evaluation", "accuracy", "groundtruth"),
+    "sim_ndcg_at_k": ("ndcg", "dcg", "graded", "discounted", "gain"),
     "wh_cdc_apply": ("cdc", "changelog", "apply", "tombstone", "binlog"),
     "a26_brand_communities": ("community", "communities", "propagation", "modular"),
     "a30_brand_ppr": ("related", "personalized", "pagerank", "recommendations", "seeded", "seed", "anchor"),

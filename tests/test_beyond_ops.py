@@ -1184,6 +1184,9 @@ def test_nlq_routing(spark):
     assert nlq.route("compact the fragmented partitions") == (
         "wh_compaction"
     )
+    assert nlq.route("ndcg graded ranking quality of the index") == (
+        "sim_ndcg_at_k"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )
