@@ -101,10 +101,13 @@ def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (or none) would double the first day's counts and
     hash-mismatch. The companion metric assertion (the replay file was
     read-and-dropped, not skipped) lives in
-    tests/test_beyond_ops.py::test_late_data_drop_metrics."""
-    return ST.run_late_data_stream(spark, sf_dir).orderBy(
-        "window_start", "event_type"
-    )
+    tests/test_beyond_ops.py::test_late_data_drop_metrics.
+    num_state_partitions=8 sizes the state store to the check scale
+    like every sibling harness (r8: the unsized default ran 32 RocksDB
+    state partitions per microbatch and doubled the wall time)."""
+    return ST.run_late_data_stream(
+        spark, sf_dir, num_state_partitions=8
+    ).orderBy("window_start", "event_type")
 
 
 
