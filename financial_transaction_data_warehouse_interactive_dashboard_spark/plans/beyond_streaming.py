@@ -301,7 +301,9 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     job (streaming.stream.run_stream_static_enrich): events microbatches
     probe the static customer dim — no join state — into a complete-mode
     segment aggregate, oracled by the equivalent batch join."""
-    return ST.run_stream_static_enrich(spark, sf_dir).orderBy("segment")
+    return ST.run_stream_static_enrich(
+        spark, sf_dir, num_state_partitions=8
+    ).orderBy("segment")
 
 
 

@@ -504,6 +504,7 @@ def run_stream_static_enrich(
     spark: SparkSession,
     sf_dir: str,
     query_name: str = "st_stream_static_enrich",
+    num_state_partitions: int | None = None,
 ) -> DataFrame:
     """Stream-STATIC join — the standard streaming enrichment: each
     microbatch of events joins the static customer dimension (broadcast;
@@ -529,14 +530,15 @@ def run_stream_static_enrich(
             .alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, num_state_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name)
 
 
