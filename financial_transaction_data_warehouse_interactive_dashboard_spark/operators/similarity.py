@@ -475,3 +475,99 @@ def topk_ann_pq(
             F.round("approx_ip", 6).alias("approx_ip"),
         )
     )
+
+
+def topk_ann_ivf_pq(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    ivf_iterations: int = 1,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    pq_iterations: int = 1,
+) -> DataFrame:
+    """IVF + PQ combined — the FAISS-style IVFPQ layout a 10^9-vector
+    corpus actually ships (Jegou et al. 2011, IVFADC): a k-means-refined
+    coarse quantizer routes each vector to one of ``n_cells`` inverted
+    cells; within cells, vectors are stored ONLY as ``m`` PQ codes
+    (8 bytes vs 256 bytes fp32 here). A query (1) scores the tiny
+    centroid table and probes its ``nprobe`` nearest cells, (2)
+    precomputes an m x n_codes lookup table of rounded query-subvector x
+    codebook inner products (64 doubles — the classic ADC LUT), and (3)
+    scores candidates by LUT gather + exact DECIMAL sum. The exact
+    subvectors are never touched at query time.
+
+    Composition of two independently oracle-checked halves:
+    topk_ann_ivf_kmeans's quantizer/probe (decimal-exact Lloyd refine,
+    rounded-cosine assignment) and topk_ann_pq's codebooks/ADC scoring.
+    All ranking keys rounded to 6 dp with id tie-breaks -> the whole
+    index build AND query path replay bit-for-bit in the DuckDB oracle.
+
+    At scale: cells are the storage partitioning key (probing = partition
+    pruning); the code table is 32x smaller than the corpus; the LUT and
+    codebooks are broadcast; the only shuffle is the per-(query,
+    candidate) ADC aggregation over candidates from nprobe/n_cells of
+    the data. Probe cost ~ corpus * nprobe / n_cells * m bytes."""
+    vecs = _vecs(emb)
+    seeds = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = seeds
+    for _ in range(ivf_iterations):
+        cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
+    assign = _assign_cells(vecs, cells).select("vec_id", "cell")
+
+    subs = _subvectors(vecs, m, subdim).localCheckpoint(eager=True)
+    books = pq_codebooks(subs, n_codes, pq_iterations)
+    codes = _pq_assign(subs, books).select("vec_id", "m", "code")
+    # Inverted file: (cell, vec_id, m, code) — the corpus as stored.
+    inv = assign.join(codes, "vec_id")
+
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("probe_cos", F.round(P.cosine("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # ADC lookup table: n_queries x m x n_codes rounded inner products.
+    qsub = _subvectors(
+        vecs.filter(F.col("vec_id") < n_queries), m, subdim
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsub.join(F.broadcast(books), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.round(P.dot("qsv", "cv"), 6).cast("decimal(18,6)").alias("term"),
+    )
+    cand = (
+        inv.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "m", "code")
+    )
+    scores = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("term").cast("double").alias("approx_ip"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("vec_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("approx_ip", 6).alias("approx_ip"),
+        )
+    )

@@ -421,6 +421,163 @@ def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _sql_ivf_pq() -> str:
+    """DuckDB oracle for the combined IVF+PQ index (operators.similarity
+    .topk_ann_ivf_pq) plus its recall@5 measurement: the k-means IVF
+    quantizer CTEs (_sql_ivf_kmeans discipline, 1 Lloyd iteration), the
+    PQ codebook/encode CTEs (_sql_pq_adc replay), probe -> LUT -> ADC
+    scoring within probed cells, and the exact brute-force top-5 joined
+    back for per-query n_hits/recall. Every stage of the index build and
+    the measurement is inside the hash."""
+    sd = S.PQ_SUBDIM
+    ivf_assign = (
+        "(SELECT e.vec_id, e.v, cell FROM e, {cells}\n"
+        "   QUALIFY row_number() OVER (PARTITION BY e.vec_id\n"
+        "     ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,"
+        " cell ASC) = 1)"
+    )
+    pq_assign = (
+        "(SELECT sub.vec_id, sub.m, sub.sv, code FROM sub JOIN {books} USING (m)\n"
+        "   QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.m\n"
+        "     ORDER BY round(list_cosine_similarity(sv, cv), 6) DESC,"
+        " code ASC) = 1)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+    ia0 AS {ivf_assign.format(cells='c0')},
+    ipx0 AS (SELECT cell, u.p AS pos, u.x AS val FROM ia0,
+             unnest([{{'p': i, 'x': v[i]}}
+                     for i in range(1, len(v) + 1)]) AS t(u)),
+    icent0 AS (SELECT cell, pos,
+                 CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS cv_e
+               FROM ipx0 GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv
+           FROM icent0 GROUP BY 1),
+    af AS {ivf_assign.format(cells='c1')},
+    sub AS (SELECT vec_id, r.range AS m,
+                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
+            FROM e, range(0, {S.PQ_M}) r),
+    b0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub
+           WHERE vec_id < {S.PQ_K}),
+    pa0 AS {pq_assign.format(books='b0')},
+    ppx0 AS (SELECT m, code, u.p AS pos, u.x AS val FROM pa0,
+             unnest([{{'p': i, 'x': sv[i]}}
+                     for i in range(1, len(sv) + 1)]) AS t(u)),
+    pc0 AS (SELECT m, code, pos,
+                  CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*) AS cv_e
+            FROM ppx0 GROUP BY 1, 2, 3),
+    b1 AS (SELECT m, code, list(cv_e ORDER BY pos) AS cv
+           FROM pc0 GROUP BY 1, 2),
+    enc AS {pq_assign.format(books='b1')},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (SELECT query_id, cell FROM q, c1
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                cell ASC) <= 2),
+    qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub
+             WHERE vec_id < 8),
+    lut AS (SELECT query_id, m, code,
+              CAST(round(list_dot_product(qsv, cv), 6)
+                   AS DECIMAL(18,6)) AS term
+            FROM qsub JOIN b1 USING (m)),
+    cand AS (SELECT p.query_id, af.vec_id
+             FROM probe p JOIN af USING (cell)
+             WHERE af.vec_id != p.query_id),
+    scores AS (SELECT c.query_id, c.vec_id,
+                 CAST(sum(term) AS DOUBLE) AS approx_ip
+               FROM cand c
+               JOIN enc ON enc.vec_id = c.vec_id
+               JOIN lut ON lut.query_id = c.query_id
+                       AND lut.m = enc.m AND lut.code = enc.code
+               GROUP BY 1, 2),
+    topk AS (SELECT query_id, vec_id AS neighbor_id,
+                    round(approx_ip, 6) AS approx_ip
+             FROM scores
+             QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) <= 5),
+    ex AS (SELECT query_id, e.vec_id AS neighbor_id
+           FROM q JOIN e ON e.vec_id != q.query_id
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+             e.vec_id ASC) <= 5),
+    h AS (SELECT t.query_id, count(*) AS n_hits FROM topk t
+          JOIN ex ON ex.query_id = t.query_id
+                 AND ex.neighbor_id = t.neighbor_id
+          GROUP BY 1)
+    SELECT t.query_id, t.neighbor_id, t.approx_ip,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6)
+             AS recall_at_5
+    FROM topk t LEFT JOIN h USING (query_id)
+    ORDER BY query_id, approx_ip DESC, neighbor_id
+    """
+
+
+
+
+@query(
+    "sim_ann_ivf_pq",
+    _sql_ivf_pq(),
+    # New r9 — the LLM-pipeline capstone (VERDICT r8 ask #5); flipped
+    # onto the driver surface in the r9 rotation commit after both-scale
+    # pre-validation (plans/rotation.py).
+    driver=False,
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone vector-index composition — FAISS-style IVFPQ
+    (operators.similarity.topk_ann_ivf_pq): queries route through the
+    k-means-refined IVF cells (the sim_ann_ivf_kmeans quantizer), then
+    ADC-score the 32x-compressed PQ codes of the probed cells' vectors
+    via a broadcast per-query LUT (the sim_ann_pq_adc scoring). Output
+    is the per-query top-5 by approximate inner product PLUS the
+    recall@5 of that answer against the exact brute-force frontier
+    (sim_recall_at_k discipline) — so the index's QUALITY measurement
+    rides inside the same driver hash as its mechanics.
+
+    Both halves were independently oracle-checked (driver-green r8);
+    this entry pins their composition: the oracle replays the Lloyd
+    refine, the codebook training, the encode, the probe, the LUT, the
+    DECIMAL-exact ADC sum, and the recall join bit-for-bit.
+
+    At 100 TB: cell = partition key (probe = partition pruning), codes =
+    8 bytes/vector, LUT + codebooks + probe map broadcast; the only
+    shuffle is the ADC aggregation over nprobe/n_cells of the corpus.
+    Reference analogue: none (beyond-reference LLM-pipeline tier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # ~40 rows feeding two branches (hits + output join): materialize
+    # once so the recall leg doesn't re-run the whole index build
+    # (shared-frame-before-branching, the a30 seeds lesson).
+    ann = S.topk_ann_ivf_pq(emb, n_queries=8, k=5).localCheckpoint(
+        eager=True
+    )
+    exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        ann.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_ip",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 5, 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id", F.desc("approx_ip"), "neighbor_id")
+    )
+
+
+
+
 @query(
     "sim_quantize_int8",
     """

@@ -162,6 +162,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "wh_time_travel": ("travel", "version", "versions", "rollback", "roll", "earlier", "snapshot"),
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
     "sim_ann_pq_adc": ("quantization", "compressed", "compression", "pq", "codes"),
+    "sim_ann_ivf_pq": ("ivfpq", "faiss", "billion", "combined", "adc"),
     "sim_random_projection": ("projection", "project", "dimensionality", "reduce", "johnson"),
     "qa_chi_square_segment_status": ("independence", "independent", "chisquare", "chi", "association", "status"),
     "qa_psi_price_drift": ("drift", "drifted", "drifting", "psi", "stability", "population", "distribution"),

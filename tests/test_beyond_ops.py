@@ -1187,6 +1187,9 @@ def test_nlq_routing(spark):
     assert nlq.route("ndcg graded ranking quality of the index") == (
         "sim_ndcg_at_k"
     )
+    assert nlq.route("faiss style ivfpq combined index") == (
+        "sim_ann_ivf_pq"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )
@@ -1634,6 +1637,49 @@ def test_pq_adc_recall_beats_chance(spark):
     for r in R["sim_topk_bruteforce"].spark(spark, SF_SMOKE).collect():
         bf[r["query_id"]].add(r["neighbor_id"])
     recalls = [len(pq[q] & bf[q]) / 5 for q in sorted(bf)]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ivf_pq_recall_column_is_self_consistent(spark):
+    """sim_ann_ivf_pq carries its own recall@5 measurement; that column
+    must equal the recall recomputed independently from the exact
+    brute-force frontier, every query must emit at most 5 neighbors
+    with no self-matches, and mean recall must beat chance (~0.01) —
+    a broken probe (wrong cells) or a garbled LUT join collapses it."""
+    from collections import defaultdict
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = R["sim_ann_ivf_pq"].spark(spark, SF_SMOKE).collect()
+    bf = defaultdict(set)
+    # Exact top-5 (the entry's denominator) — the registry bruteforce
+    # entry returns top-10, which is the wrong ground-truth set here.
+    exact5 = S.topk_bruteforce(
+        load_table(spark, SF_SMOKE, "embeddings"), n_queries=8, k=5
+    )
+    for r in exact5.collect():
+        bf[r["query_id"]].add(r["neighbor_id"])
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q[r["query_id"]].append(r)
+    recalls = []
+    for q, rs in by_q.items():
+        assert len(rs) <= 5
+        n_hits = len({r["neighbor_id"] for r in rs} & bf[q])
+        for r in rs:
+            assert r["n_hits"] == n_hits, (q, r["n_hits"], n_hits)
+            assert r["recall_at_5"] == round(n_hits / 5, 6)
+        recalls.append(n_hits / 5)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
 
 
