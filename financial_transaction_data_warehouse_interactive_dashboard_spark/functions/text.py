@@ -231,3 +231,91 @@ def fingerprint_columns(hs_col: str = "hs") -> dict[str, Column]:
             f" aggregate(slice({hs_col}, i, 4), 0L, {roll})))"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table application (tokenizer-grade token ids; VERDICT r8 ask #6)
+# ---------------------------------------------------------------------------
+
+#: Ordered BPE merge table — a tiny fixed public-English-bigram list (the
+#: th/the/an/in/er/... merges every English BPE learns first), applied in
+#: table order. (b, le) -> 'ble' exercises a multi-char second symbol.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"), ("o", "r"),
+    ("l", "e"), ("b", "le"),
+)
+
+#: Leftmost-nonoverlapping replace passes per rule. One pass can miss an
+#: occurrence that shares its boundary delimiter with the occurrence just
+#: replaced (the '/a/b/a/b/' case); each extra pass halves the remainder,
+#: so 4 passes are exhaustive for same-pair runs up to ~16 symbols — far
+#: beyond any natural-language word. Both engines run the IDENTICAL
+#: generated expression, so the spec is bit-reproducible by construction.
+BPE_PASSES = 4
+
+#: 'a'..'z' take ids 0..25; merge i takes BPE_BASE_ID + i.
+BPE_BASE_ID = 26
+
+
+def bpe_vocab() -> dict[str, int]:
+    """Symbol -> token id: the 26 base characters plus one id per merge."""
+    vocab = {chr(ord("a") + i): i for i in range(26)}
+    for i, (a, b) in enumerate(BPE_MERGES):
+        vocab[a + b] = BPE_BASE_ID + i
+    return vocab
+
+
+def _bpe_replace_chain(seed: str) -> str:
+    """Nested leftmost-nonoverlapping replace() applying every merge rule
+    in table order, BPE_PASSES times each. Symbols are kept unambiguous by
+    '/'-delimiting every boundary ('/t/a/b/l/e/'), so a rule (a, b) is the
+    literal pattern '/a/b/' -> '/ab/' — multi-char symbols can never match
+    across a boundary. replace() has identical semantics (all occurrences,
+    left to right, no re-scan of replaced text) in Spark SQL and DuckDB."""
+    expr = seed
+    for a, b in BPE_MERGES:
+        for _ in range(BPE_PASSES):
+            expr = f"replace({expr}, '/{a}/{b}/', '/{a}{b}/')"
+    return expr
+
+
+def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
+    """The full text -> array<token id> expression, generated for either
+    engine from the same merge table and vocab (the _sql_ivf_kmeans
+    discipline: one generator, two dialects, zero semantic drift).
+
+    Pipeline: lowercase -> non-alpha to space -> words -> per word,
+    delimiter-encode ('/t/h/e/'), apply the merge chain, split back to
+    symbols -> flatten to the doc's token stream -> vocab lookup. Every
+    stage is engine-portable string/array kernels; integer ids mean NO
+    float anywhere — the whole operator is exact by construction."""
+    vocab_case = "CASE t " + " ".join(
+        f"WHEN '{s}' THEN {i}"
+        for s, i in sorted(bpe_vocab().items(), key=lambda kv: kv[1])
+    ) + " ELSE -1 END"
+    if engine == "spark":
+        words = (
+            f"filter(split(regexp_replace(lower({text_col}),"
+            f" '[^a-z]+', ' '), ' '), w -> w != '')"
+        )
+        seed = "'/' || regexp_replace(w, '(.)', '$1/')"
+        toks = (
+            f"flatten(transform({words}, w -> "
+            f"filter(split({_bpe_replace_chain(seed)}, '/'),"
+            f" t -> t != '')))"
+        )
+        return f"transform({toks}, t -> {vocab_case})"
+    if engine == "duckdb":
+        words = (
+            f"list_filter(string_split(regexp_replace(lower({text_col}),"
+            f" '[^a-z]+', ' ', 'g'), ' '), w -> w != '')"
+        )
+        seed = r"'/' || regexp_replace(w, '(.)', '\1/', 'g')"
+        toks = (
+            f"flatten(list_transform({words}, w -> "
+            f"list_filter(string_split({_bpe_replace_chain(seed)}, '/'),"
+            f" t -> t != '')))"
+        )
+        return f"list_transform({toks}, t -> {vocab_case})"
+    raise ValueError(f"unknown engine: {engine}")

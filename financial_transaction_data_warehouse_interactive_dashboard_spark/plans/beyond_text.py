@@ -1356,3 +1356,125 @@ def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "quality_pts", "curriculum_pos"
     ).orderBy("curriculum_pos")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization tier (r9, VERDICT r8 ask #6)
+# ---------------------------------------------------------------------------
+
+_BPE_IDS_DUCK = T.bpe_token_ids_sql("duckdb")
+_BPE_IDS_SPARK = T.bpe_token_ids_sql("spark")
+
+_BPE_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "tx_bpe_apply",
+    f"""
+    WITH ids AS (SELECT doc_id, {_BPE_IDS_DUCK} AS ids FROM documents)
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ids, i -> i >= {T.BPE_BASE_ID}))
+                AS BIGINT) AS n_merged,
+           coalesce(array_to_string(ids[1:12], ','), '') AS head_ids_csv,
+           md5(coalesce(array_to_string(ids, ','), '')) AS tokens_md5
+    FROM ids ORDER BY doc_id
+    """,
+    # New r9 (VERDICT r8 ask #6); flipped onto the driver surface in the
+    # r9 rotation commit after both-scale pre-validation.
+    driver=False,
+)
+def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-grade BPE merge-table application
+    (functions.text.bpe_token_ids_sql): each document is lowercased,
+    split to words, delimiter-encoded per word ('/t/a/b/l/e/'), run
+    through the fixed ordered merge table (functions.text.BPE_MERGES —
+    the th/the/an/in/er/... bigrams every English BPE learns first,
+    each rule applied as leftmost-nonoverlapping replace to a fixpoint),
+    then mapped symbol->token-id through the derived vocab. Replaces
+    tx_token_count's whitespace proxy with REAL token ids: n_tokens is
+    the sequence length a packing/mixture stage consumes
+    (tx_bpe_pack), n_merged counts multi-char tokens (a dead merge
+    table collapses it to 0), and tokens_md5 pins every token of every
+    document — one flipped merge anywhere in the corpus fails the hash.
+
+    Spark and DuckDB evaluate the SAME generated expression (one
+    generator, two dialects), all integer/string kernels, no floats,
+    no UDFs, map-only over documents — at 100 TB this is a zero-shuffle
+    codegen stage like tx_pii_scrub. Reference analogue: none."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_BPE_IDS_SPARK).alias("ids"))
+        .select(
+            "doc_id",
+            F.size("ids").cast("bigint").alias("n_tokens"),
+            F.expr(f"size(filter(ids, i -> i >= {T.BPE_BASE_ID}))")
+            .cast("bigint")
+            .alias("n_merged"),
+            F.expr(
+                "array_join(transform(slice(ids, 1, 12),"
+                " i -> cast(i as string)), ',')"
+            ).alias("head_ids_csv"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(ids, i -> cast(i as string)), ',')"
+                )
+            ).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+
+
+@query(
+    "tx_bpe_pack",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, lang,
+             CAST(len({_BPE_IDS_DUCK}) AS BIGINT) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM tl)
+    SELECT lang, CAST(off // {_BPE_PACK_BUDGET} AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM o GROUP BY 1, 2 ORDER BY lang, bin
+    """,
+    # New r9 (VERDICT r8 ask #6 follow-through: packing consumes REAL
+    # tokenizer lengths); flipped onto the driver surface in the r9
+    # rotation commit after both-scale pre-validation.
+    driver=False,
+)
+def tx_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over REAL tokenizer lengths: the offset-bin
+    packing rule (operators.sampling.pack_offset_bins — window cumsum,
+    one shuffle) fed by tx_bpe_apply's BPE token counts instead of the
+    n_chars stand-in tx_pack_sequences documents. Per language,
+    documents are laid out in doc_id order and binned into
+    512-token training-sequence budgets; the per-bin aggregate oracle
+    fails if any document's TOKEN COUNT (not byte count) lands it in
+    the wrong bin — so the packing claim now rests on the tokenizer
+    the training pipeline would actually run. Reference analogue:
+    none."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(f"size({_BPE_IDS_SPARK})").cast("bigint").alias("n_tokens"),
+    )
+    packed = SP.pack_offset_bins(
+        docs, part_col="lang", order_col="doc_id", size_col="n_tokens",
+        budget=_BPE_PACK_BUDGET,
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )

@@ -158,6 +158,10 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "wh_schema_evolution": ("schema", "evolution", "column", "added", "mergeschema"),
     "ev_trend_regression": ("regression", "slope", "ols", "fit", "r2"),
     "tx_mixture_weights": ("mixture", "temperature", "upsample", "sources", "weighting"),
+    "tx_bpe_apply": ("bpe", "tokenizer", "tokenize", "merges", "subword"),
+    # Distinct from tx_pack_sequences' keywords (pack/packing/sequences/
+    # bins/batches): this face is about packing TOKENIZED lengths.
+    "tx_bpe_pack": ("packed", "budgets", "budget", "contexts", "tokenized"),
     "a29_cohort_ltv": ("ltv", "lifetime", "value", "cumulative", "cohort"),
     "wh_time_travel": ("travel", "version", "versions", "rollback", "roll", "earlier", "snapshot"),
     "sim_embedding_covariance": ("covariance", "correlated", "whitening", "health", "dimensions"),
