@@ -242,25 +242,46 @@ def main() -> None:
             f_times.append(run_once(fast))
         return statistics.median(s_times) / statistics.median(f_times)
 
-    weak_ratios = {}
-    weak_method = {}
-    for label, slow, fast in (
-        ("st_sessionize_stateful_vs_session_window",
-         "st_sessionize_stateful", "st_sessionize"),
+    def _pair_ratios(pairs):
+        ratios, method = {}, {}
+        for label, slow, fast in pairs:
+            if timings.get(slow) and timings.get(fast):
+                try:
+                    ratios[label] = round(_interleaved_ratio(slow, fast), 2)
+                    method[label] = "interleaved_median_of_3"
+                except Exception:  # noqa: BLE001 — fall back to sweep timings
+                    ratios[label] = round(timings[slow] / timings[fast], 2)
+                    method[label] = "sweep_min_of_2_fallback"
+        return ratios, method
+
+    # weak_entry_ratios: genuinely perf-weak carried entries (a query a
+    # user might reach for where a faster path exists and the gap is an
+    # open engineering question). baseline_ratios: DOCUMENTED pedagogical
+    # baselines whose slowness is the point — sim_topk_bruteforce is the
+    # exactness yardstick every ANN entry is measured against, and
+    # st_sessionize_stateful (reclassified r9 per VERDICT r8 ask #3,
+    # after three rounds of adjudication: band 1.3-2.7x across identical
+    # code, 1.38x at the shipped 16-state-partition setting in the r9
+    # decision experiment, 8/4 partitions measured worse at 1.46x/1.92x)
+    # is the applyInPandasWithState reference implementation whose
+    # production twin session_window is the default path. Both are still
+    # measured interleaved-median-of-3 every round so the claim stays
+    # honest; they are just no longer open perf work.
+    weak_ratios, weak_method = _pair_ratios((
         ("sim_topk_bruteforce_vs_ivf",
          "sim_topk_bruteforce", "sim_ann_ivf_kmeans_iter3"),
-    ):
-        if timings.get(slow) and timings.get(fast):
-            try:
-                weak_ratios[label] = round(_interleaved_ratio(slow, fast), 2)
-                weak_method[label] = "interleaved_median_of_3"
-            except Exception:  # noqa: BLE001 — fall back to sweep timings
-                weak_ratios[label] = round(timings[slow] / timings[fast], 2)
-                weak_method[label] = "sweep_min_of_2_fallback"
+    ))
+    base_ratios, base_method = _pair_ratios((
+        ("st_sessionize_stateful_vs_session_window",
+         "st_sessionize_stateful", "st_sessionize"),
+    ))
     if weak_ratios:
         detail["weak_entry_ratios"] = weak_ratios
         # Per-pair so a fallback cannot masquerade as a median-of-3.
         detail["weak_entry_method"] = weak_method
+    if base_ratios:
+        detail["baseline_ratios"] = base_ratios
+        detail["baseline_ratio_method"] = base_method
 
     # Regression diff vs the previous round's driver-recorded bench (same
     # sf only — cross-scale deltas are meaningless). Informational: bench
@@ -490,6 +511,8 @@ def main() -> None:
     }
     if "weak_entry_ratios" in detail:
         out["weak_entry_ratios"] = detail["weak_entry_ratios"]
+    if "baseline_ratios" in detail:
+        out["baseline_ratios"] = detail["baseline_ratios"]
     if "vs_prev" in detail:
         vp = detail["vs_prev"]
         out["vs_prev"] = {
@@ -512,7 +535,8 @@ def main() -> None:
     spark.stop()
     line = json.dumps(out)
     if len(line) > 1500:  # paranoia: never exceed the ~2,000-char capture
-        for key in ("weak_entry_ratios", "vs_prev", "queries"):
+        for key in ("baseline_ratios", "weak_entry_ratios", "vs_prev",
+                    "queries"):
             out.pop(key, None)
             line = json.dumps(out)
             if len(line) <= 1500:
