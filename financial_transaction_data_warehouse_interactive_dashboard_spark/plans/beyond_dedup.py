@@ -352,7 +352,7 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h GROUP BY h.h ORDER BY doc_id
     """,
     # New r5 batch (locally pinned; r6 driver-rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style normalization dedup (operators.dedup.
@@ -406,7 +406,7 @@ def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE h NOT IN (SELECT h FROM ch)
     ORDER BY doc_id
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators.dedup.incremental_dedup):
@@ -466,7 +466,7 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {SQL_JACCARD} >= 0.3
     ORDER BY id_a, id_b
     """,
-    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup (operators.dedup.incremental_minhash_lsh):
@@ -510,7 +510,7 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ph JOIN df USING (h)
     GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-passage report (operators.dedup.passage_dup_report):
@@ -558,7 +558,7 @@ def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY seg_idx), '') AS clean_text
     FROM k GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's line-level dedup (Raffel et al. 2020 §2.2 — drop every
@@ -591,7 +591,7 @@ def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
     ORDER BY 1, 2, 3
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs over the part-name vocabulary:
@@ -633,7 +633,7 @@ def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE levenshtein(s_a, s_b) <= {EDJ_K}
     ORDER BY s_a, s_b
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide edit-distance similarity JOIN (all pairs of distinct
@@ -739,7 +739,7 @@ def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(common::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.8
     ORDER BY id_a, id_b
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by shingle CONTAINMENT >= 0.8 — |A n B| over the
@@ -779,7 +779,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex JOIN fo ON ex.s = fo.s
     GROUP BY 1 ORDER BY 1
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal-novelty curve per document: what fraction of each doc's

@@ -82,7 +82,7 @@ from .queries import _t, query
     ORDER BY query_id, rrf DESC, doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval with reciprocal-rank fusion — the modern search
@@ -277,7 +277,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY measurement — recall@5 of the sign-LSH bucket path
@@ -371,7 +371,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_pq_adc",
     _sql_pq_adc(),
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization + asymmetric distance (operators.similarity
@@ -524,7 +524,7 @@ def _sql_ivf_pq() -> str:
     # New r9 — the LLM-pipeline capstone (VERDICT r8 ask #5); flipped
     # onto the driver surface in the r9 rotation commit after both-scale
     # pre-validation (plans/rotation.py).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone vector-index composition — FAISS-style IVFPQ
@@ -687,7 +687,7 @@ _NDCG_DISC_SQL = " ".join(
     """.replace("{SIGN_BITS}", str(S.SIGN_BITS)),
     # New r8 (locally pinned; backlog — rotation candidate with
     # wh_compaction once the r9 queue clears).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded RANKING quality of the ANN path — NDCG@5 of sign-LSH

@@ -309,7 +309,7 @@ def st_stream_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Locally-pinned (driver surface capped at 50): the stateless
     # broadcast-enrichment half of the streaming join story; the
     # stateful half is st_stream_stream_join.
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment executed as a real streaming

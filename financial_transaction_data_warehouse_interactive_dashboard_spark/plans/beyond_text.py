@@ -316,7 +316,7 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pw, s ORDER BY source
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (the multilingual-sampling
@@ -571,7 +571,7 @@ def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): same portable-md5
     # determinism family as tx_hash_split, which is driver-green.
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-20-docs-per-language stratified sample
@@ -603,7 +603,7 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, gram
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_heavy_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent collocations (word bigrams with >0.1% corpus share) via
@@ -652,7 +652,7 @@ def tx_heavy_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id ORDER BY doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus unigram language-model scoring — the statistical quality
@@ -715,7 +715,7 @@ def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted per-language sample
@@ -756,7 +756,7 @@ def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s ORDER BY doc_id, chunk_idx
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document CHUNKING — the context-window splitter of
@@ -815,7 +815,7 @@ def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): window-cumsum family
     # is driver-covered by w1/w5; the packing rule itself is pinned here.
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: documents laid out per
@@ -925,7 +925,7 @@ def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): same explode-free
     # array-expression family as tx_text_profile, which is driver-green.
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal: the fraction of duplicate
@@ -1002,7 +1002,7 @@ def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated BIGRAM language-model scoring — the second-order
@@ -1092,7 +1092,7 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ck AS custkey, b AS neg_brand, rnk
     FROM r WHERE rnk <= {NEG_K} ORDER BY custkey, rnk
     """,
-    driver=False,  # r7 rotation queue (new r6; locally oracle-pinned)
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training pairs:
@@ -1185,7 +1185,7 @@ def tx_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corrupted c LEFT JOIN target tg ON c.doc_id = tg.doc_id
     ORDER BY doc_id
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): mask
@@ -1326,7 +1326,7 @@ def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS curriculum_pos
     FROM q ORDER BY curriculum_pos
     """,
-    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering of the training corpus: every document gets a
@@ -1382,7 +1382,7 @@ _BPE_PACK_BUDGET = 512  # tokens per packed training sequence
     """,
     # New r9 (VERDICT r8 ask #6); flipped onto the driver surface in the
     # r9 rotation commit after both-scale pre-validation.
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-grade BPE merge-table application
@@ -1448,7 +1448,7 @@ def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # New r9 (VERDICT r8 ask #6 follow-through: packing consumes REAL
     # tokenizer lengths); flipped onto the driver surface in the r9
     # rotation commit after both-scale pre-validation.
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def tx_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over REAL tokenizer lengths: the offset-bin

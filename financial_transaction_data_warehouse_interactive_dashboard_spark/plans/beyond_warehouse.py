@@ -254,7 +254,7 @@ def wh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY f.custkey, f.ts
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def wh_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup (operators.scd.scd2_lookup): every
@@ -718,7 +718,7 @@ def wh_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wh_cdc_apply",
     _CDC_ORACLE,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply (operators.scd.apply_changelog): a
@@ -1332,7 +1332,7 @@ def wh_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r8 (locally pinned; backlog — rotation candidate once the r9
     # queue clears).
-    driver=False,
+    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
 )
 def wh_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files COMPACTION under the oracle gate — the standing

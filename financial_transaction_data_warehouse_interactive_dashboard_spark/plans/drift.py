@@ -393,7 +393,7 @@ def qa_ks_two_sample(
                  6) AS autocorr_lag1
     FROM m
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def ev_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of daily event revenue: Pearson r over
@@ -476,7 +476,7 @@ EWMA_WEIGHTS = [0.5**k for k in range(EWMA_K)]
     FROM e ORDER BY day
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event revenue with
@@ -567,7 +567,7 @@ def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS trend of daily event revenue — slope (revenue change per
@@ -870,7 +870,7 @@ def qa_mann_whitney(
            round(CAST(cum - runmin AS DOUBLE) / n, 6) AS cusum_pos
     FROM r ORDER BY day
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection on daily revenue: the classic
@@ -971,7 +971,7 @@ def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order value across the five market segments —
@@ -1071,7 +1071,7 @@ def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev JOIN se USING (dow) CROSS JOIN ctr
     ORDER BY day
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of daily revenue into trend
@@ -1188,7 +1188,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape
     FROM t GROUP BY model ORDER BY model
     """,
-    driver=True,  # rotated IN r7 wave-2 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead forecast BACKTEST of the daily revenue series for
@@ -1284,7 +1284,7 @@ WILSON_Z = 1.959963984540054  # 97.5th normal quantile, repr-exact
                  / (1 + z * z / n), 6) AS ci_hi
     FROM m ORDER BY segment
     """,
-    driver=True,  # rotated IN r7 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% WILSON score interval for the finalized-order share per

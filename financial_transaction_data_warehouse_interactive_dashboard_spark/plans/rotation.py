@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -158,6 +158,66 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "tpch_q1_pricing_summary", "tpch_q5_local_supplier_volume",
         ),
     },
+    9: {
+        # THE BACKLOG-ZERO ROUND (VERDICT r8 ask #1, taken maximally):
+        # every entry that has never had a driver CORRECTNESS row is
+        # promoted at once — the 34-entry backlog (pre-validated
+        # driver-style at BOTH sf0.01 and sf0.1 at the end of round 8,
+        # ROTATION.md) plus the round's 3 new entries (sim_ann_ivf_pq,
+        # tx_bpe_apply, tx_bpe_pack — each verified bit-exact at
+        # sf0.001/0.01/0.1 this round before the flip). The other 13
+        # slots are the standing keep-set under the r8 second-row
+        # policy: streaming microbatch harnesses (st_*), warehouse
+        # snapshot lifecycles (wh_*), and the scale_safe plan-shape
+        # claim. A green round leaves ALL 187 registry entries with at
+        # least one committed driver row.
+        "in": (
+            # the pre-cleared r8 NEXT_QUEUE (both-scale driver-style
+            # compare, 28/28, end of round 8)
+            "wh_scd2_lookup", "wh_cdc_apply", "st_stream_static_enrich",
+            "sim_hybrid_rrf", "sim_random_projection",
+            "dd_er_blocked_pairs", "dd_containment_pairs",
+            "ev_transition_matrix", "ev_top_paths", "tx_pack_sequences",
+            "tx_unigram_logprob", "a29_cohort_ltv", "a20_basket_pair_lift",
+            "w6_user_day_gapfill",
+            # the rest of the never-driver-checked backlog (same
+            # end-of-r8 pre-validation, 36/36)
+            "a15_hll_mergeable", "a18_zscore_outliers",
+            "a21_order_reconciliation", "a27_dow_seasonal_outliers",
+            "dd_normalized_dedup", "dd_novelty_fractions",
+            "ev_asof_nearest_error", "ev_asof_view_purchase",
+            "ev_cumulative_uniques", "ev_equidepth_histogram",
+            "sim_embedding_covariance", "sim_ndcg_at_k",
+            "tx_bigram_logprob", "tx_chunk_documents",
+            "tx_heavy_collocations", "tx_mixture_weights",
+            "tx_negative_sampling", "tx_repetition_ratio",
+            "tx_weighted_sample", "wh_compaction",
+            # new this round (all-scale verified before the flip)
+            "sim_ann_ivf_pq", "tx_bpe_apply", "tx_bpe_pack",
+        ),
+        "out": (
+            # every r8 first-timer that is not in the keep-set retires
+            # on its green row (single-green deterministic closed
+            # forms, per the r8 second-row policy)
+            "a19_benford_first_digit", "a25_spearman_avg_rank",
+            "a25_spearman_freq_spend", "a28_customer_kmeans",
+            "a35_survival_km", "dd_incremental_dedup",
+            "dd_incremental_minhash", "dd_passage_dupes",
+            "dd_qgram_edit_join", "dd_segment_dedup",
+            "ev_active_users_hll", "ev_attribution_first_touch",
+            "ev_attribution_linear", "ev_autocorr_daily",
+            "ev_cohort_retention", "ev_cusum_daily", "ev_ewma_daily",
+            "ev_forecast_backtest", "ev_mad_outliers",
+            "ev_peak_concurrency", "ev_seasonal_decompose",
+            "ev_time_to_convert", "ev_trend_regression",
+            "ev_wau_stickiness", "ev_winsorized_stats", "mm_avi_frames",
+            "mm_bmp_pixels", "qa_anova_segments", "qa_wilson_ci",
+            "sim_ann_pq_adc", "sim_recall_at_k", "tpch_q16_supplier_cnt",
+            "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+            "tx_curriculum_order", "tx_span_corruption",
+            "tx_stratified_sample",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -173,23 +233,51 @@ RE_PROMOTED: dict[str, int] = {
     "qa_wilson_ci": 8,
 }
 
-#: Never-driver-checked entries queued for the NEXT round's promotion,
-#: strongest oracles first (one per operator family per round where the
-#: surface allows). Kept here, not in docstrings, so the queue and the
-#: history live together.
-NEXT_QUEUE: tuple[str, ...] = (
-    "wh_scd2_lookup",           # point-in-time lookup vs SCD2 table
-    "wh_cdc_apply",             # batch CDC merge fold
-    "st_stream_static_enrich",  # stream-static broadcast enrich
-    "sim_hybrid_rrf",           # reciprocal-rank-fusion hybrid search
-    "sim_random_projection",    # JL sign projection, deterministic
-    "dd_er_blocked_pairs",      # entity-resolution blocking
-    "dd_containment_pairs",     # asymmetric containment dedup
-    "ev_transition_matrix",     # event-type Markov transitions
-    "ev_top_paths",             # top-k event paths per user
-    "tx_pack_sequences",        # greedy sequence packing
-    "tx_unigram_logprob",       # corpus unigram LM scoring
-    "a29_cohort_ltv",           # cohort lifetime-value triangle
-    "a20_basket_pair_lift",     # market-basket pair lift
-    "w6_user_day_gapfill",      # calendar gap-fill cross join
+#: Never-driver-checked entries queued for the NEXT round's promotion.
+#: EMPTY since the round-9 backlog-zero flip: every registry entry holds
+#: (or is on the current surface earning) a driver row. New operators
+#: join here until their promotion round, then move to the history.
+NEXT_QUEUE: tuple[str, ...] = ()
+
+#: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
+#: force from round 10, once the backlog is zero. Each round the surface
+#: is composed in priority order:
+#:
+#:   1. genuine first-timers (new operators; NEXT_QUEUE) — evidence debt
+#:      always outranks evidence age;
+#:   2. the standing keep-set: st_*/wh_* harnesses + the
+#:      a24_revenue_gini_scale_safe plan claim (scale/state-dependent
+#:      entries re-earn their row every round — the r8 second-row
+#:      policy);
+#:   3. REFRESH promotions: the remaining slots refill with the entries
+#:      whose most-recent green driver row is OLDEST (ties broken by
+#:      name), so no entry's external evidence ages indefinitely and
+#:      code moves (e.g. the r8 tier split) eventually re-earn driver
+#:      rows on the moved code. ~35 refresh slots/round over a
+#:      137-entry refresh pool -> every deterministic entry re-earns a
+#:      driver row at least every ~4 rounds.
+#:
+#: REFRESH_QUEUE is the age-ordered refill for the NEXT round
+#: (recomputed each round from the committed CORRECTNESS files; entries
+#: listed oldest-evidence-first, so round 10 takes a prefix). Unlike
+#: NEXT_QUEUE these HAVE prior driver rows by construction — re-earning
+#: freshness is the point — so they are not declared in the history's
+#: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
+REFRESH_QUEUE: tuple[str, ...] = (
+    # last green row r2 (the oldest evidence in the ledger)
+    "a10_value_stats", "a1_count_by_segment", "a2_quarter_status_matrix",
+    "a9_cube_status_quarter", "dd_embedding_neardup", "dd_simhash",
+    "ev_sessionize", "ev_tumbling_hourly", "o2_top5_types",
+    "sim_ann_ivf", "sim_ann_ivf_kmeans", "tx_fingerprint", "tx_lang_id",
+    "tx_quality_score", "tx_token_count", "x1_except",
+    # r3
+    "ev_value_histogram", "mm_frame_sample",
+    # r4
+    "a8_rollup_region_nation", "c1_timestamp_roundtrip",
+    "dd_simhash_pairs", "ev_props_extract", "f4_contains",
+    "j7_name_remap", "st_tumbling_hourly", "w4_surrogate_keys",
+    # r5
+    "dd_ngram_jaccard", "ev_funnel_vcp", "ev_rolling_7d",
+    "mm_features_resize", "q2_top_priorities_q4", "q3_quarter_ranking",
+    "sim_topk_bruteforce", "st_sessionize_stateful",
 )

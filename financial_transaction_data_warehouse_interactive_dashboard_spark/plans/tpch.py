@@ -144,7 +144,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: top-10 highest-revenue unshipped BUILDING orders. The
@@ -269,7 +269,7 @@ Q4_LATE_DAYS = 90
         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
     GROUP BY 1 ORDER BY 1
     """,
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one LATE lineitem
@@ -315,7 +315,7 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY supplier_cnt DESC, p_name, p_size
     """,
-    driver=True,  # rotated IN r8 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r9 (rotation; driver-green r8)
 )
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers can deliver each

@@ -106,6 +106,27 @@ def test_next_queue_is_never_driver_checked():
     assert not stale, stale
 
 
+def test_refresh_queue_is_age_ordered_and_green():
+    """Steady-state freshness policy (r9, VERDICT r8 ask #4): the
+    refresh queue holds only entries with a committed GREEN driver row
+    (re-earning freshness is its point — first-timers belong in
+    NEXT_QUEUE), none currently on the surface, ordered by oldest
+    most-recent-green-row first (ties by name)."""
+    assert not set(R.REFRESH_QUEUE) - set(Q.REGISTRY)
+    surface = {n for n, q in Q.REGISTRY.items() if q.driver}
+    assert not set(R.REFRESH_QUEUE) & surface
+    last_green: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        for name, row in json.load(open(path)).items():
+            if _row_green(row):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    missing = [n for n in R.REFRESH_QUEUE if n not in last_green]
+    assert not missing, missing
+    keys = [(last_green[n], n) for n in R.REFRESH_QUEUE]
+    assert keys == sorted(keys), "refresh queue must be age-ordered"
+
+
 def test_survey_2_11_inventory_matches_registry():
     """SURVEY.md §2.11 is the judge's coverage ground truth; its
     backticked inventory names must be exactly REGISTRY.keys() (VERDICT
