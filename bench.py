@@ -80,6 +80,12 @@ LARGE_RESULT = {
     "tx_repetition_ratio",
     "sim_random_projection",
     "dd_incremental_dedup",
+    # r9: BPE token-id application is one row per document (md5 + csv
+    # payload per doc grows linearly with the corpus); time the
+    # distributed path, not driver materialization. tx_bpe_pack and
+    # tx_bpe_train output per-bin/per-merge aggregates (bounded) and
+    # stay collect-timed.
+    "tx_bpe_apply",
     # r8: duplicated-passage spans grow linearly with the corpus (4,691
     # rows at sf0.1); promoted to the driver surface this round, so time
     # the distributed path. (Basis change vs r7 is recorded by the new

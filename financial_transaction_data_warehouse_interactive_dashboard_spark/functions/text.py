@@ -319,3 +319,143 @@ def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
         )
         return f"list_transform({toks}, t -> {vocab_case})"
     raise ValueError(f"unknown engine: {engine}")
+
+
+#: Merges learned by tx_bpe_train (kept small so the unrolled oracle
+#: stays readable; each merge is one full distributed iteration).
+BPE_TRAIN_MERGES = 8
+
+
+def bpe_train(docs, n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES):
+    """LEARN a BPE merge table from the corpus — the training half of the
+    tokenizer tier (tx_bpe_apply applies a fixed table; this derives
+    one). Classic Sennrich-style loop, distributed:
+
+    1. one corpus pass builds the word-frequency table (the only stage
+       that touches the documents; by Heaps' law the vocab is orders of
+       magnitude smaller than the corpus, so training state fits
+       executors at any corpus size);
+    2. per merge: count adjacent symbol pairs (explode + one shuffle on
+       the pair key, weighted by word frequency, every adjacent index
+       counted — the get_stats convention), take the global top-1
+       (ties -> lexicographically smallest pair), then apply the winner
+       to every word via the same delimiter-encoded
+       leftmost-nonoverlapping replace fixpoint tx_bpe_apply uses
+       (``passes`` applications, dynamic pattern from the broadcast
+       1-row winner).
+
+    Each iteration is materialized (localCheckpoint) before the next —
+    the kmeans-iteration discipline: the word table is tiny but its
+    lineage stacks a full replace chain per round. All counts are
+    integers and all tie-breaks total, so the learned table is
+    bit-reproducible in the DuckDB oracle (which unrolls the identical
+    loop). Returns (rank, left_sym, right_sym, pair_weight)."""
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "filter(split(regexp_replace(lower(text),"
+                    " '[^a-z]+', ' '), ' '), w -> w != '')"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("'/' || regexp_replace(w, '(.)', '$1/')").alias("enc"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = None
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.expr("filter(split(enc, '/'), t -> t != '')").alias("s"),
+            )
+            # single-symbol words contribute no pairs; also guards the
+            # explode: sequence(1, size-1) DESCENDS ([1, 0]) when
+            # size < 2 and element_at would throw on index 0/size+1.
+            .filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS a,"
+                        " element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        win = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("w8"))
+            .orderBy(F.desc("w8"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("rank", F.lit(rank))
+            .localCheckpoint(eager=True)
+        )
+        merges = win if merges is None else merges.unionAll(win)
+        pat = F.concat(F.lit("/"), F.col("a"), F.lit("/"), F.col("b"), F.lit("/"))
+        rep = F.concat(F.lit("/"), F.col("a"), F.col("b"), F.lit("/"))
+        enc2 = F.col("enc")
+        for _ in range(passes):
+            enc2 = F.replace(enc2, pat, rep)
+        words = (
+            words.crossJoin(F.broadcast(win.select("a", "b")))
+            .select(enc2.alias("enc"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    return merges.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("a").alias("left_sym"),
+        F.col("b").alias("right_sym"),
+        F.col("w8").cast("bigint").alias("pair_weight"),
+    )
+
+
+def bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the identical loop unrolled —
+    word-frequency CTE, then per merge a pair-count CTE, a top-1 CTE
+    (same total tie-break), and a merged-words CTE applying the winner
+    with the same replace fixpoint via a 1-row cross join."""
+    pat = "'/' || a || '/' || b || '/'"
+    rep = "'/' || a || b || '/'"
+    merged = "enc"
+    for _ in range(passes):
+        merged = f"replace({merged}, {pat}, {rep})"
+    ctes = [
+        "w0 AS (\n"
+        "  SELECT '/' || regexp_replace(w, '(.)', '\\1/', 'g') AS enc,\n"
+        "         count(*) AS freq\n"
+        "  FROM (SELECT unnest(list_filter(string_split(\n"
+        "          regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),\n"
+        "          x -> x != '')) AS w\n"
+        "        FROM documents)\n"
+        "  GROUP BY 1)"
+    ]
+    for i in range(n_merges):
+        ctes += [
+            f"s{i} AS (SELECT freq,\n"
+            f"  list_filter(string_split(enc, '/'), t -> t != '') AS s\n"
+            f"  FROM w{i})",
+            f"p{i} AS (SELECT u.a AS a, u.b AS b, sum(freq) AS w8\n"
+            f"  FROM s{i},\n"
+            "       unnest([{'a': s[j], 'b': s[j + 1]}\n"
+            "               for j in range(1, len(s))]) AS t(u)\n"
+            "  GROUP BY 1, 2)",
+            f"m{i} AS (SELECT a, b, w8, {i + 1} AS rank FROM p{i}\n"
+            f"  ORDER BY w8 DESC, a, b LIMIT 1)",
+            f"w{i + 1} AS (SELECT {merged} AS enc, freq FROM w{i}, m{i})",
+        ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{i}" for i in range(n_merges))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(rank AS INTEGER) AS rank, a AS left_sym,\n"
+        "       b AS right_sym, CAST(w8 AS BIGINT) AS pair_weight\n"
+        f"FROM ({union})\n"
+        "ORDER BY rank"
+    )

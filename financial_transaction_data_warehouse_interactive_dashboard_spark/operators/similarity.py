@@ -518,13 +518,45 @@ def topk_ann_ivf_pq(
     cells = seeds
     for _ in range(ivf_iterations):
         cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
-    assign = _assign_cells(vecs, cells).select("vec_id", "cell")
-
-    subs = _subvectors(vecs, m, subdim).localCheckpoint(eager=True)
-    books = pq_codebooks(subs, n_codes, pq_iterations)
-    codes = _pq_assign(subs, books).select("vec_id", "m", "code")
+    # Build the inverted file in ONE corpus pass: cell rides the
+    # subvector explode, so (cell, vec_id, m, code) needs NO
+    # corpus-to-corpus join (a vec_id equi-join of assignments against
+    # codes would be a SortMergeJoin of two corpus-sized frames — at
+    # 10^9 vectors, two full shuffles the storage layout never pays;
+    # plan-pinned by tests/test_plan_quality.py).
+    assign = _assign_cells(vecs, cells)
+    sub_e = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("m"),
+                    F.slice("v", j * subdim + 1, subdim).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    subs_c = (
+        assign.select("vec_id", "cell", sub_e.alias("e"))
+        .select(
+            "vec_id", "cell", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    books = pq_codebooks(
+        subs_c.select("vec_id", "m", "sv"), n_codes, pq_iterations
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.desc("sub_cos"), F.asc("code")
+    )
     # Inverted file: (cell, vec_id, m, code) — the corpus as stored.
-    inv = assign.join(codes, "vec_id")
+    inv = (
+        subs_c.join(F.broadcast(books), "m")
+        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
 
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -1478,3 +1478,29 @@ def tx_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+@query(
+    "tx_bpe_train",
+    T.bpe_train_sql(),
+    # New r9 (tokenizer-training capstone next to tx_bpe_apply); joins
+    # the driver surface via the r10 NEXT_QUEUE (plans/rotation.py) —
+    # locally oracle-pinned at all three scales meanwhile.
+    driver=False,
+)
+def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING (functions.text.bpe_train): learn the
+    first 8 merges from the corpus itself — one corpus pass builds the
+    word-frequency table (Heaps' law: vocab << corpus, so training
+    state fits executors at 100 TB), then per merge one shuffle counts
+    adjacent symbol pairs weighted by word frequency, the global top-1
+    wins (ties lexicographic), and the winner is folded into every word
+    via the same delimiter-encoded replace fixpoint tx_bpe_apply uses —
+    the kmeans-iteration discipline (materialize per round) applied to
+    tokenizer training. The oracle unrolls the identical loop, so every
+    intermediate merge decision — not just the final table — is inside
+    the hash: a wrong count, tie-break, or merge application anywhere
+    in the 8 rounds flips a row. Output: (rank, left_sym, right_sym,
+    pair_weight). Integer-only; exact by construction. Reference
+    analogue: none (beyond-reference LLM-pipeline tier)."""
+    return T.bpe_train(_t(spark, sf_dir, "documents")).orderBy("rank")

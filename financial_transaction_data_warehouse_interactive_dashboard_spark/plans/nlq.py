@@ -159,6 +159,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "ev_trend_regression": ("regression", "slope", "ols", "fit", "r2"),
     "tx_mixture_weights": ("mixture", "temperature", "upsample", "sources", "weighting"),
     "tx_bpe_apply": ("bpe", "tokenizer", "tokenize", "merges", "subword"),
+    "tx_bpe_train": ("train", "learn", "learned", "vocabulary", "vocab"),
     # Distinct from tx_pack_sequences' keywords (pack/packing/sequences/
     # bins/batches): this face is about packing TOKENIZED lengths.
     "tx_bpe_pack": ("packed", "budgets", "budget", "contexts", "tokenized"),

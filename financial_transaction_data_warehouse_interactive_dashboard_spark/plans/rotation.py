@@ -234,10 +234,11 @@ RE_PROMOTED: dict[str, int] = {
 }
 
 #: Never-driver-checked entries queued for the NEXT round's promotion.
-#: EMPTY since the round-9 backlog-zero flip: every registry entry holds
-#: (or is on the current surface earning) a driver row. New operators
-#: join here until their promotion round, then move to the history.
-NEXT_QUEUE: tuple[str, ...] = ()
+#: Since the round-9 backlog-zero flip this holds only operators
+#: authored AFTER the flip; first-timers always outrank refresh slots.
+NEXT_QUEUE: tuple[str, ...] = (
+    "tx_bpe_train",  # distributed BPE merge learning (authored r9)
+)
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
 #: force from round 10, once the backlog is zero. Each round the surface

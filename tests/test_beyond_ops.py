@@ -301,6 +301,66 @@ def test_bpe_planted_merges(spark):
     assert v["the"] == T.BPE_BASE_ID + 1 and v["ble"] == T.BPE_BASE_ID + 11
 
 
+def test_bpe_train_matches_pure_python_reference(spark):
+    """bpe_train on a planted corpus must equal an independent plain-
+    Python implementation of the same spec (adjacent-pair counts
+    weighted by word frequency, every adjacent index counted, ties to
+    the lexicographically smallest pair, exhaustive leftmost merge) —
+    the classic low/lower/newest example plus a repeated-letter word so
+    overlap handling is exercised."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newer newer newer newer",
+        "newest newest newest widest",
+        "aaaa aaaa banana",
+        # single-symbol words contribute no pairs but must not break the
+        # pair explode (regression: sequence(1, size-1) descends when
+        # size < 2 and element_at threw on the real corpus's 'a')
+        "a i o u a a",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    # independent reference: symbols as tuples, no delimiter encoding
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[tuple(w)] += 1
+    expect = []
+    for _ in range(5):
+        pairs = Counter()
+        for syms, freq in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((a, b, n))
+        merged = Counter()
+        for syms, freq in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] += freq
+        words = merged
+
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_weight"])
+        for r in T.bpe_train(docs, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == expect, (got, expect)
+
+
 def test_bpe_pack_consumes_bpe_lengths(spark):
     """tx_bpe_pack's bins must be reproducible from tx_bpe_apply's
     n_tokens alone (the packing stage consumes the tokenizer's REAL
@@ -1262,6 +1322,9 @@ def test_nlq_routing(spark):
     )
     assert nlq.route("bpe tokenizer merges subword") == "tx_bpe_apply"
     assert nlq.route("packed tokenized context budgets") == "tx_bpe_pack"
+    assert nlq.route("learn the vocab merges from the corpus") == (
+        "tx_bpe_train"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )

@@ -460,6 +460,45 @@ def test_hybrid_rrf_broadcasts_small_sides(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_pq_plan_broadcasts_index_sides(spark):
+    """sim_ann_ivf_pq (the IVFPQ capstone): the centroid table, the PQ
+    codebooks, the per-query ADC LUT, and the probe map are all tiny —
+    every join in the query path must be a BroadcastHashJoin. A
+    SortMergeJoin anywhere means an index-sized structure is being
+    shuffled with the corpus-sized code table; at 10^9 vectors that is
+    the difference between an ADC gather and a full re-shuffle."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+
+    plan = plan_of(
+        S.topk_ann_ivf_pq(load_table(spark, SF_SMOKE, "embeddings"))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_apply_is_map_only(spark):
+    """tx_bpe_apply must stay a zero-shuffle codegen stage over the
+    documents scan (the tx_pii_scrub discipline): no Exchange in the
+    plan below the final sort, and the scan pruned to the two columns
+    the tokenizer touches."""
+    df = REGISTRY["tx_bpe_apply"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # the ONLY exchange is the presentation orderBy's range partitioning
+    # (formatted explain lists each operator once in the tree and once
+    # in the details — count the detail headers)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert "rangepartitioning" in plan
+    assert "ReadSchema" in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read
+
+
 def test_runtime_bloom_filter_injection(spark):
     """Runtime filtering, third leg of the skew/pruning story: when a
     selectively-filtered dim joins a big fact WITHOUT broadcast (the
