@@ -127,7 +127,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kw = (
-        qterms.join(tf, "term")
+        tf.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("kw_score"))
@@ -304,13 +304,13 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = exact.select("query_id").distinct()
     na = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
     hits = (
-        ann.join(exact, ["query_id", "neighbor_id"])
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     return (
-        qs.join(na, "query_id", "left")
-        .join(hits, "query_id", "left")
+        qs.join(F.broadcast(na), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
@@ -557,12 +557,12 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     hits = (
-        ann.join(exact, ["query_id", "neighbor_id"])
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     return (
-        ann.join(hits, "query_id", "left")
+        ann.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             "neighbor_id",
@@ -733,7 +733,7 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     dcg = (
-        ann.join(exact, ["query_id", "neighbor_id"])
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.sum(term(6 - F.col("r"), "pos")).alias("dcg_dec"))
     )
@@ -746,9 +746,9 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcg_d = F.coalesce("dcg_dec", zero).cast("double")
     idcg_d = F.col("idcg_dec").cast("double")
     return (
-        qs.join(na, "query_id", "left")
-        .join(dcg, "query_id", "left")
-        .join(idcg, "query_id")
+        qs.join(F.broadcast(na), "query_id", "left")
+        .join(F.broadcast(dcg), "query_id", "left")
+        .join(F.broadcast(idcg), "query_id")
         .select(
             "query_id",
             F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),

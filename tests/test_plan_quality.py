@@ -454,10 +454,24 @@ def test_hybrid_rrf_broadcasts_small_sides(spark):
     """sim_hybrid_rrf: vocabulary-sized frames (document frequency, the
     1-row corpus count, the per-query term lists) must ride broadcast
     joins; a sort-merge join against the token stream would shuffle the
-    whole inverted index per query batch."""
+    whole inverted index per query batch. The ONE allowed SMJ is the
+    full-outer rank-fusion join (both sides query-sample-bounded;
+    Spark's BroadcastHashJoin cannot build full outer)."""
     plan = plan_of(REGISTRY["sim_hybrid_rrf"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 2  # tree + detail header once
     assert "CartesianProduct" not in plan
+
+
+def test_retrieval_eval_family_has_no_smj(spark):
+    """The retrieval-eval compositions (recall@k, NDCG@k, the IVFPQ
+    capstone) join only query-sample-bounded frames (per-query
+    aggregates, exact top-k frontiers) — every such join must broadcast
+    (r9 audit: these were silently SortMergeJoining 8-to-40-row frames,
+    paying 2-4 shuffles per entry)."""
+    for name in ("sim_recall_at_k", "sim_ndcg_at_k", "sim_ann_ivf_pq"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_ivf_pq_plan_broadcasts_index_sides(spark):
