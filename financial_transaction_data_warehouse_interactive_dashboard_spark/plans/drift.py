@@ -1438,3 +1438,154 @@ def qa_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kurtosis_excess"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# qa_fdr_bh_segments: multiple-testing correction over the per-segment
+# Welch family (Benjamini-Hochberg FDR at q = 0.1)
+# ---------------------------------------------------------------------------
+
+def _phi_tail(x: str) -> str:
+    """1 - Phi(x) for x >= 0: the Zelen & Severo / Abramowitz-Stegun
+    26.2.17 polynomial (|eps| < 7.5e-8), in Horner form with every
+    constant entering via repr-string CAST (the _PR_TP discipline) and
+    identical parenthesization — the SAME string evaluates in Spark SQL
+    and DuckDB, so the p-values agree bitwise."""
+    k = f"(1 / (1 + CAST('0.2316419' AS DOUBLE) * {x}))"
+    poly = (
+        f"((((CAST('1.330274429' AS DOUBLE) * {k}"
+        f" + CAST('-1.821255978' AS DOUBLE)) * {k}"
+        f" + CAST('1.781477937' AS DOUBLE)) * {k}"
+        f" + CAST('-0.356563782' AS DOUBLE)) * {k}"
+        f" + CAST('0.319381530' AS DOUBLE)) * {k}"
+    )
+    return (
+        f"(exp(-({x} * {x}) / 2)"
+        f" / CAST('2.5066282746310002' AS DOUBLE)) * ({poly})"
+    )
+
+
+#: Welch z of one segment's order cents against the pooled rest,
+#: from exact integer moments (n/s/ss per segment, tn/ts/tss totals).
+#: One shared string -> both engines.
+_BH_Z = (
+    "((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - CAST(ts - s AS DOUBLE) / CAST(tn - n AS DOUBLE))"
+    " / sqrt("
+    "   ((CAST(ss AS DOUBLE)"
+    "     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    / (CAST(n AS DOUBLE) - 1)) / CAST(n AS DOUBLE)"
+    "   + ((CAST(tss - ss AS DOUBLE)"
+    "       - CAST(ts - s AS DOUBLE) * CAST(ts - s AS DOUBLE)"
+    "         / CAST(tn - n AS DOUBLE))"
+    "      / (CAST(tn - n AS DOUBLE) - 1)) / CAST(tn - n AS DOUBLE)))"
+)
+
+_BH_P = f"2 * ({_phi_tail('abs(z)')})"
+
+_BH_Q = "CAST('0.1' AS DOUBLE)"  # target false-discovery rate
+
+
+@query(
+    "qa_fdr_bh_segments",
+    f"""
+    WITH so AS (
+      SELECT c_mktsegment AS segment,
+             CAST(o_totalprice::DECIMAL(30,2) * 100 AS BIGINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT segment, count(*) AS n,
+                 sum(CAST(c AS DECIMAL(38,0))) AS s,
+                 sum(CAST(c * c AS DECIMAL(38,0))) AS ss
+          FROM so GROUP BY 1),
+    t AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+                 count(*) AS m
+          FROM g),
+    z AS (SELECT segment, n, m, {_BH_Z} AS z FROM g, t),
+    p AS (SELECT segment, n, m, z, {_BH_P} AS p FROM z),
+    r AS (SELECT *, row_number() OVER (ORDER BY p, segment) AS bh_rank
+          FROM p),
+    r2 AS (SELECT *, bh_rank * {_BH_Q} / m AS thr FROM r),
+    k AS (SELECT max(CASE WHEN p <= thr THEN bh_rank END) AS kmax
+          FROM r2)
+    SELECT segment, CAST(n AS BIGINT) AS n, round(z, 6) AS z6,
+           round(p, 6) AS p6, CAST(bh_rank AS INTEGER) AS bh_rank,
+           round(thr, 6) AS bh_thr6,
+           bh_rank <= coalesce(kmax, 0) AS rejected
+    FROM r2, k
+    ORDER BY bh_rank
+    """,
+    # New r9 (multiple-testing capstone for the drift tier); r10
+    # NEXT_QUEUE candidate — locally oracle-pinned at all three scales.
+    driver=False,
+)
+def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control over a FAMILY of drift tests —
+    what a production drift monitor actually ships: running qa_welch_t
+    once per segment without correction false-alarms at the family
+    rate. Five hypotheses (each market segment's order value vs the
+    pooled rest, Welch z from one grouped pass of exact integer cents
+    moments — per-segment n/sum/sum-of-squares plus subtracted totals,
+    so 'rest' statistics cost nothing), two-sided p via the
+    Abramowitz-Stegun 26.2.17 normal-tail polynomial (identical
+    repr-CAST string in both engines -> bitwise-equal p-values), then
+    the BH step-up: rank p ascending, threshold rank*q/m at q=0.1,
+    reject every rank up to the largest passing one.
+
+    The 5-row hypothesis frame is the ONLY window scope
+    (GLOBAL_WINDOW_ALLOWED: bounded by the segment domain); the rest is
+    one map-side-combinable aggregation over the pushed-down
+    orders-customer broadcast join — at 100 TB this is a single
+    corpus pass + 5-row driver-free postprocessing. kmax comes from a
+    1-row aggregate cross join, not a second window. Reference
+    analogue: none."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    so = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        "segment",
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    g = so.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        F.count("*").alias("m"),
+    )
+    z = g.crossJoin(F.broadcast(t)).selectExpr(
+        "segment", "n", "m", f"{_BH_Z} AS z"
+    )
+    p = z.selectExpr("segment", "n", "m", "z", f"{_BH_P} AS p")
+    w = Window.orderBy("p", "segment")  # 5-row hypothesis frame
+    r2 = p.withColumn("bh_rank", F.row_number().over(w)).selectExpr(
+        "*", f"bh_rank * {_BH_Q} / m AS thr"
+    )
+    k = r2.agg(
+        F.max(
+            F.when(F.col("p") <= F.col("thr"), F.col("bh_rank"))
+        ).alias("kmax")
+    )
+    return (
+        r2.crossJoin(F.broadcast(k))
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("z", 6).alias("z6"),
+            F.round("p", 6).alias("p6"),
+            F.col("bh_rank").cast("int").alias("bh_rank"),
+            F.round("thr", 6).alias("bh_thr6"),
+            (F.col("bh_rank") <= F.coalesce("kmax", F.lit(0))).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("bh_rank")
+    )

@@ -173,6 +173,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "qa_psi_price_drift": ("drift", "drifted", "drifting", "psi", "stability", "population", "distribution"),
     "qa_ks_two_sample": ("kolmogorov", "smirnov", "ks", "distributions", "differ"),
     "qa_welch_t": ("ttest", "welch", "significant", "significance", "means"),
+    "qa_fdr_bh_segments": ("fdr", "benjamini", "hochberg", "multiple", "corrected"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),

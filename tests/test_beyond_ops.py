@@ -1325,6 +1325,9 @@ def test_nlq_routing(spark):
     assert nlq.route("learn the vocab merges from the corpus") == (
         "tx_bpe_train"
     )
+    assert nlq.route("benjamini hochberg fdr corrected tests") == (
+        "qa_fdr_bh_segments"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )

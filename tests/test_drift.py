@@ -256,3 +256,48 @@ def test_higher_moments_hand_distribution(spark):
         assert r["std_pop"] > 0
         assert r["skewness"] > 0  # right tail
         assert r["kurtosis_excess"] > 0  # heavier than normal
+
+
+def test_phi_tail_matches_erfc(spark):
+    """The Abramowitz-Stegun 26.2.17 polynomial behind qa_fdr_bh_segments
+    must track the true normal tail 0.5*erfc(x/sqrt(2)) within its
+    documented 7.5e-8 bound across the z range the entry can produce."""
+    import math
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.drift import (
+        _phi_tail,
+    )
+    from pyspark.sql import functions as F
+
+    xs = [0.0, 0.01, 0.5, 1.0, 1.96, 2.58, 4.0, 6.0]
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    got = {
+        r["x"]: r["t"]
+        for r in df.select("x", F.expr(_phi_tail("x")).alias("t")).collect()
+    }
+    for x in xs:
+        want = 0.5 * math.erfc(x / math.sqrt(2))
+        assert abs(got[x] - want) < 7.5e-8, (x, got[x], want)
+
+
+def test_fdr_bh_step_up_is_self_consistent(spark):
+    """The BH output must satisfy the step-up definition on its own
+    columns: ranks are a permutation of 1..m ordered by p, thresholds
+    are rank*q/m, and the rejected set is exactly ranks 1..k for
+    k = max rank with p <= threshold (never a gap)."""
+    rows = sorted(
+        REGISTRY["qa_fdr_bh_segments"].spark(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(rows)
+    assert [r["bh_rank"] for r in rows] == list(range(1, m + 1))
+    ps = [r["p6"] for r in rows]
+    assert ps == sorted(ps)
+    for r in rows:
+        assert abs(r["bh_thr6"] - round(r["bh_rank"] * 0.1 / m, 6)) < 1e-9
+        assert 0.0 <= r["p6"] <= 1.0
+    passing = [r["bh_rank"] for r in rows if r["p6"] <= r["bh_thr6"]]
+    k = max(passing, default=0)
+    assert [r["bh_rank"] for r in rows if r["rejected"]] == list(
+        range(1, k + 1)
+    )

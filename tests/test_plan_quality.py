@@ -210,6 +210,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "w5_rank_functions": "25-row nation dim",
     "a28_customer_kmeans": "LIMIT k seed head (k rows)",
     "a35_survival_km": "distinct churn-day steps",
+    "qa_fdr_bh_segments": "5-row hypothesis frame (one per segment)",
 }
 
 
