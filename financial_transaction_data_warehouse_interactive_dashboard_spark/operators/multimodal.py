@@ -657,3 +657,92 @@ def avi_frame_features(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, schema=AVI_FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint,"
+    " ahash_hi bigint, ahash_lo bigint"
+)
+
+
+def bmp_ahash(docs: DataFrame) -> DataFrame:
+    """Perceptual AVERAGE HASH over decoded BMP pixels — the image
+    near-dup primitive (aHash: downsample to an 8x8 block grid, one bit
+    per block = block mean above the whole-image mean). Runs the same
+    REAL decode as bmp_pixel_features (data offset, scanline padding,
+    bottom-up flip), then integer-only hashing: a block's bit compares
+    block_sum * total_count > total_sum * block_count — exact cross
+    multiplication, no float means — so the 64 bits are engine- and
+    platform-deterministic. Images narrower/shorter than 8 px leave
+    their unoccupied blocks at 0; a constant image hashes to all-zero
+    (nothing exceeds the mean strictly).
+
+    The hash is returned as two 32-bit halves (ahash_hi = blocks 32-63,
+    ahash_lo = blocks 0-31) so neither engine touches the BIGINT sign
+    bit. Arrow-batched mapInPandas; map-only over doc ids."""
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _st
+
+        import numpy as np
+        import pandas as pd
+
+        def enc(i: int, w: int, h: int) -> bytes:
+            stride = w * 3 + ((-w * 3) % 4)
+            x = np.arange(w)
+            y = np.arange(h)
+            v = ((i + 3 * x[None, :] + 5 * y[:, None]) % 256)[::-1]
+            padded = np.zeros((h, stride), np.uint8)
+            padded[:, : w * 3] = np.repeat(v, 3, axis=1)
+            img = padded.tobytes()
+            head = _st.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54) + _st.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+            )
+            return head + img
+
+        def dec(blob: bytes) -> "np.ndarray":
+            off = _st.unpack_from("<I", blob, 10)[0]
+            w, h = _st.unpack_from("<ii", blob, 18)
+            h = abs(h)
+            stride = w * 3 + ((-w * 3) % 4)
+            raw = np.frombuffer(blob, np.uint8, count=stride * h, offset=off)
+            return raw.reshape(h, stride)[:, : w * 3 : 3][::-1].astype(
+                np.int64
+            )
+
+        def ahash(px: "np.ndarray") -> tuple[int, int]:
+            h, w = px.shape
+            bx = (np.arange(w) * 8) // w
+            by = (np.arange(h) * 8) // h
+            blk = (by[:, None] * 8 + bx[None, :]).ravel()
+            sums = np.zeros(64, np.int64)
+            cnts = np.zeros(64, np.int64)
+            np.add.at(sums, blk, px.ravel())
+            np.add.at(cnts, blk, 1)
+            tsum, tcnt = int(px.sum()), px.size
+            hi = lo = 0
+            for b in range(64):
+                if cnts[b] and int(sums[b]) * tcnt > tsum * int(cnts[b]):
+                    if b < 32:
+                        lo |= 1 << b
+                    else:
+                        hi |= 1 << (b - 32)
+            return hi, lo
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "ahash_hi", "ahash_lo")}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 64 + 1, i * 7 % 64 + 1
+                hi, lo = ahash(dec(enc(i, w, h)))
+                out["doc_id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=AHASH_SCHEMA)

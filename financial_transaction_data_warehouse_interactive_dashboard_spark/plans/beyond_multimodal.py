@@ -260,3 +260,70 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none."""
     docs = _t(spark, sf_dir, "documents")
     return M.avi_frame_features(docs).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_ahash_clusters",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, (doc_id * 7) % 64 + 1 AS h
+      FROM documents),
+    p AS (
+      SELECT doc_id, w, h, x, y, (doc_id + 3 * x + 5 * y) % 256 AS v
+      FROM d, range(0, 64) rx(x), range(0, 64) ry(y)
+      WHERE x < w AND y < h),
+    bs AS (
+      SELECT doc_id, (y * 8 // h) * 8 + (x * 8 // w) AS blk,
+             sum(v) AS bsum, count(*) AS bcnt
+      FROM p GROUP BY 1, 2),
+    ts AS (SELECT doc_id, sum(bsum) AS tsum, sum(bcnt) AS tcnt
+           FROM bs GROUP BY 1),
+    hash AS (
+      SELECT bs.doc_id,
+             CAST(sum(CASE WHEN bsum * tcnt > tsum * bcnt AND blk >= 32
+                           THEN (1::BIGINT << (blk - 32)) ELSE 0 END)
+                  AS BIGINT) AS ahash_hi,
+             CAST(sum(CASE WHEN bsum * tcnt > tsum * bcnt AND blk < 32
+                           THEN (1::BIGINT << blk) ELSE 0 END)
+                  AS BIGINT) AS ahash_lo
+      FROM bs JOIN ts USING (doc_id) GROUP BY 1)
+    SELECT ahash_hi, ahash_lo, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hash GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY ahash_hi, ahash_lo
+    """,
+    # New r9 (image near-dup, completing the multimodal triple's dedup
+    # story); r10 NEXT_QUEUE candidate — locally oracle-pinned at all
+    # three scales.
+    driver=False,
+)
+def mm_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection by perceptual average hash
+    (operators.multimodal.bmp_ahash): every document's BMP payload is
+    REALLY decoded (offset, padding, bottom-up flip), aHash'd with
+    integer-exact block-vs-global mean bits, and duplicate clusters are
+    the hash groups with >= 2 members — the exact-dedup plan shape
+    (ONE shuffle on the 64-bit key) applied to pixels instead of text,
+    so the output is cluster-bounded rather than pairwise-quadratic
+    (the 100 TB posture: a degenerate class of N constant images emits
+    ONE row, not N^2 pairs).
+
+    The fixture's gradient arithmetic makes the claim real: doc_id and
+    doc_id+256 render byte-identical images (same size mod 64, same
+    gray offset mod 256) and must cluster; all-uniform 1x1 images
+    collapse into the all-zero-hash class. The oracle replays decode
+    arithmetic, blocking, bit comparisons, and clustering without
+    touching a byte. Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        M.bmp_ahash(docs)
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("ahash_hi", "ahash_lo")
+    )

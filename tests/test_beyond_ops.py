@@ -1328,6 +1328,9 @@ def test_nlq_routing(spark):
     assert nlq.route("benjamini hochberg fdr corrected tests") == (
         "qa_fdr_bh_segments"
     )
+    assert nlq.route("find visually identical images perceptual") == (
+        "mm_ahash_clusters"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )
@@ -1819,6 +1822,52 @@ def test_ivf_pq_recall_column_is_self_consistent(spark):
             assert r["recall_at_5"] == round(n_hits / 5, 6)
         recalls.append(n_hits / 5)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ahash_clusters_planted_duplicates(spark):
+    """The aHash clustering must find the fixture's REAL duplicate
+    structure: doc_id and doc_id+256 render byte-identical BMPs (same
+    w/h mod 64, same gray offset mod 256) so every such pair shares a
+    cluster; all doc_id % 64 == 0 images are 1x1 (uniform) and collapse
+    into the all-zero-hash class together."""
+    from collections import defaultdict
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        multimodal as M,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n_docs = docs.count()
+    rows = M.bmp_ahash(docs).collect()
+    by_doc = {r["doc_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in rows}
+    for d in range(n_docs - 256):
+        assert by_doc[d] == by_doc[d + 256], d
+    uniform = [d for d in by_doc if d % 64 == 0]
+    assert len(uniform) >= 2
+    assert {by_doc[d] for d in uniform} == {(0, 0)}
+    # and the registry entry reports those clusters
+    clusters = defaultdict(set)
+    for d, h in by_doc.items():
+        clusters[h].add(d)
+    want = {
+        (h, len(ds), min(ds), max(ds))
+        for h, ds in clusters.items()
+        if len(ds) >= 2
+    }
+    got = {
+        ((r["ahash_hi"], r["ahash_lo"]), r["n_docs"], r["min_doc"],
+         r["max_doc"])
+        for r in REGISTRY["mm_ahash_clusters"].spark(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
 
 
 def test_segment_dedup_planted_boilerplate(spark):
