@@ -477,40 +477,25 @@ def topk_ann_pq(
     )
 
 
-def topk_ann_ivf_pq(
+def build_ivfpq_index(
     emb: DataFrame,
-    n_queries: int = 8,
-    k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 2,
     ivf_iterations: int = 1,
     m: int = PQ_M,
     subdim: int = PQ_SUBDIM,
     n_codes: int = PQ_K,
     pq_iterations: int = 1,
-) -> DataFrame:
-    """IVF + PQ combined — the FAISS-style IVFPQ layout a 10^9-vector
-    corpus actually ships (Jegou et al. 2011, IVFADC): a k-means-refined
-    coarse quantizer routes each vector to one of ``n_cells`` inverted
-    cells; within cells, vectors are stored ONLY as ``m`` PQ codes
-    (8 bytes vs 256 bytes fp32 here). A query (1) scores the tiny
-    centroid table and probes its ``nprobe`` nearest cells, (2)
-    precomputes an m x n_codes lookup table of rounded query-subvector x
-    codebook inner products (64 doubles — the classic ADC LUT), and (3)
-    scores candidates by LUT gather + exact DECIMAL sum. The exact
-    subvectors are never touched at query time.
-
-    Composition of two independently oracle-checked halves:
-    topk_ann_ivf_kmeans's quantizer/probe (decimal-exact Lloyd refine,
-    rounded-cosine assignment) and topk_ann_pq's codebooks/ADC scoring.
-    All ranking keys rounded to 6 dp with id tie-breaks -> the whole
-    index build AND query path replay bit-for-bit in the DuckDB oracle.
-
-    At scale: cells are the storage partitioning key (probing = partition
-    pruning); the code table is 32x smaller than the corpus; the LUT and
-    codebooks are broadcast; the only shuffle is the per-(query,
-    candidate) ADC aggregation over candidates from nprobe/n_cells of
-    the data. Probe cost ~ corpus * nprobe / n_cells * m bytes."""
+):
+    """Build the IVFPQ index structures once: the k-means-refined coarse
+    quantizer (``cells``), the per-subspace PQ codebooks (``books``),
+    and the inverted file (``inv``: cell, vec_id, m, code) — built in
+    ONE corpus pass (cell rides the subvector explode; a vec_id
+    equi-join of assignments against codes would be a SortMergeJoin of
+    two corpus-sized frames — at 10^9 vectors, two full shuffles the
+    storage layout never pays; plan-pinned by
+    tests/test_plan_quality.py). Returned frames are exactly what
+    sources.warehouse.publish_ivfpq_layout persists: cells/books are
+    broadcast-sized sidecars, inv is the cell-partitionable code table."""
     vecs = _vecs(emb)
     seeds = vecs.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
@@ -518,12 +503,6 @@ def topk_ann_ivf_pq(
     cells = seeds
     for _ in range(ivf_iterations):
         cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
-    # Build the inverted file in ONE corpus pass: cell rides the
-    # subvector explode, so (cell, vec_id, m, code) needs NO
-    # corpus-to-corpus join (a vec_id equi-join of assignments against
-    # codes would be a SortMergeJoin of two corpus-sized frames — at
-    # 10^9 vectors, two full shuffles the storage layout never pays;
-    # plan-pinned by tests/test_plan_quality.py).
     assign = _assign_cells(vecs, cells)
     sub_e = F.explode(
         F.array(
@@ -549,7 +528,6 @@ def topk_ann_ivf_pq(
     w_enc = Window.partitionBy("vec_id", "m").orderBy(
         F.desc("sub_cos"), F.asc("code")
     )
-    # Inverted file: (cell, vec_id, m, code) — the corpus as stored.
     inv = (
         subs_c.join(F.broadcast(books), "m")
         .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
@@ -557,7 +535,28 @@ def topk_ann_ivf_pq(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", "m", "code")
     )
+    return cells, books, inv
 
+
+def ivfpq_query(
+    emb: DataFrame,
+    cells: DataFrame,
+    books: DataFrame,
+    inv: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+) -> DataFrame:
+    """The IVFPQ QUERY path over already-built (or already-STORED) index
+    frames: probe the broadcast centroid table, precompute the m x
+    n_codes ADC lookup table per query (broadcast), gather + exact
+    DECIMAL-sum the probed cells' codes, rank top-k. Identical whether
+    the index frames come fresh from build_ivfpq_index or read back
+    from the published warehouse layout — which is exactly the claim
+    wh_ivfpq_publish puts under the oracle hash."""
+    vecs = _vecs(emb)
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -571,7 +570,6 @@ def topk_ann_ivf_pq(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "cell")
     )
-    # ADC lookup table: n_queries x m x n_codes rounded inner products.
     qsub = _subvectors(
         vecs.filter(F.col("vec_id") < n_queries), m, subdim
     ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
@@ -603,3 +601,44 @@ def topk_ann_ivf_pq(
             F.round("approx_ip", 6).alias("approx_ip"),
         )
     )
+
+
+def topk_ann_ivf_pq(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    ivf_iterations: int = 1,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    pq_iterations: int = 1,
+) -> DataFrame:
+    """IVF + PQ combined — the FAISS-style IVFPQ layout a 10^9-vector
+    corpus actually ships (Jegou et al. 2011, IVFADC): a k-means-refined
+    coarse quantizer routes each vector to one of ``n_cells`` inverted
+    cells; within cells, vectors are stored ONLY as ``m`` PQ codes
+    (8 bytes vs 256 bytes fp32 here). A query (1) scores the tiny
+    centroid table and probes its ``nprobe`` nearest cells, (2)
+    precomputes an m x n_codes lookup table of rounded query-subvector x
+    codebook inner products (64 doubles — the classic ADC LUT), and (3)
+    scores candidates by LUT gather + exact DECIMAL sum. The exact
+    subvectors are never touched at query time.
+
+    Composition of two independently oracle-checked halves:
+    topk_ann_ivf_kmeans's quantizer/probe (decimal-exact Lloyd refine,
+    rounded-cosine assignment) and topk_ann_pq's codebooks/ADC scoring.
+    All ranking keys rounded to 6 dp with id tie-breaks -> the whole
+    index build AND query path replay bit-for-bit in the DuckDB oracle.
+
+    At scale: cells are the storage partitioning key (probing = partition
+    pruning — see publish_ivfpq_layout / wh_ivfpq_publish for the
+    PERSISTED form); the code table is 32x smaller than the corpus; the
+    LUT and codebooks are broadcast; the only shuffle is the
+    per-(query, candidate) ADC aggregation over candidates from
+    nprobe/n_cells of the data."""
+    cells, books, inv = build_ivfpq_index(
+        emb, n_cells, ivf_iterations, m, subdim, n_codes, pq_iterations
+    )
+    return ivfpq_query(emb, cells, books, inv, n_queries, k, nprobe, m, subdim)

@@ -518,6 +518,36 @@ def _sql_ivf_pq() -> str:
 
 
 
+def _ivfpq_recall_output(emb: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared output composition for the IVFPQ entries: join the ANN
+    top-5 back against the exact brute-force frontier so each row
+    carries its own recall@5 (all right sides query-sample-bounded ->
+    broadcast). sim_ann_ivf_pq (in-memory index) and wh_ivfpq_publish
+    (stored index) both return this frame, which is why they share one
+    oracle string verbatim."""
+    exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        ann.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_ip",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 5, 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id", F.desc("approx_ip"), "neighbor_id")
+    )
+
+
 @query(
     "sim_ann_ivf_pq",
     _sql_ivf_pq(),
@@ -553,27 +583,51 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = S.topk_ann_ivf_pq(emb, n_queries=8, k=5).localCheckpoint(
         eager=True
     )
-    exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        ann.join(F.broadcast(hits), "query_id", "left")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "approx_ip",
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double") / 5, 6
-            ).alias("recall_at_5"),
-        )
-        .orderBy("query_id", F.desc("approx_ip"), "neighbor_id")
-    )
+    return _ivfpq_recall_output(emb, ann)
+
+
+
+
+@query(
+    "wh_ivfpq_publish",
+    _sql_ivf_pq(),
+    # New r9 — the stored form of the IVFPQ capstone (shares its oracle
+    # VERBATIM: the persisted index must answer exactly like the
+    # in-memory one). r10 NEXT_QUEUE candidate; locally oracle-pinned at
+    # all three scales. Defined here (not beyond_warehouse) to share
+    # _sql_ivf_pq and the recall composition.
+    driver=False,
+)
+def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH-then-SERVE the IVFPQ index (sources.warehouse.
+    publish_ivfpq_layout): the inverted file is written as a warehouse
+    table PARTITIONED BY cell (one file per occupied cell; 8 codes per
+    vector instead of fp32 payloads — the 32x compression becomes a 32x
+    smaller stored table), centroids and codebooks as broadcast-sized
+    sidecars; the query then runs operators.similarity.ivfpq_query over
+    the READ-BACK tables — probing the stored layout is partition
+    pruning (plan-pinned: the probe join plans dynamic partition
+    pruning against <prefix>_codes, tests/test_plan_quality.py).
+
+    Shares sim_ann_ivf_pq's oracle STRING verbatim (the st_cdc_apply /
+    wh_cdc_apply twin discipline): stored == in-memory is the checked
+    contract — a lossy write, a dropped partition, a codebook/centroid
+    sidecar drift, or a broken read-back schema shifts the top-5 or the
+    recall column and fails the hash. Eager maintenance-JOB posture
+    (fresh publish per invocation). Reference analogue: none."""
+    from ..sources.warehouse import publish_ivfpq_layout
+
+    emb = _t(spark, sf_dir, "embeddings")
+    publish_ivfpq_layout(emb, "ivfpq_idx")
+    ann = S.ivfpq_query(
+        emb,
+        spark.table("ivfpq_idx_centroids"),
+        spark.table("ivfpq_idx_codebooks"),
+        spark.table("ivfpq_idx_codes"),
+        n_queries=8,
+        k=5,
+    ).localCheckpoint(eager=True)
+    return _ivfpq_recall_output(emb, ann)
 
 
 

@@ -240,6 +240,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "tx_bpe_train",  # distributed BPE merge learning (authored r9)
     "qa_fdr_bh_segments",  # BH FDR over the Welch family (authored r9)
     "mm_ahash_clusters",  # image near-dup by perceptual aHash (authored r9)
+    "wh_ivfpq_publish",  # stored IVFPQ serve, shared oracle (authored r9)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

@@ -207,6 +207,39 @@ def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:
     write_partitioned(assign, table, ["cell"])
 
 
+def publish_ivfpq_layout(
+    emb: DataFrame, prefix: str, n_cells: int = 16
+) -> None:
+    """Persist the IVFPQ index (operators.similarity.build_ivfpq_index)
+    as the warehouse layout a 10^9-vector deployment serves from:
+
+    - ``<prefix>_codes``: the inverted file (vec_id, m, code)
+      PARTITIONED BY cell — probing becomes partition pruning, and the
+      stored rows are 8 codes/vector instead of the fp32 vectors (the
+      32x compression is now a 32x smaller TABLE, not just a smaller
+      shuffle);
+    - ``<prefix>_centroids`` / ``<prefix>_codebooks``: the two
+      broadcast-sized sidecars a query needs (probe scoring + ADC LUT).
+
+    Codes are repartitioned by cell before the write (one file per
+    occupied cell — the write_ivf_layout small-files discipline). All
+    stored columns are ints and array<double>; parquet round-trips both
+    exactly, so the stored-path query is bit-identical to the in-memory
+    path — the claim wh_ivfpq_publish puts under the oracle hash."""
+    from ..operators.similarity import build_ivfpq_index
+
+    cells, books, inv = build_ivfpq_index(emb, n_cells=n_cells)
+    write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
+    _drop_stale(emb.sparkSession, f"{prefix}_centroids")
+    cells.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_centroids"
+    )
+    _drop_stale(emb.sparkSession, f"{prefix}_codebooks")
+    books.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_codebooks"
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     table: str,

@@ -1331,6 +1331,9 @@ def test_nlq_routing(spark):
     assert nlq.route("find visually identical images perceptual") == (
         "mm_ahash_clusters"
     )
+    assert nlq.route("publish the persisted vector index for serving") == (
+        "wh_ivfpq_publish"
+    )
     assert nlq.route("detect communities by label propagation") == (
         "a26_brand_communities"
     )

@@ -126,6 +126,7 @@ EAGER_ENTRIES = {
     "wh_vacuum_retention",
     "wh_schema_evolution",
     "wh_compaction",  # r8: small-files compaction JOB; audit frame only
+    "wh_ivfpq_publish",  # r9: publish-then-serve JOB; stored-read plan pinned below
 }
 
 
@@ -385,6 +386,36 @@ def test_ivf_dynamic_partition_pruning(spark):
     joined = t.join(F.broadcast(probe), "cell")
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivfpq_stored_probe_plans_dynamic_pruning(spark):
+    """wh_ivfpq_publish's serve path: probing the PUBLISHED code table
+    must plan dynamic partition pruning on cell (the probe set is a
+    centroid-scoring join output, not a literal), and the layout must
+    hold one file per occupied cell (the write_ivf_layout small-files
+    discipline applied to the inverted file)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.warehouse import (
+        publish_ivfpq_layout,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    publish_ivfpq_layout(emb, "ivfpq_planq")
+    codes = spark.table("ivfpq_planq_codes")
+    cells = spark.table("ivfpq_planq_centroids")
+
+    occupied = codes.select("cell").distinct().count()
+    files = codes.select(F.input_file_name()).distinct().count()
+    assert files == occupied, (files, occupied)
+
+    served = S.ivfpq_query(
+        emb, cells, spark.table("ivfpq_planq_codebooks"), codes
+    )
+    plan = plan_of(served)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "SortMergeJoin" not in plan
 
 
 def test_aqe_splits_skewed_join(spark):
