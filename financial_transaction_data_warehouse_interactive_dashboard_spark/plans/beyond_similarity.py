@@ -619,11 +619,19 @@ def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     publish_ivfpq_layout(emb, "ivfpq_idx")
+    # ADVICE r9: pin the stored partition column's dtype to the
+    # in-memory frames' bigint explicitly — saveAsTable's catalog
+    # schema preserves it today, but the serve path must not depend on
+    # partition-type inference config. Catalyst eliminates the
+    # same-type cast, so DPP on the probe join is unaffected.
+    codes = spark.table("ivfpq_idx_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
     ann = S.ivfpq_query(
         emb,
         spark.table("ivfpq_idx_centroids"),
         spark.table("ivfpq_idx_codebooks"),
-        spark.table("ivfpq_idx_codes"),
+        codes,
         n_queries=8,
         k=5,
     ).localCheckpoint(eager=True)

@@ -1411,13 +1411,24 @@ def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"size(filter(ids, i -> i >= {T.BPE_BASE_ID}))")
             .cast("bigint")
             .alias("n_merged"),
-            F.expr(
-                "array_join(transform(slice(ids, 1, 12),"
-                " i -> cast(i as string)), ',')"
+            # NULL-safe like the oracle's coalesce(array_to_string(..), '')
+            # (ADVICE r9: a NULL `text` row must hash identically in both
+            # engines — Spark's array_join(NULL) is NULL, DuckDB's wrapped
+            # form is md5('')).
+            F.coalesce(
+                F.expr(
+                    "array_join(transform(slice(ids, 1, 12),"
+                    " i -> cast(i as string)), ',')"
+                ),
+                F.lit(""),
             ).alias("head_ids_csv"),
             F.md5(
-                F.expr(
-                    "array_join(transform(ids, i -> cast(i as string)), ',')"
+                F.coalesce(
+                    F.expr(
+                        "array_join(transform(ids, i -> cast(i as string)),"
+                        " ',')"
+                    ),
+                    F.lit(""),
                 )
             ).alias("tokens_md5"),
         )

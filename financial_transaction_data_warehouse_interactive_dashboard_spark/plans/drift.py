@@ -1504,12 +1504,12 @@ _BH_Q = "CAST('0.1' AS DOUBLE)"  # target false-discovery rate
     p AS (SELECT segment, n, m, z, {_BH_P} AS p FROM z),
     r AS (SELECT *, row_number() OVER (ORDER BY p, segment) AS bh_rank
           FROM p),
-    r2 AS (SELECT *, bh_rank * {_BH_Q} / m AS thr FROM r),
-    k AS (SELECT max(CASE WHEN p <= thr THEN bh_rank END) AS kmax
+    r2 AS (SELECT *, round(p, 6) AS p6,
+                  round(bh_rank * {_BH_Q} / m, 6) AS bh_thr6 FROM r),
+    k AS (SELECT max(CASE WHEN p6 <= bh_thr6 THEN bh_rank END) AS kmax
           FROM r2)
     SELECT segment, CAST(n AS BIGINT) AS n, round(z, 6) AS z6,
-           round(p, 6) AS p6, CAST(bh_rank AS INTEGER) AS bh_rank,
-           round(thr, 6) AS bh_thr6,
+           p6, CAST(bh_rank AS INTEGER) AS bh_rank, bh_thr6,
            bh_rank <= coalesce(kmax, 0) AS rejected
     FROM r2, k
     ORDER BY bh_rank
@@ -1566,12 +1566,17 @@ def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = z.selectExpr("segment", "n", "m", "z", f"{_BH_P} AS p")
     w = Window.orderBy("p", "segment")  # 5-row hypothesis frame
+    # ADVICE r9: the rejection decision is derived from the SAME
+    # 6-dp-rounded p/thr values the output emits (both engines), so the
+    # emitted rows can never contradict their own `rejected` flag.
     r2 = p.withColumn("bh_rank", F.row_number().over(w)).selectExpr(
-        "*", f"bh_rank * {_BH_Q} / m AS thr"
+        "*",
+        "round(p, 6) AS p6",
+        f"round(bh_rank * {_BH_Q} / m, 6) AS bh_thr6",
     )
     k = r2.agg(
         F.max(
-            F.when(F.col("p") <= F.col("thr"), F.col("bh_rank"))
+            F.when(F.col("p6") <= F.col("bh_thr6"), F.col("bh_rank"))
         ).alias("kmax")
     )
     return (
@@ -1580,9 +1585,9 @@ def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
             F.col("n").cast("bigint").alias("n"),
             F.round("z", 6).alias("z6"),
-            F.round("p", 6).alias("p6"),
+            "p6",
             F.col("bh_rank").cast("int").alias("bh_rank"),
-            F.round("thr", 6).alias("bh_thr6"),
+            "bh_thr6",
             (F.col("bh_rank") <= F.coalesce("kmax", F.lit(0))).alias(
                 "rejected"
             ),

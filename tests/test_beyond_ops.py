@@ -361,6 +361,42 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert got == expect, (got, expect)
 
 
+def test_bpe_pass_budget_covers_fixture_corpora():
+    """BPE_PASSES=4 makes the replace chain exhaustive only for
+    same-pair runs up to ~16 repetitions (ADVICE r9): a word holding a
+    longer (xy)^k run would silently diverge from true leftmost-
+    nonoverlapping BPE in BOTH engines (they'd still agree with each
+    other, which is exactly why this needs a corpus guard, not an
+    oracle). Assert no fixture word — at any scale the oracle sweep
+    uses — contains ANY unit repeated more than 2**BPE_PASSES times
+    consecutively; this bounds every possible merge pair's run length,
+    including pairs tx_bpe_train could learn."""
+    import re
+
+    import duckdb
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    budget = 2 ** T.BPE_PASSES  # 16: the docstring's exhaustiveness bound
+    risky = re.compile(r"(.+?)\1{%d}" % budget)
+    for sf_dir in (SF_SMOKE, SF_ORACLE, "/root/testdata/sf0.1"):
+        path = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        words = con.execute(
+            "SELECT DISTINCT unnest(list_filter(string_split("
+            " regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),"
+            " x -> x != '')) FROM read_parquet(?)",
+            [path],
+        ).fetchall()
+        con.close()
+        offenders = [w for (w,) in words if risky.search(w)]
+        assert not offenders, (sf_dir, offenders[:5])
+
+
 def test_bpe_pack_consumes_bpe_lengths(spark):
     """tx_bpe_pack's bins must be reproducible from tx_bpe_apply's
     n_tokens alone (the packing stage consumes the tokenizer's REAL

@@ -406,12 +406,24 @@ def test_ivfpq_stored_probe_plans_dynamic_pruning(spark):
     codes = spark.table("ivfpq_planq_codes")
     cells = spark.table("ivfpq_planq_centroids")
 
+    # ADVICE r9: the stored partition column must read back with the
+    # in-memory frames' exact dtype (bigint) — the stored==in-memory
+    # claim must not ride implicit casts or inference config.
+    _, _, inv_mem = S.build_ivfpq_index(emb)
+    assert codes.schema["cell"].dataType == inv_mem.schema["cell"].dataType
+
     occupied = codes.select("cell").distinct().count()
     files = codes.select(F.input_file_name()).distinct().count()
     assert files == occupied, (files, occupied)
 
+    # Mirror wh_ivfpq_publish's serve path exactly (defensive bigint
+    # cast included): the cast must be a Catalyst no-op that leaves
+    # dynamic partition pruning intact.
     served = S.ivfpq_query(
-        emb, cells, spark.table("ivfpq_planq_codebooks"), codes
+        emb,
+        cells,
+        spark.table("ivfpq_planq_codebooks"),
+        codes.withColumn("cell", F.col("cell").cast("bigint")),
     )
     plan = plan_of(served)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
