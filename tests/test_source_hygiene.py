@@ -116,10 +116,11 @@ def test_beyond_tier_first_import_order():
 
 
 def test_bench_canary_contract(spark):
-    """The calibration canary (VERDICT r7 ask #3) must always produce
-    its four keys with positive sub-minute timings — a canary that
-    errors or returns zeros would silently disable the drift
-    normalization in vs_prev."""
+    """The calibration canary (VERDICT r7 ask #3; informational-only
+    since r10 — VERDICT r9 ask #2 moved the vs_prev normalizer to the
+    median shared-entry ratio) must always produce its four keys with
+    positive sub-minute timings — a canary that errors or returns zeros
+    would break the cross-round continuity record."""
     from bench import run_canary
     from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
         load_tables,
