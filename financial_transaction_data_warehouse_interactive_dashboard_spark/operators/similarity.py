@@ -348,15 +348,33 @@ def _subvectors(vecs: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM) -> Data
     )
 
 
-def _pq_assign(subs: DataFrame, books: DataFrame) -> DataFrame:
+def _pq_metric(metric: str) -> F.Column:
+    """The (sv, cv) assignment key for a PQ metric: rounded cosine, or
+    the L2-nearest MIPS-identity score <sv, cv> - 0.5 * <cv, cv>."""
+    if metric == "l2":
+        return P.dot("sv", "cv") - (
+            F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv")
+        )
+    return P.cosine("sv", "cv")
+
+
+def _pq_assign(
+    subs: DataFrame, books: DataFrame, metric: str = "cosine"
+) -> DataFrame:
     """Per (vec_id, m): nearest codebook entry by rounded cosine (ties ->
-    lowest code) — same determinism discipline as _assign_cells."""
+    lowest code) — same determinism discipline as _assign_cells.
+    ``metric="l2"`` assigns by L2-nearest via the MIPS identity
+    argmin ||x - c||^2 = argmax (<x, c> - 0.5 * <c, c>) instead —
+    required for RESIDUAL subvectors, which can be exactly the zero
+    vector (cosine undefined there; the identity is well-defined and
+    its tie-break total). Portable: every term is an in-order fold with
+    the identical parenthesization in the DuckDB twin."""
     w = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("sub_cos"), F.asc("code")
+        F.desc("sub_score"), F.asc("code")
     )
     return (
         subs.join(F.broadcast(books), "m")
-        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
+        .withColumn("sub_score", F.round(_pq_metric(metric), 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "sv", "code")
@@ -367,17 +385,19 @@ def pq_codebooks(
     subs: DataFrame,
     n_codes: int = PQ_K,
     iterations: int = 1,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Per-subspace codebooks (m, code, cv): seeded from the first
     ``n_codes`` vectors' subvectors, refined by ``iterations`` Lloyd
     steps with DECIMAL-exact centroid means (the refine_centroids
     discipline, applied per subspace — assignment uses the portable
-    rounded cosine, so the whole build is oracle-reproducible)."""
+    rounded cosine, or rounded dot for residual inputs, so the whole
+    build is oracle-reproducible)."""
     books = subs.filter(F.col("vec_id") < n_codes).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
     for _ in range(iterations):
-        assign = _pq_assign(subs, books)
+        assign = _pq_assign(subs, books, metric)
         pos = assign.select(
             "m", "code", F.posexplode("sv").alias("pos", "val")
         )
@@ -642,3 +662,184 @@ def topk_ann_ivf_pq(
         emb, n_cells, ivf_iterations, m, subdim, n_codes, pq_iterations
     )
     return ivfpq_query(emb, cells, books, inv, n_queries, k, nprobe, m, subdim)
+
+
+def topk_ann_ivfadc_residual_vs_raw(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    ivf_iterations: int = 1,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    pq_iterations: int = 3,
+):
+    """IVFADC with RESIDUAL encoding (Jegou et al. 2011, the actual
+    IVFADC: PQ compresses x - c(x), not x) built against the SAME coarse
+    quantizer as the raw-vector variant, returning
+    ``(ann_residual, ann_raw)`` so the fidelity comparison shares one
+    IVF build. Residuals are exact IEEE subtractions (zip_with a - b in
+    Spark, element comprehension in DuckDB — bit-identical), so the
+    whole residual pipeline stays oracle-reproducible.
+
+    Residual codebooks assign by rounded L2-NEAREST via the MIPS
+    identity argmin ||r - c||^2 = argmax (<r, c> - 0.5 * <c, c>)
+    (ties -> lowest code) instead of cosine: a residual is the zero
+    vector whenever a cell is singleton (its Lloyd mean IS the member)
+    — cosine is undefined there, the identity is well-defined with a
+    total tie-break, and (unlike raw dot) it is a proper quantizer
+    (raw-dot assignment is biased toward large-norm codewords and
+    measured WORSE than raw-vector PQ on the fixture).
+    Query scoring adds the probe's exact cell term:
+    approx_ip = round(<q, c>, 6) + sum_m round(<q_m, codeword_m>, 6),
+    summed as exact DECIMAL before one cast to double — the classic
+    ADC identity <q, x> ~ <q, c> + <q, r>.
+
+    Plan shape is the raw variant's: cell rides the subvector explode
+    (one corpus pass builds each inverted file), codebooks / LUT /
+    probe / cell terms broadcast, the only shuffles are the two ADC
+    aggregations. At 100 TB the extra residual cost is one broadcast
+    join + a zip_with per vector — free relative to the scan."""
+    vecs = _vecs(emb)
+    seeds = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = seeds
+    for _ in range(ivf_iterations):
+        cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
+    assign = _assign_cells(vecs, cells)
+
+    def _sub_explode(src: DataFrame, vcol: str) -> DataFrame:
+        e = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        F.slice(vcol, j * subdim + 1, subdim).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        )
+        return src.select("vec_id", "cell", e.alias("e")).select(
+            "vec_id", "cell", F.col("e.m").alias("m"),
+            F.col("e.sv").alias("sv"),
+        )
+
+    # residual subvectors: subtract the broadcast centroid, THEN slice
+    # (cell rides the explode — the one-pass inverted-file discipline)
+    resid = assign.join(F.broadcast(cells), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+    )
+    rsubs = _sub_explode(resid, "r").localCheckpoint(eager=True)
+    rbooks = pq_codebooks(
+        rsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations,
+        metric="l2",
+    )
+    w_enc_r = Window.partitionBy("vec_id", "m").orderBy(
+        F.desc("sub_ip"), F.asc("code")
+    )
+    rinv = (
+        rsubs.join(F.broadcast(rbooks), "m")
+        .withColumn("sub_ip", F.round(_pq_metric("l2"), 6))
+        .withColumn("rn", F.row_number().over(w_enc_r))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
+
+    # raw subvectors from the SAME assignment (published-variant
+    # semantics: cosine codebooks/encode, no cell term)
+    rawsubs = _sub_explode(assign, "v").localCheckpoint(eager=True)
+    rawbooks = pq_codebooks(
+        rawsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations
+    )
+    w_enc_c = Window.partitionBy("vec_id", "m").orderBy(
+        F.desc("sub_cos"), F.asc("code")
+    )
+    rawinv = (
+        rawsubs.join(F.broadcast(rawbooks), "m")
+        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_enc_c))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
+
+    # shared query side: probe by rounded cosine, keep the exact cell
+    # term round(<q, c>, 6) the residual scoring adds back
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("probe_cos", F.round(P.cosine("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.round(P.dot("qv", "cv"), 6)
+            .cast("decimal(18,6)")
+            .alias("ipc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qsub = _subvectors(
+        vecs.filter(F.col("vec_id") < n_queries), m, subdim
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+
+    def _adc(inv: DataFrame, books: DataFrame, add_cell_term: bool):
+        lut = qsub.join(F.broadcast(books), "m").select(
+            "query_id",
+            "m",
+            "code",
+            F.round(P.dot("qsv", "cv"), 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+        cand = (
+            inv.join(F.broadcast(probe.select("query_id", "cell")), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "cell", "m", "code")
+        )
+        adc = (
+            cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+            .groupBy("query_id", "vec_id", "cell")
+            .agg(F.sum("term").alias("adc"))
+        )
+        if add_cell_term:
+            scores = adc.join(
+                F.broadcast(probe), ["query_id", "cell"]
+            ).select(
+                "query_id",
+                "vec_id",
+                (F.col("ipc") + F.col("adc")).cast("double").alias(
+                    "approx_ip"
+                ),
+            )
+        else:
+            scores = adc.select(
+                "query_id",
+                "vec_id",
+                F.col("adc").cast("double").alias("approx_ip"),
+            )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.desc("approx_ip"), F.asc("vec_id")
+        )
+        return (
+            scores.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round("approx_ip", 6).alias("approx_ip"),
+            )
+        )
+
+    return _adc(rinv, rbooks, True), _adc(rawinv, rawbooks, False)

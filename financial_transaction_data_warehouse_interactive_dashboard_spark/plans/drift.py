@@ -1565,7 +1565,7 @@ def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment", "n", "m", f"{_BH_Z} AS z"
     )
     p = z.selectExpr("segment", "n", "m", "z", f"{_BH_P} AS p")
-    w = Window.orderBy("p", "segment")  # 5-row hypothesis frame
+    w = Window.orderBy("p", "segment")  # 5-row hypothesis frame (BH)
     # ADVICE r9: the rejection decision is derived from the SAME
     # 6-dp-rounded p/thr values the output emits (both engines), so the
     # emitted rows can never contradict their own `rejected` flag.
@@ -1583,6 +1583,162 @@ def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.crossJoin(F.broadcast(k))
         .select(
             "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("z", 6).alias("z6"),
+            "p6",
+            F.col("bh_rank").cast("int").alias("bh_rank"),
+            "bh_thr6",
+            (F.col("bh_rank") <= F.coalesce("kmax", F.lit(0))).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa_fdr_bh_spike_in: spike-in calibration of the BH FDR machinery
+# (VERDICT r9 ask #6 — a family where the step-up genuinely separates)
+# ---------------------------------------------------------------------------
+
+#: Planted shift tiers in value-cents: one true null + three effect
+#: sizes chosen so the borderline tier's rejection is genuinely
+#: scale-dependent (3 cents needs ~sf0.1's n to clear the threshold).
+_SPIKE_DELTAS = (0, 300, 1200, 4800)
+
+#: Welch z between the odd-event_id half (mean shifted by the planted
+#: `dc` cents) and the even half, from exact integer cents moments
+#: (nx/sx/ssx vs ny/sy/ssy). One shared string -> both engines; the
+#: shift moves only the mean (variance of a constant shift is zero).
+_SPIKE_Z = (
+    "((CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) + CAST(dc AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))"
+    " / sqrt("
+    "   ((CAST(ssx AS DOUBLE)"
+    "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE))"
+    "    / (CAST(nx AS DOUBLE) - 1)) / CAST(nx AS DOUBLE)"
+    "   + ((CAST(ssy AS DOUBLE)"
+    "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))"
+    "      / (CAST(ny AS DOUBLE) - 1)) / CAST(ny AS DOUBLE)))"
+)
+
+
+@query(
+    "qa_fdr_bh_spike_in",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(event_id % 2 AS INTEGER) AS par,
+             CAST(value::DECIMAL(30,2) * 100 AS BIGINT) AS c
+      FROM events),
+    g AS (SELECT event_type, par, count(*) AS n,
+                 sum(CAST(c AS DECIMAL(38,0))) AS s,
+                 sum(CAST(c * c AS DECIMAL(38,0))) AS ss
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT x.event_type AS event_type,
+                 x.n AS nx, x.s AS sx, x.ss AS ssx,
+                 y.n AS ny, y.s AS sy, y.ss AS ssy
+          FROM g x JOIN g y ON x.event_type = y.event_type
+          WHERE x.par = 1 AND y.par = 0),
+    d AS (SELECT unnest([{', '.join(str(d) for d in _SPIKE_DELTAS)}]) AS dc),
+    z0 AS (SELECT event_type, dc, nx + ny AS n, {_SPIKE_Z} AS z
+           FROM w, d),
+    t AS (SELECT count(*) AS m FROM z0),
+    p0 AS (SELECT event_type, dc, n, m, z, {_BH_P} AS p FROM z0, t),
+    r AS (SELECT *, row_number() OVER (ORDER BY p, event_type, dc)
+                    AS bh_rank
+          FROM p0),
+    r2 AS (SELECT *, round(p, 6) AS p6,
+                  round(bh_rank * {_BH_Q} / m, 6) AS bh_thr6 FROM r),
+    k AS (SELECT max(CASE WHEN p6 <= bh_thr6 THEN bh_rank END) AS kmax
+          FROM r2)
+    SELECT event_type, CAST(dc AS INTEGER) AS delta_cents,
+           CAST(n AS BIGINT) AS n, round(z, 6) AS z6, p6,
+           CAST(bh_rank AS INTEGER) AS bh_rank, bh_thr6,
+           bh_rank <= coalesce(kmax, 0) AS rejected
+    FROM r2, k
+    ORDER BY bh_rank
+    """,
+    # New r10 (VERDICT r9 ask #6); first-timer on the r10 surface after
+    # all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+)
+def qa_fdr_bh_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPIKE-IN calibration of the Benjamini-Hochberg machinery — the
+    genomics-control pattern applied to a drift monitor: because every
+    natural contrast in the synthetic fixture is null by construction
+    (measured: segment x quarter and quantity-band families produce
+    |z| < 2.6 everywhere, zero rejections at q=0.1 at any scale), the
+    only family that can prove the step-up SEPARATES is one with
+    planted ground truth. Twenty hypotheses: per event_type (5), the
+    odd-event_id half's `value` mean — shifted by a planted delta of
+    {{0, 3, 12, 48}} cents — against the even half (Welch z from one
+    grouped pass of exact integer cents moments). delta=0 rows are true
+    nulls (the halves are random splits); delta=48 always rejects;
+    delta=3 needs ~sf0.1's n — so 0 < rejected < m at every scale and
+    the BH threshold (rank * q / m, q=0.1) does real work: the
+    rejection set tracks effect size x sample size, not membership in
+    the family. The decision uses the same 6-dp-rounded p/thr the
+    output emits (the qa_fdr_bh_segments discipline), and the A&S
+    normal-tail polynomial + repr-CAST constants make p-values
+    bitwise-equal across engines.
+
+    Scale: one map-side-combinable aggregation over events (10 groups),
+    then a 20-row hypothesis frame — the only window scope
+    (GLOBAL_WINDOW_ALLOWED: bounded by event_type x delta domains); m
+    comes from a 1-row aggregate cross join. At 100 TB this is a single
+    corpus pass + driver-free bounded postprocessing. Reference
+    analogue: none."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("par"),
+        (F.col("value").cast("decimal(30,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    g = e.groupBy("event_type", "par").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("ss"),
+    )
+    x = g.filter(F.col("par") == 1).select(
+        "event_type",
+        F.col("n").alias("nx"),
+        F.col("s").alias("sx"),
+        F.col("ss").alias("ssx"),
+    )
+    y = g.filter(F.col("par") == 0).select(
+        "event_type",
+        F.col("n").alias("ny"),
+        F.col("s").alias("sy"),
+        F.col("ss").alias("ssy"),
+    )
+    w = x.join(F.broadcast(y), "event_type")  # 5-row hypothesis spine
+    d = spark.createDataFrame(
+        [(dc,) for dc in _SPIKE_DELTAS], "dc int"
+    )
+    z0 = w.crossJoin(F.broadcast(d)).selectExpr(
+        "event_type", "dc", "nx + ny AS n", f"{_SPIKE_Z} AS z"
+    )
+    t = z0.agg(F.count("*").alias("m"))
+    p = z0.crossJoin(F.broadcast(t)).selectExpr(
+        "event_type", "dc", "n", "m", "z", f"{_BH_P} AS p"
+    )
+    wbh = Window.orderBy("p", "event_type", "dc")  # 20-row frame (BH)
+    r2 = p.withColumn("bh_rank", F.row_number().over(wbh)).selectExpr(
+        "*",
+        "round(p, 6) AS p6",
+        f"round(bh_rank * {_BH_Q} / m, 6) AS bh_thr6",
+    )
+    k = r2.agg(
+        F.max(
+            F.when(F.col("p6") <= F.col("bh_thr6"), F.col("bh_rank"))
+        ).alias("kmax")
+    )
+    return (
+        r2.crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            F.col("dc").cast("int").alias("delta_cents"),
             F.col("n").cast("bigint").alias("n"),
             F.round("z", 6).alias("z6"),
             "p6",

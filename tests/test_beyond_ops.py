@@ -2453,3 +2453,33 @@ def test_partial_window_convention_unified(spark):
             r["day"] for r in REGISTRY[name].spark(spark, SF_SMOKE).collect()
         }
         assert days == observed, (name, days ^ observed)
+
+
+def test_ivfadc_residual_beats_raw_recall(spark):
+    """sim_ann_ivfadc_residual's whole claim (VERDICT r9 ask #5): with
+    the same coarse quantizer and the same PQ training budget, residual
+    encoding must recall at least as well as raw-vector encoding — the
+    Jegou IVFADC fidelity property, pinned on the fixture where it was
+    measured to hold STRICTLY at every scale. Also pins the recall
+    columns' self-consistency (per-query constants, <= 5 neighbors,
+    no self-matches)."""
+    from collections import defaultdict
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rows = R["sim_ann_ivfadc_residual"].spark(spark, SF_SMOKE).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q[r["query_id"]].append(r)
+    res, raw = [], []
+    for q, rs in by_q.items():
+        assert len(rs) <= 5
+        assert len({r["recall_at_5"] for r in rs}) == 1
+        assert len({r["recall_raw_at_5"] for r in rs}) == 1
+        res.append(rs[0]["recall_at_5"])
+        raw.append(rs[0]["recall_raw_at_5"])
+    assert sum(res) / len(res) >= sum(raw) / len(raw), (res, raw)
+    assert sum(res) > 0  # the residual index must actually recall

@@ -13,7 +13,7 @@ from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.quer
     REGISTRY,
 )
 
-from conftest import SF_SMOKE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 def _one(spark, name, **kw):
@@ -296,6 +296,34 @@ def test_fdr_bh_step_up_is_self_consistent(spark):
     for r in rows:
         assert abs(r["bh_thr6"] - round(r["bh_rank"] * 0.1 / m, 6)) < 1e-9
         assert 0.0 <= r["p6"] <= 1.0
+    passing = [r["bh_rank"] for r in rows if r["p6"] <= r["bh_thr6"]]
+    k = max(passing, default=0)
+    assert [r["bh_rank"] for r in rows if r["rejected"]] == list(
+        range(1, k + 1)
+    )
+
+
+def test_fdr_bh_spike_in_separates_planted_tiers(spark):
+    """The spike-in family's whole point (VERDICT r9 ask #6): the BH
+    step-up must genuinely SEPARATE at the driver's correctness scale —
+    every planted 48-cent shift rejected, every true-null (delta=0)
+    hypothesis retained, and 0 < rejected < m so both branches of the
+    threshold are exercised. Plus the same self-consistency contract as
+    qa_fdr_bh_segments: the rejected set is exactly ranks 1..k."""
+    rows = sorted(
+        REGISTRY["qa_fdr_bh_spike_in"].spark(spark, SF_ORACLE).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(rows)
+    assert m == 20  # 5 event types x 4 planted deltas
+    assert [r["bh_rank"] for r in rows] == list(range(1, m + 1))
+    rejected = [r for r in rows if r["rejected"]]
+    assert 0 < len(rejected) < m
+    by_delta = {}
+    for r in rows:
+        by_delta.setdefault(r["delta_cents"], []).append(r["rejected"])
+    assert all(by_delta[4800])  # every big spike caught
+    assert not any(by_delta[0])  # no true null rejected at sf0.01
     passing = [r["bh_rank"] for r in rows if r["p6"] <= r["bh_thr6"]]
     k = max(passing, default=0)
     assert [r["bh_rank"] for r in rows if r["rejected"]] == list(
