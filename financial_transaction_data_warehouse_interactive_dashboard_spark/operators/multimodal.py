@@ -746,3 +746,88 @@ def bmp_ahash(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_neardup_stats(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-BALL image near-dup detection over an aHash frame
+    (doc_id, ahash_hi, ahash_lo) — the SimHash band trick
+    (operators.dedup.simhash_pairs) applied to the perceptual hash:
+    split the 64 bits into 4 x 16-bit bands; by pigeonhole any pair
+    within Hamming distance <= 3 shares at least one identical band, so
+    the band-bucket equi-join is a LOSSLESS candidate generator (keep
+    ``max_hamming`` <= bands - 1 to preserve that) while cutting the
+    pair space to same-bucket docs. Candidates are verified by the
+    exact XOR popcount over both halves; hamming = 0 (byte-identical
+    hashes) is EXCLUDED — exact classes belong to the cluster-bounded
+    mm_ahash_clusters shape, and including them here would re-introduce
+    the N^2 blow-up on degenerate constant-image classes.
+
+    Output is per-DOCUMENT, not per-pair: (doc_id, n_neardups,
+    min_neighbor, min_hamming) over both pair directions — linear in
+    the corpus even where near-dup balls are dense (the fixture's
+    gradient images produce ~37k raw pairs at sf0.1; a pair listing
+    would grow quadratically with corpus density, per-doc stats cannot).
+
+    Scale: ONE shuffle on the (band, key) bucket join + one on the
+    per-doc aggregate; buckets with skewed sizes (the all-zero-hash
+    band of tiny/constant images) are the residual hot spot — the
+    production knob is a stop-bucket cap like dedup's stop-shingle
+    filter, deliberately NOT defaulted here because it trades recall
+    on exactly the degenerate classes a planted-control probe rides."""
+    bands = hashes.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band,"
+                " CASE WHEN b < 2"
+                " THEN shiftright(ahash_lo, b * 16) % 65536"
+                " ELSE shiftright(ahash_hi, (b - 2) * 16) % 65536"
+                " END AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "ahash_hi", "ahash_lo", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming)
+        )
+    )
+    both = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("neighbor"),
+        "hamming",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("neighbor"),
+            "hamming",
+        )
+    )
+    return both.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_neardups"),
+        F.min("neighbor").cast("bigint").alias("min_neighbor"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+    )

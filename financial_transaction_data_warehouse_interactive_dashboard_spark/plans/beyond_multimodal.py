@@ -327,3 +327,121 @@ def mm_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("ahash_hi", "ahash_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_ahash_neardups: Hamming-ball image near-dup (VERDICT r9 ask #4)
+# ---------------------------------------------------------------------------
+
+#: Shared aHash replay (the mm_ahash_clusters decode-free arithmetic).
+_SQL_AHASH_CTES = """
+    d AS (
+      SELECT doc_id, doc_id % 64 + 1 AS w, (doc_id * 7) % 64 + 1 AS h
+      FROM documents),
+    p AS (
+      SELECT doc_id, w, h, x, y, (doc_id + 3 * x + 5 * y) % 256 AS v
+      FROM d, range(0, 64) rx(x), range(0, 64) ry(y)
+      WHERE x < w AND y < h),
+    bs AS (
+      SELECT doc_id, (y * 8 // h) * 8 + (x * 8 // w) AS blk,
+             sum(v) AS bsum, count(*) AS bcnt
+      FROM p GROUP BY 1, 2),
+    ts AS (SELECT doc_id, sum(bsum) AS tsum, sum(bcnt) AS tcnt
+           FROM bs GROUP BY 1),
+    hash AS (
+      SELECT bs.doc_id,
+             CAST(sum(CASE WHEN bsum * tcnt > tsum * bcnt AND blk >= 32
+                           THEN (1::BIGINT << (blk - 32)) ELSE 0 END)
+                  AS BIGINT) AS ahash_hi,
+             CAST(sum(CASE WHEN bsum * tcnt > tsum * bcnt AND blk < 32
+                           THEN (1::BIGINT << blk) ELSE 0 END)
+                  AS BIGINT) AS ahash_lo
+      FROM bs JOIN ts USING (doc_id) GROUP BY 1)
+"""
+
+#: Planted-control ids: every 100th document gets a twin whose hash is
+#: flipped in exactly one bit, the bit index rotating through all four
+#: bands across the control set.
+_AHASH_TWIN_OFFSET = 1_000_000
+
+
+@query(
+    "mm_ahash_neardups",
+    f"""
+    WITH {_SQL_AHASH_CTES},
+    planted AS (
+      SELECT doc_id + {_AHASH_TWIN_OFFSET} AS doc_id,
+             CASE WHEN (doc_id * 7) % 64 >= 32
+                  THEN CAST(xor(ahash_hi,
+                                1::BIGINT << ((doc_id * 7) % 64 - 32))
+                            AS BIGINT)
+                  ELSE ahash_hi END AS ahash_hi,
+             CASE WHEN (doc_id * 7) % 64 < 32
+                  THEN CAST(xor(ahash_lo,
+                                1::BIGINT << ((doc_id * 7) % 64))
+                            AS BIGINT)
+                  ELSE ahash_lo END AS ahash_lo
+      FROM hash WHERE doc_id % 100 = 0),
+    allh AS (SELECT * FROM hash UNION ALL SELECT * FROM planted),
+    bands AS (
+      SELECT doc_id, ahash_hi, ahash_lo, b.range AS band,
+             CASE WHEN b.range < 2
+                  THEN (ahash_lo >> (b.range * 16)) % 65536
+                  ELSE (ahash_hi >> ((b.range - 2) * 16)) % 65536
+             END AS key
+      FROM allh, range(0, 4) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.ahash_hi, b.ahash_hi))
+               + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (SELECT * FROM cand WHERE hamming BETWEEN 1 AND 3),
+    sides AS (
+      SELECT id_a AS doc_id, id_b AS neighbor, hamming FROM pairs
+      UNION ALL
+      SELECT id_b AS doc_id, id_a AS neighbor, hamming FROM pairs)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neardups,
+           CAST(min(neighbor) AS BIGINT) AS min_neighbor,
+           CAST(min(hamming) AS INTEGER) AS min_hamming
+    FROM sides GROUP BY 1 ORDER BY doc_id
+    """,
+    # New r10 (VERDICT r9 ask #4); first-timer on the r10 surface after
+    # all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+)
+def mm_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup detection by Hamming ball over the perceptual
+    aHash (operators.multimodal.ahash_neardup_stats) — mm_ahash_clusters
+    extended from exact-hash equality to the 1-8-bit perturbations real
+    re-encodes produce: the 64-bit hash is banded 4 x 16 bits (the
+    operators.dedup.simhash_pairs pigeonhole: hamming <= 3 guarantees a
+    shared band, so banding is a LOSSLESS candidate generator, never
+    all-pairs), candidates verified by exact XOR popcount, and the
+    output aggregated per document (linear) rather than per pair
+    (quadratic in the fixture's dense gradient balls).
+
+    A PLANTED CONTROL rides the corpus: every 100th document is
+    twinned (doc_id + 1e6) with exactly one hash bit flipped, the bit
+    index (doc_id * 7) % 64 rotating through all four bands across the
+    control set — every planted twin must surface with min_hamming = 1,
+    so banding recall on the minimal perturbation is re-proved inside
+    the driver hash each round (the spike-in discipline). The oracle
+    replays decode arithmetic, the flip, banding, verification, and the
+    per-doc aggregate without touching a byte. Reference analogue:
+    none (beyond-reference LLM-pipeline tier)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = M.bmp_ahash(docs).select("doc_id", "ahash_hi", "ahash_lo")
+    planted = hashes.filter(F.col("doc_id") % 100 == 0).selectExpr(
+        f"doc_id + {_AHASH_TWIN_OFFSET} AS doc_id",
+        "CASE WHEN (doc_id * 7) % 64 >= 32"
+        " THEN ahash_hi ^ shiftleft(1L,"
+        " CAST((doc_id * 7) % 64 - 32 AS INT))"
+        " ELSE ahash_hi END AS ahash_hi",
+        "CASE WHEN (doc_id * 7) % 64 < 32"
+        " THEN ahash_lo ^ shiftleft(1L, CAST((doc_id * 7) % 64 AS INT))"
+        " ELSE ahash_lo END AS ahash_lo",
+    )
+    return M.ahash_neardup_stats(hashes.unionAll(planted)).orderBy(
+        "doc_id"
+    )

@@ -2483,3 +2483,35 @@ def test_ivfadc_residual_beats_raw_recall(spark):
         raw.append(rs[0]["recall_raw_at_5"])
     assert sum(res) / len(res) >= sum(raw) / len(raw), (res, raw)
     assert sum(res) > 0  # the residual index must actually recall
+
+
+def test_ahash_neardup_planted_twins_all_surface(spark):
+    """mm_ahash_neardups' planted control (VERDICT r9 ask #4): every
+    100th document's 1-bit-flipped twin must surface with
+    min_hamming == 1 and its source among the neighbors — banding must
+    be lossless on the minimal perturbation in every band (the flip
+    bit rotates through all four). Exact-duplicate classes (hamming 0)
+    must NOT appear as near-dups of themselves."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond_multimodal import (
+        _AHASH_TWIN_OFFSET,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in R["mm_ahash_neardups"].spark(spark, SF_SMOKE).collect()
+    }
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    planted = [d for d in range(0, n_docs, 100)]
+    assert planted, "fixture must contain planted ids"
+    for d in planted:
+        twin = d + _AHASH_TWIN_OFFSET
+        assert twin in rows, f"planted twin {twin} missing"
+        assert rows[twin]["min_hamming"] == 1, rows[twin]
+    for r in rows.values():
+        assert 1 <= r["min_hamming"] <= 3
