@@ -86,6 +86,12 @@ LARGE_RESULT = {
     # tx_bpe_train output per-bin/per-merge aggregates (bounded) and
     # stay collect-timed.
     "tx_bpe_apply",
+    # r10: the Arrow twin and the train->apply composition emit one row
+    # per document too; mm_ahash_neardups emits one row per doc with a
+    # near-dup (linear in the corpus).
+    "tx_bpe_apply_arrow",
+    "tx_bpe_train_apply",
+    "mm_ahash_neardups",
     # r8: duplicated-passage spans grow linearly with the corpus (4,691
     # rows at sf0.1); promoted to the driver surface this round, so time
     # the distributed path. (Basis change vs r7 is recorded by the new
@@ -281,6 +287,15 @@ def main() -> None:
         ("st_sessionize_stateful_vs_session_window",
          "st_sessionize_stateful", "st_sessionize"),
     ))
+    # twin_path_ratios: SAME-ANSWER path pairs (oracle-pinned equal
+    # outputs, different physical paths) — r10 adds the Arrow tokenizer
+    # vs the generated-expression tokenizer at the fixed 12-merge table
+    # (VERDICT r9 ask #3: the Arrow path must stay within ~2x of the
+    # codegen path where both can run; beyond ~dozens of merges only
+    # the Arrow path exists).
+    twin_ratios, twin_method = _pair_ratios((
+        ("tx_bpe_arrow_vs_expr", "tx_bpe_apply_arrow", "tx_bpe_apply"),
+    ))
     if weak_ratios:
         detail["weak_entry_ratios"] = weak_ratios
         # Per-pair so a fallback cannot masquerade as a median-of-3.
@@ -288,6 +303,9 @@ def main() -> None:
     if base_ratios:
         detail["baseline_ratios"] = base_ratios
         detail["baseline_ratio_method"] = base_method
+    if twin_ratios:
+        detail["twin_path_ratios"] = twin_ratios
+        detail["twin_path_ratio_method"] = twin_method
 
     # Regression diff vs the previous round's driver-recorded bench (same
     # sf only — cross-scale deltas are meaningless). Informational: bench
@@ -534,6 +552,8 @@ def main() -> None:
         out["weak_entry_ratios"] = detail["weak_entry_ratios"]
     if "baseline_ratios" in detail:
         out["baseline_ratios"] = detail["baseline_ratios"]
+    if "twin_path_ratios" in detail:
+        out["twin_path_ratios"] = detail["twin_path_ratios"]
     if "vs_prev" in detail:
         vp = detail["vs_prev"]
         out["vs_prev"] = {
@@ -556,8 +576,8 @@ def main() -> None:
     spark.stop()
     line = json.dumps(out)
     if len(line) > 1500:  # paranoia: never exceed the ~2,000-char capture
-        for key in ("baseline_ratios", "weak_entry_ratios", "vs_prev",
-                    "queries"):
+        for key in ("twin_path_ratios", "baseline_ratios",
+                    "weak_entry_ratios", "vs_prev", "queries"):
             out.pop(key, None)
             line = json.dumps(out)
             if len(line) <= 1500:

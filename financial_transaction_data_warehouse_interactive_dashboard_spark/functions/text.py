@@ -280,6 +280,33 @@ def _bpe_replace_chain(seed: str) -> str:
     return expr
 
 
+def bpe_words_sql(engine: str, text_col: str = "text") -> str:
+    """The shared word-splitting fragment (lowercase -> non-alpha to
+    space -> split -> drop empties) — factored out so the Arrow
+    tokenizer path consumes the IDENTICAL word stream as the generated
+    expression path and the oracles."""
+    if engine == "spark":
+        return (
+            f"filter(split(regexp_replace(lower({text_col}),"
+            f" '[^a-z]+', ' '), ' '), w -> w != '')"
+        )
+    if engine == "duckdb":
+        return (
+            f"list_filter(string_split(regexp_replace(lower({text_col}),"
+            f" '[^a-z]+', ' ', 'g'), ' '), w -> w != '')"
+        )
+    raise ValueError(f"unknown engine: {engine}")
+
+
+def bpe_vocab_case_sql() -> str:
+    """The fixed-table symbol -> token-id CASE expression (identical
+    text in both dialects)."""
+    return "CASE t " + " ".join(
+        f"WHEN '{s}' THEN {i}"
+        for s, i in sorted(bpe_vocab().items(), key=lambda kv: kv[1])
+    ) + " ELSE -1 END"
+
+
 def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
     """The full text -> array<token id> expression, generated for either
     engine from the same merge table and vocab (the _sql_ivf_kmeans
@@ -290,15 +317,9 @@ def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
     symbols -> flatten to the doc's token stream -> vocab lookup. Every
     stage is engine-portable string/array kernels; integer ids mean NO
     float anywhere — the whole operator is exact by construction."""
-    vocab_case = "CASE t " + " ".join(
-        f"WHEN '{s}' THEN {i}"
-        for s, i in sorted(bpe_vocab().items(), key=lambda kv: kv[1])
-    ) + " ELSE -1 END"
+    vocab_case = bpe_vocab_case_sql()
+    words = bpe_words_sql(engine, text_col)
     if engine == "spark":
-        words = (
-            f"filter(split(regexp_replace(lower({text_col}),"
-            f" '[^a-z]+', ' '), ' '), w -> w != '')"
-        )
         seed = "'/' || regexp_replace(w, '(.)', '$1/')"
         toks = (
             f"flatten(transform({words}, w -> "
@@ -307,10 +328,6 @@ def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
         )
         return f"transform({toks}, t -> {vocab_case})"
     if engine == "duckdb":
-        words = (
-            f"list_filter(string_split(regexp_replace(lower({text_col}),"
-            f" '[^a-z]+', ' ', 'g'), ' '), w -> w != '')"
-        )
         seed = r"'/' || regexp_replace(w, '(.)', '\1/', 'g')"
         toks = (
             f"flatten(list_transform({words}, w -> "
@@ -319,6 +336,79 @@ def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
         )
         return f"list_transform({toks}, t -> {vocab_case})"
     raise ValueError(f"unknown engine: {engine}")
+
+
+#: mapInPandas output schema for the Arrow tokenizer path.
+BPE_TOKS_SCHEMA = "doc_id bigint, toks array<string>"
+
+
+def bpe_tokenize_arrow(docs, merges, text_col: str = "text"):
+    """Arrow-batched BPE application for ARBITRARY-length merge tables —
+    the production tokenizer path (VERDICT r9 ask #3): the generated
+    nested-replace expression bpe_token_ids_sql emits is bounded to
+    ~dozens of merges (the expression grows by 4 replace() calls per
+    rule — a learned 50k-merge vocab cannot compile that way), while
+    this path takes the merge list as plain Python data, so its cost is
+    per-token work, not expression size.
+
+    Word splitting stays JVM-SIDE (the exact bpe_words_sql fragment the
+    expression path uses — both paths consume the identical word
+    stream); only the per-word merge loop runs in pandas batches, with
+    a per-executor word cache (Zipf: the hot words dominate). Per rule,
+    ONE leftmost scan is exhaustive (a merged symbol 'ab' can never
+    re-match (a, b) — only later rules consume it), which equals the
+    delimiter-encoded replace-chain fixpoint whenever no word repeats a
+    unit more than 2**BPE_PASSES times consecutively — the corpus
+    guard test_bpe_pass_budget_covers_fixture_corpora pins exactly
+    that, so Arrow path == expression path == oracle on every fixture.
+
+    Returns (doc_id, toks array<string>): the merged SYMBOL stream.
+    Callers map symbols to ids JVM-side (fixed vocab: the
+    bpe_vocab_case_sql transform) or hash the symbols directly
+    (learned vocab)."""
+    from pyspark.sql import functions as F
+
+    mlist = [(str(a), str(b)) for a, b in merges]
+    src = docs.select(
+        "doc_id", F.expr(bpe_words_sql("spark", text_col)).alias("ws")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def tok_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in mlist:
+                if len(syms) < 2:
+                    break
+                out: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks = [
+                []
+                if ws is None
+                else [t for w in ws for t in tok_word(w)]
+                for ws in pdf["ws"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "toks": toks})
+
+    return src.mapInPandas(run, schema=BPE_TOKS_SCHEMA)
 
 
 #: Merges learned by tx_bpe_train (kept small so the unrolled oracle
@@ -417,16 +507,27 @@ def bpe_train(docs, n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES):
     )
 
 
-def bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES) -> str:
-    """DuckDB oracle for :func:`bpe_train`: the identical loop unrolled —
-    word-frequency CTE, then per merge a pair-count CTE, a top-1 CTE
-    (same total tie-break), and a merged-words CTE applying the winner
-    with the same replace fixpoint via a 1-row cross join."""
+def _bpe_dyn_replace(src: str, passes: int) -> str:
+    """replace() fixpoint chain for a DYNAMIC pattern (the 1-row merge
+    winner's a/b columns) — shared by the training unroll and the
+    train->apply oracle."""
     pat = "'/' || a || '/' || b || '/'"
     rep = "'/' || a || b || '/'"
-    merged = "enc"
+    merged = src
     for _ in range(passes):
         merged = f"replace({merged}, {pat}, {rep})"
+    return merged
+
+
+def bpe_train_ctes(
+    n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES
+) -> list[str]:
+    """The training-loop CTE list (word-frequency table, then per merge
+    a pair-count CTE, a top-1 CTE with the total tie-break, and a
+    merged-words CTE) — factored from bpe_train_sql so the train->apply
+    oracle can replay the SAME learned table (m0..m{n-1}) against the
+    document stream."""
+    merged = _bpe_dyn_replace("enc", passes)
     ctes = [
         "w0 AS (\n"
         "  SELECT '/' || regexp_replace(w, '(.)', '\\1/', 'g') AS enc,\n"
@@ -451,6 +552,15 @@ def bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES) ->
             f"  ORDER BY w8 DESC, a, b LIMIT 1)",
             f"w{i + 1} AS (SELECT {merged} AS enc, freq FROM w{i}, m{i})",
         ]
+    return ctes
+
+
+def bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the identical loop unrolled —
+    word-frequency CTE, then per merge a pair-count CTE, a top-1 CTE
+    (same total tie-break), and a merged-words CTE applying the winner
+    with the same replace fixpoint via a 1-row cross join."""
+    ctes = bpe_train_ctes(n_merges, passes)
     union = "\nUNION ALL\n".join(f"SELECT * FROM m{i}" for i in range(n_merges))
     return (
         "WITH " + ",\n".join(ctes) + "\n"
@@ -458,4 +568,51 @@ def bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES) ->
         "       b AS right_sym, CAST(w8 AS BIGINT) AS pair_weight\n"
         f"FROM ({union})\n"
         "ORDER BY rank"
+    )
+
+
+def bpe_train_apply_sql(
+    n_merges: int = BPE_TRAIN_MERGES, passes: int = BPE_PASSES
+) -> str:
+    """DuckDB oracle for tx_bpe_train_apply: the training CTEs
+    (bpe_train_ctes — every learned merge decision m0..m{n-1} rides
+    inside this hash too), then the learned table APPLIED to every
+    document: the whole doc is delimiter-encoded as the concatenation
+    of per-word encodings ('/t/h/e//c/a/t/' — the '//' word boundary
+    can never match a '/a/b/' merge pattern, and splitting on '/'
+    drops the empty boundary tokens), then one replace-fixpoint CTE
+    per learned merge in rank order (the same 1-row cross-join shape
+    the training loop uses on the word table)."""
+    ctes = bpe_train_ctes(n_merges, passes)
+    ctes.append(
+        "a0 AS (\n"
+        "  SELECT doc_id, array_to_string(list_transform(\n"
+        "    list_filter(string_split(\n"
+        "      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),\n"
+        "      x -> x != ''),\n"
+        "    w -> '/' || regexp_replace(w, '(.)', '\\1/', 'g')), '')\n"
+        "    AS enc\n"
+        "  FROM documents)"
+    )
+    merged = _bpe_dyn_replace("enc", passes)
+    for i in range(n_merges):
+        ctes.append(
+            f"a{i + 1} AS (SELECT doc_id, {merged} AS enc"
+            f" FROM a{i}, m{i})"
+        )
+    ctes.append(
+        f"toks AS (SELECT doc_id,\n"
+        f"  list_filter(string_split(a{n_merges}.enc, '/'),"
+        f" t -> t != '') AS ts\n"
+        f"  FROM a{n_merges})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,\n"
+        "       CAST(len(list_filter(ts, t -> length(t) > 1)) AS BIGINT)\n"
+        "         AS n_merged,\n"
+        "       coalesce(array_to_string(ts[1:8], ' '), '') AS head_syms,\n"
+        "       md5(coalesce(array_to_string(ts, ' '), ''))"
+        " AS tokens_md5\n"
+        "FROM toks ORDER BY doc_id"
     )

@@ -1515,3 +1515,125 @@ def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_weight). Integer-only; exact by construction. Reference
     analogue: none (beyond-reference LLM-pipeline tier)."""
     return T.bpe_train(_t(spark, sf_dir, "documents")).orderBy("rank")
+
+
+@query(
+    "tx_bpe_apply_arrow",
+    # Shares tx_bpe_apply's oracle STRING verbatim (the wh_ivfpq_publish
+    # twin discipline): Arrow path == expression path is the checked
+    # contract — the mapInPandas tokenizer must reproduce every token id
+    # of every document that the generated nested-replace expression
+    # produces, or the hash fails.
+    f"""
+    WITH ids AS (SELECT doc_id, {_BPE_IDS_DUCK} AS ids FROM documents)
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ids, i -> i >= {T.BPE_BASE_ID}))
+                AS BIGINT) AS n_merged,
+           coalesce(array_to_string(ids[1:12], ','), '') AS head_ids_csv,
+           md5(coalesce(array_to_string(ids, ','), '')) AS tokens_md5
+    FROM ids ORDER BY doc_id
+    """,
+    # New r10 (VERDICT r9 ask #3); first-timer on the r10 surface after
+    # all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+)
+def tx_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW tokenizer path (functions.text.bpe_tokenize_arrow)
+    applied with the fixed 12-merge table and pinned against the
+    expression path's oracle VERBATIM: word splitting runs JVM-side
+    (the identical bpe_words_sql fragment), the per-word merge loop
+    runs in Arrow pandas batches with a word cache, and symbol -> id
+    mapping comes back JVM-side through the same vocab CASE the
+    generated expression compiles. This is the path that scales to a
+    LEARNED 50k-merge production vocab (the r9 design boundary: the
+    nested-replace expression grows 4 replace() calls per merge and
+    cannot compile at that size); pinning it bit-equal to the codegen
+    path at 12 merges is what licenses tx_bpe_train_apply to trust it
+    at arbitrary table length. Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.bpe_tokenize_arrow(docs, T.BPE_MERGES)
+    vocab_case = T.bpe_vocab_case_sql()
+    return (
+        toks.select(
+            "doc_id",
+            F.expr(f"transform(toks, t -> {vocab_case})").alias("ids"),
+        )
+        .select(
+            "doc_id",
+            F.size("ids").cast("bigint").alias("n_tokens"),
+            F.expr(f"size(filter(ids, i -> i >= {T.BPE_BASE_ID}))")
+            .cast("bigint")
+            .alias("n_merged"),
+            F.coalesce(
+                F.expr(
+                    "array_join(transform(slice(ids, 1, 12),"
+                    " i -> cast(i as string)), ',')"
+                ),
+                F.lit(""),
+            ).alias("head_ids_csv"),
+            F.md5(
+                F.coalesce(
+                    F.expr(
+                        "array_join(transform(ids, i -> cast(i as string)),"
+                        " ',')"
+                    ),
+                    F.lit(""),
+                )
+            ).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tx_bpe_train_apply",
+    T.bpe_train_apply_sql(),
+    # New r10 (VERDICT r9 ask #3); first-timer on the r10 surface after
+    # all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+)
+def tx_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN -> APPLY composition: the merge table comes from
+    DISTRIBUTED TRAINING (functions.text.bpe_train — the same 8-merge
+    learning loop tx_bpe_train pins, every intermediate decision inside
+    this oracle too), is collected as a bounded frame (8 rows; a
+    production 50k-merge vocab is still megabytes — driver-collectable
+    by design, the audited-collect discipline), and is applied to every
+    document through the Arrow tokenizer (bpe_tokenize_arrow — the
+    arbitrary-length path, licensed by tx_bpe_apply_arrow's verbatim
+    twin pin at fixed 12 merges). Output hashes the merged SYMBOL
+    stream (learned vocabs have no static id table; symbols ARE the
+    tokens), so a drift anywhere in train OR apply — a flipped merge
+    decision, a wrong tie-break, a boundary-crossing merge — shifts
+    tokens_md5.
+
+    The oracle unrolls training (m0..m7) and then applies the learned
+    winners to the delimiter-encoded document stream one rank at a
+    time ('//' word boundaries cannot match any '/a/b/' pattern), the
+    exact 1-row-cross-join shape training itself uses. At 100 TB:
+    train = one corpus pass + one shuffle per merge over the Heaps-law
+    word table; apply = map-only Arrow stage over documents.
+    Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in T.bpe_train(docs).orderBy("rank").collect()
+    ]
+    toks = T.bpe_tokenize_arrow(docs, merges)
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.expr("size(filter(toks, t -> length(t) > 1))")
+            .cast("bigint")
+            .alias("n_merged"),
+            F.coalesce(
+                F.expr("array_join(slice(toks, 1, 8), ' ')"), F.lit("")
+            ).alias("head_syms"),
+            F.md5(
+                F.coalesce(F.expr("array_join(toks, ' ')"), F.lit(""))
+            ).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )

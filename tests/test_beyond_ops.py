@@ -2515,3 +2515,79 @@ def test_ahash_neardup_planted_twins_all_surface(spark):
         assert rows[twin]["min_hamming"] == 1, rows[twin]
     for r in rows.values():
         assert 1 <= r["min_hamming"] <= 3
+
+
+def test_bpe_arrow_path_equals_expression_path(spark):
+    """tx_bpe_apply_arrow's whole claim, checked Spark-vs-Spark (the
+    oracle twin checks it engine-cross): the Arrow mapInPandas
+    tokenizer must reproduce the generated nested-replace expression's
+    output EXACTLY at the fixed 12-merge table — every id of every
+    document. This is what licenses the Arrow path at merge-table
+    lengths where the expression cannot compile."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    a = sorted(
+        tuple(r) for r in R["tx_bpe_apply_arrow"].spark(spark, SF_SMOKE).collect()
+    )
+    e = sorted(
+        tuple(r) for r in R["tx_bpe_apply"].spark(spark, SF_SMOKE).collect()
+    )
+    assert a == e
+
+
+def test_bpe_train_apply_composition(spark):
+    """tx_bpe_train_apply consumes the TRAINED table: its n_merged must
+    be positive (a dead learned table collapses every doc to raw
+    chars), every head symbol must be a concatenation the learned
+    merge sequence can build, and re-deriving the tokenization in
+    plain Python from tx_bpe_train's output must reproduce tokens_md5
+    for every document."""
+    import hashlib
+    import re
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in R["tx_bpe_train"].spark(spark, SF_SMOKE).orderBy("rank").collect()
+    ]
+    assert len(merges) == 8
+
+    def tok(text):
+        out = []
+        for w in re.sub("[^a-z]+", " ", (text or "").lower()).split():
+            syms = list(w)
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.extend(syms)
+        return out
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = R["tx_bpe_train_apply"].spark(spark, SF_SMOKE).collect()
+    assert sum(r["n_merged"] for r in rows) > 0
+    for r in rows:
+        ts = tok(texts[r["doc_id"]])
+        assert r["n_tokens"] == len(ts)
+        assert r["tokens_md5"] == hashlib.md5(
+            " ".join(ts).encode()
+        ).hexdigest(), r["doc_id"]

@@ -58,6 +58,10 @@ COLLECT_ALLOWED: dict[str, int] = {
     f"{PKG}/plans/beyond_warehouse.py": 3,
     f"{PKG}/sources/warehouse.py": 3,
     f"{PKG}/streaming/stream.py": 3,
+    # r10: tx_bpe_train_apply collects the LEARNED merge table (8 rows;
+    # a production 50k-merge vocab is still MBs — bounded by Heaps'
+    # law, never by corpus size) to feed the Arrow tokenizer.
+    f"{PKG}/plans/beyond_text.py": 1,
 }
 
 
