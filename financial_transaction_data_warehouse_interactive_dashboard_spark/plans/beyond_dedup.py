@@ -139,7 +139,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {SQL_SIMHASH}
     SELECT doc_id, simhash FROM simh ORDER BY doc_id
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (operators.dedup.simhash)."""
@@ -163,7 +163,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3), 8-bit-chunk blocked —
@@ -185,7 +185,7 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     ORDER BY id_a, id_b
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked."""
@@ -352,7 +352,7 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h GROUP BY h.h ORDER BY doc_id
     """,
     # New r5 batch (locally pinned; r6 driver-rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style normalization dedup (operators.dedup.
@@ -591,7 +591,7 @@ def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
     ORDER BY 1, 2, 3
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs over the part-name vocabulary:
@@ -739,7 +739,7 @@ def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(common::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.8
     ORDER BY id_a, id_b
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by shingle CONTAINMENT >= 0.8 — |A n B| over the
@@ -779,7 +779,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex JOIN fo ON ex.s = fo.s
     GROUP BY 1 ORDER BY 1
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal-novelty curve per document: what fraction of each doc's

@@ -37,7 +37,7 @@ from .queries import _t, query
            sum(value::DECIMAL(30,6))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type (streaming.windows.tumbling)."""
@@ -89,7 +89,7 @@ def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessions per user via F.session_window; the oracle is the
@@ -219,7 +219,7 @@ def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily ORDER BY day
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new + cumulative distinct users via the FIRST-SEEN
@@ -322,7 +322,7 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction via ONE schematized parse: from_json
@@ -375,7 +375,7 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap: the distribution-summary family keeps a13_percentile_sketch
     # driver-green (and this entry went driver-green r3); locally
     # oracle-pinned.
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of a continuous measure — the dashboard
@@ -441,7 +441,7 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY 1 ORDER BY n DESC, path LIMIT 10
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top event PATHS — sequence mining over per-user journeys: the ten
@@ -493,7 +493,7 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t ORDER BY src, dst
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix (first-order Markov estimate of user
@@ -541,7 +541,7 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY event_id
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase to the user's latest prior-or-equal view
@@ -603,7 +603,7 @@ def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b JOIN f USING (event_id)
     ORDER BY event_id
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-direction as-of join: each purchase to the user's closest
@@ -809,7 +809,7 @@ def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     # New r5 (locally pinned; distribution-summary family's driver row is
     # a13_percentile_sketch).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def ev_equidepth_histogram(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False

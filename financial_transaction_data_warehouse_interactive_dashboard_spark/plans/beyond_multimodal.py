@@ -125,7 +125,7 @@ def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Demoted r4 to fund sk_salted_hot_join under the 50-row driver cap:
     # sibling of mm_features_resize (same Arrow mapInPandas multimodal
     # plumbing, driver-green r3); locally oracle-pinned.
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 2nd 64-byte frame) —
@@ -294,9 +294,9 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ahash_hi, ahash_lo
     """,
     # New r9 (image near-dup, completing the multimodal triple's dedup
-    # story); r10 NEXT_QUEUE candidate — locally oracle-pinned at all
-    # three scales.
-    driver=False,
+    # story); promoted from NEXT_QUEUE in the r10 rotation after
+    # all-scale pre-validation.
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
 )
 def mm_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate detection by perceptual average hash

@@ -82,7 +82,7 @@ from .queries import _t, query
     ORDER BY query_id, rrf DESC, doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval with reciprocal-rank fusion — the modern search
@@ -354,7 +354,7 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 5
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
-    driver=False,  # folded: iter3 kmeans variant supersets the IVF mechanics
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse cells + nprobe probing) — the oracle reproduces the
@@ -388,7 +388,7 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1), driver=False)
+@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1), driver=True)  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
     exact centroid means). The oracle reproduces seeding, assignment, the
@@ -554,7 +554,7 @@ def _ivfpq_recall_output(emb: DataFrame, ann: DataFrame) -> DataFrame:
     # New r9 — the LLM-pipeline capstone (VERDICT r8 ask #5); flipped
     # onto the driver surface in the r9 rotation commit after both-scale
     # pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone vector-index composition — FAISS-style IVFPQ
@@ -593,10 +593,10 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivf_pq(),
     # New r9 — the stored form of the IVFPQ capstone (shares its oracle
     # VERBATIM: the persisted index must answer exactly like the
-    # in-memory one). r10 NEXT_QUEUE candidate; locally oracle-pinned at
-    # all three scales. Defined here (not beyond_warehouse) to share
-    # _sql_ivf_pq and the recall composition.
-    driver=False,
+    # in-memory one). Promoted from NEXT_QUEUE in the r10 rotation after
+    # all-scale pre-validation. Defined here (not beyond_warehouse) to
+    # share _sql_ivf_pq and the recall composition.
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
 )
 def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the IVFPQ index (sources.warehouse.
@@ -999,7 +999,7 @@ _NDCG_DISC_SQL = " ".join(
     """.replace("{SIGN_BITS}", str(S.SIGN_BITS)),
     # New r8 (locally pinned; backlog — rotation candidate with
     # wh_compaction once the r9 queue clears).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded RANKING quality of the ANN path — NDCG@5 of sign-LSH

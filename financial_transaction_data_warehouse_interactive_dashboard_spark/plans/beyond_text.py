@@ -58,7 +58,7 @@ from .queries import _t, query
            lang AS labeled_lang
     FROM h ORDER BY doc_id
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-overlap language ID: argmax of marker hits, ties to the
@@ -270,7 +270,7 @@ def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            )::BIGINT AS quality_pts
     FROM d ORDER BY doc_id
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score (C4/Gopher-filter shape), computed
@@ -316,7 +316,7 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pw, s ORDER BY source
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (the multilingual-sampling
@@ -386,7 +386,7 @@ def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)::BIGINT AS n_chars_seen
     FROM documents ORDER BY doc_id
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex letter/digit runs."""
@@ -418,7 +418,7 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS min_window_hash
     FROM hw ORDER BY doc_id
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash doc fingerprint + winnowing-style min 4-token window.
@@ -603,7 +603,7 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, gram
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_heavy_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent collocations (word bigrams with >0.1% corpus share) via
@@ -652,7 +652,7 @@ def tx_heavy_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id ORDER BY doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus unigram language-model scoring — the statistical quality
@@ -715,7 +715,7 @@ def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lang, doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted per-language sample
@@ -756,7 +756,7 @@ def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s ORDER BY doc_id, chunk_idx
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document CHUNKING — the context-window splitter of
@@ -815,7 +815,7 @@ def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): window-cumsum family
     # is driver-covered by w1/w5; the packing rule itself is pinned here.
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: documents laid out per
@@ -925,7 +925,7 @@ def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): same explode-free
     # array-expression family as tx_text_profile, which is driver-green.
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal: the fraction of duplicate
@@ -1002,7 +1002,7 @@ def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated BIGRAM language-model scoring — the second-order
@@ -1092,7 +1092,7 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ck AS custkey, b AS neg_brand, rnk
     FROM r WHERE rnk <= {NEG_K} ORDER BY custkey, rnk
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training pairs:
@@ -1382,7 +1382,7 @@ _BPE_PACK_BUDGET = 512  # tokens per packed training sequence
     """,
     # New r9 (VERDICT r8 ask #6); flipped onto the driver surface in the
     # r9 rotation commit after both-scale pre-validation.
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-grade BPE merge-table application
@@ -1459,7 +1459,7 @@ def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # New r9 (VERDICT r8 ask #6 follow-through: packing consumes REAL
     # tokenizer lengths); flipped onto the driver surface in the r9
     # rotation commit after both-scale pre-validation.
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def tx_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over REAL tokenizer lengths: the offset-bin
@@ -1494,10 +1494,10 @@ def tx_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tx_bpe_train",
     T.bpe_train_sql(),
-    # New r9 (tokenizer-training capstone next to tx_bpe_apply); joins
-    # the driver surface via the r10 NEXT_QUEUE (plans/rotation.py) —
-    # locally oracle-pinned at all three scales meanwhile.
-    driver=False,
+    # New r9 (tokenizer-training capstone next to tx_bpe_apply);
+    # promoted from NEXT_QUEUE in the r10 rotation after all-scale
+    # pre-validation.
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
 )
 def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE TRAINING (functions.text.bpe_train): learn the

@@ -1514,9 +1514,9 @@ _BH_Q = "CAST('0.1' AS DOUBLE)"  # target false-discovery rate
     FROM r2, k
     ORDER BY bh_rank
     """,
-    # New r9 (multiple-testing capstone for the drift tier); r10
-    # NEXT_QUEUE candidate — locally oracle-pinned at all three scales.
-    driver=False,
+    # New r9 (multiple-testing capstone for the drift tier); promoted
+    # from NEXT_QUEUE in the r10 rotation after all-scale pre-validation.
+    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
 )
 def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENJAMINI-HOCHBERG FDR control over a FAMILY of drift tests —

@@ -107,7 +107,7 @@ Z_CUT = 2.5
     ORDER BY c_custkey
     """,
     # New r5 batch (locally pinned; r6 driver-rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def a18_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-relative anomaly screen: customers whose total spend sits
@@ -289,7 +289,7 @@ PAIR_TOP_K = 50
     ORDER BY lift DESC, brand_a, brand_b
     LIMIT {PAIR_TOP_K}
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def a20_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: brand pairs co-purchased in one order,
@@ -387,7 +387,7 @@ def a20_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS cum_events
     FROM g ORDER BY user_id, day
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def w6_user_day_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-spine gap-filling: a contiguous per-user daily calendar from
@@ -564,7 +564,7 @@ RECON_TOL_MICROS = 1_000_000  # micro-dollars of |header - detail| tolerated
              AS max_abs_delta
     FROM d GROUP BY 1 ORDER BY status
     """,
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def a21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-vs-detail reconciliation: recompute each order's total from
@@ -1702,7 +1702,7 @@ DOW_Z_CUT = 2.0
     ORDER BY day
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def a27_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEASONAL anomaly screen: daily revenue compared against its own
@@ -1934,7 +1934,7 @@ def a28_customer_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cohort_year, cohort_quarter, age_quarters
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # rotated IN r9 (first driver row; plans/rotation.py)
+    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
 )
 def a29_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime value: customers are grouped by acquisition

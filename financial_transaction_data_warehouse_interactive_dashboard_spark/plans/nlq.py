@@ -176,6 +176,11 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "qa_ks_two_sample": ("kolmogorov", "smirnov", "ks", "distributions", "differ"),
     "qa_welch_t": ("ttest", "welch", "significant", "significance", "means"),
     "qa_fdr_bh_segments": ("fdr", "benjamini", "hochberg", "multiple", "corrected"),
+    # Round-10 batch (VERDICT r9 asks #3-#6).
+    "qa_fdr_bh_spike_in": ("spike", "spikein", "calibration", "planted", "controls"),
+    "sim_ann_ivfadc_residual": ("residual", "residuals", "ivfadc", "fidelity", "compression"),
+    "mm_ahash_neardups": ("neardup", "neardups", "perturbed", "reencoded", "flipped"),
+    "tx_bpe_train_apply": ("retokenize", "retokenized", "applying", "trained", "tokenization"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),
@@ -240,6 +245,7 @@ NO_ROUTE: frozenset[str] = frozenset({
     "sim_ann_ivf",                # iter3 k-means variant is routed
     "sim_ann_ivf_kmeans",         # iter3 variant is routed
     "st_cdc_apply",               # wh_cdc_apply is the routed face
+    "tx_bpe_apply_arrow",         # tx_bpe_apply is the routed face (twin)
     "st_sessionize_stateful",     # st_sessionize is the routed face
     "st_tumbling_hourly",         # ev_tumbling_hourly is the routed face
     "w4_surrogate_keys",          # W4 parity shape

@@ -263,7 +263,7 @@ def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY quarter, status
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a2_quarter_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key group-by count (stacked-bar input).
@@ -591,7 +591,7 @@ def j6_topk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dict-lookup remap with pass-through fallback (J7/C4).
@@ -630,7 +630,7 @@ def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def f4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring predicate -> group count (F4 + A1).
@@ -657,7 +657,7 @@ def f4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, part_type ASC
     LIMIT 5
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over a fact-dim join (O2 on the biggest table).
@@ -721,7 +721,7 @@ def o4_group_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     ORDER BY c_custkey
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference of key sets (X1) — high-balance customers with no
@@ -757,7 +757,7 @@ def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd/MM/yyyy HH:mm:ss parse + quarter labeling (C1-C3).
@@ -789,7 +789,7 @@ def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY segment
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-key group-by count (A1) — the dashboard's most common shape.
@@ -820,7 +820,7 @@ def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP region -> nation -> grand total in ONE pass.
@@ -866,7 +866,7 @@ def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, 'Q' || CAST(quarter(o_orderdate) AS STRING))
     ORDER BY lvl, status NULLS FIRST, quarter NULLS FIRST
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, quarter): all four grouping sets in one pass
@@ -902,7 +902,7 @@ def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1 ORDER BY status
     """,
-    driver=False,  # folded for the driver's capped sweep; locally oracle-pinned
+    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX/AVG/median per group — the aggregate family SURVEY.md

@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -218,6 +218,47 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "tx_stratified_sample",
         ),
     },
+    10: {
+        # FIRST STEADY-STATE ROUND (the r9 freshness policy in force):
+        # 9 first-timers (the four r9-authored NEXT_QUEUE entries, all
+        # pre-validated at sf0.001/0.01/0.1, plus this round's five new
+        # operators — the VERDICT r9 asks #3-#6 capstones), the
+        # 17-slot keep-set (st_*/wh_* harnesses incl. the four r9
+        # first-timer harnesses now re-earning, + the scale_safe plan
+        # claim), and 24 REFRESH promotions drawn oldest-evidence-first
+        # from REFRESH_QUEUE (the full r2/r3 vintages + the first six
+        # r4 names; refresh entries are deliberately NOT listed here —
+        # "in" is pinned to genuine first-timers).
+        "in": (
+            # r9-authored queue (first driver rows)
+            "tx_bpe_train", "qa_fdr_bh_segments", "mm_ahash_clusters",
+            "wh_ivfpq_publish",
+            # new this round (all-scale verified before the flip)
+            "qa_fdr_bh_spike_in", "sim_ann_ivfadc_residual",
+            "mm_ahash_neardups", "tx_bpe_apply_arrow",
+            "tx_bpe_train_apply",
+        ),
+        "out": (
+            # r9 first-timers outside the keep-set retire on their
+            # green row (the r8 second-row policy)
+            "a15_hll_mergeable", "a18_zscore_outliers",
+            "a20_basket_pair_lift", "a21_order_reconciliation",
+            "a27_dow_seasonal_outliers", "a29_cohort_ltv",
+            "dd_containment_pairs", "dd_er_blocked_pairs",
+            "dd_normalized_dedup", "dd_novelty_fractions",
+            "ev_asof_nearest_error", "ev_asof_view_purchase",
+            "ev_cumulative_uniques", "ev_equidepth_histogram",
+            "ev_top_paths", "ev_transition_matrix", "sim_ann_ivf_pq",
+            "sim_embedding_covariance", "sim_hybrid_rrf",
+            "sim_ndcg_at_k", "sim_random_projection",
+            "tx_bigram_logprob", "tx_bpe_apply", "tx_bpe_pack",
+            "tx_chunk_documents", "tx_heavy_collocations",
+            "tx_mixture_weights", "tx_negative_sampling",
+            "tx_pack_sequences", "tx_repetition_ratio",
+            "tx_unigram_logprob", "tx_weighted_sample",
+            "w6_user_day_gapfill",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -236,12 +277,10 @@ RE_PROMOTED: dict[str, int] = {
 #: Never-driver-checked entries queued for the NEXT round's promotion.
 #: Since the round-9 backlog-zero flip this holds only operators
 #: authored AFTER the flip; first-timers always outrank refresh slots.
-NEXT_QUEUE: tuple[str, ...] = (
-    "tx_bpe_train",  # distributed BPE merge learning (authored r9)
-    "qa_fdr_bh_segments",  # BH FDR over the Welch family (authored r9)
-    "mm_ahash_clusters",  # image near-dup by perceptual aHash (authored r9)
-    "wh_ivfpq_publish",  # stored IVFPQ serve, shared oracle (authored r9)
-)
+#: Empty at the r10 flip: every operator authored through round 10 is
+#: on the r10 surface (the four r9-queued entries plus the five r10
+#: capstones all promoted as first-timers this round).
+NEXT_QUEUE: tuple[str, ...] = ()
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
 #: force from round 10, once the backlog is zero. Each round the surface
@@ -268,20 +307,26 @@ NEXT_QUEUE: tuple[str, ...] = (
 #: freshness is the point — so they are not declared in the history's
 #: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
 REFRESH_QUEUE: tuple[str, ...] = (
-    # last green row r2 (the oldest evidence in the ledger)
-    "a10_value_stats", "a1_count_by_segment", "a2_quarter_status_matrix",
-    "a9_cube_status_quarter", "dd_embedding_neardup", "dd_simhash",
-    "ev_sessionize", "ev_tumbling_hourly", "o2_top5_types",
-    "sim_ann_ivf", "sim_ann_ivf_kmeans", "tx_fingerprint", "tx_lang_id",
-    "tx_quality_score", "tx_token_count", "x1_except",
-    # r3
-    "ev_value_histogram", "mm_frame_sample",
-    # r4
-    "a8_rollup_region_nation", "c1_timestamp_roundtrip",
-    "dd_simhash_pairs", "ev_props_extract", "f4_contains",
-    "j7_name_remap", "st_tumbling_hourly", "w4_surrogate_keys",
+    # The round-10 flip consumed the previous queue's 24-name prefix
+    # (full r2 + r3 vintages, first six r4 names); what remains heads
+    # the r11 queue, followed by the r6-vintage batch (alphabetical
+    # within a vintage = the ties-by-name rule).
+    # r4 leftovers (oldest evidence now in the ledger)
+    "st_tumbling_hourly", "w4_surrogate_keys",
     # r5
     "dd_ngram_jaccard", "ev_funnel_vcp", "ev_rolling_7d",
     "mm_features_resize", "q2_top_priorities_q4", "q3_quarter_ranking",
     "sim_topk_bruteforce", "st_sessionize_stateful",
+    # r6
+    "a11_pivot_quarter_status", "a12_star_measures",
+    "a13_percentile_sketch", "a14_grouping_sets", "a22_brand_pagerank",
+    "a4_kpis", "a5_unique_customers_approx", "a6_distinct_dims",
+    "dd_corpus_clean", "dd_embedding_neardup_blocked", "dd_exact_dedup",
+    "dd_minhash_lsh", "dd_neardup_components", "ev_asof_purchase",
+    "ev_range_views_before_purchase", "ev_sliding_1h_15m",
+    "j1_fact_build", "j3_gold_denorm", "j5_anti_join", "j6_topk_semi",
+    "mm_blob_meta", "o4_group_total_order", "q1_top_segments",
+    "sim_ann_ivf_kmeans_iter3", "sim_ann_signlsh", "sim_quantize_int8",
+    "sk_salted_hot_join", "st_dedup", "st_foreach_batch_sink",
+    "st_sessionize",
 )

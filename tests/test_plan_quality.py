@@ -212,6 +212,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "a28_customer_kmeans": "LIMIT k seed head (k rows)",
     "a35_survival_km": "distinct churn-day steps",
     "qa_fdr_bh_segments": "5-row hypothesis frame (one per segment)",
+    "qa_fdr_bh_spike_in": "20-row hypothesis frame (event_type x delta)",
 }
 
 
