@@ -638,6 +638,162 @@ def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_recall_output(emb, ann)
 
 
+#: wh_ivfpq_append's base/new split point: vec_id < 250 trains the
+#: frozen structures (contains the 16 seeds and 8 queries at every
+#: fixture scale); everything above arrives as the "new" batch.
+IVFPQ_APPEND_BASE = 250
+
+
+def _sql_ivfpq_append(base: int = IVFPQ_APPEND_BASE) -> str:
+    """DuckDB oracle for wh_ivfpq_append: the _sql_ivf_pq replay with
+    the train/encode split the append path creates — the IVF refine and
+    the PQ codebook Lloyd see ONLY the base corpus (vec_id < base),
+    then assignment and encoding run over ALL vectors against the
+    frozen structures. The stored publish-then-append layout must
+    answer exactly like this frozen-structure batch replay."""
+    sd = S.PQ_SUBDIM
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eb AS (SELECT * FROM e WHERE vec_id < {base}),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM eb WHERE vec_id < 16),
+    ia0 AS (SELECT eb.vec_id, eb.v, cell FROM eb, c0
+            QUALIFY row_number() OVER (PARTITION BY eb.vec_id
+              ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+              cell ASC) = 1),
+    ipx0 AS (SELECT cell, u.p AS pos, u.x AS val FROM ia0,
+             unnest([{{'p': i, 'x': v[i]}}
+                     for i in range(1, len(v) + 1)]) AS t(u)),
+    icent0 AS (SELECT cell, pos,
+                 CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS cv_e
+               FROM ipx0 GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv
+           FROM icent0 GROUP BY 1),
+    af AS (SELECT e.vec_id, e.v, cell FROM e, c1
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+             cell ASC) = 1),
+    sub AS (SELECT af.vec_id, af.cell, r.range AS m,
+                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
+            FROM af, range(0, {S.PQ_M}) r),
+    subb AS (SELECT * FROM sub WHERE vec_id < {base}),
+    b0 AS (SELECT m, vec_id AS code, sv AS cv FROM subb
+           WHERE vec_id < {S.PQ_K}),
+    pa0 AS (SELECT subb.vec_id, subb.m, subb.sv, code
+            FROM subb JOIN b0 USING (m)
+            QUALIFY row_number() OVER (PARTITION BY subb.vec_id, subb.m
+              ORDER BY round(list_cosine_similarity(sv, cv), 6) DESC,
+              code ASC) = 1),
+    ppx0 AS (SELECT m, code, u.p AS pos, u.x AS val FROM pa0,
+             unnest([{{'p': i, 'x': sv[i]}}
+                     for i in range(1, len(sv) + 1)]) AS t(u)),
+    pc0 AS (SELECT m, code, pos,
+                  CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*) AS cv_e
+            FROM ppx0 GROUP BY 1, 2, 3),
+    b1 AS (SELECT m, code, list(cv_e ORDER BY pos) AS cv
+           FROM pc0 GROUP BY 1, 2),
+    enc AS (SELECT sub.vec_id, sub.cell, sub.m, sub.sv, code
+            FROM sub JOIN b1 USING (m)
+            QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY round(list_cosine_similarity(sv, cv), 6) DESC,
+              code ASC) = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probe AS (SELECT query_id, cell FROM q, c1
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                cell ASC) <= 2),
+    qsub AS (SELECT vec_id AS query_id, rr.range AS m,
+                    v[rr.range * {sd} + 1 : rr.range * {sd} + {sd}]
+                      AS qsv
+             FROM e, range(0, {S.PQ_M}) rr WHERE vec_id < 8),
+    lut AS (SELECT query_id, m, code,
+              CAST(round(list_dot_product(qsv, cv), 6)
+                   AS DECIMAL(18,6)) AS term
+            FROM qsub JOIN b1 USING (m)),
+    cand AS (SELECT p.query_id, enc.vec_id, enc.m, enc.code
+             FROM probe p JOIN enc USING (cell)
+             WHERE enc.vec_id != p.query_id),
+    scores AS (SELECT c.query_id, c.vec_id,
+                 CAST(sum(term) AS DOUBLE) AS approx_ip
+               FROM cand c
+               JOIN lut ON lut.query_id = c.query_id
+                       AND lut.m = c.m AND lut.code = c.code
+               GROUP BY 1, 2),
+    topk AS (SELECT query_id, vec_id AS neighbor_id,
+                    round(approx_ip, 6) AS approx_ip
+             FROM scores
+             QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) <= 5),
+    ex AS (SELECT query_id, e.vec_id AS neighbor_id
+           FROM q JOIN e ON e.vec_id != q.query_id
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, v), 6) DESC,
+             e.vec_id ASC) <= 5),
+    h AS (SELECT t.query_id, count(*) AS n_hits FROM topk t
+          JOIN ex ON ex.query_id = t.query_id
+                 AND ex.neighbor_id = t.neighbor_id
+          GROUP BY 1)
+    SELECT t.query_id, t.neighbor_id, t.approx_ip,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6)
+             AS recall_at_5
+    FROM topk t LEFT JOIN h USING (query_id)
+    ORDER BY query_id, approx_ip DESC, neighbor_id
+    """
+
+
+@query(
+    "wh_ivfpq_append",
+    _sql_ivfpq_append(),
+    # New r10 (index-freshness capstone, authored after the r10 flip);
+    # heads the r11 NEXT_QUEUE — locally oracle-pinned at all three
+    # scales meanwhile.
+    driver=False,
+)
+def wh_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (sources.warehouse.
+    append_ivfpq_vectors) — the freshness path between full retrains:
+    the IVFPQ layout is published from the BASE corpus (vec_id < 250 —
+    quantizer and codebooks train on base only), then the remaining
+    vectors arrive as a new batch and are assigned/encoded against the
+    FROZEN stored structures and APPENDED into the cell-partitioned
+    code table — no rebuild, existing partitions untouched, one new
+    file per touched cell. The query then runs over the appended
+    stored layout and its recall@5 is measured against the exact
+    frontier of the FULL corpus (a stale index that missed the new
+    batch loses exactly the neighbors that moved).
+
+    The oracle replays train-on-base / encode-ALL-with-frozen-
+    structures in one batch, so the checked contract is: publish +
+    append == frozen-structure batch encode, bit for bit — a drift in
+    the frozen read-back, the assignment, the encode, or the append
+    layout fails the hash. At 100 TB: the append touches only the new
+    batch (one pass, cell rides the explode) and appends one file per
+    occupied cell; compact_partitions is the standing repair as
+    batches accumulate. Reference analogue: none."""
+    from ..sources.warehouse import (
+        append_ivfpq_vectors,
+        publish_ivfpq_layout,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+    new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
+    publish_ivfpq_layout(base, "ivfpq_app")
+    append_ivfpq_vectors(new, "ivfpq_app")
+    codes = spark.table("ivfpq_app_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    ann = S.ivfpq_query(
+        emb,
+        spark.table("ivfpq_app_centroids"),
+        spark.table("ivfpq_app_codebooks"),
+        codes,
+        n_queries=8,
+        k=5,
+    ).localCheckpoint(eager=True)
+    return _ivfpq_recall_output(emb, ann)
 
 
 #: PQ Lloyd iterations for the residual-vs-raw comparison (BOTH legs —

@@ -101,6 +101,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "mm_bmp_pixels": ("image", "pixels", "brightness", "bmp", "decode"),
     "mm_ahash_clusters": ("ahash", "perceptual", "images", "visually", "identical"),
     "wh_ivfpq_publish": ("publish", "published", "persisted", "serve", "deployed"),
+    "wh_ivfpq_append": ("append", "appended", "incremental", "freshness", "batch"),
     "mm_avi_frames": ("video", "frames", "avi", "sample", "container"),
     "ev_attribution_first_touch": ("first", "earliest", "touch", "attribution", "origin"),
     "tx_bigram_logprob": ("bigram", "coherence", "transitions", "fluent", "interpolated"),

@@ -277,10 +277,10 @@ RE_PROMOTED: dict[str, int] = {
 #: Never-driver-checked entries queued for the NEXT round's promotion.
 #: Since the round-9 backlog-zero flip this holds only operators
 #: authored AFTER the flip; first-timers always outrank refresh slots.
-#: Empty at the r10 flip: every operator authored through round 10 is
-#: on the r10 surface (the four r9-queued entries plus the five r10
-#: capstones all promoted as first-timers this round).
-NEXT_QUEUE: tuple[str, ...] = ()
+#: Post-flip r10 additions queue here for the r11 surface.
+NEXT_QUEUE: tuple[str, ...] = (
+    "wh_ivfpq_append",  # frozen-quantizer incremental index append (authored r10)
+)
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
 #: force from round 10, once the backlog is zero. Each round the surface

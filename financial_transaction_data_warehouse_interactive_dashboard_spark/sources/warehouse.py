@@ -240,6 +240,71 @@ def publish_ivfpq_layout(
     )
 
 
+def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
+    """INCREMENTAL index maintenance — the freshness path a production
+    vector store runs between full retrains: new vectors are assigned
+    to the FROZEN coarse quantizer (read back from
+    ``<prefix>_centroids``), PQ-encoded against the FROZEN codebooks
+    (``<prefix>_codebooks``), and their codes APPENDED into the
+    cell-partitioned ``<prefix>_codes`` table — no rebuild, no rewrite
+    of existing partitions, queries see the new vectors immediately
+    through the same probe/ADC path.
+
+    The checked contract (wh_ivfpq_publish twin discipline, extended):
+    publish-on-base + append-new must answer EXACTLY like encoding the
+    whole corpus against the same frozen structures in one batch — the
+    oracle replays train-on-base / encode-all, so a drift in the frozen
+    read-back, the assignment, the encode, or the append layout fails
+    the hash. Cell rides the subvector explode (one pass over the new
+    batch); codes are repartitioned by cell so each appended partition
+    gains ONE file per batch (compact_partitions is the standing
+    repair when batches accumulate)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions import portable as P
+    from ..operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        _assign_cells,
+        _vecs,
+    )
+
+    spark = new_emb.sparkSession
+    cells = spark.table(f"{prefix}_centroids")
+    books = spark.table(f"{prefix}_codebooks")
+    assign = _assign_cells(_vecs(new_emb), cells)
+    sub_e = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("m"),
+                    F.slice("v", j * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                )
+                for j in range(PQ_M)
+            ]
+        )
+    )
+    subs_c = assign.select("vec_id", "cell", sub_e.alias("e")).select(
+        "vec_id", "cell", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.desc("sub_cos"), F.asc("code")
+    )
+    enc = (
+        subs_c.join(F.broadcast(books), "m")
+        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", "code")
+    )
+    target = f"{prefix}_codes"
+    cols = spark.table(target).columns  # align column order for append
+    enc.select(*cols).repartition("cell").write.mode("append").format(
+        "parquet"
+    ).partitionBy("cell").saveAsTable(target)
+
+
 def compact_partitions(
     spark: SparkSession,
     table: str,
