@@ -1637,3 +1637,89 @@ def tx_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_WORDS_DUCK = T.bpe_words_sql("duckdb")
+_BPE_WORDS_SPARK = T.bpe_words_sql("spark")
+
+
+@query(
+    "tx_bpe_fertility",
+    f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len({_BPE_WORDS_DUCK}) AS BIGINT) AS n_words,
+             CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS BIGINT) AS n_chars,
+             CAST(len({_BPE_IDS_DUCK}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_BPE_IDS_DUCK},
+                                  i -> i >= {T.BPE_BASE_ID}))
+                  AS BIGINT) AS n_merged
+      FROM documents),
+    g AS (SELECT lang, count(*) AS n_docs,
+                 sum(n_words) AS words, sum(n_chars) AS chars,
+                 sum(n_tokens) AS tokens, sum(n_merged) AS merged
+          FROM d GROUP BY 1)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(words AS BIGINT) AS total_words,
+           CAST(tokens AS BIGINT) AS total_tokens,
+           round(CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE), 6)
+             AS fertility6,
+           round(CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+             AS chars_per_token6,
+           round(CAST(merged AS DOUBLE) / CAST(tokens AS DOUBLE), 6)
+             AS merged_frac6
+    FROM g ORDER BY lang
+    """,
+    # New r10 (tokenizer-eval tier, authored after the r10 flip); joins
+    # the r11 NEXT_QUEUE — locally oracle-pinned at all three scales.
+    driver=False,
+)
+def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY evaluation per language — the standard
+    multilingual tokenizer-QA table (fertility = tokens per word;
+    chars per token = compression; merged fraction = how much of the
+    stream the merge table actually covers): the metric suite a
+    training pipeline reads before committing to a vocabulary, because
+    a tokenizer that is fluent in English and 2x-fertile in another
+    language silently doubles that language's effective sequence cost.
+    Counts ride the SAME generated expression tx_bpe_apply pins
+    (functions.text.bpe_token_ids_sql) plus the shared word fragment,
+    so the metrics are exactly the tokenizer's, not a proxy's.
+
+    All per-document quantities are integers; per-language sums are
+    exact (map-side combinable, ONE shuffle to 5 lang groups); each
+    ratio is a single identically-parenthesized double division rounded
+    to 6 dp — bit-equal across engines by the repo's standard
+    discipline. At 100 TB: one corpus pass, 5-row output.
+    Reference analogue: none."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"size({_BPE_WORDS_SPARK})").cast("bigint").alias("n_words"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+        ).cast("bigint").alias("n_chars"),
+        F.expr(f"size({_BPE_IDS_SPARK})").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"size(filter({_BPE_IDS_SPARK}, i -> i >= {T.BPE_BASE_ID}))"
+        ).cast("bigint").alias("n_merged"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_merged").alias("merged"),
+    )
+    return g.selectExpr(
+        "lang",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(words AS BIGINT) AS total_words",
+        "CAST(tokens AS BIGINT) AS total_tokens",
+        "round(CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE), 6)"
+        " AS fertility6",
+        "round(CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE), 6)"
+        " AS chars_per_token6",
+        "round(CAST(merged AS DOUBLE) / CAST(tokens AS DOUBLE), 6)"
+        " AS merged_frac6",
+    ).orderBy("lang")

@@ -280,6 +280,7 @@ RE_PROMOTED: dict[str, int] = {
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
     "wh_ivfpq_append",  # frozen-quantizer incremental index append (authored r10)
+    "tx_bpe_fertility",  # per-lang tokenizer fertility/compression eval (authored r10)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
