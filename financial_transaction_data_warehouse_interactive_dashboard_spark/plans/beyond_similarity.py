@@ -10,6 +10,7 @@ defined before the tier imports at its bottom run).
 
 from __future__ import annotations
 
+from ..functions import portable as _P
 from ..operators import similarity as S
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1226,3 +1227,150 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+#: sim_ivfpq_drift cohort boundaries: vec_id < 200 trains the frozen
+#: quantizer, 200-249 is the held-out calibration slice, >= 250 is the
+#: arriving batch (the wh_ivfpq_append split, refined with a holdout).
+IVFPQ_DRIFT_TRAIN = 200
+
+
+@query(
+    "sim_ivfpq_drift",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    et AS (SELECT * FROM e WHERE vec_id < {IVFPQ_DRIFT_TRAIN}),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM et WHERE vec_id < 16),
+    ia0 AS (SELECT et.vec_id, et.v, cell FROM et, c0
+            QUALIFY row_number() OVER (PARTITION BY et.vec_id
+              ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+              cell ASC) = 1),
+    ipx0 AS (SELECT cell, u.p AS pos, u.x AS val FROM ia0,
+             unnest([{{'p': i, 'x': v[i]}}
+                     for i in range(1, len(v) + 1)]) AS t(u)),
+    icent0 AS (SELECT cell, pos,
+                 CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS cv_e
+               FROM ipx0 GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv
+           FROM icent0 GROUP BY 1),
+    co AS (
+      SELECT 'base_insample' AS cohort, vec_id, v FROM e
+      WHERE vec_id < {IVFPQ_DRIFT_TRAIN}
+      UNION ALL
+      SELECT 'base_holdout', vec_id, v FROM e
+      WHERE vec_id >= {IVFPQ_DRIFT_TRAIN} AND vec_id < {IVFPQ_APPEND_BASE}
+      UNION ALL
+      SELECT 'new_iid', vec_id, v FROM e
+      WHERE vec_id >= {IVFPQ_APPEND_BASE}
+      UNION ALL
+      SELECT 'new_shifted', vec_id,
+             [x * CAST('0.05' AS DOUBLE) + CAST('1.0' AS DOUBLE)
+              for x in v]
+      FROM e WHERE vec_id >= {IVFPQ_APPEND_BASE}),
+    af AS (SELECT co.cohort, co.vec_id, cell,
+                  CAST(round(list_cosine_similarity(v, cv), 6)
+                       AS DECIMAL(18,6)) AS q
+           FROM co, c1
+           QUALIFY row_number() OVER (PARTITION BY co.cohort, co.vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+             cell ASC) = 1),
+    gc AS (SELECT cohort, cell, count(*) AS nc, sum(q) AS sq
+           FROM af GROUP BY 1, 2),
+    g AS (SELECT cohort, sum(nc) AS n, sum(sq) AS sq, max(nc) AS max_nc
+          FROM gc GROUP BY 1)
+    SELECT cohort, CAST(n AS BIGINT) AS n,
+           round(CAST(sq AS DOUBLE) / n, 6) AS mean_cos6,
+           round(CAST(max_nc AS DOUBLE) / n, 6) AS max_share6,
+           round(CAST(max_nc AS DOUBLE) / n, 6) > CAST('0.5' AS DOUBLE)
+             AS drifted
+    FROM g ORDER BY cohort
+    """,
+    # New r10 (index-lifecycle monitor, authored after the r10 flip);
+    # joins the r11 NEXT_QUEUE — locally oracle-pinned at all three
+    # scales.
+    driver=False,
+)
+def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN-trigger monitor that closes the index lifecycle
+    (build -> publish -> serve -> append -> MONITOR): per arriving
+    cohort, the frozen quantizer's fit (mean rounded cosine to the
+    assigned centroid, exact DECIMAL mean) and occupancy concentration
+    (max single-cell share). Four cohorts tell the whole calibration
+    story inside one hash: base_insample shows the OPTIMISM BIAS a
+    naive monitor trips over (vectors fit their own Lloyd means ~0.39
+    vs ~0.21 out-of-sample — an earlier per-cell fit-gap design
+    flagged ALL 16 cells "drifted" on iid data for exactly this
+    reason); base_holdout is the honest yardstick; new_iid (the
+    wh_ivfpq_append batch) matches the holdout and must NOT flag; and
+    new_shifted — a planted concentrated batch (x * 0.05 + 1, every
+    vector crowding one direction) — collapses occupancy to
+    max_share = 1.0 and MUST flag (the spike-in discipline: known
+    ground truth, 0 < flagged < m at every scale). The drift decision
+    compares the same rounded max_share6 the output emits against a
+    repr-CAST 0.5 threshold (the qa_fdr rounding discipline).
+
+    Scale: one corpus pass per cohort against the broadcast centroid
+    table, ONE shuffle to (cohort, cell) groups, 4-row output.
+    Reference analogue: none (beyond-reference LLM-pipeline tier)."""
+    vecs = S._vecs(_t(spark, sf_dir, "embeddings"))
+    train = vecs.filter(F.col("vec_id") < IVFPQ_DRIFT_TRAIN)
+    seeds = train.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = S.refine_centroids(train, seeds).localCheckpoint(eager=True)
+    shifted = F.expr(
+        "transform(v, x -> x * CAST('0.05' AS DOUBLE)"
+        " + CAST('1.0' AS DOUBLE))"
+    )
+    co = (
+        train.select(F.lit("base_insample").alias("cohort"), "vec_id", "v")
+        .unionAll(
+            vecs.filter(
+                (F.col("vec_id") >= IVFPQ_DRIFT_TRAIN)
+                & (F.col("vec_id") < IVFPQ_APPEND_BASE)
+            ).select(F.lit("base_holdout").alias("cohort"), "vec_id", "v")
+        )
+        .unionAll(
+            vecs.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE).select(
+                F.lit("new_iid").alias("cohort"), "vec_id", "v"
+            )
+        )
+        .unionAll(
+            vecs.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE).select(
+                F.lit("new_shifted").alias("cohort"),
+                "vec_id",
+                shifted.alias("v"),
+            )
+        )
+    )
+    w = Window.partitionBy("cohort", "vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell")
+    )
+    af = (
+        co.crossJoin(F.broadcast(cells))
+        .withColumn("cell_cos", F.round(_P.cosine("v", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cohort",
+            "cell",
+            F.col("cell_cos").cast("decimal(18,6)").alias("q"),
+        )
+    )
+    gc = af.groupBy("cohort", "cell").agg(
+        F.count("*").alias("nc"), F.sum("q").alias("sq")
+    )
+    g = gc.groupBy("cohort").agg(
+        F.sum("nc").alias("n"),
+        F.sum("sq").alias("sq"),
+        F.max("nc").alias("max_nc"),
+    )
+    return g.selectExpr(
+        "cohort",
+        "CAST(n AS BIGINT) AS n",
+        "round(CAST(sq AS DOUBLE) / n, 6) AS mean_cos6",
+        "round(CAST(max_nc AS DOUBLE) / n, 6) AS max_share6",
+        "round(CAST(max_nc AS DOUBLE) / n, 6) > CAST('0.5' AS DOUBLE)"
+        " AS drifted",
+    ).orderBy("cohort")

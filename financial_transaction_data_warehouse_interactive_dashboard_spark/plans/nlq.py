@@ -183,6 +183,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "mm_ahash_neardups": ("neardup", "neardups", "perturbed", "reencoded", "flipped"),
     "tx_bpe_train_apply": ("retokenize", "retokenized", "applying", "trained", "tokenization"),
     "tx_bpe_fertility": ("fertility", "fertile", "efficiency", "multilingual", "coverage"),
+    "sim_ivfpq_drift": ("stale", "retrain", "monitor", "drifted", "occupancy"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),

@@ -281,6 +281,7 @@ RE_PROMOTED: dict[str, int] = {
 NEXT_QUEUE: tuple[str, ...] = (
     "wh_ivfpq_append",  # frozen-quantizer incremental index append (authored r10)
     "tx_bpe_fertility",  # per-lang tokenizer fertility/compression eval (authored r10)
+    "sim_ivfpq_drift",  # retrain-trigger monitor with planted-drift cohort (authored r10)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

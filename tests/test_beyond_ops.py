@@ -2591,3 +2591,30 @@ def test_bpe_train_apply_composition(spark):
         assert r["tokens_md5"] == hashlib.md5(
             " ".join(ts).encode()
         ).hexdigest(), r["doc_id"]
+
+
+def test_ivfpq_drift_monitor_separates_cohorts(spark):
+    """sim_ivfpq_drift's planted-outcome contract: the concentrated
+    batch MUST flag (occupancy collapses to one cell), the iid batch
+    and the holdout must NOT, and the in-sample cohort's fit must
+    exceed the holdout's (the optimism bias the docstring warns a
+    monitor against calibrating on)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rows = {
+        r["cohort"]: r
+        for r in R["sim_ivfpq_drift"].spark(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {
+        "base_insample", "base_holdout", "new_iid", "new_shifted",
+    }
+    assert rows["new_shifted"]["drifted"]
+    assert rows["new_shifted"]["max_share6"] == 1.0
+    assert not rows["new_iid"]["drifted"]
+    assert not rows["base_holdout"]["drifted"]
+    assert not rows["base_insample"]["drifted"]
+    assert (
+        rows["base_insample"]["mean_cos6"] > rows["base_holdout"]["mean_cos6"]
+    )
