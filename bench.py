@@ -92,6 +92,7 @@ LARGE_RESULT = {
     "tx_bpe_apply_arrow",
     "tx_bpe_train_apply",
     "mm_ahash_neardups",
+    "st_bpe_tokenize",
     # r8: duplicated-passage spans grow linearly with the corpus (4,691
     # rows at sf0.1); promoted to the driver surface this round, so time
     # the distributed path. (Basis change vs r7 is recorded by the new

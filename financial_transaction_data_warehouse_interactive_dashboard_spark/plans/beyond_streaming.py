@@ -423,3 +423,39 @@ def st_daily_actives_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+from ..functions import text as _T
+
+_ST_BPE_IDS_DUCK = _T.bpe_token_ids_sql("duckdb")
+
+
+@query(
+    "st_bpe_tokenize",
+    # The batch tokenizer's oracle minus the head column: streamed
+    # microbatch tokenization must equal the batch run byte-for-byte.
+    f"""
+    WITH ids AS (SELECT doc_id, {_ST_BPE_IDS_DUCK} AS ids FROM documents)
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ids, i -> i >= {_T.BPE_BASE_ID}))
+                AS BIGINT) AS n_merged,
+           md5(coalesce(array_to_string(ids, ','), '')) AS tokens_md5
+    FROM ids ORDER BY doc_id
+    """,
+    driver=False,
+)
+def st_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BPE tokenization (streaming.stream.run_stream_tokenize)
+    — tokenize-on-ingest for the training-data pipeline: the documents
+    stream arrives in two genuinely separate microbatches and each runs
+    the SAME generated merge-table expression the batch path compiles
+    (tx_bpe_apply), stateless append mode, no watermark, no state
+    store. The batch oracle pins stream == batch: a tokenizer whose
+    output depended on batch boundaries (any cross-document state, any
+    nondeterminism under partitioning) would shift tokens_md5.
+    Completes the BPE tier's deployment surface: batch expression,
+    Arrow arbitrary-table path, train->apply composition, per-lang
+    eval, and now the streaming ingest stage. Reference analogue:
+    none."""
+    return ST.run_stream_tokenize(spark, sf_dir).orderBy("doc_id")

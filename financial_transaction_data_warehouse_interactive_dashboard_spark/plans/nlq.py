@@ -184,6 +184,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_bpe_train_apply": ("retokenize", "retokenized", "applying", "trained", "tokenization"),
     "tx_bpe_fertility": ("fertility", "fertile", "efficiency", "multilingual", "coverage"),
     "sim_ivfpq_drift": ("stale", "retrain", "monitor", "drifted", "occupancy"),
+    "st_bpe_tokenize": ("tokenizing", "ingest", "arriving", "land", "landing"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),

@@ -282,6 +282,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "wh_ivfpq_append",  # frozen-quantizer incremental index append (authored r10)
     "tx_bpe_fertility",  # per-lang tokenizer fertility/compression eval (authored r10)
     "sim_ivfpq_drift",  # retrain-trigger monitor with planted-drift cohort (authored r10)
+    "st_bpe_tokenize",  # tokenize-on-ingest, stream==batch pinned (authored r10)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

@@ -1008,3 +1008,76 @@ def run_daily_actives_hll(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_tokenize(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "st_bpe_tokenize",
+) -> DataFrame:
+    """TOKENIZE-ON-INGEST — the streaming half of the BPE tier: each
+    documents microbatch runs the identical generated merge-table
+    expression the batch tokenizer compiles (functions.text.
+    bpe_token_ids_sql — map-only, stateless, append mode, no watermark
+    needed), so token ids are ready the moment a document lands instead
+    of waiting for a nightly batch. Two genuinely separate microbatches
+    (documents split at the median doc_id, maxFilesPerTrigger=1, bumped
+    mtimes) prove the expression is batch-boundary-invariant: the
+    streamed union must equal the batch run byte-for-byte, which the
+    batch oracle then pins. At scale this is the canonical stateless
+    streaming stage — whole-stage codegen inside foreachBatch-free
+    append, zero state stores, throughput = scan speed."""
+    from ..functions import text as T
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+
+    key = f"{path}::tok-split"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-tok-")
+        raw = spark.read.schema(schema).parquet(path)
+        half = raw.count() // 2
+        _write_single_parquet(
+            raw.filter(F.col("doc_id") < half), d, "0-early.parquet"
+        )
+        _write_single_parquet(
+            raw.filter(F.col("doc_id") >= half), d, "1-late.parquet"
+        )
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    ids_expr = T.bpe_token_ids_sql("spark")
+    out = src.select(
+        "doc_id", F.expr(ids_expr).alias("ids")
+    ).select(
+        "doc_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.expr(f"size(filter(ids, i -> i >= {T.BPE_BASE_ID}))")
+        .cast("bigint")
+        .alias("n_merged"),
+        F.md5(
+            F.coalesce(
+                F.expr(
+                    "array_join(transform(ids, i -> cast(i as string)),"
+                    " ',')"
+                ),
+                F.lit(""),
+            )
+        ).alias("tokens_md5"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
