@@ -1081,3 +1081,21 @@ def test_no_full_width_fact_scans_in_registry(spark):
         f"full-width scans of wide tables (entry -> (table, read, "
         f"total)): {offenders}"
     )
+
+
+def test_bpe_arrow_path_plan_shape(spark):
+    """tx_bpe_apply_arrow must keep the expression twin's distributed
+    shape: one ArrowEvalPython-free mapInPandas stage over the pruned
+    documents scan, NO shuffle except the presentation orderBy, and the
+    scan pruned to (doc_id, text) exactly like the codegen path — the
+    Arrow hop must not cost a repartition or widen the read."""
+    import re as _re
+
+    df = REGISTRY["tx_bpe_apply_arrow"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan, plan[:800]
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert "rangepartitioning" in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read
