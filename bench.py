@@ -169,6 +169,11 @@ def _timed(fn) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Idle-host check (VERDICT r10 ask #6): record the 1-minute load
+    # average at start and end so a run taken on a busy host carries
+    # its own evidence — two rounds of vs_prev adjudication traced
+    # "regressions" to end-of-session host load, not code.
+    load_pre = round(os.getloadavg()[0], 2)
     spark = get_spark("ftdw-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -226,6 +231,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
         "canary": canary,
+        # os 1-minute load average before Spark started / after the
+        # suite finished — the idle-host evidence for adjudicating
+        # cross-round drift (the suite itself runs local[N], so the
+        # pre value is the honest "was the host already busy" probe).
+        "host_load_1m": {
+            "pre": load_pre,
+            "post": round(os.getloadavg()[0], 2),
+        },
         # Timing basis per query (ADVICE r7): a reclassification between
         # collect- and noop-sink timing changes the measurement path, so
         # vs_prev must not diff across a basis change as if it were a
@@ -448,6 +461,28 @@ def main() -> None:
                         for n, r in sorted(deltas.items())
                         if r / host_drift > 1.3
                     }
+                    # Normalizer self-check (ADVICE r10): a regression
+                    # in a widely-shared helper would slow MANY entries
+                    # at once and be absorbed into host_drift, reading
+                    # clean after normalization. When host_drift itself
+                    # is far from 1.0 OR disagrees materially with the
+                    # independent canary probe, flag the normalization
+                    # as suspect — adjudicate from the RAW
+                    # regressed_1_3x flags in that case, not the
+                    # normalized ones.
+                    suspect = abs(host_drift - 1.0) > 0.25 or (
+                        canary_ratio is not None
+                        and abs(host_drift / canary_ratio - 1.0) > 0.3
+                    )
+                    detail["vs_prev"]["host_drift_suspect"] = suspect
+                    if suspect:
+                        detail["vs_prev"]["host_drift_note"] = (
+                            "host_drift far from 1.0 or disagrees with "
+                            "the canary probe; a shared-helper "
+                            "regression could be absorbed into the "
+                            "normalizer — treat the RAW regressed_1_3x "
+                            "flags as primary for this run"
+                        )
         except (json.JSONDecodeError, OSError, KeyError, TypeError):
             pass  # diff is best-effort; never break the bench contract
 
@@ -546,6 +581,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "canary_s": canary["total_s"],
+        "host_load_1m": detail["host_load_1m"],
         "detail_file": detail_name,
         "run_id": run_id,
     }
@@ -570,6 +606,10 @@ def main() -> None:
             out["vs_prev"]["n_regressed_norm"] = len(
                 vp["regressed_1_3x_norm"]
             )
+        if "host_drift_suspect" in vp:
+            out["vs_prev"]["host_drift_suspect"] = vp[
+                "host_drift_suspect"
+            ]
 
     # Emit the contract line LAST and flushed, after spark.stop(), so no
     # trailing JVM/log output can follow it on stdout (both r2 and r3

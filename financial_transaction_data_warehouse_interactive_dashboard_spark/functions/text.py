@@ -400,8 +400,14 @@ def bpe_tokenize_arrow(docs, merges, text_col: str = "text"):
             return syms
 
         for pdf in batches:
+            # NULL text propagates as a NULL token array (ADVICE r10):
+            # the expression path's split/transform chain and the
+            # DuckDB oracles all map NULL -> NULL (size/len of NULL is
+            # NULL), so the Arrow path must too — emitting [] would
+            # desynchronize the tx_bpe_apply_arrow verbatim twin pin
+            # the moment a NULL text row appears.
             toks = [
-                []
+                None
                 if ws is None
                 else [t for w in ws for t in tok_word(w)]
                 for ws in pdf["ws"]

@@ -664,6 +664,42 @@ def topk_ann_ivf_pq(
     return ivfpq_query(emb, cells, books, inv, n_queries, k, nprobe, m, subdim)
 
 
+#: PQ Lloyd iterations for the residual pipeline (and the residual-vs-
+#: raw A/B at equal training budget). Chosen empirically: at 1
+#: iteration the comparison is seed-dominated (residual loses at
+#: sf0.1); by 3 the codebooks have converged enough that residual
+#: encoding wins at every fixture scale — the claim
+#: test_ivfadc_residual_beats_raw_recall pins. Single-sourced HERE
+#: (ADVICE r10): the plan entry and the oracle generator both consume
+#: this constant, so the Spark path and its pinned oracle cannot
+#: desynchronize through two divergent defaults.
+IVFADC_PQ_ITERATIONS = 3
+
+
+def topk_ann_ivfadc_residual(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    ivf_iterations: int = 1,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codes: int = PQ_K,
+    pq_iterations: int = IVFADC_PQ_ITERATIONS,
+) -> DataFrame:
+    """The residual-encoded IVFADC pipeline ALONE — the production
+    variant (VERDICT r10 ask #3: once 'residual >= raw' is driver-green
+    the raw yardstick leg is bench weight with no marginal information;
+    the A/B stays pinned locally by test_ivfadc_residual_beats_raw_recall
+    over :func:`topk_ann_ivfadc_residual_vs_raw`)."""
+    res, _ = topk_ann_ivfadc_residual_vs_raw(
+        emb, n_queries, k, n_cells, nprobe, ivf_iterations, m, subdim,
+        n_codes, pq_iterations, build_raw=False,
+    )
+    return res
+
+
 def topk_ann_ivfadc_residual_vs_raw(
     emb: DataFrame,
     n_queries: int = 8,
@@ -674,15 +710,18 @@ def topk_ann_ivfadc_residual_vs_raw(
     m: int = PQ_M,
     subdim: int = PQ_SUBDIM,
     n_codes: int = PQ_K,
-    pq_iterations: int = 3,
+    pq_iterations: int = IVFADC_PQ_ITERATIONS,
+    build_raw: bool = True,
 ):
     """IVFADC with RESIDUAL encoding (Jegou et al. 2011, the actual
     IVFADC: PQ compresses x - c(x), not x) built against the SAME coarse
     quantizer as the raw-vector variant, returning
     ``(ann_residual, ann_raw)`` so the fidelity comparison shares one
-    IVF build. Residuals are exact IEEE subtractions (zip_with a - b in
-    Spark, element comprehension in DuckDB — bit-identical), so the
-    whole residual pipeline stays oracle-reproducible.
+    IVF build (``ann_raw`` is None when ``build_raw`` is False — the
+    single-pipeline production path). Residuals are exact IEEE
+    subtractions (zip_with a - b in Spark, element comprehension in
+    DuckDB — bit-identical), so the whole residual pipeline stays
+    oracle-reproducible.
 
     Residual codebooks assign by rounded L2-NEAREST via the MIPS
     identity argmin ||r - c||^2 = argmax (<r, c> - 0.5 * <c, c>)
@@ -752,21 +791,24 @@ def topk_ann_ivfadc_residual_vs_raw(
     )
 
     # raw subvectors from the SAME assignment (published-variant
-    # semantics: cosine codebooks/encode, no cell term)
-    rawsubs = _sub_explode(assign, "v").localCheckpoint(eager=True)
-    rawbooks = pq_codebooks(
-        rawsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations
-    )
-    w_enc_c = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("sub_cos"), F.asc("code")
-    )
-    rawinv = (
-        rawsubs.join(F.broadcast(rawbooks), "m")
-        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-        .withColumn("rn", F.row_number().over(w_enc_c))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "m", "code")
-    )
+    # semantics: cosine codebooks/encode, no cell term) — the A/B
+    # yardstick leg, skipped entirely on the production path
+    rawinv = rawbooks = None
+    if build_raw:
+        rawsubs = _sub_explode(assign, "v").localCheckpoint(eager=True)
+        rawbooks = pq_codebooks(
+            rawsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations
+        )
+        w_enc_c = Window.partitionBy("vec_id", "m").orderBy(
+            F.desc("sub_cos"), F.asc("code")
+        )
+        rawinv = (
+            rawsubs.join(F.broadcast(rawbooks), "m")
+            .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
+            .withColumn("rn", F.row_number().over(w_enc_c))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "m", "code")
+        )
 
     # shared query side: probe by rounded cosine, keep the exact cell
     # term round(<q, c>, 6) the residual scoring adds back
@@ -842,4 +884,7 @@ def topk_ann_ivfadc_residual_vs_raw(
             )
         )
 
-    return _adc(rinv, rbooks, True), _adc(rawinv, rawbooks, False)
+    return (
+        _adc(rinv, rbooks, True),
+        _adc(rawinv, rawbooks, False) if build_raw else None,
+    )

@@ -797,27 +797,31 @@ def wh_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_recall_output(emb, ann)
 
 
-#: PQ Lloyd iterations for the residual-vs-raw comparison (BOTH legs —
-#: a fair training budget). Chosen empirically: at 1 iteration the
-#: comparison is seed-dominated (residual loses at sf0.1); by 3 the
-#: codebooks have converged enough that residual encoding wins at every
-#: fixture scale, which is the claim the entry pins.
-IVFADC_PQ_ITERATIONS = 3
+# PQ Lloyd iteration budget: single-sourced next to the operator
+# (operators.similarity.IVFADC_PQ_ITERATIONS, ADVICE r10) — the plan
+# call site and this oracle generator share the one constant.
+IVFADC_PQ_ITERATIONS = S.IVFADC_PQ_ITERATIONS
 
 
-def _sql_ivfadc_residual(pq_iterations: int = IVFADC_PQ_ITERATIONS) -> str:
+def _sql_ivfadc_residual(
+    pq_iterations: int = IVFADC_PQ_ITERATIONS, raw_leg: bool = True
+) -> str:
     """DuckDB oracle for sim_ann_ivfadc_residual: the _sql_ivf_pq
-    replay EXTENDED with the residual-encoded leg — shared IVF CTEs
-    (seed, one Lloyd refine, assignment), then TWO PQ pipelines over the
-    same assignment with the same iteration budget: the raw leg (cosine
-    codebooks, no cell term — the published variant's semantics) and
-    the residual leg (r = v - centroid element-wise; L2-nearest
-    codebooks via the MIPS identity argmin ||r-c||^2 = argmax
-    (<r,c> - 0.5*<c,c>), which is zero-vector-safe; ADC score =
-    exact-decimal cell term + LUT sum). Both top-5 frontiers and both
-    recall@5 measurements against the exact yardstick ride in one
-    output, so 'residual fidelity >= raw fidelity on this corpus' is
-    part of the checked contract."""
+    replay with the residual-encoded leg — shared IVF CTEs (seed, one
+    Lloyd refine, assignment), then the residual PQ pipeline
+    (r = v - centroid element-wise; L2-nearest codebooks via the MIPS
+    identity argmin ||r-c||^2 = argmax (<r,c> - 0.5*<c,c>), which is
+    zero-vector-safe; ADC score = exact-decimal cell term + LUT sum)
+    and its recall@5 against the exact yardstick.
+
+    ``raw_leg=True`` additionally replays a raw-vector PQ pipeline
+    (cosine codebooks, no cell term — the published variant's
+    semantics) over the same assignment with the same iteration
+    budget and emits recall_raw_at_5 — the residual-vs-raw A/B. Since
+    r11 the driver entry is the single-pipeline production path
+    (VERDICT r10 ask #3: the A/B re-proved a static claim for ~5% of
+    the bench suite); the two-leg comparison stays pinned locally by
+    test_ivfadc_residual_beats_raw_recall over the two-leg operator."""
     sd = S.PQ_SUBDIM
     ivf_assign = (
         "(SELECT e.vec_id, e.v, cell FROM e, {cells}\n"
@@ -870,11 +874,63 @@ def _sql_ivfadc_residual(pq_iterations: int = IVFADC_PQ_ITERATIONS) -> str:
         )
         return ctes
 
-    legs = ",\n    ".join(
-        pq_leg("", "sub", cos_key) + pq_leg("r", "rsub", l2_key)
-    )
+    leg_list = pq_leg("r", "rsub", l2_key)
+    if raw_leg:
+        leg_list = pq_leg("", "sub", cos_key) + leg_list
+    legs = ",\n    ".join(leg_list)
     bks = f"b{pq_iterations}"
     rbks = f"rb{pq_iterations}"
+    sub_cte = (
+        f"""sub AS (SELECT af.vec_id, af.cell, r.range AS m,
+                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
+            FROM af, range(0, {S.PQ_M}) r),
+    """
+        if raw_leg
+        else ""
+    )
+    raw_query_ctes = (
+        f"""lut AS (SELECT query_id, m, code,
+              CAST(round(list_dot_product(qsv, cv), 6)
+                   AS DECIMAL(18,6)) AS term
+            FROM qsub JOIN {bks} USING (m)),
+    cand AS (SELECT p.query_id, enc.vec_id, enc.cell, enc.m, enc.code
+             FROM probe p JOIN enc USING (cell)
+             WHERE enc.vec_id != p.query_id),
+    scores AS (SELECT c.query_id, c.vec_id,
+                 CAST(sum(term) AS DOUBLE) AS approx_ip
+               FROM cand c
+               JOIN lut ON lut.query_id = c.query_id
+                       AND lut.m = c.m AND lut.code = c.code
+               GROUP BY 1, 2),
+    rawtopk AS (SELECT query_id, vec_id AS neighbor_id
+                FROM scores
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                  ORDER BY approx_ip DESC, vec_id ASC) <= 5),
+    """
+        if raw_leg
+        else ""
+    )
+    rawh_cte = (
+        """,
+    rawh AS (SELECT t.query_id, count(*) AS n_hits FROM rawtopk t
+             JOIN ex ON ex.query_id = t.query_id
+                    AND ex.neighbor_id = t.neighbor_id
+             GROUP BY 1)"""
+        if raw_leg
+        else ""
+    )
+    raw_col = (
+        """,
+           round(CAST(coalesce(rawh.n_hits, 0) AS DOUBLE) / 5, 6)
+             AS recall_raw_at_5"""
+        if raw_leg
+        else ""
+    )
+    raw_join = (
+        "\n    LEFT JOIN rawh ON rawh.query_id = t.query_id"
+        if raw_leg
+        else ""
+    )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
@@ -889,10 +945,7 @@ def _sql_ivfadc_residual(pq_iterations: int = IVFADC_PQ_ITERATIONS) -> str:
     c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv
            FROM icent0 GROUP BY 1),
     af AS {ivf_assign.format(cells='c1')},
-    sub AS (SELECT af.vec_id, af.cell, r.range AS m,
-                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
-            FROM af, range(0, {S.PQ_M}) r),
-    rv AS (SELECT af.vec_id, af.cell,
+    {sub_cte}rv AS (SELECT af.vec_id, af.cell,
                   [v[i] - cv[i] for i in range(1, len(v) + 1)] AS r
            FROM af JOIN c1 USING (cell)),
     rsub AS (SELECT vec_id, cell, rr.range AS m,
@@ -911,27 +964,10 @@ def _sql_ivfadc_residual(pq_iterations: int = IVFADC_PQ_ITERATIONS) -> str:
                     qv[rr.range * {sd} + 1 : rr.range * {sd} + {sd}]
                       AS qsv
              FROM q, range(0, {S.PQ_M}) rr),
-    lut AS (SELECT query_id, m, code,
-              CAST(round(list_dot_product(qsv, cv), 6)
-                   AS DECIMAL(18,6)) AS term
-            FROM qsub JOIN {bks} USING (m)),
-    rlut AS (SELECT query_id, m, code,
+    {raw_query_ctes}rlut AS (SELECT query_id, m, code,
                CAST(round(list_dot_product(qsv, cv), 6)
                     AS DECIMAL(18,6)) AS term
              FROM qsub JOIN {rbks} USING (m)),
-    cand AS (SELECT p.query_id, enc.vec_id, enc.cell, enc.m, enc.code
-             FROM probe p JOIN enc USING (cell)
-             WHERE enc.vec_id != p.query_id),
-    scores AS (SELECT c.query_id, c.vec_id,
-                 CAST(sum(term) AS DOUBLE) AS approx_ip
-               FROM cand c
-               JOIN lut ON lut.query_id = c.query_id
-                       AND lut.m = c.m AND lut.code = c.code
-               GROUP BY 1, 2),
-    rawtopk AS (SELECT query_id, vec_id AS neighbor_id
-                FROM scores
-                QUALIFY row_number() OVER (PARTITION BY query_id
-                  ORDER BY approx_ip DESC, vec_id ASC) <= 5),
     rcand AS (SELECT p.query_id, renc.vec_id, renc.cell, renc.m,
                      renc.code
               FROM probe p JOIN renc USING (cell)
@@ -960,30 +996,24 @@ def _sql_ivfadc_residual(pq_iterations: int = IVFADC_PQ_ITERATIONS) -> str:
     h AS (SELECT t.query_id, count(*) AS n_hits FROM rtopk t
           JOIN ex ON ex.query_id = t.query_id
                  AND ex.neighbor_id = t.neighbor_id
-          GROUP BY 1),
-    rawh AS (SELECT t.query_id, count(*) AS n_hits FROM rawtopk t
-             JOIN ex ON ex.query_id = t.query_id
-                    AND ex.neighbor_id = t.neighbor_id
-             GROUP BY 1)
+          GROUP BY 1){rawh_cte}
     SELECT t.query_id, t.neighbor_id, t.approx_ip,
            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
            round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 6)
-             AS recall_at_5,
-           round(CAST(coalesce(rawh.n_hits, 0) AS DOUBLE) / 5, 6)
-             AS recall_raw_at_5
+             AS recall_at_5{raw_col}
     FROM rtopk t
-    LEFT JOIN h USING (query_id)
-    LEFT JOIN rawh ON rawh.query_id = t.query_id
+    LEFT JOIN h USING (query_id){raw_join}
     ORDER BY query_id, approx_ip DESC, neighbor_id
     """
 
 
 @query(
     "sim_ann_ivfadc_residual",
-    _sql_ivfadc_residual(),
-    # New r10 (VERDICT r9 ask #5); first-timer on the r10 surface after
-    # all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    _sql_ivfadc_residual(raw_leg=False),
+    # New r10; single-pipeline since r11 (VERDICT r10 ask #3) — the
+    # implementation and oracle changed, so the entry is RE_PROMOTED
+    # for a fresh driver row (plans/rotation.py).
+    driver=True,  # RE_PROMOTED r11 (single-pipeline rework; plans/rotation.py)
 )
 def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC with RESIDUAL encoding — the fidelity step Jegou et al.'s
@@ -995,24 +1025,25 @@ def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     high compression (residuals are small and centered, so the 8-entry
     codebooks spend their resolution where the variance actually is).
 
-    Built by operators.similarity.topk_ann_ivfadc_residual_vs_raw
-    against the SAME coarse quantizer as the raw variant; the output
-    carries BOTH recalls against the exact brute-force yardstick
-    (recall_at_5 for the residual index, recall_raw_at_5 for the raw
-    one), so the fidelity comparison is inside the driver hash — a
-    regression that makes residual encoding WORSE than raw on this
-    corpus shifts a hashed column. The oracle replays both builds
-    bit-for-bit (shared IVF CTEs, two PQ pipelines).
+    Built by operators.similarity.topk_ann_ivfadc_residual (the
+    SINGLE-pipeline production path — VERDICT r10 ask #3: the r10 form
+    rebuilt a second, raw-vector PQ pipeline every round just to
+    re-prove the static 'residual >= raw' claim, ~5% of the whole
+    bench suite; that A/B now lives in
+    test_ivfadc_residual_beats_raw_recall over the two-leg operator,
+    while this entry pins the pipeline a production index would
+    actually serve). recall_at_5 against the exact brute-force
+    yardstick stays inside the driver hash; the oracle replays the
+    build bit-for-bit (IVF CTEs + the residual PQ pipeline).
 
-    Plan shape is the capstone's: one corpus pass per inverted file
-    (cell rides the subvector explode), codebooks / LUT / probe / cell
-    terms broadcast, shuffles only at the two ADC aggregations.
+    Plan shape is the capstone's: one corpus pass for the inverted
+    file (cell rides the subvector explode), codebooks / LUT / probe /
+    cell terms broadcast, the only shuffle is the ADC aggregation.
     Reference analogue: none (beyond-reference LLM-pipeline tier)."""
     emb = _t(spark, sf_dir, "embeddings")
-    ann_res, ann_raw = S.topk_ann_ivfadc_residual_vs_raw(
-        emb, n_queries=8, k=5
-    )
-    ann_res = ann_res.localCheckpoint(eager=True)
+    ann_res = S.topk_ann_ivfadc_residual(
+        emb, n_queries=8, k=5, pq_iterations=S.IVFADC_PQ_ITERATIONS
+    ).localCheckpoint(eager=True)
     exact = (
         S.topk_bruteforce(emb, n_queries=8, k=5)
         .select("query_id", "neighbor_id")
@@ -1023,14 +1054,8 @@ def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    raw_hits = (
-        ann_raw.join(F.broadcast(exact), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("raw_hits"))
-    )
     return (
         ann_res.join(F.broadcast(hits), "query_id", "left")
-        .join(F.broadcast(raw_hits), "query_id", "left")
         .select(
             "query_id",
             "neighbor_id",
@@ -1039,9 +1064,6 @@ def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce("n_hits", F.lit(0)).cast("double") / 5, 6
             ).alias("recall_at_5"),
-            F.round(
-                F.coalesce("raw_hits", F.lit(0)).cast("double") / 5, 6
-            ).alias("recall_raw_at_5"),
         )
         .orderBy("query_id", F.desc("approx_ip"), "neighbor_id")
     )

@@ -1601,9 +1601,10 @@ def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (VERDICT r9 ask #6 — a family where the step-up genuinely separates)
 # ---------------------------------------------------------------------------
 
-#: Planted shift tiers in value-cents: one true null + three effect
-#: sizes chosen so the borderline tier's rejection is genuinely
-#: scale-dependent (3 cents needs ~sf0.1's n to clear the threshold).
+#: Planted shift tiers in value-cents ($0.00 / $3 / $12 / $48): one
+#: true null + three effect sizes chosen so the borderline tier's
+#: rejection is genuinely scale-dependent (the 300-cent shift needs
+#: ~sf0.1's n to clear the threshold).
 _SPIKE_DELTAS = (0, 300, 1200, 4800)
 
 #: Welch z between the odd-event_id half (mean shifted by the planted
@@ -1671,10 +1672,11 @@ def qa_fdr_bh_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     only family that can prove the step-up SEPARATES is one with
     planted ground truth. Twenty hypotheses: per event_type (5), the
     odd-event_id half's `value` mean — shifted by a planted delta of
-    {{0, 3, 12, 48}} cents — against the even half (Welch z from one
-    grouped pass of exact integer cents moments). delta=0 rows are true
-    nulls (the halves are random splits); delta=48 always rejects;
-    delta=3 needs ~sf0.1's n — so 0 < rejected < m at every scale and
+    {{0, 300, 1200, 4800}} cents ($0/$3/$12/$48) — against the even
+    half (Welch z from one grouped pass of exact integer cents
+    moments). delta=0 rows are true nulls (the halves are random
+    splits); delta=4800 always rejects; delta=300 needs ~sf0.1's n —
+    so 0 < rejected < m at every scale and
     the BH threshold (rank * q / m, q=0.1) does real work: the
     rejection set tracks effect size x sample size, not membership in
     the family. The decision uses the same 6-dp-rounded p/thr the
