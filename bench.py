@@ -301,14 +301,19 @@ def main() -> None:
         ("st_sessionize_stateful_vs_session_window",
          "st_sessionize_stateful", "st_sessionize"),
     ))
-    # twin_path_ratios: SAME-ANSWER path pairs (oracle-pinned equal
-    # outputs, different physical paths) — r10 adds the Arrow tokenizer
-    # vs the generated-expression tokenizer at the fixed 12-merge table
-    # (VERDICT r9 ask #3: the Arrow path must stay within ~2x of the
-    # codegen path where both can run; beyond ~dozens of merges only
-    # the Arrow path exists).
+    # twin_path_ratios: paired-path probes measured interleaved —
+    # tx_bpe_arrow_vs_expr is a SAME-ANSWER pair (oracle-pinned equal
+    # outputs, different physical paths; VERDICT r9 ask #3: the Arrow
+    # path must stay within ~2x of the codegen path where both can
+    # run), bpe_arrow64_vs_arrow12 is the COST-SCALING probe on the
+    # same physical path (different tables, so different answers).
+    # r11 adds the depth twin (VERDICT r10 ask #2's bench leg): the
+    # Arrow tokenizer at the frozen 64-merge table vs at 12 merges —
+    # per-merge cost must be flat (per-token work, not table length),
+    # so the ratio should sit near 1.0, nowhere near 64/12.
     twin_ratios, twin_method = _pair_ratios((
         ("tx_bpe_arrow_vs_expr", "tx_bpe_apply_arrow", "tx_bpe_apply"),
+        ("bpe_arrow64_vs_arrow12", "tx_bpe_apply64", "tx_bpe_apply_arrow"),
     ))
     if weak_ratios:
         detail["weak_entry_ratios"] = weak_ratios

@@ -266,7 +266,38 @@ def bpe_vocab() -> dict[str, int]:
     return vocab
 
 
-def _bpe_replace_chain(seed: str) -> str:
+#: A LEARNED 64-merge table, frozen as a public constant (VERDICT r10
+#: ask #2: exercise the Arrow tokenizer at a merge-table length the
+#: generated nested-replace expression should never be asked to
+#: compile — 64 rules x BPE_PASSES would be a 256-deep replace chain).
+#: Derived ONCE by running exactly bpe_train's semantics (adjacent
+#: pairs weighted by word frequency, global top-1, lexicographic
+#: tie-break, leftmost-nonoverlapping merge) over the sf0.01 documents
+#: word table, then committed verbatim — so deep ranks genuinely fire
+#: on the fixture corpus: 'customer' completes at rank 30, 'value' at
+#: rank 62, 'key' at rank 64. The tx_bpe_apply64 oracle replays the
+#: table one rank at a time as static '/a/b/' -> '/ab/' patterns.
+BPE_MERGES64: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
+    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"),
+    ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
+    ("abl", "e"), ("at", "a"), ("d", "ata"), ("t", "able"),
+    ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"),
+)
+
+
+def _bpe_replace_chain(seed: str, merges=BPE_MERGES) -> str:
     """Nested leftmost-nonoverlapping replace() applying every merge rule
     in table order, BPE_PASSES times each. Symbols are kept unambiguous by
     '/'-delimiting every boundary ('/t/a/b/l/e/'), so a rule (a, b) is the
@@ -274,7 +305,7 @@ def _bpe_replace_chain(seed: str) -> str:
     across a boundary. replace() has identical semantics (all occurrences,
     left to right, no re-scan of replaced text) in Spark SQL and DuckDB."""
     expr = seed
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         for _ in range(BPE_PASSES):
             expr = f"replace({expr}, '/{a}/{b}/', '/{a}{b}/')"
     return expr
@@ -611,6 +642,55 @@ def bpe_train_apply_sql(
         f"  list_filter(string_split(a{n_merges}.enc, '/'),"
         f" t -> t != '') AS ts\n"
         f"  FROM a{n_merges})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,\n"
+        "       CAST(len(list_filter(ts, t -> length(t) > 1)) AS BIGINT)\n"
+        "         AS n_merged,\n"
+        "       coalesce(array_to_string(ts[1:8], ' '), '') AS head_syms,\n"
+        "       md5(coalesce(array_to_string(ts, ' '), ''))"
+        " AS tokens_md5\n"
+        "FROM toks ORDER BY doc_id"
+    )
+
+
+def bpe_apply_fixed_sql(
+    merges=BPE_MERGES64, passes: int = BPE_PASSES
+) -> str:
+    """DuckDB oracle for applying a FIXED merge table of arbitrary
+    length (tx_bpe_apply64): the document stream is delimiter-encoded
+    as the concatenation of per-word encodings (the bpe_train_apply_sql
+    a0 shape — '//' word boundaries can never match a '/a/b/' merge
+    pattern), then ONE replace-fixpoint CTE per rank with the rank's
+    STATIC '/a/b/' -> '/ab/' pattern, in table order — the
+    one-rank-at-a-time replay the learned-table oracle uses, but with
+    literal patterns instead of 1-row cross joins. Output hashes the
+    merged SYMBOL stream (a learned vocab has no static id table;
+    symbols ARE the tokens)."""
+    ctes = [
+        "a0 AS (\n"
+        "  SELECT doc_id, array_to_string(list_transform(\n"
+        "    list_filter(string_split(\n"
+        "      regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),\n"
+        "      x -> x != ''),\n"
+        "    w -> '/' || regexp_replace(w, '(.)', '\\1/', 'g')), '')\n"
+        "    AS enc\n"
+        "  FROM documents)"
+    ]
+    for i, (a, b) in enumerate(merges):
+        merged = "enc"
+        for _ in range(passes):
+            merged = f"replace({merged}, '/{a}/{b}/', '/{a}{b}/')"
+        ctes.append(
+            f"a{i + 1} AS (SELECT doc_id, {merged} AS enc FROM a{i})"
+        )
+    n = len(merges)
+    ctes.append(
+        f"toks AS (SELECT doc_id,\n"
+        f"  list_filter(string_split(a{n}.enc, '/'),"
+        f" t -> t != '') AS ts\n"
+        f"  FROM a{n})"
     )
     return (
         "WITH " + ",\n".join(ctes) + "\n"

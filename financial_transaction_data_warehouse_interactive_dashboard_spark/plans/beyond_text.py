@@ -1639,6 +1639,58 @@ def tx_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tx_bpe_apply64",
+    T.bpe_apply_fixed_sql(T.BPE_MERGES64),
+    # New r11 (VERDICT r10 ask #2); first-timer on the r11 surface
+    # after all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+)
+def tx_bpe_apply64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow tokenizer at a 64-MERGE table — the depth where the
+    'arbitrary-length learned vocab' claim is finally exercised, not
+    just licensed (VERDICT r10 ask #2: every prior entry ran <= 12
+    merges, a size the generated nested-replace expression can still
+    compile; at 64 rules x BPE_PASSES the expression path would be a
+    256-deep replace chain and is never built — only the
+    functions.text.bpe_tokenize_arrow mapInPandas path runs, its cost
+    per-token, not per-rule). The table (functions.text.BPE_MERGES64)
+    was learned ONCE by bpe_train's exact semantics over the sf0.01
+    word table and frozen as a public constant, so deep ranks genuinely
+    fire on the corpus: 'customer' completes at rank 30, 'value' at
+    rank 62, 'key' at rank 64 — a tokenizer that silently truncated or
+    reordered the table shifts tokens_md5 on most documents.
+
+    The oracle replays the frozen table one rank at a time as static
+    '/a/b/' -> '/ab/' replace-fixpoint CTEs over the delimiter-encoded
+    document stream (the tx_bpe_train_apply shape with literal
+    patterns). Output hashes the merged SYMBOL stream. Word splitting
+    stays JVM-side (the shared bpe_words_sql fragment); the plan is a
+    single MapInPandas stage over a pruned scan, no shuffle
+    (plan-pinned with tx_bpe_apply_arrow). At 100 TB: map-only over
+    documents — per-merge cost is a dict-cached per-word loop, flat in
+    table length (the bench's bpe_arrow64_vs_arrow12 twin ratio
+    records it). Reference analogue: none."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.bpe_tokenize_arrow(docs, T.BPE_MERGES64)
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.expr("size(filter(toks, t -> length(t) > 1))")
+            .cast("bigint")
+            .alias("n_merged"),
+            F.coalesce(
+                F.expr("array_join(slice(toks, 1, 8), ' ')"), F.lit("")
+            ).alias("head_syms"),
+            F.md5(
+                F.coalesce(F.expr("array_join(toks, ' ')"), F.lit(""))
+            ).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _BPE_WORDS_DUCK = T.bpe_words_sql("duckdb")
 _BPE_WORDS_SPARK = T.bpe_words_sql("spark")
 

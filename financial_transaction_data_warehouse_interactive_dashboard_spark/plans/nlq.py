@@ -250,6 +250,7 @@ NO_ROUTE: frozenset[str] = frozenset({
     "sim_ann_ivf_kmeans",         # iter3 variant is routed
     "st_cdc_apply",               # wh_cdc_apply is the routed face
     "tx_bpe_apply_arrow",         # tx_bpe_apply is the routed face (twin)
+    "tx_bpe_apply64",             # tx_bpe_apply is the routed face (depth twin)
     "st_sessionize_stateful",     # st_sessionize is the routed face
     "st_tumbling_hourly",         # ev_tumbling_hourly is the routed face
     "w4_surrogate_keys",          # W4 parity shape

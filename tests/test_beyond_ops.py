@@ -2599,6 +2599,57 @@ def test_bpe_arrow_path_null_text_contract(spark):
     assert [v[t] for t in arrow[0]] == expr[0]
 
 
+def test_bpe_apply64_deep_ranks(spark):
+    """tx_bpe_apply64's depth claim: the frozen 64-merge table's DEEP
+    ranks must genuinely fire — 'customer' completes only at rank 30,
+    'value' at 62, 'key' at 64 — so truncating the table (the failure
+    the entry exists to catch) changes planted outputs. Checked with a
+    pure-Python leftmost-scan reference, then the Arrow path on an
+    inline frame must reproduce the full-table tokenizations."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    assert len(T.BPE_MERGES64) == 64
+
+    def apply_merges(word, merges):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def collapse_rank(word):
+        for n in range(1, 65):
+            if apply_merges(word, T.BPE_MERGES64[:n]) == [word]:
+                return n
+        return None
+
+    assert collapse_rank("customer") == 30
+    assert collapse_rank("value") == 62
+    assert collapse_rank("key") == 64
+    assert apply_merges("the", T.BPE_MERGES64) == ["t", "h", "e"]
+
+    docs = spark.createDataFrame(
+        [(0, "customer value"), (1, "the key"), (2, "join window")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in T.bpe_tokenize_arrow(docs, T.BPE_MERGES64).collect()
+    }
+    assert got[0] == ["customer", "value"]
+    assert got[1] == ["t", "h", "e", "key"]
+    assert got[2] == ["join", "w", "in", "d", "ow"]
+
+
 def test_bpe_train_apply_composition(spark):
     """tx_bpe_train_apply consumes the TRAINED table: its n_merged must
     be positive (a dead learned table collapses every doc to raw

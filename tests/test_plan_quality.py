@@ -1091,11 +1091,14 @@ def test_bpe_arrow_path_plan_shape(spark):
     Arrow hop must not cost a repartition or widen the read."""
     import re as _re
 
-    df = REGISTRY["tx_bpe_apply_arrow"].spark(spark, SF_SMOKE)
-    plan = plan_of(df)
-    assert "MapInPandas" in plan, plan[:800]
-    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
-    assert "rangepartitioning" in plan
-    read = plan[plan.index("ReadSchema"):].splitlines()[0]
-    assert "text" in read and "doc_id" in read
-    assert "lang" not in read and "source" not in read
+    for name in ("tx_bpe_apply_arrow", "tx_bpe_apply64"):
+        df = REGISTRY[name].spark(spark, SF_SMOKE)
+        plan = plan_of(df)
+        assert "MapInPandas" in plan, (name, plan[:800])
+        assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, (
+            name, plan[:800],
+        )
+        assert "rangepartitioning" in plan
+        read = plan[plan.index("ReadSchema"):].splitlines()[0]
+        assert "text" in read and "doc_id" in read
+        assert "lang" not in read and "source" not in read
