@@ -93,6 +93,10 @@ LARGE_RESULT = {
     "tx_bpe_train_apply",
     "mm_ahash_neardups",
     "st_bpe_tokenize",
+    # r11: one row per document again — the 64-merge Arrow apply and
+    # the learned-vocab streaming tokenizer.
+    "tx_bpe_apply64",
+    "st_bpe_tokenize_learned",
     # r8: duplicated-passage spans grow linearly with the corpus (4,691
     # rows at sf0.1); promoted to the driver surface this round, so time
     # the distributed path. (Basis change vs r7 is recorded by the new

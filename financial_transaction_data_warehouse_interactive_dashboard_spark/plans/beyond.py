@@ -367,7 +367,7 @@ def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS approx_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,

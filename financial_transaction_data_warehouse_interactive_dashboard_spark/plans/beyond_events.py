@@ -37,7 +37,7 @@ from .queries import _t, query
            sum(value::DECIMAL(30,6))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type (streaming.windows.tumbling)."""
@@ -89,7 +89,7 @@ def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessions per user via F.session_window; the oracle is the
@@ -119,7 +119,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS purchased_after_click
     FROM firsts
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel by first-occurrence ordering.
@@ -169,7 +169,7 @@ def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
            day_value
     FROM daily ORDER BY day
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day rolling event count — a RANGE window frame over epoch
@@ -322,7 +322,7 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction via ONE schematized parse: from_json
@@ -375,7 +375,7 @@ def ev_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap: the distribution-summary family keeps a13_percentile_sketch
     # driver-green (and this entry went driver-green r3); locally
     # oracle-pinned.
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of a continuous measure — the dashboard
@@ -683,7 +683,7 @@ def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bv JOIN ne USING (event_id)
     ORDER BY event_id
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH as-of directions on one driver row: each purchase gets (a) the

@@ -72,7 +72,7 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents)
     ORDER BY doc_id
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature-extraction + resize-planning in one
@@ -125,7 +125,7 @@ def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Demoted r4 to fund sk_salted_hot_join under the 50-row driver cap:
     # sibling of mm_features_resize (same Arrow mapInPandas multimodal
     # plumbing, driver-green r3); locally oracle-pinned.
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 2nd 64-byte frame) —
@@ -296,7 +296,7 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # New r9 (image near-dup, completing the multimodal triple's dedup
     # story); promoted from NEXT_QUEUE in the r10 rotation after
     # all-scale pre-validation.
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def mm_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate detection by perceptual average hash
@@ -408,7 +408,7 @@ _AHASH_TWIN_OFFSET = 1_000_000
     """,
     # New r10 (VERDICT r9 ask #4); first-timer on the r10 surface after
     # all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def mm_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image NEAR-dup detection by Hamming ball over the perceptual

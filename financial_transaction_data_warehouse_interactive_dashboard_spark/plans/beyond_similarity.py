@@ -192,7 +192,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 10
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 8 vectors.
@@ -355,7 +355,7 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 5
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse cells + nprobe probing) — the oracle reproduces the
@@ -389,7 +389,11 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("sim_ann_ivf_kmeans", _sql_ivf_kmeans(1), driver=True)  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+@query(
+    "sim_ann_ivf_kmeans",
+    _sql_ivf_kmeans(1),
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
+)
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a k-means-refined quantizer (one Lloyd iteration, decimal-
     exact centroid means). The oracle reproduces seeding, assignment, the
@@ -594,10 +598,11 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivf_pq(),
     # New r9 — the stored form of the IVFPQ capstone (shares its oracle
     # VERBATIM: the persisted index must answer exactly like the
-    # in-memory one). Promoted from NEXT_QUEUE in the r10 rotation after
-    # all-scale pre-validation. Defined here (not beyond_warehouse) to
+    # in-memory one). First driver row r10; joins the standing keep-set
+    # from r11 as a wh_* lifecycle harness (snapshot/state-dependent,
+    # the r8 second-row policy). Defined here (not beyond_warehouse) to
     # share _sql_ivf_pq and the recall composition.
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=True,  # keep-set since r11 (wh_* lifecycle harness; plans/rotation.py)
 )
 def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the IVFPQ index (sources.warehouse.
@@ -750,7 +755,7 @@ def _sql_ivfpq_append(base: int = IVFPQ_APPEND_BASE) -> str:
     # New r10 (index-freshness capstone, authored after the r10 flip);
     # heads the r11 NEXT_QUEUE — locally oracle-pinned at all three
     # scales meanwhile.
-    driver=False,
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
 )
 def wh_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL index maintenance (sources.warehouse.
@@ -1311,7 +1316,7 @@ IVFPQ_DRIFT_TRAIN = 200
     # New r10 (index-lifecycle monitor, authored after the r10 flip);
     # joins the r11 NEXT_QUEUE — locally oracle-pinned at all three
     # scales.
-    driver=False,
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
 )
 def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RETRAIN-trigger monitor that closes the index lifecycle
@@ -1396,3 +1401,225 @@ def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(max_nc AS DOUBLE) / n, 6) > CAST('0.5' AS DOUBLE)"
         " AS drifted",
     ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# wh_ivfpq_retrain: the ACTION the drift monitor triggers (VERDICT r10
+# ask #4 — monitor -> retrain -> republish -> verify, as a checked
+# contract)
+# ---------------------------------------------------------------------------
+
+#: The drifted cohort arrives under offset ids so the post-drift corpus
+#: (base + shifted batch) is one frame with distinct identities.
+IVFPQ_RETRAIN_ID_OFFSET = 1_000_000
+
+#: fit_gain6 decision threshold, entering both engines as a repr-CAST
+#: literal (the qa_fdr rounding discipline). Calibrated against the
+#: planted separation: the blob's fit jumps ~0.2 -> ~1.0 on retrain
+#: (gain > 0.5 at every fixture scale), while base_insample moves by
+#: < 0.05; 0.25 sits an order of magnitude inside both margins.
+IVFPQ_RETRAIN_GAIN_THR = "0.25"
+
+
+def _sql_ivfpq_retrain(
+    base: int = IVFPQ_APPEND_BASE, off: int = IVFPQ_RETRAIN_ID_OFFSET
+) -> str:
+    """DuckDB oracle for wh_ivfpq_retrain: both quantizer trainings
+    replayed (frozen = seeds + one Lloyd over base only — the published
+    index's centroids; retrained = same seeds + one Lloyd over
+    base + shifted batch — what publish_ivfpq_layout recomputes), then
+    the monitor pass over both cohorts against both centroid tables,
+    with the decision taken from the same rounded fit gains the output
+    emits."""
+    lloyd = (
+        "(SELECT cell, list(cv_e ORDER BY pos) AS cv FROM (\n"
+        "   SELECT cell, pos,\n"
+        "          CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)\n"
+        "            / count(*) AS cv_e\n"
+        "   FROM (SELECT cell, u.p AS pos, u.x AS val FROM {assign},\n"
+        "         unnest([{{'p': i, 'x': v[i]}}\n"
+        "                 for i in range(1, len(v) + 1)]) AS t(u))\n"
+        "   GROUP BY 1, 2) GROUP BY 1)"
+    )
+    assign = (
+        "(SELECT {src}.vec_id, {src}.v, cell FROM {src}, c0\n"
+        "   QUALIFY row_number() OVER (PARTITION BY {src}.vec_id\n"
+        "     ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,"
+        " cell ASC) = 1)"
+    )
+    monitor = (
+        "(SELECT cohort, CAST(sum(nc) AS BIGINT) AS n,\n"
+        "        round(CAST(sum(sq) AS DOUBLE) / sum(nc), 6) AS fit6,\n"
+        "        round(CAST(max(nc) AS DOUBLE) / sum(nc), 6) AS share6\n"
+        " FROM (SELECT cohort, cell, count(*) AS nc, sum(q) AS sq\n"
+        "       FROM (SELECT co.cohort, co.vec_id, cell,\n"
+        "                    CAST(round(list_cosine_similarity(v, cv), 6)\n"
+        "                         AS DECIMAL(18,6)) AS q\n"
+        "             FROM co, {cells}\n"
+        "             QUALIFY row_number() OVER (\n"
+        "               PARTITION BY co.cohort, co.vec_id\n"
+        "               ORDER BY round(list_cosine_similarity(v, cv), 6)"
+        " DESC, cell ASC) = 1)\n"
+        "       GROUP BY 1, 2)\n"
+        " GROUP BY 1)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eb AS (SELECT * FROM e WHERE vec_id < {base}),
+    sh AS (SELECT vec_id + {off} AS vec_id,
+                  [x * CAST('0.05' AS DOUBLE) + CAST('1.0' AS DOUBLE)
+                   for x in v] AS v
+           FROM e WHERE vec_id >= {base}),
+    c2 AS (SELECT * FROM eb UNION ALL SELECT * FROM sh),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM eb WHERE vec_id < 16),
+    iaf AS {assign.format(src='eb')},
+    cf AS {lloyd.format(assign='iaf')},
+    iar AS {assign.format(src='c2')},
+    cr AS {lloyd.format(assign='iar')},
+    co AS (
+      SELECT 'base_insample' AS cohort, vec_id, v FROM eb
+      UNION ALL
+      SELECT 'new_shifted', vec_id, v FROM sh),
+    mf AS {monitor.format(cells='cf')},
+    mr AS {monitor.format(cells='cr')},
+    j AS (SELECT mf.cohort, mf.n,
+                 mf.fit6 AS fit_frozen6, mf.share6 AS share_frozen6,
+                 mr.fit6 AS fit_retrained6,
+                 mr.share6 AS share_retrained6
+          FROM mf JOIN mr ON mf.cohort = mr.cohort)
+    SELECT cohort, n, fit_frozen6, share_frozen6, fit_retrained6,
+           share_retrained6,
+           round(fit_retrained6 - fit_frozen6, 6) AS fit_gain6,
+           round(fit_retrained6 - fit_frozen6, 6)
+             > CAST('{IVFPQ_RETRAIN_GAIN_THR}' AS DOUBLE)
+             AS retrain_effective
+    FROM j ORDER BY cohort
+    """
+
+
+@query(
+    "wh_ivfpq_retrain",
+    _sql_ivfpq_retrain(),
+    # New r11 (VERDICT r10 ask #4); first-timer on the r11 surface
+    # after all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+)
+def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN-ON-DRIFT — the action sim_ivfpq_drift's flag triggers,
+    closing the index lifecycle's control loop (build -> publish ->
+    serve -> append -> monitor -> RETRAIN -> republish -> verify): the
+    monitor-flagged concentrated batch (the same x*0.05+1 plant,
+    arriving under offset ids) joins the base corpus, quantizer AND
+    codebooks are retrained on base+new, and the index is REPUBLISHED
+    through sources.warehouse.publish_ivfpq_layout under the frozen-
+    layout discipline; the verification pass then re-runs the drift
+    monitor's fit metric for both cohorts against the FROZEN centroids
+    and the READ-BACK republished centroids, so stored == recomputed
+    rides inside the hash along with the verification itself.
+
+    The pinned contract is FIT restoration, not recall: the planted
+    blob is a point mass, and a point mass occupies exactly one cell
+    under ANY centroidal quantizer (share_retrained6 stays 1.0 —
+    occupancy concentration is a property of the cohort, invariant
+    under retraining), while exact cosine top-5 among its near-
+    identical members is a tie-break lottery that CANNOT separate a
+    good index from a bad one (measured on this fixture: stale and
+    retrained recall@5 both sit in noise at every scale and every
+    shift magnitude tried — the honest negative result that moved this
+    contract off recall). What retraining actually buys is quantization
+    fidelity: the blob's mean rounded cosine to its assigned centroid
+    jumps from ~0.2 (best of 16 base directions) to ~1.0 (a centroid
+    lands in the blob), which is the term that drives IVFADC's ADC
+    error. Decisions are taken from the emitted rounded values
+    (fit_gain6 > 0.25, repr-CAST threshold): new_shifted MUST flip
+    retrain_effective true, base_insample MUST stay false (retraining
+    must not pretend to improve the healthy cohort) — the spike-in
+    discipline, 0 < effective < m.
+
+    At 100 TB: retrain is the monitor-triggered batch job (one corpus
+    pass per Lloyd iteration, broadcast centroid tables, the publish
+    write); the verification is one pass over each cohort against two
+    broadcast sidecars, 2-row output. Reference analogue: none
+    (beyond-reference LLM-pipeline tier)."""
+    from ..sources.warehouse import publish_ivfpq_layout
+
+    vecs = S._vecs(_t(spark, sf_dir, "embeddings"))
+    base = vecs.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+    shifted = vecs.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE).select(
+        (F.col("vec_id") + F.lit(IVFPQ_RETRAIN_ID_OFFSET)).alias("vec_id"),
+        F.expr(
+            "transform(v, x -> x * CAST('0.05' AS DOUBLE)"
+            " + CAST('1.0' AS DOUBLE))"
+        ).alias("v"),
+    )
+    corpus = base.unionAll(shifted)
+    # the frozen quantizer: the centroids the base-published index
+    # serves (seeds vec_id < 16, one Lloyd over base — exactly
+    # wh_ivfpq_publish's build on the base corpus)
+    seeds = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    frozen = S.refine_centroids(base, seeds).localCheckpoint(eager=True)
+    # retrain on base+new and REPUBLISH the full layout (quantizer,
+    # codebooks, cell-partitioned codes); the monitor below reads the
+    # centroid sidecar BACK from storage — a lossy write or schema
+    # drift in the republish shifts every retrained-fit column
+    publish_ivfpq_layout(
+        corpus.select("vec_id", F.col("v").alias("embedding")),
+        "ivfpq_retrain",
+    )
+    retrained = spark.table("ivfpq_retrain_centroids").localCheckpoint(
+        eager=True
+    )
+    co = base.select(
+        F.lit("base_insample").alias("cohort"), "vec_id", "v"
+    ).unionAll(
+        shifted.select(F.lit("new_shifted").alias("cohort"), "vec_id", "v")
+    )
+
+    def monitor(cells: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy("cohort", "vec_id").orderBy(
+            F.desc("cell_cos"), F.asc("cell")
+        )
+        af = (
+            co.crossJoin(F.broadcast(cells))
+            .withColumn("cell_cos", F.round(_P.cosine("v", "cv"), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "cohort",
+                "cell",
+                F.col("cell_cos").cast("decimal(18,6)").alias("q"),
+            )
+        )
+        gc = af.groupBy("cohort", "cell").agg(
+            F.count("*").alias("nc"), F.sum("q").alias("sq")
+        )
+        return gc.groupBy("cohort").agg(
+            F.sum("nc").alias("n"),
+            F.sum("sq").alias("sq"),
+            F.max("nc").alias("mx"),
+        ).selectExpr(
+            "cohort",
+            "CAST(n AS BIGINT) AS n",
+            f"round(CAST(sq AS DOUBLE) / n, 6) AS fit_{tag}6",
+            f"round(CAST(mx AS DOUBLE) / n, 6) AS share_{tag}6",
+        )
+    mf = monitor(frozen, "frozen")
+    mr = monitor(retrained, "retrained").withColumnRenamed("n", "n_r")
+    return (
+        mf.join(mr, "cohort")
+        .selectExpr(
+            "cohort",
+            "n",
+            "fit_frozen6",
+            "share_frozen6",
+            "fit_retrained6",
+            "share_retrained6",
+            "round(fit_retrained6 - fit_frozen6, 6) AS fit_gain6",
+            "round(fit_retrained6 - fit_frozen6, 6)"
+            f" > CAST('{IVFPQ_RETRAIN_GAIN_THR}' AS DOUBLE)"
+            " AS retrain_effective",
+        )
+        .orderBy("cohort")
+    )

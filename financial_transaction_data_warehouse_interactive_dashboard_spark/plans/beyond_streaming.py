@@ -63,7 +63,7 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=False,
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.windows.tumbling executed as a real Structured Streaming
@@ -153,7 +153,7 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator (applyInPandasWithState +
@@ -443,7 +443,7 @@ _ST_BPE_IDS_DUCK = _T.bpe_token_ids_sql("duckdb")
            md5(coalesce(array_to_string(ids, ','), '')) AS tokens_md5
     FROM ids ORDER BY doc_id
     """,
-    driver=False,
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
 )
 def st_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BPE tokenization (streaming.stream.run_stream_tokenize)
@@ -459,3 +459,34 @@ def st_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval, and now the streaming ingest stage. Reference analogue:
     none."""
     return ST.run_stream_tokenize(spark, sf_dir).orderBy("doc_id")
+
+
+@query(
+    "st_bpe_tokenize_learned",
+    # tx_bpe_train_apply's oracle VERBATIM (the wh_ivfpq_publish twin
+    # discipline): stream == batch for the LEARNED tokenizer is the
+    # checked contract — the streamed two-microbatch union must
+    # reproduce every symbol of the batch train->apply composition.
+    _T.bpe_train_apply_sql(),
+    # New r11 (VERDICT r10 ask #5); first-timer on the r11 surface
+    # after all-three-scale pre-validation (plans/rotation.py).
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+)
+def st_bpe_tokenize_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-on-ingest with the LEARNED vocabulary — the production
+    composition st_bpe_tokenize only approximated with its fixed table
+    (VERDICT r10 ask #5): the 8-merge table bpe_train learns from the
+    corpus is collected once (bounded: Heaps' law) and applied to each
+    arriving microbatch through the Arrow mapInPandas tokenizer
+    (streaming.stream.run_stream_tokenize_learned — a stateless map
+    stage, append mode, no state store), so the ingest path runs the
+    SAME tokenizer the batch pipeline ships, not a twin compiled a
+    different way. Two genuinely separate microbatches (median-doc_id
+    file split, maxFilesPerTrigger=1; the >= 2-batch fact is audited
+    test-side via ST.TOKENIZE_BATCHES) are pinned by the train->apply
+    oracle verbatim: training drift, application drift, or any
+    batch-boundary dependence shifts tokens_md5. At 100 TB: train is
+    the nightly batch job; ingest pays one broadcast-sized merge list
+    per executor and tokenizes at scan speed. Reference analogue:
+    none."""
+    return ST.run_stream_tokenize_learned(spark, sf_dir).orderBy("doc_id")

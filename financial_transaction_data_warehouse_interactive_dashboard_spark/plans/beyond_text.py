@@ -58,7 +58,7 @@ from .queries import _t, query
            lang AS labeled_lang
     FROM h ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-overlap language ID: argmax of marker hits, ties to the
@@ -270,7 +270,7 @@ def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            )::BIGINT AS quality_pts
     FROM d ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality score (C4/Gopher-filter shape), computed
@@ -386,7 +386,7 @@ def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)::BIGINT AS n_chars_seen
     FROM documents ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex letter/digit runs."""
@@ -418,7 +418,7 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS min_window_hash
     FROM hw ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash doc fingerprint + winnowing-style min 4-token window.
@@ -1497,7 +1497,7 @@ def tx_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # New r9 (tokenizer-training capstone next to tx_bpe_apply);
     # promoted from NEXT_QUEUE in the r10 rotation after all-scale
     # pre-validation.
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE TRAINING (functions.text.bpe_train): learn the
@@ -1536,7 +1536,7 @@ def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r10 (VERDICT r9 ask #3); first-timer on the r10 surface after
     # all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ARROW tokenizer path (functions.text.bpe_tokenize_arrow)
@@ -1591,7 +1591,7 @@ def tx_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.bpe_train_apply_sql(),
     # New r10 (VERDICT r9 ask #3); first-timer on the r10 surface after
     # all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def tx_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN -> APPLY composition: the merge table comes from
@@ -1725,7 +1725,7 @@ _BPE_WORDS_SPARK = T.bpe_words_sql("spark")
     """,
     # New r10 (tokenizer-eval tier, authored after the r10 flip); joins
     # the r11 NEXT_QUEUE — locally oracle-pinned at all three scales.
-    driver=False,
+    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
 )
 def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY evaluation per language — the standard

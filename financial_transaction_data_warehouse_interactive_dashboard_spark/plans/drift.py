@@ -1516,7 +1516,7 @@ _BH_Q = "CAST('0.1' AS DOUBLE)"  # target false-discovery rate
     """,
     # New r9 (multiple-testing capstone for the drift tier); promoted
     # from NEXT_QUEUE in the r10 rotation after all-scale pre-validation.
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def qa_fdr_bh_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENJAMINI-HOCHBERG FDR control over a FAMILY of drift tests —
@@ -1661,7 +1661,7 @@ _SPIKE_Z = (
     """,
     # New r10 (VERDICT r9 ask #6); first-timer on the r10 surface after
     # all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r10 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def qa_fdr_bh_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPIKE-IN calibration of the Benjamini-Hochberg machinery — the

@@ -185,6 +185,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tx_bpe_fertility": ("fertility", "fertile", "efficiency", "multilingual", "coverage"),
     "sim_ivfpq_drift": ("stale", "retrain", "monitor", "drifted", "occupancy"),
     "st_bpe_tokenize": ("tokenizing", "ingest", "arriving", "land", "landing"),
+    # Round-11 batch (VERDICT r10 asks #2/#4/#5).
+    "wh_ivfpq_retrain": ("retrained", "retraining", "republish", "restore", "restored"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),
@@ -251,6 +253,7 @@ NO_ROUTE: frozenset[str] = frozenset({
     "st_cdc_apply",               # wh_cdc_apply is the routed face
     "tx_bpe_apply_arrow",         # tx_bpe_apply is the routed face (twin)
     "tx_bpe_apply64",             # tx_bpe_apply is the routed face (depth twin)
+    "st_bpe_tokenize_learned",    # tx_bpe_train_apply is the routed face (stream twin)
     "st_sessionize_stateful",     # st_sessionize is the routed face
     "st_tumbling_hourly",         # ev_tumbling_hourly is the routed face
     "w4_surrogate_keys",          # W4 parity shape

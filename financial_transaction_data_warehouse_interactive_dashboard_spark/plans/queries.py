@@ -170,7 +170,7 @@ def q1_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, priority ASC
     LIMIT 5
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape — filter (type ∧ quarter) -> group count -> top-5.
@@ -200,7 +200,7 @@ def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY n DESC, quarter ASC
     """,
-    driver=False,  # demoted r6 (rotation; driver-green r5 and earlier)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def q3_quarter_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape — IN-list filter -> group by derived quarter label -> rank.
@@ -231,7 +231,7 @@ def q3_quarter_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey) AS unique_customers
     FROM orders
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI strip — one-pass conditional aggregation (A4 + A5 + F4).
@@ -263,7 +263,7 @@ def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY quarter, status
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def a2_quarter_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key group-by count (stacked-bar input).
@@ -290,7 +290,7 @@ def a2_quarter_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY priority
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection, sorted — widget-population shape (A6/A7/O1).
@@ -383,7 +383,7 @@ def w1_quarter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalence-tested against the parallel two-phase variant
     # (tests/test_plan_quality.py); funds a22_brand_pagerank's first
     # driver row so the iterative-algorithm tier sits under the gate.
-    driver=False,
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinal surrogate-key assignment over a dimension (W4/O1).
@@ -591,7 +591,7 @@ def j6_topk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dict-lookup remap with pass-through fallback (J7/C4).
@@ -630,7 +630,7 @@ def j7_name_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def f4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring predicate -> group count (F4 + A1).
@@ -657,7 +657,7 @@ def f4_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, part_type ASC
     LIMIT 5
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over a fact-dim join (O2 on the biggest table).
@@ -721,7 +721,7 @@ def o4_group_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
     ORDER BY c_custkey
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference of key sets (X1) — high-balance customers with no
@@ -757,7 +757,7 @@ def x1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd/MM/yyyy HH:mm:ss parse + quarter labeling (C1-C3).
@@ -789,7 +789,7 @@ def c1_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY segment
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-key group-by count (A1) — the dashboard's most common shape.
@@ -820,7 +820,7 @@ def a1_count_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP region -> nation -> grand total in ONE pass.
@@ -866,7 +866,7 @@ def a8_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, 'Q' || CAST(quarter(o_orderdate) AS STRING))
     ORDER BY lvl, status NULLS FIRST, quarter NULLS FIRST
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, quarter): all four grouping sets in one pass
@@ -902,7 +902,7 @@ def a9_cube_status_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1 ORDER BY status
     """,
-    driver=True,  # REFRESH r10 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r11 (rotation; driver-green, plans/rotation.py)
 )
 def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN/MAX/AVG/median per group — the aggregate family SURVEY.md
@@ -942,7 +942,7 @@ def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1 ORDER BY status
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: quarters to columns (the dashboard-matrix orientation the
@@ -985,7 +985,7 @@ def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY nation, part_type
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/AVG of fact MEASURES through a multi-dim star join — the
@@ -1038,7 +1038,7 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS sketch_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group value stats (MIN/MAX/decimal-exact AVG — a10_value_stats'
@@ -1104,7 +1104,7 @@ def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (o_orderstatus), (o_orderpriority), ())
     ORDER BY gid, status, priority
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS: all four aggregation levels of

@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -259,6 +259,51 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "w6_user_day_gapfill",
         ),
     },
+    11: {
+        # Second steady-state round. 8 first-timers: the four
+        # r10-authored NEXT_QUEUE entries (pre-validated at
+        # sf0.001/0.01/0.1 at the end of r10 AND re-verified this
+        # round), this round's three new operators (the VERDICT r10
+        # asks #2/#4/#5 capstones: tx_bpe_apply64, wh_ivfpq_retrain,
+        # st_bpe_tokenize_learned — all-scale verified before the
+        # flip), and sim_ann_ivfadc_residual RE_PROMOTED (its r11
+        # single-pipeline rework — VERDICT r10 ask #3 — changed both
+        # the implementation and the oracle, so the r10 two-leg row no
+        # longer covers it). Keep-set grows to 18 (wh_ivfpq_publish
+        # joins as a wh_* lifecycle harness re-earning yearly rows).
+        # 24 REFRESH promotions drawn oldest-evidence-first (the r4/r5
+        # leftovers + the head of the r6 vintage, through
+        # ev_asof_purchase).
+        "in": (
+            # r10-authored queue (first driver rows)
+            "wh_ivfpq_append", "tx_bpe_fertility", "sim_ivfpq_drift",
+            "st_bpe_tokenize",
+            # new this round (all-scale verified before the flip)
+            "tx_bpe_apply64", "wh_ivfpq_retrain",
+            "st_bpe_tokenize_learned",
+            # re-promoted (single-pipeline rework; see RE_PROMOTED)
+            "sim_ann_ivfadc_residual",
+        ),
+        "out": (
+            # r10 first-timers outside the keep-set retire on their
+            # green row (the r8 second-row policy); wh_ivfpq_publish
+            # stays (keep-set), sim_ann_ivfadc_residual stays
+            # (re-promoted)
+            "tx_bpe_train", "qa_fdr_bh_segments", "mm_ahash_clusters",
+            "qa_fdr_bh_spike_in", "mm_ahash_neardups",
+            "tx_bpe_apply_arrow", "tx_bpe_train_apply",
+            # r10 REFRESH entries rotate off on their re-earned row
+            "a10_value_stats", "a1_count_by_segment",
+            "a2_quarter_status_matrix", "a8_rollup_region_nation",
+            "a9_cube_status_quarter", "c1_timestamp_roundtrip",
+            "dd_embedding_neardup", "dd_simhash", "dd_simhash_pairs",
+            "ev_props_extract", "ev_sessionize", "ev_tumbling_hourly",
+            "ev_value_histogram", "f4_contains", "j7_name_remap",
+            "mm_frame_sample", "o2_top5_types", "sim_ann_ivf",
+            "sim_ann_ivf_kmeans", "tx_fingerprint", "tx_lang_id",
+            "tx_quality_score", "tx_token_count", "x1_except",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -272,6 +317,10 @@ RE_PROMOTED: dict[str, int] = {
     # bit-identical). The oracle now CASTs the sum to BIGINT; the entry
     # stays on the surface for its first green row.
     "qa_wilson_ci": 8,
+    # r11 single-pipeline rework (VERDICT r10 ask #3): the raw-leg A/B
+    # moved to the local test, so both the Spark plan and the oracle
+    # changed — the r10 two-leg row no longer covers the entry.
+    "sim_ann_ivfadc_residual": 11,
 }
 
 #: Never-driver-checked entries queued for the NEXT round's promotion.
@@ -279,10 +328,11 @@ RE_PROMOTED: dict[str, int] = {
 #: authored AFTER the flip; first-timers always outrank refresh slots.
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
-    "wh_ivfpq_append",  # frozen-quantizer incremental index append (authored r10)
-    "tx_bpe_fertility",  # per-lang tokenizer fertility/compression eval (authored r10)
-    "sim_ivfpq_drift",  # retrain-trigger monitor with planted-drift cohort (authored r10)
-    "st_bpe_tokenize",  # tokenize-on-ingest, stream==batch pinned (authored r10)
+    # Empty after the r11 flip: every r10-authored entry was promoted
+    # this round and the three r11-authored operators (tx_bpe_apply64,
+    # wh_ivfpq_retrain, st_bpe_tokenize_learned) were all-scale
+    # verified and promoted in the SAME round (the r10 capstone
+    # pattern) — no evidence debt is carried into r12.
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
@@ -310,26 +360,32 @@ NEXT_QUEUE: tuple[str, ...] = (
 #: freshness is the point — so they are not declared in the history's
 #: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
 REFRESH_QUEUE: tuple[str, ...] = (
-    # The round-10 flip consumed the previous queue's 24-name prefix
-    # (full r2 + r3 vintages, first six r4 names); what remains heads
-    # the r11 queue, followed by the r6-vintage batch (alphabetical
-    # within a vintage = the ties-by-name rule).
-    # r4 leftovers (oldest evidence now in the ledger)
-    "st_tumbling_hourly", "w4_surrogate_keys",
-    # r5
-    "dd_ngram_jaccard", "ev_funnel_vcp", "ev_rolling_7d",
-    "mm_features_resize", "q2_top_priorities_q4", "q3_quarter_ranking",
-    "sim_topk_bruteforce", "st_sessionize_stateful",
-    # r6
-    "a11_pivot_quarter_status", "a12_star_measures",
-    "a13_percentile_sketch", "a14_grouping_sets", "a22_brand_pagerank",
-    "a4_kpis", "a5_unique_customers_approx", "a6_distinct_dims",
-    "dd_corpus_clean", "dd_embedding_neardup_blocked", "dd_exact_dedup",
-    "dd_minhash_lsh", "dd_neardup_components", "ev_asof_purchase",
+    # The round-11 flip consumed the previous queue's 24-name prefix
+    # (r4/r5 leftovers + the head of the r6 vintage through
+    # ev_asof_purchase); what remains is the r6-vintage tail followed
+    # by the full r7 vintage (alphabetical within a vintage = the
+    # ties-by-name rule). Recomputed this round from the committed
+    # CORRECTNESS files, as every round.
+    # r6 tail
     "ev_range_views_before_purchase", "ev_sliding_1h_15m",
     "j1_fact_build", "j3_gold_denorm", "j5_anti_join", "j6_topk_semi",
     "mm_blob_meta", "o4_group_total_order", "q1_top_segments",
     "sim_ann_ivf_kmeans_iter3", "sim_ann_signlsh", "sim_quantize_int8",
     "sk_salted_hot_join", "st_dedup", "st_foreach_batch_sink",
-    "st_sessionize",
+    "st_sessionize", "st_stream_stream_join", "tx_decontaminate",
+    "tx_hash_split", "tx_pii_scrub", "tx_text_profile",
+    "tx_tfidf_top_terms", "w1_quarter_trend", "w5_rank_functions",
+    "wh_expectations", "wh_gold_maintenance", "wh_table_profile",
+    "x2_union_intersect",
+    # r7
+    "a16_rfm_segmentation", "a17_pareto_customers",
+    "a23_brand_triangles", "a24_revenue_gini", "a26_brand_communities",
+    "a30_brand_ppr", "a31_brand_khop", "a32_brand_cheapest_path",
+    "a33_segment_skyline", "a34_brand_closeness",
+    "ev_attribution_last_touch", "j8_fx_convert", "mm_wav_features",
+    "qa_chi_square_segment_status", "qa_higher_moments",
+    "qa_ks_two_sample", "qa_mann_whitney", "qa_psi_price_drift",
+    "qa_welch_t", "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume", "tx_split_by_cluster",
+    "wh_scd2_history", "wh_zorder_skipping",
 )

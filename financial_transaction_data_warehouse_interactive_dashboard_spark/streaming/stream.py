@@ -1081,3 +1081,95 @@ def run_stream_tokenize(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_tokenize_learned(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "st_bpe_tokenize_learned",
+) -> DataFrame:
+    """TOKENIZE-ON-INGEST with the LEARNED vocabulary (VERDICT r10 ask
+    #5): st_bpe_tokenize runs the fixed 12-merge expression; production
+    ingest must run the PRODUCTION tokenizer — the merge table
+    bpe_train learns (collected once as a bounded frame: 8 rows here, a
+    50k-merge vocab is still megabytes by Heaps' law) applied per
+    microbatch through the Arrow mapInPandas path
+    (functions.text.bpe_tokenize_arrow works unchanged on a streaming
+    frame: JVM-side word split + a stateless map stage, no state store,
+    no watermark). Two genuinely separate microbatches (the same
+    median-doc_id file split + maxFilesPerTrigger=1 harness as
+    run_stream_tokenize) prove batch-boundary invariance; the streamed
+    union is pinned by tx_bpe_train_apply's oracle VERBATIM — train
+    drift, apply drift, OR any cross-batch dependence shifts
+    tokens_md5. At scale: train is the nightly batch job; ingest pays
+    one broadcast-sized merge list per executor and tokenizes at scan
+    speed."""
+    from ..functions import text as T
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+
+    # the learned table: same bounded collect tx_bpe_train_apply audits
+    # (8 rows; Heaps-law bounded, never corpus-sized)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in T.bpe_train(spark.read.schema(schema).parquet(path))
+        .orderBy("rank")
+        .collect()
+    ]
+
+    key = f"{path}::tok-split"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-tok-")
+        raw = spark.read.schema(schema).parquet(path)
+        half = raw.count() // 2
+        _write_single_parquet(
+            raw.filter(F.col("doc_id") < half), d, "0-early.parquet"
+        )
+        _write_single_parquet(
+            raw.filter(F.col("doc_id") >= half), d, "1-late.parquet"
+        )
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+    toks = T.bpe_tokenize_arrow(src, merges)
+    out = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr("size(filter(toks, t -> length(t) > 1))")
+        .cast("bigint")
+        .alias("n_merged"),
+        F.coalesce(
+            F.expr("array_join(slice(toks, 1, 8), ' ')"), F.lit("")
+        ).alias("head_syms"),
+        F.md5(
+            F.coalesce(F.expr("array_join(toks, ' ')"), F.lit(""))
+        ).alias("tokens_md5"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    TOKENIZE_BATCHES[query_name] = sum(
+        1
+        for prog in q.recentProgress
+        if (prog.get("numInputRows") or 0) > 0
+    )
+    return spark.table(query_name)
+
+
+#: microbatch counts observed by run_stream_tokenize_learned, for the
+#: test-side "genuinely >= 2 microbatches" audit (the part of the
+#: stream==batch contract a result comparison can't see).
+TOKENIZE_BATCHES: dict[str, int] = {}

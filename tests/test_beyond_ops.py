@@ -2599,6 +2599,57 @@ def test_bpe_arrow_path_null_text_contract(spark):
     assert [v[t] for t in arrow[0]] == expr[0]
 
 
+def test_ivfpq_retrain_spike_in(spark):
+    """wh_ivfpq_retrain's planted contract: the concentrated batch's
+    quantizer fit must be RESTORED by retraining (fit ~0.2 -> ~1.0,
+    retrain_effective true), the healthy base cohort must NOT flip
+    (retraining can't pretend to improve what wasn't broken), and the
+    point-mass occupancy invariant must hold (share 1.0 under BOTH
+    quantizers — concentration is a property of the cohort)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rows = {
+        r["cohort"]: r
+        for r in R["wh_ivfpq_retrain"].spark(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"base_insample", "new_shifted"}
+    blob, base = rows["new_shifted"], rows["base_insample"]
+    assert blob["retrain_effective"] is True
+    assert base["retrain_effective"] is False
+    assert blob["fit_retrained6"] > 0.99 > 0.5 > blob["fit_frozen6"]
+    assert blob["share_frozen6"] == blob["share_retrained6"] == 1.0
+    assert abs(base["fit_gain6"]) < 0.05
+
+
+def test_st_bpe_tokenize_learned_stream_equals_batch(spark):
+    """st_bpe_tokenize_learned's contract, checked Spark-vs-Spark (the
+    shared oracle checks it engine-cross): the streamed learned-vocab
+    tokenization must equal the batch train->apply composition
+    byte-for-byte, AND it must actually have arrived in >= 2
+    microbatches (the part of batch-boundary invariance a result
+    comparison can't see — ST.TOKENIZE_BATCHES is fed from the query's
+    own progress events)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.streaming import (
+        stream as ST,
+    )
+
+    streamed = sorted(
+        tuple(r)
+        for r in R["st_bpe_tokenize_learned"].spark(spark, SF_SMOKE).collect()
+    )
+    assert ST.TOKENIZE_BATCHES["st_bpe_tokenize_learned"] >= 2
+    batch = sorted(
+        tuple(r)
+        for r in R["tx_bpe_train_apply"].spark(spark, SF_SMOKE).collect()
+    )
+    assert streamed == batch
+
+
 def test_bpe_apply64_deep_ranks(spark):
     """tx_bpe_apply64's depth claim: the frozen 64-merge table's DEEP
     ranks must genuinely fire — 'customer' completes only at rank 30,

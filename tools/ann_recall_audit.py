@@ -1,0 +1,175 @@
+"""ANN recall audit at sf0.1 (VERDICT r10 ask #7): index-quality claims
+should rest on more than the fixture-scale 8-query / 16-cell / nprobe-2
+setting every oracle entry uses. This script measures recall@5 for the
+whole index family — IVF-flat, k-means IVF, IVF+PQ, and IVFADC-residual
+— at sf0.1 with 64 cells, nprobe 4, and 32 queries, against the exact
+brute-force frontier, and writes the table to
+``ANN_RECALL_AUDIT_r{N}.json`` at the repo root (committed once per
+audit round; not part of bench.py so the per-round suite cost stays
+flat).
+
+Run from the repo root:  python tools/ann_recall_audit.py
+
+Methodology notes:
+- recall@5 = |ANN top-5 ∩ exact top-5| / (5 * n_queries), micro-averaged
+  over the 32 queries (vec_id < 32 — the deterministic query convention
+  every sim_* entry uses, widened 4x).
+- candidate_frac = the fraction of the corpus the index actually scored
+  (probed-cell occupancy / corpus), the honest companion number: recall
+  without its scan budget rewards an index that probes everything.
+- The PQ variants keep the registry defaults (m=8, 8 codes/subspace,
+  pq_iterations: 1 for IVF+PQ as published, 3 for the residual variant
+  per IVFADC_PQ_ITERATIONS) so the audit measures the SHIPPED
+  configurations, just at a bigger quantizer and query load.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+N_QUERIES = 32
+K = 5
+N_CELLS = 64
+NPROBE = 4
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ftdw-ann-recall-audit")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.cache().count()
+    n_corpus = emb.count()
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_bruteforce(emb, n_queries=N_QUERIES, k=K).collect()
+    }
+
+    def recall(ann_df) -> float:
+        rows = ann_df.collect()
+        hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in rows)
+        return round(hits / len(exact), 4)
+
+    def candidate_frac(cells_df) -> float:
+        """Fraction of the corpus inside the NPROBE probed cells,
+        averaged over queries (the scan budget recall is bought with)."""
+        vecs = S._vecs(emb)
+        assign = S._assign_cells(vecs, cells_df).groupBy("cell").count()
+        occ = {r["cell"]: r["count"] for r in assign.collect()}
+        q = vecs.filter(F.col("vec_id") < N_QUERIES).collect()
+        cents = cells_df.collect()
+        import math
+
+        tot = 0.0
+        for row in q:
+            sims = sorted(
+                (
+                    (
+                        -round(
+                            sum(a * b for a, b in zip(row["v"], c["cv"]))
+                            / math.sqrt(
+                                sum(a * a for a in row["v"])
+                                * sum(b * b for b in c["cv"])
+                            ),
+                            6,
+                        ),
+                        c["cell"],
+                    )
+                    for c in cents
+                )
+            )[:NPROBE]
+            tot += sum(occ.get(cell, 0) for _, cell in sims) / n_corpus
+        return round(tot / len(q), 4)
+
+    vecs = S._vecs(emb)
+    seeds = vecs.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    kcells = S.refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+
+    results: dict[str, dict] = {}
+
+    t0 = time.perf_counter()
+    results["ivf_flat"] = {
+        "recall_at_5": recall(
+            S.topk_ann_ivf(emb, N_QUERIES, K, n_cells=N_CELLS, nprobe=NPROBE)
+        ),
+        "candidate_frac": candidate_frac(seeds),
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    t0 = time.perf_counter()
+    results["ivf_kmeans"] = {
+        "recall_at_5": recall(
+            S.topk_ann_ivf_kmeans(
+                emb, N_QUERIES, K, n_cells=N_CELLS, nprobe=NPROBE
+            )
+        ),
+        "candidate_frac": candidate_frac(kcells),
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    t0 = time.perf_counter()
+    results["ivf_pq"] = {
+        "recall_at_5": recall(
+            S.topk_ann_ivf_pq(
+                emb, N_QUERIES, K, n_cells=N_CELLS, nprobe=NPROBE
+            )
+        ),
+        "candidate_frac": results["ivf_kmeans"]["candidate_frac"],
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    t0 = time.perf_counter()
+    res_ann = S.topk_ann_ivfadc_residual(
+        emb, N_QUERIES, K, n_cells=N_CELLS, nprobe=NPROBE
+    )
+    results["ivfadc_residual"] = {
+        "recall_at_5": recall(res_ann),
+        "candidate_frac": results["ivf_kmeans"]["candidate_frac"],
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "n_cells": N_CELLS,
+        "nprobe": NPROBE,
+        "pq": {"m": S.PQ_M, "codes": S.PQ_K,
+               "residual_iters": S.IVFADC_PQ_ITERATIONS},
+        "results": results,
+    }
+    spark.stop()
+    line = json.dumps(out, indent=2)
+    print(line)
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
+    with open(os.path.join(HERE, f"ANN_RECALL_AUDIT_r{rnd}.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
