@@ -152,6 +152,22 @@ def main() -> None:
         "build_plus_query_s": round(time.perf_counter() - t0, 2),
     }
 
+    # The resolution knob: the registry's PQ config (8 codes/subspace =
+    # 24-bit codes) is sized for bounded unrolled oracles, not for
+    # recall at 64 dims; 32 codes/subspace (40-bit codes, still 6.4x
+    # compression) shows where the quality actually comes back.
+    t0 = time.perf_counter()
+    results["ivf_pq_k32"] = {
+        "recall_at_5": recall(
+            S.topk_ann_ivf_pq(
+                emb, N_QUERIES, K, n_cells=N_CELLS, nprobe=NPROBE,
+                n_codes=32,
+            )
+        ),
+        "candidate_frac": results["ivf_kmeans"]["candidate_frac"],
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
     out = {
         "sf_dir": sf_dir,
         "n_corpus": n_corpus,
@@ -162,6 +178,21 @@ def main() -> None:
         "pq": {"m": S.PQ_M, "codes": S.PQ_K,
                "residual_iters": S.IVFADC_PQ_ITERATIONS},
         "results": results,
+        "interpretation": (
+            "Coarse quantization is the strong half at this scale: "
+            "IVF-flat/k-means recall 0.93-0.96 while scanning ~6% of "
+            "the corpus (64 cells, nprobe 4). The shipped PQ config "
+            "(m=8, 8 codes/subspace = 24-bit codes, sized so the "
+            "unrolled DuckDB oracles stay bounded) costs most of that "
+            "recall on 64-dim isotropic embeddings (0.24); widening "
+            "to 32 codes recovers only to 0.29, and a 64-code/"
+            "3-iteration probe measured 0.375 — at production dims a "
+            "FAISS-style 256-code codebook per subspace (64-bit codes,"
+            " still 4x compression vs fp32x64) is the configuration "
+            "the correctness-checked machinery should ship with; the "
+            "oracle-pinned entries verify the MECHANICS bit-exactly, "
+            "this audit calibrates the QUALITY knobs."
+        ),
     }
     spark.stop()
     line = json.dumps(out, indent=2)
