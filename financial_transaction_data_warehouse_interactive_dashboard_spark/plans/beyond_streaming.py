@@ -490,3 +490,96 @@ def st_bpe_tokenize_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     per executor and tokenizes at scan speed. Reference analogue:
     none."""
     return ST.run_stream_tokenize_learned(spark, sf_dir).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# st_ivfpq_monitor: the drift monitor running AT INGEST (r11; r12 queue)
+# ---------------------------------------------------------------------------
+
+from .beyond_similarity import (  # noqa: E402
+    IVFPQ_APPEND_BASE as _IVFPQ_NEW_FROM,
+)
+from .beyond_similarity import (  # noqa: E402
+    IVFPQ_DRIFT_TRAIN as _IVFPQ_TRAIN,
+)
+
+
+@query(
+    "st_ivfpq_monitor",
+    # sim_ivfpq_drift's oracle shape restricted to the two ARRIVING
+    # cohorts (the streamed microbatches): same frozen-quantizer CTEs
+    # (train < IVFPQ_DRIFT_TRAIN, seeds < 16, one Lloyd), same exact
+    # DECIMAL fit mean, same occupancy share and threshold decision
+    # from the emitted rounded value.
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    et AS (SELECT * FROM e WHERE vec_id < {_IVFPQ_TRAIN}),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM et WHERE vec_id < 16),
+    ia0 AS (SELECT et.vec_id, et.v, cell FROM et, c0
+            QUALIFY row_number() OVER (PARTITION BY et.vec_id
+              ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+              cell ASC) = 1),
+    ipx0 AS (SELECT cell, u.p AS pos, u.x AS val FROM ia0,
+             unnest([{{'p': i, 'x': v[i]}}
+                     for i in range(1, len(v) + 1)]) AS t(u)),
+    icent0 AS (SELECT cell, pos,
+                 CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS cv_e
+               FROM ipx0 GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv
+           FROM icent0 GROUP BY 1),
+    co AS (
+      SELECT 'new_iid' AS cohort, vec_id, v FROM e
+      WHERE vec_id >= {_IVFPQ_NEW_FROM}
+      UNION ALL
+      SELECT 'new_shifted', vec_id,
+             [x * CAST('0.05' AS DOUBLE) + CAST('1.0' AS DOUBLE)
+              for x in v]
+      FROM e WHERE vec_id >= {_IVFPQ_NEW_FROM}),
+    af AS (SELECT co.cohort, co.vec_id, cell,
+                  CAST(round(list_cosine_similarity(v, cv), 6)
+                       AS DECIMAL(18,6)) AS q
+           FROM co, c1
+           QUALIFY row_number() OVER (PARTITION BY co.cohort, co.vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+             cell ASC) = 1),
+    gc AS (SELECT cohort, cell, count(*) AS nc, sum(q) AS sq
+           FROM af GROUP BY 1, 2),
+    g AS (SELECT cohort, sum(nc) AS n, sum(sq) AS sq, max(nc) AS max_nc
+          FROM gc GROUP BY 1)
+    SELECT cohort, CAST(n AS BIGINT) AS n,
+           round(CAST(sq AS DOUBLE) / n, 6) AS mean_cos6,
+           round(CAST(max_nc AS DOUBLE) / n, 6) AS max_share6,
+           round(CAST(max_nc AS DOUBLE) / n, 6) > CAST('0.5' AS DOUBLE)
+             AS drifted
+    FROM g ORDER BY cohort
+    """,
+    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # locally oracle-pinned at all three scales meanwhile.
+    driver=False,
+)
+def st_ivfpq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index drift monitor running AT INGEST — the streaming face
+    of sim_ivfpq_drift, completing the lifecycle's control loop at the
+    place a 100 TB deployment actually needs it (a nightly sweep
+    notices a poisoned batch a day late; a per-arriving-batch monitor
+    raises wh_ivfpq_retrain's flag the moment it lands): the frozen
+    quantizer is computed batch-side and broadcast, and each arriving
+    microbatch (streaming.stream.run_ivfpq_monitor_stream — the iid
+    batch, then the planted x*0.05+1 concentrated batch, genuinely
+    separate files under maxFilesPerTrigger=1) flows through
+    foreachBatch into the per-cohort fit/occupancy aggregate and is
+    appended to a parquet sink, exactly-once under the checkpoint. The
+    read-back sink is the result: one row per arriving batch, iid MUST
+    NOT flag, the spike-in MUST flag (decision from the same rounded
+    max_share6 the row emits — the sim_ivfpq_drift discipline), and a
+    dropped / doubled / cross-contaminated microbatch changes the row
+    set against the batch oracle.
+
+    Scale: one map-side-combinable pass per microbatch against a
+    broadcast centroid table + a 1-row parquet append — the monitor
+    costs less than the scan that delivers the batch. Reference
+    analogue: none (beyond-reference LLM-pipeline tier)."""
+    return ST.run_ivfpq_monitor_stream(
+        spark, sf_dir, train_below=_IVFPQ_TRAIN, new_from=_IVFPQ_NEW_FROM
+    ).orderBy("cohort")

@@ -328,11 +328,12 @@ RE_PROMOTED: dict[str, int] = {
 #: authored AFTER the flip; first-timers always outrank refresh slots.
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
-    # Empty after the r11 flip: every r10-authored entry was promoted
-    # this round and the three r11-authored operators (tx_bpe_apply64,
-    # wh_ivfpq_retrain, st_bpe_tokenize_learned) were all-scale
-    # verified and promoted in the SAME round (the r10 capstone
-    # pattern) — no evidence debt is carried into r12.
+    # The r11 flip itself carried no debt (every r10-authored entry
+    # promoted, and tx_bpe_apply64 / wh_ivfpq_retrain /
+    # st_bpe_tokenize_learned were all-scale verified and promoted in
+    # the SAME round — the r10 capstone pattern). Entries authored
+    # AFTER the r11 flip queue here for the r12 surface:
+    "st_ivfpq_monitor",  # drift monitor at ingest, per-arriving-batch (authored r11)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

@@ -1173,3 +1173,130 @@ def run_stream_tokenize_learned(
 #: test-side "genuinely >= 2 microbatches" audit (the part of the
 #: stream==batch contract a result comparison can't see).
 TOKENIZE_BATCHES: dict[str, int] = {}
+
+
+def run_ivfpq_monitor_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    train_below: int = 200,
+    new_from: int = 250,
+) -> DataFrame:
+    """The index drift monitor (sim_ivfpq_drift's fit/occupancy pass)
+    run AT INGEST — one monitor row per ARRIVING microbatch instead of
+    a nightly batch sweep, so a concentrated batch raises the retrain
+    flag the moment it lands. The frozen quantizer (seeds + one Lloyd
+    over the training slice, vec_id < ``train_below``) is computed
+    batch-side and broadcast; the stream delivers two genuinely
+    separate arriving batches (maxFilesPerTrigger=1): an iid batch (the
+    raw vectors past ``new_from``) and the planted concentrated batch
+    (the same vectors x*0.05+1 — sim_ivfpq_drift's spike-in). Each
+    microbatch flows through foreachBatch into the per-cohort monitor
+    aggregate (assign -> exact DECIMAL fit mean -> occupancy share ->
+    threshold decision from the same rounded value the row emits) and
+    is APPENDED to a parquet sink; the read-back is the returned frame,
+    so a dropped, doubled, or cross-contaminated microbatch changes the
+    row set and fails the batch oracle.
+
+    At 100 TB: the monitor is one map-side-combinable pass per arriving
+    batch against a broadcast centroid table — the cheapest possible
+    standing guard in front of wh_ivfpq_retrain's expensive action."""
+    from ..functions import portable as P
+    from ..operators.similarity import _vecs, refine_centroids
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    vecs = _vecs(spark.read.parquet(path))
+    train = vecs.filter(F.col("vec_id") < train_below)
+    seeds = train.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    frozen = refine_centroids(train, seeds).localCheckpoint(eager=True)
+
+    key = f"{path}::ivfpq-monitor"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-ivfmon-")
+        new = vecs.filter(F.col("vec_id") >= new_from)
+        _write_single_parquet(
+            new.select(F.lit("new_iid").alias("cohort"), "vec_id", "v"),
+            d,
+            "0-iid.parquet",
+        )
+        shifted = F.expr(
+            "transform(v, x -> x * CAST('0.05' AS DOUBLE)"
+            " + CAST('1.0' AS DOUBLE))"
+        )
+        _write_single_parquet(
+            new.select(
+                F.lit("new_shifted").alias("cohort"),
+                "vec_id",
+                shifted.alias("v"),
+            ),
+            d,
+            "1-shifted.parquet",
+        )
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    sink_key = f"{path}::ivfpq-monitor-sink"
+    if sink_key not in _SINK_DIRS:
+        _SINK_DIRS[sink_key] = (
+            tempfile.mkdtemp(prefix="ftdw-ivfmon-sink-"),
+            tempfile.mkdtemp(prefix="ftdw-ivfmon-chk-"),
+        )
+    sink_dir, chk_dir = _SINK_DIRS[sink_key]
+
+    src = (
+        spark.readStream.schema(
+            "cohort string, vec_id bigint, v array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+
+    def monitor_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("cohort", "vec_id").orderBy(
+            F.desc("cell_cos"), F.asc("cell")
+        )
+        af = (
+            batch_df.crossJoin(F.broadcast(frozen))
+            .withColumn("cell_cos", F.round(P.cosine("v", "cv"), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "cohort",
+                "cell",
+                F.col("cell_cos").cast("decimal(18,6)").alias("q"),
+            )
+        )
+        gc_ = af.groupBy("cohort", "cell").agg(
+            F.count("*").alias("nc"), F.sum("q").alias("sq")
+        )
+        out = (
+            gc_.groupBy("cohort")
+            .agg(
+                F.sum("nc").alias("n"),
+                F.sum("sq").alias("sq"),
+                F.max("nc").alias("mx"),
+            )
+            .selectExpr(
+                "cohort",
+                "CAST(n AS BIGINT) AS n",
+                "round(CAST(sq AS DOUBLE) / n, 6) AS mean_cos6",
+                "round(CAST(mx AS DOUBLE) / n, 6) AS max_share6",
+                "round(CAST(mx AS DOUBLE) / n, 6)"
+                " > CAST('0.5' AS DOUBLE) AS drifted",
+            )
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    q = (
+        src.writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)

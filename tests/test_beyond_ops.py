@@ -2599,6 +2599,27 @@ def test_bpe_arrow_path_null_text_contract(spark):
     assert [v[t] for t in arrow[0]] == expr[0]
 
 
+def test_st_ivfpq_monitor_flags_only_the_spike_in(spark):
+    """st_ivfpq_monitor's planted contract: exactly one monitor row per
+    arriving microbatch (two batches, exactly-once through the
+    foreachBatch sink — a dropped or doubled batch changes the row
+    set), the iid batch must NOT flag, and the planted concentrated
+    batch MUST (occupancy collapsed to a single cell)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rows = R["st_ivfpq_monitor"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 2
+    by = {r["cohort"]: r for r in rows}
+    assert set(by) == {"new_iid", "new_shifted"}
+    assert by["new_iid"]["drifted"] is False
+    assert by["new_shifted"]["drifted"] is True
+    assert by["new_shifted"]["max_share6"] == 1.0
+    assert by["new_iid"]["max_share6"] < 0.5
+    assert by["new_iid"]["n"] == by["new_shifted"]["n"]
+
+
 def test_ivfpq_retrain_spike_in(spark):
     """wh_ivfpq_retrain's planted contract: the concentrated batch's
     quantizer fit must be RESTORED by retraining (fit ~0.2 -> ~1.0,
