@@ -1690,6 +1690,35 @@ def qa_fdr_bh_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from a 1-row aggregate cross join. At 100 TB this is a single
     corpus pass + driver-free bounded postprocessing. Reference
     analogue: none."""
+    r2 = _spike_in_r2(spark, sf_dir)
+    k = r2.agg(
+        F.max(
+            F.when(F.col("p6") <= F.col("bh_thr6"), F.col("bh_rank"))
+        ).alias("kmax")
+    )
+    return (
+        r2.crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            F.col("dc").cast("int").alias("delta_cents"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("z", 6).alias("z6"),
+            "p6",
+            F.col("bh_rank").cast("int").alias("bh_rank"),
+            "bh_thr6",
+            (F.col("bh_rank") <= F.coalesce("kmax", F.lit(0))).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def _spike_in_r2(spark: SparkSession, sf_dir: str):
+    """The spike-in family's ranked hypothesis frame (shared spine of
+    qa_fdr_bh_spike_in and qa_fdr_storey_spike_in): 20 Welch tests
+    (event_type x planted delta), A&S p-values, BH rank and threshold —
+    everything up to the rejection decision."""
     e = _t(spark, sf_dir, "events").select(
         "event_type",
         (F.col("event_id") % 2).cast("int").alias("par"),
@@ -1726,28 +1755,140 @@ def qa_fdr_bh_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "dc", "n", "m", "z", f"{_BH_P} AS p"
     )
     wbh = Window.orderBy("p", "event_type", "dc")  # 20-row frame (BH)
-    r2 = p.withColumn("bh_rank", F.row_number().over(wbh)).selectExpr(
+    return p.withColumn("bh_rank", F.row_number().over(wbh)).selectExpr(
         "*",
         "round(p, 6) AS p6",
         f"round(bh_rank * {_BH_Q} / m, 6) AS bh_thr6",
     )
-    k = r2.agg(
+
+
+# ---------------------------------------------------------------------------
+# qa_fdr_storey_spike_in: Storey's adaptive FDR over the same spike-in
+# family (r11; r12 queue)
+# ---------------------------------------------------------------------------
+
+#: Storey's lambda, entering both engines as a repr-CAST literal.
+_STOREY_LAMBDA = "CAST('0.5' AS DOUBLE)"
+
+#: pi0_hat = #{p6 > lambda} / ((1 - lambda) * m), clamped to
+#: [1/m, 1] (the standard floor stops a zero estimate from zeroing the
+#: denominator; the ceiling keeps adaptive BH no more conservative than
+#: plain BH). Computed from the EMITTED rounded p6 values — the
+#: qa_fdr rounding discipline — as one aggregate over the 20-row frame;
+#: ONE shared string evaluated by both engines.
+_STOREY_PI0 = (
+    "round(greatest(CAST(1 AS DOUBLE) / CAST(max(m) AS DOUBLE),"
+    " least(CAST(1 AS DOUBLE),"
+    f" CAST(sum(CASE WHEN p6 > {_STOREY_LAMBDA} THEN 1 ELSE 0 END)"
+    " AS DOUBLE)"
+    f" / ((CAST(1 AS DOUBLE) - {_STOREY_LAMBDA})"
+    " * CAST(max(m) AS DOUBLE)))), 6)"
+)
+
+#: Adaptive step-up threshold rank*q/(m*pi0) — identical
+#: parenthesization in both engines, from the rounded pi0_6.
+_STOREY_THR = f"round(bh_rank * {_BH_Q} / (m * pi0_6), 6)"
+
+
+@query(
+    "qa_fdr_storey_spike_in",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(event_id % 2 AS INTEGER) AS par,
+             CAST(value::DECIMAL(30,2) * 100 AS BIGINT) AS c
+      FROM events),
+    g AS (SELECT event_type, par, count(*) AS n,
+                 sum(CAST(c AS DECIMAL(38,0))) AS s,
+                 sum(CAST(c * c AS DECIMAL(38,0))) AS ss
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT x.event_type AS event_type,
+                 x.n AS nx, x.s AS sx, x.ss AS ssx,
+                 y.n AS ny, y.s AS sy, y.ss AS ssy
+          FROM g x JOIN g y ON x.event_type = y.event_type
+          WHERE x.par = 1 AND y.par = 0),
+    d AS (SELECT unnest([{', '.join(str(d) for d in _SPIKE_DELTAS)}]) AS dc),
+    z0 AS (SELECT event_type, dc, nx + ny AS n, {_SPIKE_Z} AS z
+           FROM w, d),
+    t AS (SELECT count(*) AS m FROM z0),
+    p0 AS (SELECT event_type, dc, n, m, z, {_BH_P} AS p FROM z0, t),
+    r AS (SELECT *, row_number() OVER (ORDER BY p, event_type, dc)
+                    AS bh_rank
+          FROM p0),
+    r2 AS (SELECT *, round(p, 6) AS p6,
+                  round(bh_rank * {_BH_Q} / m, 6) AS bh_thr6 FROM r),
+    pi AS (SELECT {_STOREY_PI0} AS pi0_6 FROM r2),
+    r3 AS (SELECT r2.*, pi0_6, {_STOREY_THR} AS storey_thr6
+           FROM r2, pi),
+    k AS (SELECT max(CASE WHEN p6 <= bh_thr6 THEN bh_rank END) AS kbh,
+                 max(CASE WHEN p6 <= storey_thr6 THEN bh_rank END) AS kst
+          FROM r3)
+    SELECT event_type, CAST(dc AS INTEGER) AS delta_cents,
+           CAST(n AS BIGINT) AS n, p6,
+           CAST(bh_rank AS INTEGER) AS bh_rank, pi0_6,
+           bh_thr6, storey_thr6,
+           bh_rank <= coalesce(kbh, 0) AS rejected_bh,
+           bh_rank <= coalesce(kst, 0) AS rejected_storey
+    FROM r3, k
+    ORDER BY bh_rank
+    """,
+    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # locally oracle-pinned at all three scales meanwhile.
+    driver=False,
+)
+def qa_fdr_storey_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey's ADAPTIVE FDR (q-value procedure, Storey 2002) over the
+    same planted spike-in family qa_fdr_bh_spike_in calibrates: plain
+    BH controls FDR at q * pi0 — when many hypotheses are truly
+    non-null it leaves power on the table; Storey estimates the null
+    fraction pi0_hat = #{p > lambda} / ((1 - lambda) m) from the
+    p-value histogram's flat tail (lambda = 0.5, repr-CAST) and runs
+    the step-up at the LARGER thresholds rank * q / (m * pi0_hat).
+    Because pi0_hat <= 1 by the clamp, the adaptive rejection set is a
+    SUPERSET of BH's by construction — both decisions ride in the
+    output, so the superset relation, the pi0 estimate itself, and the
+    extra rejections the adaptivity buys are all inside the hash. The
+    planted family makes the calibration readable: the true-null
+    (delta=0) rows populate the flat tail that pi0_hat is estimated
+    from, and the planted tiers occupy the low-p head — an estimator
+    that counted the wrong side of lambda would visibly mis-scale
+    every threshold.
+
+    All decisions are taken from emitted rounded values (p6, pi0_6,
+    storey_thr6 — the qa_fdr rounding discipline); pi0_hat is clamped
+    to [1/m, 1] (the standard floor; also keeps the threshold's
+    denominator nonzero). Shares the spike-in spine (_spike_in_r2)
+    with qa_fdr_bh_spike_in — one grouped corpus pass, a 20-row
+    hypothesis frame, a 1-row pi0 aggregate cross join. Reference
+    analogue: none (beyond-reference statistical-QA tier)."""
+    r2 = _spike_in_r2(spark, sf_dir)
+    pi = r2.selectExpr(f"{_STOREY_PI0} AS pi0_6")
+    r3 = r2.crossJoin(F.broadcast(pi)).selectExpr(
+        "*", f"{_STOREY_THR} AS storey_thr6"
+    )
+    k = r3.agg(
         F.max(
             F.when(F.col("p6") <= F.col("bh_thr6"), F.col("bh_rank"))
-        ).alias("kmax")
+        ).alias("kbh"),
+        F.max(
+            F.when(F.col("p6") <= F.col("storey_thr6"), F.col("bh_rank"))
+        ).alias("kst"),
     )
     return (
-        r2.crossJoin(F.broadcast(k))
+        r3.crossJoin(F.broadcast(k))
         .select(
             "event_type",
             F.col("dc").cast("int").alias("delta_cents"),
             F.col("n").cast("bigint").alias("n"),
-            F.round("z", 6).alias("z6"),
             "p6",
             F.col("bh_rank").cast("int").alias("bh_rank"),
+            "pi0_6",
             "bh_thr6",
-            (F.col("bh_rank") <= F.coalesce("kmax", F.lit(0))).alias(
-                "rejected"
+            "storey_thr6",
+            (F.col("bh_rank") <= F.coalesce("kbh", F.lit(0))).alias(
+                "rejected_bh"
+            ),
+            (F.col("bh_rank") <= F.coalesce("kst", F.lit(0))).alias(
+                "rejected_storey"
             ),
         )
         .orderBy("bh_rank")

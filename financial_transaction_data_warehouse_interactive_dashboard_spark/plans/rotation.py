@@ -334,6 +334,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     # the SAME round — the r10 capstone pattern). Entries authored
     # AFTER the r11 flip queue here for the r12 surface:
     "st_ivfpq_monitor",  # drift monitor at ingest, per-arriving-batch (authored r11)
+    "qa_fdr_storey_spike_in",  # Storey adaptive FDR over the spike-in family (authored r11)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

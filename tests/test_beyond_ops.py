@@ -2599,6 +2599,33 @@ def test_bpe_arrow_path_null_text_contract(spark):
     assert [v[t] for t in arrow[0]] == expr[0]
 
 
+def test_storey_adaptive_fdr_superset_and_calibration(spark):
+    """qa_fdr_storey_spike_in's planted contract: the adaptive
+    rejection set must be a SUPERSET of plain BH's (pi0_hat <= 1 by
+    the clamp), pi0_hat must sit strictly inside (0, 1] and below 1
+    on this family (the planted tiers guarantee non-null mass), the
+    step-up must stay inside 0 < rejected < m (the spike-in
+    discipline), and every per-row threshold must satisfy
+    storey_thr6 >= bh_thr6."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rows = R["qa_fdr_storey_spike_in"].spark(spark, SF_SMOKE).collect()
+    m = len(rows)
+    assert m == 20
+    pi0 = {r["pi0_6"] for r in rows}
+    assert len(pi0) == 1
+    pi0 = pi0.pop()
+    assert 1 / m <= pi0 < 1
+    bh = {r["bh_rank"] for r in rows if r["rejected_bh"]}
+    st = {r["bh_rank"] for r in rows if r["rejected_storey"]}
+    assert bh <= st, (bh, st)
+    assert 0 < len(st) < m
+    for r in rows:
+        assert r["storey_thr6"] >= r["bh_thr6"], r
+
+
 def test_st_ivfpq_monitor_flags_only_the_spike_in(spark):
     """st_ivfpq_monitor's planted contract: exactly one monitor row per
     arriving microbatch (two batches, exactly-once through the
