@@ -1623,3 +1623,65 @@ def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "wh_ivfpq_compact",
+    # Shares wh_ivfpq_append's oracle STRING VERBATIM (the
+    # wh_ivfpq_publish twin discipline, third application): small-files
+    # COMPACTION of the appended index layout must not change a single
+    # answer — publish-on-base + append + compact must still equal the
+    # frozen-structure batch encode, bit for bit.
+    _sql_ivfpq_append(),
+    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # locally oracle-pinned at all three scales meanwhile.
+    driver=False,
+)
+def wh_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION on the live index layout — the standing
+    repair wh_ivfpq_append's docstring promises: each appended batch
+    adds one file per touched cell, so after enough batches every probe
+    pays a task-scheduling storm of tiny files; compact_partitions
+    rewrites the over-fragmented cell partitions down to one file each
+    (file-listing victim pick, partition-pruned read, dynamic
+    partition overwrite — healthy cells' files untouched). The query
+    then serves from the COMPACTED stored layout, and the oracle —
+    wh_ivfpq_append's train-on-base / encode-all replay, shared
+    verbatim — pins that compaction changed NOTHING: a dropped row, a
+    doubled row, or a partition misplaced by the rewrite shifts the
+    top-5 or the recall column. The lifecycle is now closed end to end
+    on one artifact: publish -> append -> COMPACT -> serve -> monitor
+    -> retrain. Fragmentation-then-one-file-per-cell is asserted
+    test-side (file counts are outside the hash's reach).
+
+    At 100 TB: victims are picked from a file LISTING (no data read),
+    only fragmented partitions are read (partition pruning), and the
+    rewrite is one task per cell — the maintenance job scales with
+    fragmentation, not corpus size. Reference analogue: none."""
+    from ..sources.warehouse import (
+        append_ivfpq_vectors,
+        compact_partitions,
+        publish_ivfpq_layout,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+    new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
+    publish_ivfpq_layout(base, "ivfpq_cmp")
+    append_ivfpq_vectors(new, "ivfpq_cmp")
+    # publish wrote one file per occupied cell, the append added one
+    # more per touched cell -> touched cells are at >= 2 files and are
+    # compacted back to one; untouched cells are left alone
+    compact_partitions(spark, "ivfpq_cmp_codes", "cell", min_files=2)
+    codes = spark.table("ivfpq_cmp_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    ann = S.ivfpq_query(
+        emb,
+        spark.table("ivfpq_cmp_centroids"),
+        spark.table("ivfpq_cmp_codebooks"),
+        codes,
+        n_queries=8,
+        k=5,
+    ).localCheckpoint(eager=True)
+    return _ivfpq_recall_output(emb, ann)

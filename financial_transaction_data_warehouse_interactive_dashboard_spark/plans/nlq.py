@@ -256,6 +256,7 @@ NO_ROUTE: frozenset[str] = frozenset({
     "tx_bpe_apply64",             # tx_bpe_apply is the routed face (depth twin)
     "st_bpe_tokenize_learned",    # tx_bpe_train_apply is the routed face (stream twin)
     "st_ivfpq_monitor",           # sim_ivfpq_drift is the routed face (stream twin)
+    "wh_ivfpq_compact",           # wh_compaction is the routed face (layout twin)
     "st_sessionize_stateful",     # st_sessionize is the routed face
     "st_tumbling_hourly",         # ev_tumbling_hourly is the routed face
     "w4_surrogate_keys",          # W4 parity shape

@@ -2599,6 +2599,57 @@ def test_bpe_arrow_path_null_text_contract(spark):
     assert [v[t] for t in arrow[0]] == expr[0]
 
 
+def test_ivfpq_compact_defragments_without_changing_rows(spark):
+    """wh_ivfpq_compact's file-level claim (the part its verbatim
+    oracle cannot see): publish + append really fragments the touched
+    cells to >= 2 files, compaction brings every cell back to exactly
+    one file, and the code table's ROWS are byte-identical across the
+    rewrite."""
+    import glob as _glob
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond_similarity import (
+        IVFPQ_APPEND_BASE,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.warehouse import (
+        append_ivfpq_vectors,
+        compact_partitions,
+        publish_ivfpq_layout,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+    new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
+    publish_ivfpq_layout(base, "ivfpq_fragchk")
+    append_ivfpq_vectors(new, "ivfpq_fragchk")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def counts():
+        return {
+            d.rsplit("=", 1)[1]: len(_glob.glob(f"{d}/*.parquet"))
+            for d in _glob.glob(f"{wh}/ivfpq_fragchk_codes/cell=*")
+        }
+
+    before = counts()
+    assert max(before.values()) >= 2, before
+    rows_before = sorted(
+        tuple(r) for r in spark.table("ivfpq_fragchk_codes").collect()
+    )
+    victims = compact_partitions(
+        spark, "ivfpq_fragchk_codes", "cell", min_files=2
+    )
+    assert victims, "compaction found no fragmented cells"
+    after = counts()
+    assert set(after) == set(before)
+    assert max(after.values()) == 1, after
+    rows_after = sorted(
+        tuple(r) for r in spark.table("ivfpq_fragchk_codes").collect()
+    )
+    assert rows_before == rows_after
+
+
 def test_storey_adaptive_fdr_superset_and_calibration(spark):
     """qa_fdr_storey_spike_in's planted contract: the adaptive
     rejection set must be a SUPERSET of plain BH's (pi0_hat <= 1 by
