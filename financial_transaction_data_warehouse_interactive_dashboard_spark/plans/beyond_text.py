@@ -1745,16 +1745,27 @@ def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 dp — bit-equal across engines by the repo's standard
     discipline. At 100 TB: one corpus pass, 5-row output.
     Reference analogue: none."""
-    d = _t(spark, sf_dir, "documents").select(
+    # Project the token-id array ONCE, then take both counts off it —
+    # the generated 48-replace expression is the dominant per-row cost,
+    # and evaluating it twice (n_tokens + n_merged) doubled the map
+    # stage (VERDICT r10 plan audit). Two chained selects guarantee the
+    # single evaluation regardless of CSE.
+    ids = _t(spark, sf_dir, "documents").select(
         "lang",
         F.expr(f"size({_BPE_WORDS_SPARK})").cast("bigint").alias("n_words"),
         F.length(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
         ).cast("bigint").alias("n_chars"),
-        F.expr(f"size({_BPE_IDS_SPARK})").cast("bigint").alias("n_tokens"),
-        F.expr(
-            f"size(filter({_BPE_IDS_SPARK}, i -> i >= {T.BPE_BASE_ID}))"
-        ).cast("bigint").alias("n_merged"),
+        F.expr(_BPE_IDS_SPARK).alias("ids"),
+    )
+    d = ids.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.expr(f"size(filter(ids, i -> i >= {T.BPE_BASE_ID}))")
+        .cast("bigint")
+        .alias("n_merged"),
     )
     g = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
