@@ -213,6 +213,7 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "a35_survival_km": "distinct churn-day steps",
     "qa_fdr_bh_segments": "5-row hypothesis frame (one per segment)",
     "qa_fdr_bh_spike_in": "20-row hypothesis frame (event_type x delta)",
+    "qa_fdr_storey_spike_in": "same 20-row spike-in frame (_spike_in_r2)",
 }
 
 
