@@ -888,3 +888,98 @@ def topk_ann_ivfadc_residual_vs_raw(
         _adc(rinv, rbooks, True),
         _adc(rawinv, rawbooks, False) if build_raw else None,
     )
+
+
+def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    POWER ITERATION — the whitening/compression prep step an embedding
+    pipeline runs before ANN indexing or dimensionality reduction
+    (PCA-rotating vectors before PQ is the classic OPQ-lite trick).
+    The covariance matrix is never materialized: each iteration applies
+    C = (1/n) Σ (v-μ)(v-μ)ᵀ to the current iterate x as two grouped
+    passes over the exploded (vec_id, pos, val) frame —
+    s_i = <v_i - μ, x> as a vec_id-partitioned window sum, then
+    y = Σ_i (v_i - μ) s_i as a 64-group aggregation — so the plan is
+    one shuffle per iteration plus a broadcast of the 64-row iterate,
+    exactly the shape a 10^9-vector corpus needs (state = d doubles,
+    never d x d, never a collect).
+
+    Exactness (the Lloyd-refine discipline): the per-dimension mean and
+    every inner-product accumulation are DECIMAL(38,12) term-cast sums
+    (order-independent, bit-equal across engines and partitionings —
+    the refine_centroids idiom); each new iterate is rounded to 9 dp before it
+    re-enters the next pass; the start vector is the exact double
+    1/8 = 0.125 on all 64 positions. The sign convention flips the
+    final component so its pos-0 entry is non-negative. Returns
+    64 rows: (pos, mu9, pc1_9, lambda9) — the centering mean, the unit
+    top component, and the top-eigenvalue estimate (the final pre-
+    normalization norm divided back by n)."""
+    ex = _vecs(emb).select(
+        "vec_id", F.posexplode("v").alias("pos", "val")
+    )
+    mu = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    ).localCheckpoint(eager=True)
+    c = ex.join(F.broadcast(mu), "pos").select(
+        "vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv")
+    )
+    x = mu.select("pos", F.lit(0.125).cast("double").alias("x"))
+    w = Window.partitionBy("vec_id")
+    lam = None
+    for _ in range(iterations):
+        prod = c.join(F.broadcast(x), "pos").select(
+            "vec_id",
+            "pos",
+            "cv",
+            (F.col("cv") * F.col("x")).cast("decimal(38,12)").alias("t"),
+        )
+        scored = prod.withColumn(
+            "s", F.sum("t").over(w).cast("double")
+        )
+        y = scored.groupBy("pos").agg(
+            F.sum((F.col("cv") * F.col("s")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("y")
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+                .cast("double")
+            ).alias("nrm")
+        )
+        lam = nrm
+        x = (
+            y.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos", F.round(F.col("y") / F.col("nrm"), 9).alias("x")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sgn = x.filter(F.col("pos") == 0).select(
+        F.when(F.col("x") < 0, F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        .alias("sgn")
+    )
+    # the loop applies n*C (the un-normalized scatter action — the 1/n
+    # cancels out of the normalized iterate, so the component is
+    # unaffected); the Rayleigh estimate divides it back out once
+    nn = _vecs(emb).agg(F.count("*").alias("n"))
+    lam9 = (
+        lam.crossJoin(F.broadcast(nn))
+        .select(F.round(F.col("nrm") / F.col("n"), 9).alias("lambda9"))
+    )
+    return (
+        x.crossJoin(F.broadcast(sgn))
+        .join(F.broadcast(mu), "pos")
+        .crossJoin(F.broadcast(lam9))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.round("mu", 9).alias("mu9"),
+            F.round(F.col("x") * F.col("sgn"), 9).alias("pc1_9"),
+            "lambda9",
+        )
+        .orderBy("pos")
+    )

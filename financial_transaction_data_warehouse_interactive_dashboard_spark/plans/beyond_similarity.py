@@ -1685,3 +1685,108 @@ def wh_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     ).localCheckpoint(eager=True)
     return _ivfpq_recall_output(emb, ann)
+
+
+# ---------------------------------------------------------------------------
+# sim_pca_power: top principal component by distributed power iteration
+# (r11; r12 queue)
+# ---------------------------------------------------------------------------
+
+#: Power-iteration budget (each iteration = one shuffle over the
+#: exploded corpus + a 64-row iterate update; the oracle unrolls the
+#: same count).
+PCA_POWER_ITERATIONS = 3
+
+
+def _sql_pca_power(iterations: int = PCA_POWER_ITERATIONS) -> str:
+    """DuckDB oracle for sim_pca_power: the identical power iteration
+    unrolled — per-dimension DECIMAL-exact centering mean, then per
+    iteration a vec_id-partitioned window sum for s_i = <v_i - mu, x>,
+    a 64-group DECIMAL-exact aggregation for y = sum_i (v_i - mu) s_i,
+    a DECIMAL-exact norm, and the 9-dp-rounded normalized iterate
+    (every accumulation is a DECIMAL(38,12) term-cast sum — the
+    refine_centroids idiom — so each iterate is bit-identical across
+    engines and re-enters the next round as the same doubles)."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "ex AS (SELECT vec_id, u.p - 1 AS pos, u.x AS val FROM e,\n"
+        "       unnest([{'p': i, 'x': v[i]}\n"
+        "               for i in range(1, len(v) + 1)]) AS t(u))",
+        "mu AS (SELECT pos,\n"
+        "         CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)\n"
+        "           / count(*) AS mu\n"
+        "       FROM ex GROUP BY 1)",
+        "c AS (SELECT vec_id, ex.pos AS pos, val - mu AS cv\n"
+        "      FROM ex JOIN mu USING (pos))",
+        "x0 AS (SELECT pos, CAST('0.125' AS DOUBLE) AS x FROM mu)",
+    ]
+    for i in range(iterations):
+        ctes += [
+            f"p{i} AS (SELECT vec_id, c.pos AS pos, cv,\n"
+            f"           CAST(cv * x AS DECIMAL(38,12)) AS t\n"
+            f"         FROM c JOIN x{i} USING (pos))",
+            f"s{i} AS (SELECT vec_id, pos, cv,\n"
+            f"           CAST(sum(t) OVER (PARTITION BY vec_id)"
+            f" AS DOUBLE) AS s\n"
+            f"         FROM p{i})",
+            f"y{i} AS (SELECT pos,\n"
+            f"           CAST(sum(CAST(cv * s AS DECIMAL(38,12)))"
+            f" AS DOUBLE) AS y\n"
+            f"         FROM s{i} GROUP BY 1)",
+            f"n{i} AS (SELECT sqrt(CAST(sum(CAST(y * y"
+            f" AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM y{i})",
+            f"x{i + 1} AS (SELECT pos, round(y / nrm, 9) AS x\n"
+            f"         FROM y{i}, n{i})",
+        ]
+    last = iterations
+    ctes.append(
+        f"sgn AS (SELECT CASE WHEN x < 0 THEN CAST(-1 AS DOUBLE)\n"
+        f"               ELSE CAST(1 AS DOUBLE) END AS sgn\n"
+        f"        FROM x{last} WHERE pos = 0)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(x{last}.pos AS INTEGER) AS pos,
+           round(mu, 9) AS mu9,
+           round(x * sgn, 9) AS pc1_9,
+           (SELECT round(nrm / (SELECT count(*) FROM e), 9)
+            FROM n{last - 1}) AS lambda9
+    FROM x{last} JOIN mu USING (pos), sgn
+    ORDER BY pos
+    """
+    )
+
+
+@query(
+    "sim_pca_power",
+    _sql_pca_power(),
+    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # locally oracle-pinned at all three scales meanwhile.
+    driver=False,
+)
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PRINCIPAL COMPONENT of the embedding corpus by distributed
+    power iteration (operators.similarity.pca_power_top1) — the
+    whitening / compression prep an embedding pipeline runs before
+    indexing (rotating vectors onto principal axes before PQ is the
+    classic OPQ-lite move; the ANN recall audit showed exactly where
+    PQ resolution goes to waste on unrotated isotropic data). The
+    covariance matrix is never materialized: each iteration applies
+    C = (1/n) Σ (v-μ)(v-μ)ᵀ to the iterate as a vec_id-partitioned
+    window sum (s_i = <v_i - μ, x>) plus one 64-group aggregation —
+    one shuffle per iteration, iterate state is d doubles, no driver
+    collect, no d×d anywhere.
+
+    The oracle unrolls the identical 3 iterations, so every
+    intermediate iterate — not just the final component — is inside
+    the hash: a wrong mean, a drifted accumulation, a missed
+    normalization, or a sign-convention break anywhere in the loop
+    shifts pc1_9 or lambda9. All accumulations are DECIMAL(38,12)
+    term-cast sums (the refine_centroids idiom), iterates re-enter
+    rounded to 9 dp, and the start vector is the exact double 1/8 on
+    all 64 positions (unit norm by construction). Output: 64 rows of
+    (pos, mu9, pc1_9, lambda9). Reference analogue: none
+    (beyond-reference LLM-pipeline tier)."""
+    return S.pca_power_top1(
+        _t(spark, sf_dir, "embeddings"), iterations=PCA_POWER_ITERATIONS
+    )

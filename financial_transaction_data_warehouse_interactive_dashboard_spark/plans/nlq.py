@@ -188,6 +188,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     # Round-11 batch (VERDICT r10 asks #2/#4/#5).
     "wh_ivfpq_retrain": ("retrained", "retraining", "republish", "restore", "restored"),
     "qa_fdr_storey_spike_in": ("storey", "adaptive", "qvalue", "pi0", "null", "fraction"),
+    "sim_pca_power": ("pca", "principal", "component", "eigenvector", "whitening"),
     "tpch_q1_pricing_summary": ("pricing", "lineitem", "returnflag", "charge", "shipped"),
     "tpch_q3_shipping_priority": ("unshipped", "shipping", "highest", "orders", "building"),
     "tpch_q5_local_supplier_volume": ("supplier", "local", "volume", "region", "asia"),

@@ -336,6 +336,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "st_ivfpq_monitor",  # drift monitor at ingest, per-arriving-batch (authored r11)
     "qa_fdr_storey_spike_in",  # Storey adaptive FDR over the spike-in family (authored r11)
     "wh_ivfpq_compact",  # index small-files compaction, answers pinned unchanged (authored r11)
+    "sim_pca_power",  # top principal component by distributed power iteration (authored r11)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

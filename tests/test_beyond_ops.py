@@ -2599,6 +2599,49 @@ def test_bpe_arrow_path_null_text_contract(spark):
     assert [v[t] for t in arrow[0]] == expr[0]
 
 
+def test_pca_power_recovers_planted_dominant_direction(spark):
+    """sim_pca_power's convergence claim, checked against numpy on a
+    PLANTED corpus with a dominant principal axis (the fixture's
+    isotropic embeddings have a small eigengap, so convergence quality
+    must be proven where ground truth exists): 3 power iterations must
+    align with numpy's top eigenvector of the centered covariance to
+    |cos| > 0.99 and estimate the top eigenvalue within 5%. Also pins
+    the fixture-run output shape and the sign convention (pc1_9[0] >= 0)."""
+    import numpy as np
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.similarity import (
+        pca_power_top1,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rng_free = [
+        [float(i % 7) - 3.0 + 10.0 * ((i * 37) % 11 - 5), (i % 5) / 5.0,
+         ((i * 13) % 9) / 9.0, (i % 3) / 3.0]
+        for i in range(24)
+    ]
+    # dominant variance along axis 0 by construction
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_free)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = pca_power_top1(emb, iterations=3).collect()
+    pc = np.array([r["pc1_9"] for r in sorted(rows, key=lambda r: r["pos"])])
+    lam = rows[0]["lambda9"]
+    X = np.array(rng_free)
+    C = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    v1, l1 = evecs[:, -1], evals[-1]
+    assert abs(float(pc @ v1)) > 0.99, (pc, v1)
+    assert abs(lam - l1) / l1 < 0.05, (lam, l1)
+
+    out = R["sim_pca_power"].spark(spark, SF_SMOKE).collect()
+    assert len(out) == 64
+    assert out[0]["pc1_9"] >= 0  # sign convention
+    assert len({r["lambda9"] for r in out}) == 1
+
+
 def test_ivfpq_compact_defragments_without_changing_rows(spark):
     """wh_ivfpq_compact's file-level claim (the part its verbatim
     oracle cannot see): publish + append really fragments the touched

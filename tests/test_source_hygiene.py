@@ -111,7 +111,7 @@ def test_beyond_tier_first_import_order():
         "assert beyond.wh_bucketed_join.__name__ == 'wh_bucketed_join'\n"
         "from financial_transaction_data_warehouse_interactive_dashboard_spark"
         ".plans.queries import REGISTRY\n"
-        "assert len(REGISTRY) == 206, len(REGISTRY)\n"
+        "assert len(REGISTRY) == 207, len(REGISTRY)\n"
         "print('OK')\n"
     )
     res = subprocess.run(
