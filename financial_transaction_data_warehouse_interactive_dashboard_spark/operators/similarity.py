@@ -675,6 +675,23 @@ def topk_ann_ivf_pq(
 #: desynchronize through two divergent defaults.
 IVFADC_PQ_ITERATIONS = 3
 
+#: wh_ivfpq_append's base/new split point: vec_id < 250 trains the
+#: frozen structures (contains the 16 seeds and 8 queries at every
+#: fixture scale); everything above arrives as the "new" batch.
+#: Single-sourced HERE (ADVICE r11): plans.beyond_similarity re-exports
+#: it and plans.beyond_streaming's st_ivfpq_monitor consumes it from
+#: this leaf module, so no tier module has to import a sibling tier
+#: mid-initialization (the circular-import hazard the r11 advice
+#: reproduced).
+IVFPQ_APPEND_BASE = 250
+
+#: sim_ivfpq_drift cohort boundaries: vec_id < 200 trains the frozen
+#: quantizer, 200-249 is the held-out calibration slice, >= 250 is the
+#: arriving batch (the wh_ivfpq_append split, refined with a holdout).
+#: Single-sourced here for the same leaf-module reason as
+#: IVFPQ_APPEND_BASE above.
+IVFPQ_DRIFT_TRAIN = 200
+
 
 def topk_ann_ivfadc_residual(
     emb: DataFrame,
@@ -914,6 +931,10 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
     64 rows: (pos, mu9, pc1_9, lambda9) — the centering mean, the unit
     top component, and the top-eigenvalue estimate (the final pre-
     normalization norm divided back by n)."""
+    if iterations < 1:
+        # ADVICE r11: with iterations=0 `lam` stays None and the final
+        # crossJoin crashes opaquely — fail fast with the contract.
+        raise ValueError("pca_power_top1 requires iterations >= 1")
     ex = _vecs(emb).select(
         "vec_id", F.posexplode("v").alias("pos", "val")
     )

@@ -644,10 +644,12 @@ def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_recall_output(emb, ann)
 
 
-#: wh_ivfpq_append's base/new split point: vec_id < 250 trains the
-#: frozen structures (contains the 16 seeds and 8 queries at every
-#: fixture scale); everything above arrives as the "new" batch.
-IVFPQ_APPEND_BASE = 250
+#: wh_ivfpq_append's base/new split point — single-sourced in the leaf
+#: module (operators.similarity.IVFPQ_APPEND_BASE, ADVICE r11) so
+#: beyond_streaming can consume it without importing this tier module
+#: mid-initialization; re-exported here for the oracle generators and
+#: existing import paths.
+IVFPQ_APPEND_BASE = S.IVFPQ_APPEND_BASE
 
 
 def _sql_ivfpq_append(base: int = IVFPQ_APPEND_BASE) -> str:
@@ -1256,10 +1258,10 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: sim_ivfpq_drift cohort boundaries: vec_id < 200 trains the frozen
-#: quantizer, 200-249 is the held-out calibration slice, >= 250 is the
-#: arriving batch (the wh_ivfpq_append split, refined with a holdout).
-IVFPQ_DRIFT_TRAIN = 200
+#: sim_ivfpq_drift cohort boundaries — single-sourced in the leaf
+#: module (operators.similarity.IVFPQ_DRIFT_TRAIN, ADVICE r11; same
+#: reasoning as IVFPQ_APPEND_BASE above), re-exported here.
+IVFPQ_DRIFT_TRAIN = S.IVFPQ_DRIFT_TRAIN
 
 
 @query(

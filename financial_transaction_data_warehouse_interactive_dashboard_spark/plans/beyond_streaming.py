@@ -496,10 +496,15 @@ def st_bpe_tokenize_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # st_ivfpq_monitor: the drift monitor running AT INGEST (r11; r12 queue)
 # ---------------------------------------------------------------------------
 
-from .beyond_similarity import (  # noqa: E402
+# Shared cohort boundaries come from the LEAF module, not the sibling
+# tier (ADVICE r11: importing plans.beyond_similarity here creates a
+# circular import when beyond_similarity is the first tier imported in
+# a fresh interpreter — beyond_similarity -> beyond -> beyond_streaming
+# -> beyond_similarity, partially initialized).
+from ..operators.similarity import (  # noqa: E402
     IVFPQ_APPEND_BASE as _IVFPQ_NEW_FROM,
 )
-from .beyond_similarity import (  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
     IVFPQ_DRIFT_TRAIN as _IVFPQ_TRAIN,
 )
 

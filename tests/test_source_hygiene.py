@@ -102,23 +102,33 @@ def test_beyond_tier_first_import_order():
     import subprocess
     import sys as _sys
 
-    code = (
-        "import financial_transaction_data_warehouse_interactive_dashboard_spark"
-        ".plans.beyond_text as bt\n"
-        "from financial_transaction_data_warehouse_interactive_dashboard_spark"
-        ".plans import beyond\n"
-        "assert beyond.tx_text_profile.__name__ == 'tx_text_profile'\n"
-        "assert beyond.wh_bucketed_join.__name__ == 'wh_bucketed_join'\n"
-        "from financial_transaction_data_warehouse_interactive_dashboard_spark"
-        ".plans.queries import REGISTRY\n"
-        "assert len(REGISTRY) == 207, len(REGISTRY)\n"
-        "print('OK')\n"
-    )
-    res = subprocess.run(
-        [_sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=REPO, timeout=120,
-    )
-    assert res.returncode == 0 and "OK" in res.stdout, res.stderr[-2000:]
+    # EVERY tier module must be importable first (ADVICE r11: only
+    # beyond_text was pinned, so a beyond_streaming -> beyond_similarity
+    # module-level import silently broke the invariant for
+    # beyond_similarity-first while CI stayed green).
+    tiers = [
+        "beyond_dedup", "beyond_events", "beyond_multimodal",
+        "beyond_similarity", "beyond_streaming", "beyond_text",
+        "beyond_warehouse",
+    ]
+    pkg = "financial_transaction_data_warehouse_interactive_dashboard_spark"
+    for tier in tiers:
+        code = (
+            f"import {pkg}.plans.{tier}\n"
+            f"from {pkg}.plans import beyond\n"
+            "assert beyond.tx_text_profile.__name__ == 'tx_text_profile'\n"
+            "assert beyond.wh_bucketed_join.__name__ == 'wh_bucketed_join'\n"
+            f"from {pkg}.plans.queries import REGISTRY\n"
+            "assert len(REGISTRY) == 207, len(REGISTRY)\n"
+            "print('OK')\n"
+        )
+        res = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=REPO, timeout=120,
+        )
+        assert res.returncode == 0 and "OK" in res.stdout, (
+            tier, res.stderr[-2000:]
+        )
 
 
 def test_bench_canary_contract(spark):
