@@ -1004,3 +1004,310 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Production-sized PQ: frozen 256-code books + ADC shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+#: sim_ann_pq256's ADC shortlist size: the exact re-rank reads the raw
+#: vectors of only this many ADC candidates per query. Sized from the
+#: recall audit (ANN_RECALL_AUDIT_r12): on the isotropic 64-dim fixture
+#: the frozen 256-code ADC alone measures recall@5 ~0.43, the 50-deep
+#: shortlist + exact re-rank ~0.91 — the production two-stage shape
+#: (compressed scan, tiny exact tail).
+PQ256_SHORTLIST = 50
+
+
+def pq256_books(spark) -> DataFrame:
+    """The FROZEN production-sized codebooks (m=8 x 256 codes x 8 dims)
+    as a broadcast-sized frame — trained ONCE offline by
+    tools/train_pq256.py (seeded numpy Lloyd at sf0.1) and committed as
+    integer thousandths in operators.pq256_book (the tx_bpe_apply64
+    frozen-constant pattern). Decoding is int / 1000.0 — an exact-parity
+    IEEE division, so the Spark frame and the oracle's
+    CAST(x AS DOUBLE) / 1000.0 hold bit-identical doubles."""
+    from . import pq256_book as B
+
+    return spark.createDataFrame(
+        B.book_rows(), "m int, code int, cv array<double>"
+    )
+
+
+def topk_ann_pq256(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = PQ256_SHORTLIST,
+) -> DataFrame:
+    """Approximate top-k at the PRODUCTION PQ configuration (VERDICT r11
+    ask #2): m=8 subspaces x 256 codes/subspace (64-bit codes — 32x
+    compression vs fp32x64), FROZEN codebooks (no in-query training),
+    L2 code assignment via the portable MIPS identity, ADC dot-product
+    scan, then an EXACT cosine re-rank of the ``shortlist`` deepest ADC
+    candidates per query — the two-stage retrieval every large-scale
+    deployment runs (FAISS IVFADC + refine).
+
+    The oracle-cost blocker that kept earlier PQ entries at 8 toy codes
+    was UNROLLED TRAINING; here the books are a static public constant
+    (operators.pq256_book), so the DuckDB oracle replays encode / ADC /
+    re-rank directly and the entry ships the configuration the recall
+    audit says a production user would deploy.
+
+    At scale: books are a 2048-row broadcast; encode is one broadcast
+    join + per-(vec_id, m) argmax (a production deployment folds the
+    argmax in mapInPandas — the plan shape, broadcast dim + map-side
+    score, is the same); the ADC scan shuffles once on (query, vec)
+    aggregation; the re-rank touches raw vectors for only
+    n_queries x shortlist rows (broadcast semi-join against the
+    corpus), so full-precision I/O stays O(queries), not O(corpus).
+
+    Determinism: assignment score and ADC terms rounded to 6 dp, summed
+    as exact DECIMAL(18,6); assignment ties -> lowest code; shortlist
+    ties -> lowest vec_id; final ties -> (cos6 desc, neighbor_id asc).
+    Output: (query_id, rnk, neighbor_id, adc_ip6, cos6)."""
+    spark = emb.sparkSession
+    books = pq256_books(spark)
+    vecs = _vecs(emb)
+    # The encode join multiplies the corpus 256x (one row per candidate
+    # code); spread the probe side across the cluster FIRST with an
+    # explicit partition count — without it the fixture corpus is one
+    # parquet split (and AQE coalesces a count-less repartition right
+    # back to one task), so the whole fan-out ran single-threaded
+    # (measured 4.9s -> ~1.0s at sf0.1). At 10^9 vectors the scan has
+    # natural parallelism and this is a no-op-shaped cheap shuffle of
+    # the narrow (vec_id, m, sv) frame.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    subs = _subvectors(vecs).repartition(n_part, "vec_id")
+    # Assignment by single-pass max_by aggregation, NOT the shared
+    # window-based _pq_assign: at 256 codes the candidate frame is
+    # corpus x 2048 rows, and a row_number sort over it measures
+    # 12-14s at sf0.1 vs ~0.7s for the partial-aggregating max_by
+    # (identical codes, verified row-for-row; ties still break to the
+    # lowest code via the (sub_score, -code) struct order — the
+    # oracle's rounded-score-DESC, code-ASC total order). The 0.5 *
+    # <cv, cv> half of the MIPS identity is precomputed once per book
+    # row (256 values per subspace) instead of per candidate pair —
+    # same doubles, same parenthesization, just not recomputed 2000x.
+    booksn = books.withColumn(
+        "half_cvn",
+        F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv"),
+    )
+    from . import pq256_book as B
+
+    codes = (
+        subs.join(F.broadcast(booksn), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            F.round(
+                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
+            ).alias("sub_score"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("max_by(code, struct(sub_score, -code))").alias("code")
+        )
+    )
+    q = _subvectors(vecs.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    terms = (
+        codes.join(F.broadcast(books), ["m", "code"])
+        .join(F.broadcast(q), "m")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(P.dot_fixed("qsv", "cv", B.SUBDIM), 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    scores = (
+        terms.filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("term").cast("double").alias("approx_ip"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("vec_id")
+    )
+    short = (
+        scores.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id", "approx_ip")
+    )
+    qv = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            # + 0.0 canonicalizes a possible -0.0 (DuckDB round keeps
+            # the sign of zero, Spark's BigDecimal round does not)
+            (F.round("approx_ip", 6) + F.lit(0.0)).alias("adc_ip6"),
+            (F.round(P.cosine("qv", "v"), 6) + F.lit(0.0)).alias("cos6"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "adc_ip6", "cos6")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def pca_power_topk(
+    emb: DataFrame, n_components: int = 3, iterations: int = 3
+) -> DataFrame:
+    """Top-``n_components`` principal components by power iteration WITH
+    DEFLATION (VERDICT r11 ask #3 — consume pca_power_top1's rotation
+    claim): after each component v_j converges, the centered frame is
+    deflated in place (cv <- cv - <cv, v_j> v_j, one vec_id-partitioned
+    window sum + one broadcast of the 64-row component) and the next
+    component runs the identical iteration on the residual — so the
+    covariance is STILL never materialized and per-component state
+    stays d doubles. Total plan: n_components x (iterations + 1)
+    shuffles over the exploded corpus, each a window-sum + 64-group
+    DECIMAL-exact aggregation, exactly pca_power_top1's per-iteration
+    shape.
+
+    Exactness: same DECIMAL(38,12) term-cast discipline; each component
+    re-enters the deflation as its 9-dp-rounded SIGNED vector (sign
+    flip leaves <cv,v>v invariant, so using the signed vector keeps the
+    engines trivially identical); the start iterate is the exact double
+    1/8 every component. Output n_components x 64 rows:
+    (comp, pos, mu9, pc_9, lambda9, ortho_prev9) — ortho_prev9 pins
+    near-orthogonality against the PREVIOUS component in-hash (0.0 for
+    comp 0)."""
+    if iterations < 1 or n_components < 1:
+        raise ValueError("pca_power_topk requires >= 1 component/iteration")
+    ex = _vecs(emb).select("vec_id", F.posexplode("v").alias("pos", "val"))
+    mu = (
+        ex.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ).alias("mu")
+        )
+        .localCheckpoint(eager=True)
+    )
+    c = (
+        ex.join(F.broadcast(mu), "pos")
+        .select("vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    nn = _vecs(emb).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("vec_id")
+    out = None
+    prev_v = None
+    for comp in range(n_components):
+        x = mu.select("pos", F.lit(0.125).cast("double").alias("x"))
+        lam = None
+        for _ in range(iterations):
+            prod = c.join(F.broadcast(x), "pos").select(
+                "vec_id",
+                "pos",
+                "cv",
+                (F.col("cv") * F.col("x")).cast("decimal(38,12)").alias("t"),
+            )
+            scored = prod.withColumn(
+                "s", F.sum("t").over(w).cast("double")
+            )
+            y = scored.groupBy("pos").agg(
+                F.sum((F.col("cv") * F.col("s")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("y")
+            )
+            nrm = y.agg(
+                F.sqrt(
+                    F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+                    .cast("double")
+                ).alias("nrm")
+            )
+            lam = nrm
+            x = (
+                y.crossJoin(F.broadcast(nrm))
+                .select(
+                    "pos", F.round(F.col("y") / F.col("nrm"), 9).alias("x")
+                )
+                .localCheckpoint(eager=True)
+            )
+        sgn = x.filter(F.col("pos") == 0).select(
+            F.when(F.col("x") < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("sgn")
+        )
+        v = (
+            x.crossJoin(F.broadcast(sgn))
+            .select("pos", F.round(F.col("x") * F.col("sgn"), 9).alias("vx"))
+            .localCheckpoint(eager=True)
+        )
+        lam9 = lam.crossJoin(F.broadcast(nn)).select(
+            F.round(F.col("nrm") / F.col("n"), 9).alias("lambda9")
+        )
+        if prev_v is None:
+            ortho = mu.sparkSession.range(1).select(
+                F.lit(0.0).cast("double").alias("ortho_prev9")
+            )
+        else:
+            ortho = (
+                v.join(
+                    F.broadcast(prev_v.select("pos", F.col("vx").alias("pv"))),
+                    "pos",
+                )
+                .agg(
+                    F.round(
+                        F.sum(
+                            (F.col("vx") * F.col("pv")).cast("decimal(38,12)")
+                        ).cast("double"),
+                        9,
+                    ).alias("ortho_prev9")
+                )
+            )
+        rows = (
+            v.join(F.broadcast(mu), "pos")
+            .crossJoin(F.broadcast(lam9))
+            .crossJoin(F.broadcast(ortho))
+            .select(
+                F.lit(comp).cast("int").alias("comp"),
+                F.col("pos").cast("int").alias("pos"),
+                # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the DuckDB
+                # twin does the same): DuckDB's round() preserves the
+                # sign of zero, Spark's BigDecimal round does not, so
+                # a -0.0 anywhere in the output would split the
+                # driver's value hash on bit pattern alone.
+                (F.round("mu", 9) + F.lit(0.0)).alias("mu9"),
+                (F.col("vx") + F.lit(0.0)).alias("pc_9"),
+                (F.col("lambda9") + F.lit(0.0)).alias("lambda9"),
+                (F.col("ortho_prev9") + F.lit(0.0)).alias("ortho_prev9"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+        prev_v = v
+        if comp < n_components - 1:
+            prodd = c.join(F.broadcast(v), "pos").select(
+                "vec_id",
+                "pos",
+                "cv",
+                "vx",
+                (F.col("cv") * F.col("vx"))
+                .cast("decimal(38,12)")
+                .alias("t"),
+            )
+            sd = prodd.withColumn(
+                "s", F.sum("t").over(w).cast("double")
+            )
+            c = sd.select(
+                "vec_id",
+                "pos",
+                (F.col("cv") - F.col("s") * F.col("vx")).alias("cv"),
+            ).localCheckpoint(eager=True)
+    return out.orderBy("comp", "pos")

@@ -1792,3 +1792,264 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_power_top1(
         _t(spark, sf_dir, "embeddings"), iterations=PCA_POWER_ITERATIONS
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_pq256: PRODUCTION-SIZED PQ via the frozen-constant pattern
+# (r12; VERDICT r11 ask #2)
+# ---------------------------------------------------------------------------
+
+
+def _sql_pq256(
+    n_queries: int = 8, k: int = 5, shortlist: int | None = None
+) -> str:
+    """DuckDB oracle for sim_ann_pq256: the frozen 256-code books
+    (operators.pq256_book, integer thousandths decoded as
+    CAST(x AS DOUBLE) / 1000.0 — exact IEEE parity with the Spark
+    frame's int / 1000.0) replayed statically through encode (L2
+    assignment via the rounded MIPS identity), ADC (rounded dot terms
+    summed as exact DECIMAL), the 50-deep shortlist, and the exact
+    cosine re-rank. The tx_bpe_apply64 pattern: training happened ONCE
+    offline (tools/train_pq256.py); the oracle never unrolls it, so a
+    production-sized codebook costs the oracle nothing."""
+    from ..operators import pq256_book as B
+
+    if shortlist is None:
+        shortlist = S.PQ256_SHORTLIST
+    vals = ",\n      ".join(
+        f"({m}, '{s}')" for m, s in enumerate(B.PQ256_PACKED)
+    )
+    sd = B.SUBDIM
+    return f"""
+    WITH braw AS (SELECT * FROM (VALUES {vals}) b(m, s)),
+    bsplit AS (SELECT m, string_split(s, '|') AS cs FROM braw),
+    bk AS (SELECT m, (u.p - 1) // {sd} AS code, (u.p - 1) % {sd} AS pos,
+                  CAST(u.c AS DOUBLE) / 1000.0 AS bv
+           FROM bsplit, unnest([{{'p': i, 'c': cs[i]}}
+                                for i in range(1, len(cs) + 1)]) AS t(u)),
+    books AS (SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+                     list(bv ORDER BY pos) AS cv
+              FROM bk GROUP BY 1, 2),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, r.range AS m,
+                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
+            FROM e, range(0, {B.M}) r),
+    enc AS (SELECT sub.vec_id, sub.m, code FROM sub JOIN books USING (m)
+            QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY round(list_dot_product(sv, cv)
+                             - CAST('0.5' AS DOUBLE)
+                               * list_dot_product(cv, cv),
+                             6) DESC, code ASC) = 1),
+    q AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub
+          WHERE vec_id < {n_queries}),
+    terms AS (SELECT query_id, enc.vec_id,
+                     CAST(round(list_dot_product(qsv, cv), 6)
+                          AS DECIMAL(18,6)) AS term
+              FROM enc JOIN books USING (m, code) JOIN q USING (m)),
+    scores AS (SELECT query_id, vec_id,
+                      CAST(sum(term) AS DOUBLE) AS approx_ip
+               FROM terms WHERE vec_id != query_id GROUP BY 1, 2),
+    short AS (SELECT query_id, vec_id, approx_ip FROM scores
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_ip DESC, vec_id ASC) <= {shortlist}),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id < {n_queries}),
+    rer AS (SELECT query_id, short.vec_id AS neighbor_id,
+                   round(approx_ip, 6) + CAST('0' AS DOUBLE) AS adc_ip6,
+                   round(list_cosine_similarity(qv, v), 6)
+                     + CAST('0' AS DOUBLE) AS cos6
+            FROM short JOIN e ON short.vec_id = e.vec_id
+            JOIN qv USING (query_id))
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos6 DESC, neighbor_id ASC) AS INTEGER) AS rnk,
+           neighbor_id, adc_ip6, cos6
+    FROM rer
+    QUALIFY rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@query(
+    "sim_ann_pq256",
+    _sql_pq256(),
+    # New r12 (all-scale verified before the flip; promoted same round
+    # — the capstone pattern).
+    driver=False,
+)
+def sim_ann_pq256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k at the PRODUCTION PQ configuration (VERDICT
+    r11 ask #2): m=8 subspaces x 256 codes/subspace — 64-bit codes, the
+    FAISS-default codebook size the ANN recall audit said the shipped
+    machinery should carry — with FROZEN codebooks
+    (operators.pq256_book, trained once offline by tools/train_pq256.py
+    and committed as integer thousandths; the tx_bpe_apply64
+    frozen-constant route around unrolled-training oracle cost), ADC
+    scan, and an exact cosine re-rank of the 50-deep ADC shortlist.
+    Measured at sf0.1 (ANN_RECALL_AUDIT_r12, 32 queries): ADC alone
+    recall@5 ~0.43 on the isotropic 64-dim fixture, shortlist+re-rank
+    ~0.91 — the production two-stage shape, quality bought where it is
+    cheap (full-precision I/O only for n_queries x 50 rows).
+
+    Every stage is in-hash: a wrong codebook value, a drifted L2
+    assignment, a broken ADC term, a shortlist off-by-one, or a re-rank
+    tie-break error shifts (rnk, neighbor_id, adc_ip6, cos6). At 100 TB
+    the books are a 2048-row broadcast, encode/ADC shuffle once on the
+    (query, vec) aggregation, and the re-rank is a broadcast semi-join
+    touching O(queries) raw vectors. Reference analogue: none
+    (beyond-reference LLM-pipeline tier)."""
+    return S.topk_ann_pq256(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# sim_pca_deflate: top-k principal components by deflated power iteration
+# (r12; VERDICT r11 ask #3 — consume sim_pca_power's rotation claim)
+# ---------------------------------------------------------------------------
+
+#: Components extracted by sim_pca_deflate (each costs iterations + 1
+#: shuffles over the exploded corpus; the oracle unrolls all of them).
+PCA_DEFLATE_COMPONENTS = 3
+
+
+def _sql_pca_deflate(
+    n_components: int = PCA_DEFLATE_COMPONENTS,
+    iterations: int = PCA_POWER_ITERATIONS,
+) -> str:
+    """DuckDB oracle for sim_pca_deflate: _sql_pca_power's unrolled
+    power iteration, repeated per component with the deflation step
+    between components (cv <- cv - <cv, v_j> v_j via the identical
+    vec_id-partitioned window sum), every accumulation DECIMAL(38,12)
+    term-cast, components re-entering as their 9-dp-rounded SIGNED
+    vectors — so every per-component intermediate (iterates, norms,
+    deflated frames, orthogonality) is inside the hash."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "ex AS (SELECT vec_id, u.p - 1 AS pos, u.x AS val FROM e,\n"
+        "       unnest([{'p': i, 'x': v[i]}\n"
+        "               for i in range(1, len(v) + 1)]) AS t(u))",
+        "mu AS (SELECT pos,\n"
+        "         CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)\n"
+        "           / count(*) AS mu\n"
+        "       FROM ex GROUP BY 1)",
+        "c0 AS (SELECT vec_id, ex.pos AS pos, val - mu AS cv\n"
+        "      FROM ex JOIN mu USING (pos))",
+    ]
+    selects = []
+    for j in range(n_components):
+        ctes.append(
+            f"x{j}_0 AS (SELECT pos, CAST('0.125' AS DOUBLE) AS x FROM mu)"
+        )
+        for i in range(iterations):
+            ctes += [
+                f"p{j}_{i} AS (SELECT vec_id, c{j}.pos AS pos, cv,\n"
+                f"           CAST(cv * x AS DECIMAL(38,12)) AS t\n"
+                f"         FROM c{j} JOIN x{j}_{i} USING (pos))",
+                f"s{j}_{i} AS (SELECT vec_id, pos, cv,\n"
+                f"           CAST(sum(t) OVER (PARTITION BY vec_id)"
+                f" AS DOUBLE) AS s\n"
+                f"         FROM p{j}_{i})",
+                f"y{j}_{i} AS (SELECT pos,\n"
+                f"           CAST(sum(CAST(cv * s AS DECIMAL(38,12)))"
+                f" AS DOUBLE) AS y\n"
+                f"         FROM s{j}_{i} GROUP BY 1)",
+                f"n{j}_{i} AS (SELECT sqrt(CAST(sum(CAST(y * y"
+                f" AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM y{j}_{i})",
+                f"x{j}_{i + 1} AS (SELECT pos, round(y / nrm, 9) AS x\n"
+                f"         FROM y{j}_{i}, n{j}_{i})",
+            ]
+        last = iterations
+        ctes += [
+            f"sg{j} AS (SELECT CASE WHEN x < 0 THEN CAST(-1 AS DOUBLE)\n"
+            f"               ELSE CAST(1 AS DOUBLE) END AS sgn\n"
+            f"        FROM x{j}_{last} WHERE pos = 0)",
+            f"v{j} AS (SELECT pos, round(x * sgn, 9) AS vx\n"
+            f"        FROM x{j}_{last}, sg{j})",
+            f"l{j} AS (SELECT round(nrm / (SELECT count(*) FROM e), 9)"
+            f" AS lambda9 FROM n{j}_{last - 1})",
+        ]
+        if j == 0:
+            ctes.append(
+                f"o{j} AS (SELECT CAST('0' AS DOUBLE) AS ortho_prev9)"
+            )
+        else:
+            ctes.append(
+                f"o{j} AS (SELECT round(CAST(sum(CAST(a.vx * b.vx"
+                f" AS DECIMAL(38,12))) AS DOUBLE), 9) AS ortho_prev9\n"
+                f"        FROM v{j} a JOIN v{j - 1} b USING (pos))"
+            )
+        if j < n_components - 1:
+            ctes += [
+                f"pd{j} AS (SELECT vec_id, c{j}.pos AS pos, cv, vx,\n"
+                f"           CAST(cv * vx AS DECIMAL(38,12)) AS t\n"
+                f"         FROM c{j} JOIN v{j} USING (pos))",
+                f"sd{j} AS (SELECT vec_id, pos, cv, vx,\n"
+                f"           CAST(sum(t) OVER (PARTITION BY vec_id)"
+                f" AS DOUBLE) AS s\n"
+                f"         FROM pd{j})",
+                f"c{j + 1} AS (SELECT vec_id, pos, cv - s * vx AS cv"
+                f" FROM sd{j})",
+            ]
+        # + CAST('0' AS DOUBLE) on every rounded double output:
+        # DuckDB's round() preserves IEEE negative zero (comp 1's
+        # ortho_prev9 measures -0.0 on the fixture) while Spark's
+        # F.round goes through BigDecimal, which has no signed zero —
+        # adding +0.0 canonicalizes -0.0 to +0.0 in BOTH engines
+        # (IEEE: -0.0 + 0.0 = +0.0) and is exact for every other value.
+        z = " + CAST('0' AS DOUBLE)"
+        selects.append(
+            f"SELECT CAST({j} AS INTEGER) AS comp,\n"
+            f"       CAST(v{j}.pos AS INTEGER) AS pos,\n"
+            f"       round(mu, 9){z} AS mu9, vx{z} AS pc_9,\n"
+            f"       lambda9{z} AS lambda9, ortho_prev9{z} AS ortho_prev9\n"
+            f"FROM v{j} JOIN mu USING (pos), l{j}, o{j}"
+        )
+    # MATERIALIZED on every CTE: DuckDB otherwise INLINES the CTE DAG,
+    # and the deflation chain re-expands each previous component's
+    # whole iteration tree multiplicatively — at 3 components the
+    # planner opens the parquet file hundreds of times ("too many open
+    # files" even at ulimit 20000). Semantics are identical; each CTE
+    # is just evaluated once, exactly like the Spark localCheckpoints.
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+        + "\n    ORDER BY comp, pos"
+    )
+
+
+@query(
+    "sim_pca_deflate",
+    _sql_pca_deflate(),
+    # New r12 (all-scale verified before the flip; promoted same round
+    # — the capstone pattern).
+    driver=False,
+)
+def sim_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 PRINCIPAL COMPONENTS by power iteration WITH DEFLATION
+    (operators.similarity.pca_power_topk) — the consumption of
+    sim_pca_power's OPQ-lite rotation claim (VERDICT r11 ask #3):
+    after each component converges, the centered frame is deflated
+    (cv <- cv - <cv, v_j> v_j, one window sum + one 64-row broadcast)
+    and the next component runs the identical iteration on the
+    residual. The covariance is still never materialized, per-component
+    state is d doubles, and the whole rotation basis the recall audit's
+    rotated-PQ row uses comes out of exactly this plan shape
+    (ANN_RECALL_AUDIT_r12 quantifies rotated vs unrotated 256-code PQ
+    recall on the fixture — an honest ~no-change on isotropic data,
+    where PCA finds no preferred axes; the mechanics are what the entry
+    pins).
+
+    The oracle unrolls all 3 components x 3 iterations plus both
+    deflation steps, so every per-component intermediate is in-hash:
+    iterates, norms, eigenvalues, the deflated frames, and
+    ortho_prev9 — the rounded <v_j, v_{j-1}> that pins
+    near-orthogonality of successive components. Output 3 x 64 rows:
+    (comp, pos, mu9, pc_9, lambda9, ortho_prev9). Reference analogue:
+    none (beyond-reference LLM-pipeline tier)."""
+    return S.pca_power_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_components=PCA_DEFLATE_COMPONENTS,
+        iterations=PCA_POWER_ITERATIONS,
+    )
