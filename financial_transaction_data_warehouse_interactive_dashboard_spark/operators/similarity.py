@@ -1012,10 +1012,10 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
 
 #: sim_ann_pq256's ADC shortlist size: the exact re-rank reads the raw
 #: vectors of only this many ADC candidates per query. Sized from the
-#: recall audit (ANN_RECALL_AUDIT_r12): on the isotropic 64-dim fixture
-#: the frozen 256-code ADC alone measures recall@5 ~0.43, the 50-deep
-#: shortlist + exact re-rank ~0.91 — the production two-stage shape
-#: (compressed scan, tiny exact tail).
+#: committed recall audit (ANN_RECALL_AUDIT_r13.json): on the isotropic
+#: 64-dim fixture the frozen 256-code ADC alone measures recall@5
+#: 0.43, the 50-deep shortlist + exact re-rank 0.91 — the production
+#: two-stage shape (compressed scan, tiny exact tail).
 PQ256_SHORTLIST = 50
 
 

@@ -331,7 +331,7 @@ _PII_PHONE = r"\+?\d[\d-]{7,}\d"
            CAST(ntile(4)     OVER (ORDER BY n DESC, nation) AS INTEGER) AS quartile
     FROM counts ORDER BY rnk
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile over grouped counts (SURVEY.md section 2.5
@@ -367,7 +367,7 @@ def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS approx_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) at 100 TB: approx_count_distinct (HyperLogLog++,
@@ -795,7 +795,7 @@ _CDC_ORACLE = """
     FROM probe JOIN build USING (uid)
     GROUP BY 1 ORDER BY segment
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sk_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation salted join under the correctness gate: the probe

@@ -46,7 +46,7 @@ from .queries import _t, query
     GROUP BY md5(text)
     ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (operators.dedup.exact_dedup)."""
@@ -75,7 +75,7 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= 0.3
     ORDER BY id_a, id_b
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive word-5-gram Jaccard near-dup pairs (shared-shingle block).
@@ -117,7 +117,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {SQL_JACCARD} >= 0.3
     ORDER BY id_a, id_b
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands x 2) candidates, exact-Jaccard verified.
@@ -206,7 +206,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     ORDER BY id_a, id_b
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-pair (cogrouped GEMM tile) variant — MUST emit exactly the
@@ -256,7 +256,7 @@ def dd_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
     FROM reach GROUP BY n ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE dedup clusters: connected components over the MinHash-LSH
@@ -282,7 +282,7 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_corpus_clean",
     _SQL_CORPUS_CLEAN,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship LLM-training-data pipeline, end to end: language

@@ -58,7 +58,7 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, range(0, 4) AS r(k)
     GROUP BY 1 ORDER BY 1
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15m windows (each event in 4 windows; the oracle expands
@@ -119,7 +119,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS purchased_after_click
     FROM firsts
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel by first-occurrence ordering.
@@ -169,7 +169,7 @@ def ev_funnel_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
            day_value
     FROM daily ORDER BY day
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day rolling event count — a RANGE window frame over epoch
@@ -683,7 +683,7 @@ def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bv JOIN ne USING (event_id)
     ORDER BY event_id
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH as-of directions on one driver row: each purchase gets (a) the
@@ -748,7 +748,7 @@ def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY event_id
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: views in the hour before each purchase,

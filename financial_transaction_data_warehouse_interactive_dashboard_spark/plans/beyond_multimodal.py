@@ -38,7 +38,7 @@ from .queries import _t, query
     # Promoted r5 into the driver surface: the decode stage now parses a
     # REAL format (BMP header round-trip) instead of the md5 stand-in,
     # which mm_features_resize still pins driver-side.
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline over a REAL format: per document a
@@ -72,7 +72,7 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents)
     ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def mm_features_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature-extraction + resize-planning in one

@@ -192,7 +192,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 10
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 8 vectors.
@@ -227,7 +227,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 5
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 within the query's sign-LSH bucket (the scale path)."""
@@ -407,7 +407,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3), driver=False)  # demoted r7 (rotation)
+@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3), driver=True)  # REFRESH r13 (evidence-age re-earn; plans/rotation.py)
 def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration Lloyd refinement (3 iterations, each materialized
     once and decimal-exact): the converged-quantizer path. The oracle SQL
@@ -757,7 +757,7 @@ def _sql_ivfpq_append(base: int = IVFPQ_APPEND_BASE) -> str:
     # New r10 (index-freshness capstone, authored after the r10 flip);
     # heads the r11 NEXT_QUEUE — locally oracle-pinned at all three
     # scales meanwhile.
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL index maintenance (sources.warehouse.
@@ -1020,7 +1020,7 @@ def _sql_ivfadc_residual(
     # New r10; single-pipeline since r11 (VERDICT r10 ask #3) — the
     # implementation and oracle changed, so the entry is RE_PROMOTED
     # for a fresh driver row (plans/rotation.py).
-    driver=True,  # RE_PROMOTED r11 (single-pipeline rework; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC with RESIDUAL encoding — the fidelity step Jegou et al.'s
@@ -1094,7 +1094,7 @@ def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s ORDER BY vec_id
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (operators.similarity.quantize_int8):
@@ -1318,7 +1318,7 @@ IVFPQ_DRIFT_TRAIN = S.IVFPQ_DRIFT_TRAIN
     # New r10 (index-lifecycle monitor, authored after the r10 flip);
     # joins the r11 NEXT_QUEUE — locally oracle-pinned at all three
     # scales.
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RETRAIN-trigger monitor that closes the index lifecycle
@@ -1504,7 +1504,7 @@ def _sql_ivfpq_retrain(
     _sql_ivfpq_retrain(),
     # New r11 (VERDICT r10 ask #4); first-timer on the r11 surface
     # after all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETRAIN-ON-DRIFT — the action sim_ivfpq_drift's flag triggers,
@@ -1635,9 +1635,10 @@ def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # answer — publish-on-base + append + compact must still equal the
     # frozen-structure batch encode, bit for bit.
     _sql_ivfpq_append(),
-    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # Authored r11 (after the r11 flip); queued for r12, whose
+    # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=False,
+    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
 )
 def wh_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files COMPACTION on the live index layout — the standing
@@ -1762,9 +1763,10 @@ def _sql_pca_power(iterations: int = PCA_POWER_ITERATIONS) -> str:
 @query(
     "sim_pca_power",
     _sql_pca_power(),
-    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # Authored r11 (after the r11 flip); queued for r12, whose
+    # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=False,
+    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
 )
 def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top PRINCIPAL COMPONENT of the embedding corpus by distributed
@@ -1873,9 +1875,11 @@ def _sql_pq256(
 @query(
     "sim_ann_pq256",
     _sql_pq256(),
-    # New r12 (all-scale verified before the flip; promoted same round
-    # — the capstone pattern).
-    driver=False,
+    # Authored r12 (sf0.01-verified then; re-verified at all three
+    # scales before the r13 flip). The r12 landing was interrupted
+    # before promotion/audit could be committed (VERDICT r12 "what's
+    # wrong" #2) — promoted r13 with the committed recall audit.
+    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
 )
 def sim_ann_pq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k at the PRODUCTION PQ configuration (VERDICT
@@ -1886,10 +1890,11 @@ def sim_ann_pq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     and committed as integer thousandths; the tx_bpe_apply64
     frozen-constant route around unrolled-training oracle cost), ADC
     scan, and an exact cosine re-rank of the 50-deep ADC shortlist.
-    Measured at sf0.1 (ANN_RECALL_AUDIT_r12, 32 queries): ADC alone
-    recall@5 ~0.43 on the isotropic 64-dim fixture, shortlist+re-rank
-    ~0.91 — the production two-stage shape, quality bought where it is
-    cheap (full-precision I/O only for n_queries x 50 rows).
+    Measured at sf0.1 (ANN_RECALL_AUDIT_r13.json, committed; 32
+    queries): ADC alone recall@5 0.43 on the isotropic 64-dim fixture,
+    shortlist+re-rank 0.91 — the production two-stage shape, quality
+    bought where it is cheap (full-precision I/O only for
+    n_queries x 50 rows).
 
     Every stage is in-hash: a wrong codebook value, a drifted L2
     assignment, a broken ADC term, a shortlist off-by-one, or a re-rank
@@ -2022,9 +2027,11 @@ def _sql_pca_deflate(
 @query(
     "sim_pca_deflate",
     _sql_pca_deflate(),
-    # New r12 (all-scale verified before the flip; promoted same round
-    # — the capstone pattern).
-    driver=False,
+    # Authored r12 (sf0.01-verified then; re-verified at all three
+    # scales before the r13 flip). The r12 landing was interrupted
+    # before promotion could be committed (VERDICT r12 "what's wrong"
+    # #2) — promoted r13.
+    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
 )
 def sim_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 PRINCIPAL COMPONENTS by power iteration WITH DEFLATION
@@ -2036,9 +2043,11 @@ def sim_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual. The covariance is still never materialized, per-component
     state is d doubles, and the whole rotation basis the recall audit's
     rotated-PQ row uses comes out of exactly this plan shape
-    (ANN_RECALL_AUDIT_r12 quantifies rotated vs unrotated 256-code PQ
-    recall on the fixture — an honest ~no-change on isotropic data,
-    where PCA finds no preferred axes; the mechanics are what the entry
+    (ANN_RECALL_AUDIT_r13.json, committed, quantifies rotated vs
+    unrotated 256-code PQ recall@5 on the fixture: 0.84 rotated vs
+    0.91 unrotated — the frozen books were trained on the unrotated
+    corpus and the fixture is isotropic, so rotation buys nothing here
+    and costs a little; the OPQ-lite mechanics are what the entry
     pins).
 
     The oracle unrolls all 3 components x 3 iterations plus both

@@ -63,7 +63,7 @@ def st_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Demoted r5 (rotation: family already multiply driver-green; stays
     # pinned by the local oracle sweep).
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.windows.tumbling executed as a real Structured Streaming
@@ -118,7 +118,7 @@ def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, user_id, event_type, value, props
     FROM events ORDER BY event_id
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup (dropDuplicatesWithinWatermark) against an
@@ -153,7 +153,7 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful streaming operator (applyInPandasWithState +
@@ -213,7 +213,7 @@ def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode streaming session windows (the hard case: a session is
@@ -237,7 +237,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1 ORDER BY event_type
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming egress through foreachBatch into a PARQUET sink (the
@@ -338,7 +338,7 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id, v_ts
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join run end-to-end as a real
@@ -443,7 +443,7 @@ _ST_BPE_IDS_DUCK = _T.bpe_token_ids_sql("duckdb")
            md5(coalesce(array_to_string(ids, ','), '')) AS tokens_md5
     FROM ids ORDER BY doc_id
     """,
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def st_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BPE tokenization (streaming.stream.run_stream_tokenize)
@@ -470,7 +470,7 @@ def st_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _T.bpe_train_apply_sql(),
     # New r11 (VERDICT r10 ask #5); first-timer on the r11 surface
     # after all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def st_bpe_tokenize_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-on-ingest with the LEARNED vocabulary — the production
@@ -559,9 +559,10 @@ from ..operators.similarity import (  # noqa: E402
              AS drifted
     FROM g ORDER BY cohort
     """,
-    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # Authored r11 (after the r11 flip); queued for r12, whose
+    # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=False,
+    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
 )
 def st_ivfpq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index drift monitor running AT INGEST — the streaming face

@@ -204,7 +204,7 @@ def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h JOIN hw USING (doc_id)
     ORDER BY doc_id
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document text-analysis profile in ONE driver row:
@@ -451,7 +451,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 3
     ORDER BY doc_id, tfidf DESC, term
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF, top-3 terms per document.
@@ -492,7 +492,7 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY 1, 2 ORDER BY split, lang
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by key hash
@@ -536,7 +536,7 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_shared DESC, doc_id ASC
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination report
@@ -861,7 +861,7 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM injected ORDER BY doc_id
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every LLM training pipeline
@@ -1644,7 +1644,7 @@ def tx_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.bpe_apply_fixed_sql(T.BPE_MERGES64),
     # New r11 (VERDICT r10 ask #2); first-timer on the r11 surface
     # after all-three-scale pre-validation (plans/rotation.py).
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def tx_bpe_apply64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow tokenizer at a 64-MERGE table — the depth where the
@@ -1725,7 +1725,7 @@ _BPE_WORDS_SPARK = T.bpe_words_sql("spark")
     """,
     # New r10 (tokenizer-eval tier, authored after the r10 flip); joins
     # the r11 NEXT_QUEUE — locally oracle-pinned at all three scales.
-    driver=True,  # rotated IN r11 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY evaluation per language — the standard

@@ -131,7 +131,7 @@ def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM checks ORDER BY check_name
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations battery (operators.quality) over the
@@ -420,7 +420,7 @@ def wh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_price
     FROM final GROUP BY 1, 2 ORDER BY quarter, status
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def wh_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORAGE layer under the driver's correctness gate: build a

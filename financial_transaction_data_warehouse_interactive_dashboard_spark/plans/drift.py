@@ -1831,9 +1831,10 @@ _STOREY_THR = f"round(bh_rank * {_BH_Q} / (m * pi0_6), 6)"
     FROM r3, k
     ORDER BY bh_rank
     """,
-    # New r11 (authored after the r11 flip); joins the r12 NEXT_QUEUE —
+    # Authored r11 (after the r11 flip); queued for r12, whose
+    # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=False,
+    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
 )
 def qa_fdr_storey_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storey's ADAPTIVE FDR (q-value procedure, Storey 2002) over the

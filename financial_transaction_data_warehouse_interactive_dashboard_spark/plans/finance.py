@@ -691,7 +691,7 @@ def _pr_iter_cte(i: int) -> str:
     # Promoted r5 (rotation, second wave): first driver row for the
     # iterative tier's second algorithm; funded by demoting
     # w4_surrogate_keys (driver-green r1-r4, equivalence-tested).
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the brand co-purchase graph (edge = two

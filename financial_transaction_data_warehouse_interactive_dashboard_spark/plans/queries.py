@@ -135,7 +135,7 @@ def dsum_expr(expr, scale: int = 6):
     ORDER BY n DESC, segment ASC
     LIMIT 5
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def q1_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 shape — 2-predicate filter -> group count -> top-5 with tie-break.
@@ -170,7 +170,7 @@ def q1_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, priority ASC
     LIMIT 5
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape — filter (type ∧ quarter) -> group count -> top-5.
@@ -200,7 +200,7 @@ def q2_top_priorities_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY n DESC, quarter ASC
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def q3_quarter_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape — IN-list filter -> group by derived quarter label -> rank.
@@ -231,7 +231,7 @@ def q3_quarter_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey) AS unique_customers
     FROM orders
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a4_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI strip — one-pass conditional aggregation (A4 + A5 + F4).
@@ -290,7 +290,7 @@ def a2_quarter_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY priority
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection, sorted — widget-population shape (A6/A7/O1).
@@ -327,7 +327,7 @@ def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN focus f ON t.qnum = f.qnum
     ORDER BY quarter
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def w1_quarter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarterly trend — two aggregates outer-joined, share-of-total, LAG QoQ.
@@ -383,7 +383,7 @@ def w1_quarter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalence-tested against the parallel two-phase variant
     # (tests/test_plan_quality.py); funds a22_brand_pagerank's first
     # driver row so the iterative-algorithm tier sits under the gate.
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordinal surrogate-key assignment over a dimension (W4/O1).
@@ -413,7 +413,7 @@ def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     ORDER BY o_orderkey
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact build — chained inner FK-resolution joins (J1/J2).
@@ -460,7 +460,7 @@ def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
     ORDER BY o_orderkey
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold denormalization — star-join the fact back to all dims (J3).
@@ -511,7 +511,7 @@ def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY p_partkey
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join — keys absent from the other side (J5/F3/X1): parts never
@@ -546,7 +546,7 @@ def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY segment, status
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def j6_topk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k semi-join — restrict detail rows to the top-k groups (J6 + O2).
@@ -688,7 +688,7 @@ def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY segment_total DESC, segment ASC, status ASC
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def o4_group_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groups ordered by their total — stacked-bar display order (O4/A3/W3).
@@ -942,7 +942,7 @@ def a10_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1 ORDER BY status
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: quarters to columns (the dashboard-matrix orientation the
@@ -985,7 +985,7 @@ def a11_pivot_quarter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY nation, part_type
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUM/AVG of fact MEASURES through a multi-dim star join — the
@@ -1038,7 +1038,7 @@ def a12_star_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS sketch_in_bound
     FROM orders GROUP BY 1 ORDER BY status
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group value stats (MIN/MAX/decimal-exact AVG — a10_value_stats'
@@ -1104,7 +1104,7 @@ def a13_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (o_orderstatus), (o_orderpriority), ())
     ORDER BY gid, status, priority
     """,
-    driver=True,  # REFRESH r11 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r13 (rotation; driver-green, plans/rotation.py)
 )
 def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS: all four aggregation levels of

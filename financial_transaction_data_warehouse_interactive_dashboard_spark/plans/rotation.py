@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 11
+CURRENT_ROUND = 13
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -304,6 +304,55 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "tx_quality_score", "tx_token_count", "x1_except",
         ),
     },
+    # Round 12 has NO entry: the round was interrupted mid-landing and
+    # the rotation never flipped — CORRECTNESS_r12.json is
+    # surface-identical to r11's (VERDICT r12). The r12 queue's four
+    # entries plus the two operators authored in r12 all promote in
+    # r13 below. See LANDING CHECKLIST at the bottom of this module.
+    13: {
+        # The land-the-plane round (VERDICT r12 asks #1/#2): SIX
+        # first-timers — the four r12-queued entries
+        # (st_ivfpq_monitor, qa_fdr_storey_spike_in, wh_ivfpq_compact,
+        # sim_pca_power, each three-scale verified when authored in
+        # r11 and re-verified this round) plus the two r12-authored
+        # operators (sim_ann_pq256, sim_pca_deflate — sf0.01-verified
+        # in r12, all-scale verified this round before the flip, and
+        # their recall claims now substantiated by the committed
+        # ANN_RECALL_AUDIT_r13.json). Driver-row coverage after a
+        # green r13: 209/209 — the first full-registry round. The
+        # keep-set holds at the KEEP_SET_CAP of 18 (wh_ivfpq_compact
+        # and st_ivfpq_monitor were considered and NOT admitted: the
+        # ivfpq lifecycle is already represented by wh_ivfpq_publish —
+        # the cap policy below). The remaining 26 slots are REFRESH
+        # promotions — the age-ordered prefix of REFRESH_QUEUE (the
+        # r6-vintage tail through wh_gold_maintenance).
+        "in": (
+            # r12 queue (authored r11; first driver rows two rounds overdue)
+            "st_ivfpq_monitor", "qa_fdr_storey_spike_in",
+            "wh_ivfpq_compact", "sim_pca_power",
+            # authored r12 (landing interrupted before promotion)
+            "sim_ann_pq256", "sim_pca_deflate",
+        ),
+        "out": (
+            # r11 first-timers outside the keep-set retire on their
+            # green r11+r12 rows (the r8 second-row policy)
+            "wh_ivfpq_append", "tx_bpe_fertility", "sim_ivfpq_drift",
+            "st_bpe_tokenize", "tx_bpe_apply64", "wh_ivfpq_retrain",
+            "st_bpe_tokenize_learned", "sim_ann_ivfadc_residual",
+            # r11 REFRESH entries rotate off on their re-earned rows
+            "a11_pivot_quarter_status", "a12_star_measures",
+            "a13_percentile_sketch", "a14_grouping_sets",
+            "a22_brand_pagerank", "a4_kpis",
+            "a5_unique_customers_approx", "a6_distinct_dims",
+            "dd_corpus_clean", "dd_embedding_neardup_blocked",
+            "dd_exact_dedup", "dd_minhash_lsh", "dd_neardup_components",
+            "dd_ngram_jaccard", "ev_asof_purchase", "ev_funnel_vcp",
+            "ev_rolling_7d", "mm_features_resize",
+            "q2_top_priorities_q4", "q3_quarter_ranking",
+            "sim_topk_bruteforce", "st_sessionize_stateful",
+            "st_tumbling_hourly", "w4_surrogate_keys",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -328,15 +377,10 @@ RE_PROMOTED: dict[str, int] = {
 #: authored AFTER the flip; first-timers always outrank refresh slots.
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
-    # The r11 flip itself carried no debt (every r10-authored entry
-    # promoted, and tx_bpe_apply64 / wh_ivfpq_retrain /
-    # st_bpe_tokenize_learned were all-scale verified and promoted in
-    # the SAME round — the r10 capstone pattern). Entries authored
-    # AFTER the r11 flip queue here for the r12 surface:
-    "st_ivfpq_monitor",  # drift monitor at ingest, per-arriving-batch (authored r11)
-    "qa_fdr_storey_spike_in",  # Storey adaptive FDR over the spike-in family (authored r11)
-    "wh_ivfpq_compact",  # index small-files compaction, answers pinned unchanged (authored r11)
-    "sim_pca_power",  # top principal component by distributed power iteration (authored r11)
+    # The r13 flip cleared ALL queued debt: the four r12-queue entries
+    # and both r12-authored operators promoted (see ROTATION_HISTORY
+    # 13), leaving zero never-driver-checked entries after a green
+    # r13. Operators authored after the r13 flip queue here for r14.
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
@@ -364,23 +408,14 @@ NEXT_QUEUE: tuple[str, ...] = (
 #: freshness is the point — so they are not declared in the history's
 #: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
 REFRESH_QUEUE: tuple[str, ...] = (
-    # The round-11 flip consumed the previous queue's 24-name prefix
-    # (r4/r5 leftovers + the head of the r6 vintage through
-    # ev_asof_purchase); what remains is the r6-vintage tail followed
-    # by the full r7 vintage (alphabetical within a vintage = the
-    # ties-by-name rule). Recomputed this round from the committed
+    # The round-13 flip consumed the previous queue's 26-name prefix
+    # (the r6-vintage tail through wh_gold_maintenance); what remains
+    # is the last two r6-tail names followed by the full r7 vintage
+    # and the head of the r8 vintage (alphabetical within a vintage =
+    # the ties-by-name rule). Recomputed this round from the committed
     # CORRECTNESS files, as every round.
     # r6 tail
-    "ev_range_views_before_purchase", "ev_sliding_1h_15m",
-    "j1_fact_build", "j3_gold_denorm", "j5_anti_join", "j6_topk_semi",
-    "mm_blob_meta", "o4_group_total_order", "q1_top_segments",
-    "sim_ann_ivf_kmeans_iter3", "sim_ann_signlsh", "sim_quantize_int8",
-    "sk_salted_hot_join", "st_dedup", "st_foreach_batch_sink",
-    "st_sessionize", "st_stream_stream_join", "tx_decontaminate",
-    "tx_hash_split", "tx_pii_scrub", "tx_text_profile",
-    "tx_tfidf_top_terms", "w1_quarter_trend", "w5_rank_functions",
-    "wh_expectations", "wh_gold_maintenance", "wh_table_profile",
-    "x2_union_intersect",
+    "wh_table_profile", "x2_union_intersect",
     # r7
     "a16_rfm_segmentation", "a17_pareto_customers",
     "a23_brand_triangles", "a24_revenue_gini", "a26_brand_communities",
@@ -392,4 +427,63 @@ REFRESH_QUEUE: tuple[str, ...] = (
     "qa_welch_t", "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume", "tx_split_by_cluster",
     "wh_scd2_history", "wh_zorder_skipping",
+    # r8 head
+    "a19_benford_first_digit", "a25_spearman_avg_rank",
+    "a25_spearman_freq_spend", "a28_customer_kmeans", "a35_survival_km",
+    "dd_incremental_dedup", "dd_incremental_minhash",
+    "dd_passage_dupes", "dd_qgram_edit_join", "dd_segment_dedup",
+    "ev_active_users_hll", "ev_attribution_first_touch",
+    "ev_attribution_linear", "ev_autocorr_daily", "ev_cohort_retention",
+    "ev_cusum_daily", "ev_ewma_daily", "ev_forecast_backtest",
+    "ev_mad_outliers", "ev_peak_concurrency", "ev_seasonal_decompose",
+    "ev_time_to_convert", "ev_trend_regression", "ev_wau_stickiness",
+    "ev_winsorized_stats", "mm_avi_frames",
 )
+
+#: KEEP-SET CAP POLICY (r13; VERDICT r11 ask #8 / r12 ask #6). The
+#: keep-set — scale/state-dependent entries that re-earn a driver row
+#: EVERY round under the r8 second-row policy — is capped so refresh
+#: throughput cannot quietly degrade as st_*/wh_* harnesses accumulate:
+#: with 50 slots, ~6 first-timers and an 18-entry keep-set leave ~26
+#: refresh slots, which cycles the ~160-entry refresh pool every ~6
+#: rounds; every keep-set seat beyond the cap stretches that cycle.
+#:
+#: Admission rule: a new scale/state-dependent entry joins the keep-set
+#: only if (a) its operator FAMILY (shared storage lifecycle or stream
+#: harness) is not already represented by a sitting member, and (b) the
+#: set stays within KEEP_SET_CAP — otherwise the longest-tenured member
+#: of the most-represented family ages out to the refresh pool (it has
+#: green rows by construction, so it re-earns freshness on the normal
+#: cadence). Applied at r13: wh_ivfpq_compact and st_ivfpq_monitor were
+#: NOT admitted — the ivfpq index lifecycle is already represented by
+#: wh_ivfpq_publish; they rotate like deterministic entries.
+KEEP_SET_CAP = 18
+
+#: The standing keep-set (r8 second-row policy; membership pinned by
+#: tests/test_rotation.py to <= KEEP_SET_CAP and to being on every
+#: round's surface).
+KEEP_SET: tuple[str, ...] = (
+    "a24_revenue_gini_scale_safe",
+    "st_cdc_apply", "st_daily_actives_hll", "st_late_data",
+    "st_stream_merge_rollup", "st_stream_static_enrich",
+    "wh_bloom_prune", "wh_bucketed_join", "wh_cdc_apply",
+    "wh_compaction", "wh_incremental_join", "wh_incremental_rollup",
+    "wh_ivfpq_publish", "wh_orphan_audit", "wh_scd2_lookup",
+    "wh_schema_evolution", "wh_time_travel", "wh_vacuum_retention",
+)
+
+#: LANDING CHECKLIST (r13; VERDICT r12 ask #8 — a single interrupted
+#: round must not be able to snapshot silently half-landed). Before the
+#: LAST commit of any round, and before authoring new operators late in
+#: a round, the builder runs:
+#:   1. pytest tests/ green (includes the registry-count, SURVEY §2.11,
+#:      NLQ-partition, rotation-ledger, and keep-set invariants);
+#:   2. CURRENT_ROUND == the round being landed;
+#:   3. every operator authored this round is either promoted in
+#:      ROTATION_HISTORY[CURRENT_ROUND]["in"] (three-scale verified
+#:      before the flip) or listed in NEXT_QUEUE;
+#:   4. no committed docstring cites an artifact (audit file, bench
+#:      number) that is not itself committed.
+#: Rule of thumb: flip-and-bookkeep FIRST, author new operators AFTER
+#: the flip commit — an interruption then leaves a green repo with a
+#: conservative surface instead of a red repo with a stalled rotation.

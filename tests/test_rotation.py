@@ -148,3 +148,30 @@ def test_rotation_md_mentions_current_round():
     assert f"| {R.CURRENT_ROUND} |" in text
     for name in R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"]:
         assert name in text, name
+
+
+def test_keep_set_capped_and_on_surface():
+    """Keep-set cap policy (r13; VERDICT r11 ask #8 / r12 ask #6): the
+    keep-set is an explicit pinned tuple, capped at KEEP_SET_CAP so
+    refresh throughput cannot quietly degrade, every member is on the
+    current surface (it re-earns a row every round — that is its
+    definition), every member is registered, no duplicates, and members
+    are scale/state-dependent shapes (st_*/wh_* harnesses plus the
+    a24 plan-shape claim)."""
+    keep = R.KEEP_SET
+    assert len(keep) == len(set(keep)), "duplicate keep-set member"
+    assert len(keep) <= R.KEEP_SET_CAP, (len(keep), R.KEEP_SET_CAP)
+    assert not set(keep) - set(Q.REGISTRY), set(keep) - set(Q.REGISTRY)
+    surface = {n for n, q in Q.REGISTRY.items() if q.driver}
+    off_surface = set(keep) - surface
+    assert not off_surface, off_surface
+    for name in keep:
+        assert name.startswith(("st_", "wh_")) or name == (
+            "a24_revenue_gini_scale_safe"
+        ), name
+    # The surface decomposes exactly: first-timers + keep-set + refresh
+    # (refresh = surface members that are neither — they must all come
+    # from the refresh pool, i.e. hold a prior green row; the
+    # green-or-first-timer test above already pins that).
+    first = set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"])
+    assert not first & set(keep), first & set(keep)

@@ -218,6 +218,80 @@ def main() -> None:
         "build_plus_query_s": round(time.perf_counter() - t0, 2),
     }
 
+    # --- The production 256-code PQ family (VERDICT r11 ask #2 / r12
+    # ask #3: the sim_ann_pq256 docstring's recall claims must rest on
+    # a COMMITTED audit row). These are full-corpus compressed ADC
+    # scans — no IVF cell pruning — so candidate_frac is honestly 1.0:
+    # the scan budget here is the 32x code compression, not cell
+    # selectivity.
+    t0 = time.perf_counter()
+    # shortlist == k: the exact re-rank can only permute the ADC top-k,
+    # so the returned SET (and set-based recall@5) is the ADC scan's own.
+    results["ivf_pq256"] = {
+        "recall_at_5": recall(
+            S.topk_ann_pq256(emb, N_QUERIES, K, shortlist=K)
+        ),
+        "candidate_frac": 1.0,
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    t0 = time.perf_counter()
+    # The shipped two-stage config: 50-deep ADC shortlist + exact
+    # cosine re-rank (full-precision I/O only for n_queries x 50 rows).
+    results["ivf_pq256_rerank"] = {
+        "recall_at_5": recall(S.topk_ann_pq256(emb, N_QUERIES, K)),
+        "candidate_frac": 1.0,
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    # Rotated variant (the sim_pca_deflate consumption claim): apply a
+    # deterministic orthogonal rotation whose first three axes are the
+    # deflated-power-iteration principal components (OPQ-lite — align
+    # the leading variance directions with subspace boundaries), then
+    # re-encode with the SAME frozen books. Cosine is invariant under
+    # an orthogonal map, so the exact frontier is unchanged and recall
+    # is comparable row-for-row with the unrotated entries. numpy is
+    # tool-side only (same license as tools/train_pq256.py); the
+    # rotation matrix is a bounded 64x64 constant and the corpus here
+    # is the audit fixture — a production deployment applies R as a
+    # broadcast matrix inside the encode map stage.
+    t0 = time.perf_counter()
+    import numpy as np
+
+    comp_rows = S.pca_power_topk(emb, n_components=3, iterations=3).collect()
+    d = 1 + max(r["pos"] for r in comp_rows)
+    comps = np.zeros((3, d))
+    for r in comp_rows:
+        comps[r["comp"], r["pos"]] = r["pc_9"]
+    # Complete the 3 components to a full orthonormal basis by
+    # Gram-Schmidt over [v1, v2, v3, e_0..e_{d-1}] (deterministic), then
+    # R = Q^T maps component j onto axis j.
+    basis: list[np.ndarray] = []
+    for cand in list(comps) + list(np.eye(d)):
+        w = cand.astype(float)
+        for b in basis:
+            w = w - np.dot(w, b) * b
+        n = float(np.linalg.norm(w))
+        if n > 1e-9:
+            basis.append(w / n)
+        if len(basis) == d:
+            break
+    R = np.stack(basis)  # rows are the new axes; v_rot = R @ v
+    raw = vecs.orderBy("vec_id").collect()
+    rot_rows = [
+        (int(r["vec_id"]), (R @ np.asarray(r["v"], dtype=float)).tolist())
+        for r in raw
+    ]
+    rot_emb = spark.createDataFrame(
+        rot_rows, "vec_id bigint, embedding array<double>"
+    )
+    rot_emb.cache().count()
+    results["ivf_pq256_rotated"] = {
+        "recall_at_5": recall(S.topk_ann_pq256(rot_emb, N_QUERIES, K)),
+        "candidate_frac": 1.0,
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
     out = {
         "sf_dir": sf_dir,
         "n_corpus": n_corpus,
