@@ -133,14 +133,21 @@ def topk_ann_ivf(
 
 
 def _assign_cells(vecs: DataFrame, cells: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by rounded cosine (ties -> lowest cell)."""
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    """Nearest-centroid assignment by rounded cosine (ties -> lowest
+    cell). Single-pass ``max_by`` partial aggregation instead of a
+    row_number window over the corpus x n_cells fan-out (r13 — the
+    sim_ann_pq256 assignment lesson applied to the coarse quantizer):
+    the struct order (cell_cos, -cell) is exactly the window's
+    (score DESC, cell ASC) total order, so assignments are identical
+    row-for-row; the aggregation combines map-side instead of sorting
+    the fan-out, which is also the 10^9-vector plan."""
+    best = F.expr("max_by(struct(v, cell), struct(cell_cos, -cell))")
     return (
         vecs.crossJoin(F.broadcast(cells))
         .withColumn("cell_cos", F.round(P.cosine("v", "cv"), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+        .groupBy("vec_id")
+        .agg(best.alias("b"))
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
     )
 
 
@@ -368,16 +375,21 @@ def _pq_assign(
     required for RESIDUAL subvectors, which can be exactly the zero
     vector (cosine undefined there; the identity is well-defined and
     its tie-break total). Portable: every term is an in-order fold with
-    the identical parenthesization in the DuckDB twin."""
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("sub_score"), F.asc("code")
-    )
+    the identical parenthesization in the DuckDB twin. Single-pass
+    ``max_by`` partial aggregation (r13, the sim_ann_pq256 assignment
+    lesson): struct order (sub_score, -code) == the previous window's
+    (score DESC, code ASC), identical codes row-for-row, no sort over
+    the subvector x n_codes fan-out."""
+    best = F.expr("max_by(struct(sv, code), struct(sub_score, -code))")
     return (
         subs.join(F.broadcast(books), "m")
         .withColumn("sub_score", F.round(_pq_metric(metric), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sv", "code")
+        .groupBy("vec_id", "m")
+        .agg(best.alias("b"))
+        .select(
+            "vec_id", "m", F.col("b.sv").alias("sv"),
+            F.col("b.code").alias("code"),
+        )
     )
 
 
@@ -545,14 +557,13 @@ def build_ivfpq_index(
     books = pq_codebooks(
         subs_c.select("vec_id", "m", "sv"), n_codes, pq_iterations
     )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("sub_cos"), F.asc("code")
-    )
+    # encode: max_by partial aggregation (r13), identical tie semantics
+    # to the previous (sub_cos DESC, code ASC) row_number window
     inv = (
         subs_c.join(F.broadcast(books), "m")
         .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.expr("max_by(code, struct(sub_cos, -code))").alias("code"))
         .select("vec_id", "cell", "m", "code")
     )
     return cells, books, inv
@@ -704,6 +715,7 @@ def topk_ann_ivfadc_residual(
     subdim: int = PQ_SUBDIM,
     n_codes: int = PQ_K,
     pq_iterations: int = IVFADC_PQ_ITERATIONS,
+    prebuilt_cells: DataFrame | None = None,
 ) -> DataFrame:
     """The residual-encoded IVFADC pipeline ALONE — the production
     variant (VERDICT r10 ask #3: once 'residual >= raw' is driver-green
@@ -713,6 +725,7 @@ def topk_ann_ivfadc_residual(
     res, _ = topk_ann_ivfadc_residual_vs_raw(
         emb, n_queries, k, n_cells, nprobe, ivf_iterations, m, subdim,
         n_codes, pq_iterations, build_raw=False,
+        prebuilt_cells=prebuilt_cells,
     )
     return res
 
@@ -729,6 +742,7 @@ def topk_ann_ivfadc_residual_vs_raw(
     n_codes: int = PQ_K,
     pq_iterations: int = IVFADC_PQ_ITERATIONS,
     build_raw: bool = True,
+    prebuilt_cells: DataFrame | None = None,
 ):
     """IVFADC with RESIDUAL encoding (Jegou et al. 2011, the actual
     IVFADC: PQ compresses x - c(x), not x) built against the SAME coarse
@@ -759,12 +773,19 @@ def topk_ann_ivfadc_residual_vs_raw(
     aggregations. At 100 TB the extra residual cost is one broadcast
     join + a zip_with per vector — free relative to the scan."""
     vecs = _vecs(emb)
-    seeds = vecs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
-    cells = seeds
-    for _ in range(ivf_iterations):
-        cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
+    if prebuilt_cells is not None:
+        # Shared-artifact path (VERDICT r12 ask #5): the caller already
+        # holds the identical seeds-then-Lloyd quantizer (the
+        # build_ivfpq_index cells at the same n_cells/ivf_iterations) —
+        # recomputing it here would re-prove nothing.
+        cells = prebuilt_cells
+    else:
+        seeds = vecs.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        cells = seeds
+        for _ in range(ivf_iterations):
+            cells = refine_centroids(vecs, cells).localCheckpoint(eager=True)
     assign = _assign_cells(vecs, cells)
 
     def _sub_explode(src: DataFrame, vcol: str) -> DataFrame:
@@ -796,14 +817,13 @@ def topk_ann_ivfadc_residual_vs_raw(
         rsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations,
         metric="l2",
     )
-    w_enc_r = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("sub_ip"), F.asc("code")
-    )
+    # encode: max_by partial aggregation (r13), identical tie semantics
+    # to the previous (sub_ip DESC, code ASC) row_number window
     rinv = (
         rsubs.join(F.broadcast(rbooks), "m")
         .withColumn("sub_ip", F.round(_pq_metric("l2"), 6))
-        .withColumn("rn", F.row_number().over(w_enc_r))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.expr("max_by(code, struct(sub_ip, -code))").alias("code"))
         .select("vec_id", "cell", "m", "code")
     )
 
@@ -816,14 +836,13 @@ def topk_ann_ivfadc_residual_vs_raw(
         rawbooks = pq_codebooks(
             rawsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations
         )
-        w_enc_c = Window.partitionBy("vec_id", "m").orderBy(
-            F.desc("sub_cos"), F.asc("code")
-        )
         rawinv = (
             rawsubs.join(F.broadcast(rawbooks), "m")
             .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-            .withColumn("rn", F.row_number().over(w_enc_c))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "cell", "m")
+            .agg(
+                F.expr("max_by(code, struct(sub_cos, -code))").alias("code")
+            )
             .select("vec_id", "cell", "m", "code")
         )
 

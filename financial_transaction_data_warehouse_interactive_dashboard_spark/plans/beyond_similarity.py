@@ -23,6 +23,113 @@ from .beyond import (  # shared fragments/helpers
 from .queries import _t, query
 
 
+# ---------------------------------------------------------------------------
+# Shared built-once IVFPQ artifacts (VERDICT r11 ask #4 / r12 ask #5)
+#
+# Six lifecycle entries (sim_ann_ivf_pq, wh_ivfpq_publish/append/
+# compact/retrain, sim_ann_ivfadc_residual) each used to rebuild
+# overlapping index structures none of them individually proves —
+# ~13% of the bench suite spent re-running the SAME deterministic
+# Lloyd/codebook/encode plans. The builders below construct each
+# artifact once per (Spark application, dataset) — the _spike_in_r2
+# sharing discipline, extended with a memo because these artifacts are
+# materialized (localCheckpoint / published tables), not lazy plans.
+# Every consumer still runs its OWN claim (publish write, append,
+# compaction, serve, monitor) against the shared deterministic input,
+# so every oracle stays bit-exact: the artifacts are pure functions of
+# (sf_dir, frozen constants), identical no matter which entry builds
+# them first.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SHARED: dict = {}
+
+
+def _shared_artifact(spark: SparkSession, sf_dir: str, kind: str, builder):
+    """Memoize ``builder()`` per (Spark application, dataset, kind).
+    Keyed on applicationId so artifacts never leak across sessions
+    (localCheckpointed frames die with their context) and on sf_dir so
+    a session that touches several scales (the test suite does) never
+    serves one scale's index to another's query."""
+    import os as _os
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.normpath(sf_dir),
+        kind,
+    )
+    if key not in _IVFPQ_SHARED:
+        _IVFPQ_SHARED[key] = builder()
+    return _IVFPQ_SHARED[key]
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Deterministic table-name tag for a dataset dir (table names are
+    session-global, so shared STORED artifacts must encode the scale)."""
+    import hashlib
+    import os as _os
+
+    return hashlib.md5(
+        _os.path.normpath(sf_dir).encode()
+    ).hexdigest()[:8]
+
+
+def _shared_full_index(spark: SparkSession, sf_dir: str):
+    """build_ivfpq_index at the registry defaults (n_cells=16, one
+    Lloyd, 8-code books) over the full corpus, built once and
+    checkpoint-pinned: the exact structures sim_ann_ivf_pq queries
+    in memory and wh_ivfpq_publish persists."""
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        cells, books, inv = S.build_ivfpq_index(emb)
+        # cells and books come back localCheckpointed already; inv is
+        # the one lazy tail shared by several consumers — pin it once.
+        return (cells, books, inv.localCheckpoint(eager=True))
+
+    return _shared_artifact(spark, sf_dir, "full_index", build)
+
+
+def _shared_exact_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact brute-force top-5 frontier (query_id, neighbor_id) the
+    recall column of every lifecycle entry is measured against — 40
+    rows, built once."""
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        return (
+            S.topk_bruteforce(emb, n_queries=8, k=5)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared_artifact(spark, sf_dir, "exact_frontier", build)
+
+
+def _shared_appended_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """The published-on-base + appended-new stored layout shared by
+    wh_ivfpq_append and wh_ivfpq_compact (their oracles share
+    _sql_ivfpq_append verbatim — same frozen structures, same rows).
+    Compaction by the compact entry does not change a row (that IS its
+    claim), so build order between the two consumers is immaterial;
+    the file-count assertions live test-side on a private prefix."""
+
+    def build():
+        from ..sources.warehouse import (
+            append_ivfpq_vectors,
+            publish_ivfpq_layout,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+        new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
+        prefix = f"ivfpq_shr_{_sf_tag(sf_dir)}"
+        publish_ivfpq_layout(base, prefix)
+        append_ivfpq_vectors(new, prefix)
+        return prefix
+
+    return _shared_artifact(spark, sf_dir, "appended_prefix", build)
+
+
 
 
 # ===========================================================================
@@ -523,16 +630,20 @@ def _sql_ivf_pq() -> str:
 
 
 
-def _ivfpq_recall_output(emb: DataFrame, ann: DataFrame) -> DataFrame:
+def _ivfpq_recall_output(
+    emb: DataFrame, ann: DataFrame, exact: DataFrame | None = None
+) -> DataFrame:
     """Shared output composition for the IVFPQ entries: join the ANN
     top-5 back against the exact brute-force frontier so each row
     carries its own recall@5 (all right sides query-sample-bounded ->
     broadcast). sim_ann_ivf_pq (in-memory index) and wh_ivfpq_publish
     (stored index) both return this frame, which is why they share one
-    oracle string verbatim."""
-    exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
-        "query_id", "neighbor_id"
-    )
+    oracle string verbatim. ``exact``: the pre-built frontier from
+    _shared_exact_frontier (same plan, built once per bench run)."""
+    if exact is None:
+        exact = S.topk_bruteforce(emb, n_queries=8, k=5).select(
+            "query_id", "neighbor_id"
+        )
     hits = (
         ann.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -582,13 +693,17 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the ADC aggregation over nprobe/n_cells of the corpus.
     Reference analogue: none (beyond-reference LLM-pipeline tier)."""
     emb = _t(spark, sf_dir, "embeddings")
-    # ~40 rows feeding two branches (hits + output join): materialize
-    # once so the recall leg doesn't re-run the whole index build
+    # The built-once structures (r13 shared-artifact discipline) fed to
+    # the SAME query path topk_ann_ivf_pq composes; ~40 rows feeding
+    # two branches (hits + output join) so materialize once
     # (shared-frame-before-branching, the a30 seeds lesson).
-    ann = S.topk_ann_ivf_pq(emb, n_queries=8, k=5).localCheckpoint(
-        eager=True
+    cells, books, inv = _shared_full_index(spark, sf_dir)
+    ann = S.ivfpq_query(
+        emb, cells, books, inv, n_queries=8, k=5
+    ).localCheckpoint(eager=True)
+    return _ivfpq_recall_output(
+        emb, ann, exact=_shared_exact_frontier(spark, sf_dir)
     )
-    return _ivfpq_recall_output(emb, ann)
 
 
 
@@ -624,7 +739,12 @@ def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warehouse import publish_ivfpq_layout
 
     emb = _t(spark, sf_dir, "embeddings")
-    publish_ivfpq_layout(emb, "ivfpq_idx")
+    # Publish from the built-once structures (r13 shared-artifact
+    # discipline): the write, the stored layout, and the read-back
+    # serve path — the claims this entry pins — are unchanged.
+    publish_ivfpq_layout(
+        emb, "ivfpq_idx", index=_shared_full_index(spark, sf_dir)
+    )
     # ADVICE r9: pin the stored partition column's dtype to the
     # in-memory frames' bigint explicitly — saveAsTable's catalog
     # schema preserves it today, but the serve path must not depend on
@@ -641,7 +761,9 @@ def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=8,
         k=5,
     ).localCheckpoint(eager=True)
-    return _ivfpq_recall_output(emb, ann)
+    return _ivfpq_recall_output(
+        emb, ann, exact=_shared_exact_frontier(spark, sf_dir)
+    )
 
 
 #: wh_ivfpq_append's base/new split point — single-sourced in the leaf
@@ -780,28 +902,26 @@ def wh_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (one pass, cell rides the explode) and appends one file per
     occupied cell; compact_partitions is the standing repair as
     batches accumulate. Reference analogue: none."""
-    from ..sources.warehouse import (
-        append_ivfpq_vectors,
-        publish_ivfpq_layout,
-    )
-
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
-    new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
-    publish_ivfpq_layout(base, "ivfpq_app")
-    append_ivfpq_vectors(new, "ivfpq_app")
-    codes = spark.table("ivfpq_app_codes").withColumn(
+    # The publish-on-base + append-new layout is the shared artifact
+    # (r13; wh_ivfpq_compact consumes the SAME stored tables — their
+    # oracles share _sql_ivfpq_append verbatim, and compaction changes
+    # no row, so build order between the two is immaterial).
+    prefix = _shared_appended_prefix(spark, sf_dir)
+    codes = spark.table(f"{prefix}_codes").withColumn(
         "cell", F.col("cell").cast("bigint")
     )
     ann = S.ivfpq_query(
         emb,
-        spark.table("ivfpq_app_centroids"),
-        spark.table("ivfpq_app_codebooks"),
+        spark.table(f"{prefix}_centroids"),
+        spark.table(f"{prefix}_codebooks"),
         codes,
         n_queries=8,
         k=5,
     ).localCheckpoint(eager=True)
-    return _ivfpq_recall_output(emb, ann)
+    return _ivfpq_recall_output(
+        emb, ann, exact=_shared_exact_frontier(spark, sf_dir)
+    )
 
 
 # PQ Lloyd iteration budget: single-sourced next to the operator
@@ -1048,14 +1168,16 @@ def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell terms broadcast, the only shuffle is the ADC aggregation.
     Reference analogue: none (beyond-reference LLM-pipeline tier)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # The coarse quantizer is the shared built-once one (r13): the
+    # residual pipeline's IVF is seeds<16 + one Lloyd over the full
+    # corpus — exactly the build_ivfpq_index cells. The residual
+    # codebooks/encode/ADC (this entry's claim) still run in full.
+    cells, _, _ = _shared_full_index(spark, sf_dir)
     ann_res = S.topk_ann_ivfadc_residual(
-        emb, n_queries=8, k=5, pq_iterations=S.IVFADC_PQ_ITERATIONS
+        emb, n_queries=8, k=5, pq_iterations=S.IVFADC_PQ_ITERATIONS,
+        prebuilt_cells=cells,
     ).localCheckpoint(eager=True)
-    exact = (
-        S.topk_bruteforce(emb, n_queries=8, k=5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    exact = _shared_exact_frontier(spark, sf_dir)
     hits = (
         ann_res.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1557,11 +1679,16 @@ def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionAll(shifted)
     # the frozen quantizer: the centroids the base-published index
     # serves (seeds vec_id < 16, one Lloyd over base — exactly
-    # wh_ivfpq_publish's build on the base corpus)
-    seeds = base.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
-    frozen = S.refine_centroids(base, seeds).localCheckpoint(eager=True)
+    # wh_ivfpq_publish's build on the base corpus). Since r13 it is
+    # read BACK from the shared base-published layout
+    # (_shared_appended_prefix trains on the identical base corpus and
+    # parquet round-trips the doubles exactly) — the monitor now runs
+    # against genuinely STORED frozen centroids, which is what a
+    # production monitor does, and the bench stops rebuilding a
+    # quantizer two sibling entries already build.
+    frozen = spark.table(
+        f"{_shared_appended_prefix(spark, sf_dir)}_centroids"
+    ).localCheckpoint(eager=True)
     # retrain on base+new and REPUBLISH the full layout (quantizer,
     # codebooks, cell-partitioned codes); the monitor below reads the
     # centroid sidecar BACK from storage — a lossy write or schema
@@ -1661,33 +1788,34 @@ def wh_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     only fragmented partitions are read (partition pruning), and the
     rewrite is one task per cell — the maintenance job scales with
     fragmentation, not corpus size. Reference analogue: none."""
-    from ..sources.warehouse import (
-        append_ivfpq_vectors,
-        compact_partitions,
-        publish_ivfpq_layout,
-    )
+    from ..sources.warehouse import compact_partitions
 
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
-    new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
-    publish_ivfpq_layout(base, "ivfpq_cmp")
-    append_ivfpq_vectors(new, "ivfpq_cmp")
-    # publish wrote one file per occupied cell, the append added one
-    # more per touched cell -> touched cells are at >= 2 files and are
-    # compacted back to one; untouched cells are left alone
-    compact_partitions(spark, "ivfpq_cmp_codes", "cell", min_files=2)
-    codes = spark.table("ivfpq_cmp_codes").withColumn(
+    # The publish-on-base + append-new layout is the shared artifact
+    # (r13; shared with wh_ivfpq_append — same stored tables, oracles
+    # share _sql_ivfpq_append verbatim). Fresh build: publish wrote one
+    # file per occupied cell, the append added one more per touched
+    # cell -> touched cells are at >= 2 files and are compacted back
+    # to one; untouched cells are left alone. Re-entry (already
+    # compacted this session): victims=[] and the serve proves the
+    # same changed-NOTHING contract. The fragmentation-then-one-file
+    # file-count claim is asserted test-side on a private prefix.
+    prefix = _shared_appended_prefix(spark, sf_dir)
+    compact_partitions(spark, f"{prefix}_codes", "cell", min_files=2)
+    codes = spark.table(f"{prefix}_codes").withColumn(
         "cell", F.col("cell").cast("bigint")
     )
     ann = S.ivfpq_query(
         emb,
-        spark.table("ivfpq_cmp_centroids"),
-        spark.table("ivfpq_cmp_codebooks"),
+        spark.table(f"{prefix}_centroids"),
+        spark.table(f"{prefix}_codebooks"),
         codes,
         n_queries=8,
         k=5,
     ).localCheckpoint(eager=True)
-    return _ivfpq_recall_output(emb, ann)
+    return _ivfpq_recall_output(
+        emb, ann, exact=_shared_exact_frontier(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -208,7 +208,7 @@ def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:
 
 
 def publish_ivfpq_layout(
-    emb: DataFrame, prefix: str, n_cells: int = 16
+    emb: DataFrame, prefix: str, n_cells: int = 16, index=None
 ) -> None:
     """Persist the IVFPQ index (operators.similarity.build_ivfpq_index)
     as the warehouse layout a 10^9-vector deployment serves from:
@@ -225,10 +225,18 @@ def publish_ivfpq_layout(
     occupied cell — the write_ivf_layout small-files discipline). All
     stored columns are ints and array<double>; parquet round-trips both
     exactly, so the stored-path query is bit-identical to the in-memory
-    path — the claim wh_ivfpq_publish puts under the oracle hash."""
+    path — the claim wh_ivfpq_publish puts under the oracle hash.
+
+    ``index``: optional pre-built ``(cells, books, inv)`` triple from
+    build_ivfpq_index — the bench shared-artifact path (VERDICT r12 ask
+    #5): several lifecycle entries publish from the SAME deterministic
+    build, so rebuilding it per entry re-proves nothing. The publish
+    write, the stored layout, and the serve path are unchanged."""
     from ..operators.similarity import build_ivfpq_index
 
-    cells, books, inv = build_ivfpq_index(emb, n_cells=n_cells)
+    cells, books, inv = (
+        index if index is not None else build_ivfpq_index(emb, n_cells=n_cells)
+    )
     write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
     _drop_stale(emb.sparkSession, f"{prefix}_centroids")
     cells.write.mode("overwrite").format("parquet").saveAsTable(
@@ -260,7 +268,6 @@ def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     gains ONE file per batch (compact_partitions is the standing
     repair when batches accumulate)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from ..functions import portable as P
     from ..operators.similarity import (
@@ -288,14 +295,13 @@ def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     subs_c = assign.select("vec_id", "cell", sub_e.alias("e")).select(
         "vec_id", "cell", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")
     )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("sub_cos"), F.asc("code")
-    )
+    # encode: max_by partial aggregation (r13), identical tie semantics
+    # to the previous (sub_cos DESC, code ASC) row_number window
     enc = (
         subs_c.join(F.broadcast(books), "m")
         .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.expr("max_by(code, struct(sub_cos, -code))").alias("code"))
         .select("vec_id", "cell", "m", "code")
     )
     target = f"{prefix}_codes"
