@@ -183,9 +183,11 @@ def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     median-of-3 vs the twin reads 1.3-2.7x across identical-code runs
     (microbatch scheduling + one Python call/key/batch dominate; 1.38x
     in the r9 decision experiment at the shipped 16-partition setting,
-    with 8 -> 1.46x and 4 -> 1.92x measured worse). The gap is the
-    intrinsic price of the Python state hook at local-mode scale, not
-    open engineering: bench.py now reports the pair under
+    with 8 -> 1.46x and 4 -> 1.92x measured worse; r13 idle-host
+    recheck 1.34x after the r12 driver pass read 2.15x on twin-side
+    host variance — see the bench.py baseline_ratios note). The gap is
+    the intrinsic price of the Python state hook at local-mode scale,
+    not open engineering: bench.py now reports the pair under
     ``baseline_ratios``, and the ratio stays measured every round."""
     return ST.run_session_stream_stateful(
         spark, sf_dir, user_mod=10, num_state_partitions=16
