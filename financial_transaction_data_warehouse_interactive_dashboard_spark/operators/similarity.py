@@ -1182,6 +1182,148 @@ def topk_ann_pq256(
     )
 
 
+def topk_ann_ivfpq256(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    shortlist: int = PQ256_SHORTLIST,
+    prebuilt_cells: DataFrame | None = None,
+) -> DataFrame:
+    """The COMPLETE production retrieval stack — FAISS-style
+    IVF + 256-code PQ + exact refine (r13, closing the arc the
+    sim_ann_pq256 capstone opened): a k-means-refined coarse quantizer
+    routes the corpus into ``n_cells`` inverted cells; every vector is
+    stored as m=8 FROZEN-codebook codes (operators.pq256_book — 64-bit
+    codes, 32x compression); a query probes its ``nprobe`` nearest
+    cells, ADC-scores ONLY the probed cells' codes, keeps a
+    ``shortlist``-deep candidate list, and exact-cosine re-ranks it.
+    sim_ann_pq256 proved the production CODEBOOK SIZE on a full
+    compressed scan; this operator adds the production SCAN BUDGET —
+    at 10^9 vectors the full-scan variant reads every code while this
+    one reads nprobe/n_cells of them via partition pruning on the
+    cell-partitioned layout (the wh_ivfpq_publish storage shape).
+
+    Plan: coarse quantizer seeds<n_cells + one Lloyd (or the caller's
+    prebuilt cells — the shared-artifact path); assignment and encode
+    are single-pass max_by partial aggregations (no sort over the
+    corpus x 2048 book fan-out); books/probe/query-subvectors
+    broadcast; the only shuffles are the encode aggregations and the
+    per-(query, candidate) ADC sum. Re-rank touches raw vectors for
+    only n_queries x shortlist rows.
+
+    Determinism: the shared discipline — every score rounded to 6 dp,
+    ADC terms summed as exact DECIMAL(18,6), assignment/encode ties ->
+    lowest cell/code, probe ties -> lowest cell, shortlist ties ->
+    lowest vec_id, final ties -> (cos6 DESC, neighbor_id ASC).
+    Output: (query_id, rnk, neighbor_id, adc_ip6, cos6)."""
+    spark = emb.sparkSession
+    from . import pq256_book as B
+
+    vecs = _vecs(emb)
+    if prebuilt_cells is not None:
+        cells = prebuilt_cells
+    else:
+        seeds = vecs.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        cells = refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+    assign = _assign_cells(vecs, cells).select("vec_id", "cell")
+    books = pq256_books(spark)
+    # Full-corpus encode against the frozen books (the index build): the
+    # sim_ann_pq256 single-pass max_by assignment, pre-computed
+    # 0.5*<cv,cv>, explicit repartition to defeat single-split AQE
+    # coalescing on the fixture (no-op-shaped at natural parallelism).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    subs = _subvectors(vecs).repartition(n_part, "vec_id")
+    booksn = books.withColumn(
+        "half_cvn", F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv")
+    )
+    codes = (
+        subs.join(F.broadcast(booksn), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            F.round(
+                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
+            ).alias("sub_score"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.expr("max_by(code, struct(sub_score, -code))").alias("code"))
+    )
+    # Probe: nprobe nearest cells per query by rounded cosine.
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cell")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("probe_cos", F.round(P.cosine("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsub = _subvectors(vecs.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
+    )
+    # ADC over probed candidates only: the scan-budget step.
+    cand = (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "m", "code")
+    )
+    terms = (
+        cand.join(F.broadcast(books), ["m", "code"])
+        .join(F.broadcast(qsub), ["query_id", "m"])
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(P.dot_fixed("qsv", "cv", B.SUBDIM), 6)
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    scores = (
+        terms.groupBy("query_id", "vec_id")
+        .agg(F.sum("term").cast("double").alias("approx_ip"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc("vec_id")
+    )
+    short = (
+        scores.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id", "approx_ip")
+    )
+    qv = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.round("approx_ip", 6) + F.lit(0.0)).alias("adc_ip6"),
+            (F.round(P.cosine("qv", "v"), 6) + F.lit(0.0)).alias("cos6"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "adc_ip6", "cos6")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def pca_power_topk(
     emb: DataFrame, n_components: int = 3, iterations: int = 3
 ) -> DataFrame:

@@ -2035,6 +2035,147 @@ def sim_ann_pq256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sim_ann_ivfpq256: the COMPLETE production retrieval stack
+# (r13, authored after the flip — r14 queue)
+# ---------------------------------------------------------------------------
+
+
+def _sql_ivfpq256(
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+) -> str:
+    """DuckDB oracle for sim_ann_ivfpq256: _sql_ivf_pq's IVF replay
+    (seeds < n_cells, one decimal-exact Lloyd refine, rounded-cosine
+    assignment) composed with _sql_pq256's frozen-book replay (static
+    2048-row books, MIPS-identity encode, DECIMAL ADC), with the ADC
+    restricted to the nprobe probed cells per query, then the 50-deep
+    shortlist and the exact cosine re-rank. Training cost to the
+    oracle: ONE Lloyd unroll (the books are frozen constants)."""
+    from ..operators import pq256_book as B
+
+    if shortlist is None:
+        shortlist = S.PQ256_SHORTLIST
+    vals = ",\n      ".join(
+        f"({m}, '{s}')" for m, s in enumerate(B.PQ256_PACKED)
+    )
+    sd = B.SUBDIM
+    return f"""
+    WITH braw AS (SELECT * FROM (VALUES {vals}) b(m, s)),
+    bsplit AS (SELECT m, string_split(s, '|') AS cs FROM braw),
+    bk AS (SELECT m, (u.p - 1) // {sd} AS code, (u.p - 1) % {sd} AS pos,
+                  CAST(u.c AS DOUBLE) / 1000.0 AS bv
+           FROM bsplit, unnest([{{'p': i, 'c': cs[i]}}
+                                for i in range(1, len(cs) + 1)]) AS t(u)),
+    books AS (SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
+                     list(bv ORDER BY pos) AS cv
+              FROM bk GROUP BY 1, 2),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells}),
+    ia0 AS (SELECT e.vec_id, e.v, cell FROM e, c0
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+              cell ASC) = 1),
+    ipx0 AS (SELECT cell, u.p AS pos, u.x AS val FROM ia0,
+             unnest([{{'p': i, 'x': v[i]}}
+                     for i in range(1, len(v) + 1)]) AS t(u)),
+    icent0 AS (SELECT cell, pos,
+                 CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / count(*) AS cv_e
+               FROM ipx0 GROUP BY 1, 2),
+    c1 AS (SELECT cell, list(cv_e ORDER BY pos) AS cv
+           FROM icent0 GROUP BY 1),
+    af AS (SELECT e.vec_id, cell FROM e, c1
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+             cell ASC) = 1),
+    sub AS (SELECT vec_id, r.range AS m,
+                   v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
+            FROM e, range(0, {B.M}) r),
+    enc AS (SELECT sub.vec_id, sub.m, code FROM sub JOIN books USING (m)
+            QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              ORDER BY round(list_dot_product(sv, cv)
+                             - CAST('0.5' AS DOUBLE)
+                               * list_dot_product(cv, cv),
+                             6) DESC, code ASC) = 1),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id < {n_queries}),
+    probe AS (SELECT query_id, cell FROM qv, c1
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                cell ASC) <= {nprobe}),
+    q AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub
+          WHERE vec_id < {n_queries}),
+    cand AS (SELECT probe.query_id, enc.vec_id, enc.m, enc.code
+             FROM enc JOIN af USING (vec_id) JOIN probe USING (cell)
+             WHERE enc.vec_id != probe.query_id),
+    terms AS (SELECT cand.query_id, cand.vec_id,
+                     CAST(round(list_dot_product(qsv, cv), 6)
+                          AS DECIMAL(18,6)) AS term
+              FROM cand JOIN books USING (m, code)
+              JOIN q USING (query_id, m)),
+    scores AS (SELECT query_id, vec_id,
+                      CAST(sum(term) AS DOUBLE) AS approx_ip
+               FROM terms GROUP BY 1, 2),
+    short AS (SELECT query_id, vec_id, approx_ip FROM scores
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_ip DESC, vec_id ASC) <= {shortlist}),
+    rer AS (SELECT query_id, short.vec_id AS neighbor_id,
+                   round(approx_ip, 6) + CAST('0' AS DOUBLE) AS adc_ip6,
+                   round(list_cosine_similarity(qv, v), 6)
+                     + CAST('0' AS DOUBLE) AS cos6
+            FROM short JOIN e ON short.vec_id = e.vec_id
+            JOIN qv USING (query_id))
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos6 DESC, neighbor_id ASC) AS INTEGER) AS rnk,
+           neighbor_id, adc_ip6, cos6
+    FROM rer
+    QUALIFY rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@query(
+    "sim_ann_ivfpq256",
+    _sql_ivfpq256(),
+    # Authored r13 AFTER the flip commit (the landing-checklist
+    # discipline): three-scale verified at authoring time, queued in
+    # NEXT_QUEUE for the r14 surface.
+    driver=False,
+)
+def sim_ann_ivfpq256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production retrieval stack (operators.similarity.
+    topk_ann_ivfpq256): IVF coarse quantizer (nprobe=2 of 16 cells) +
+    FROZEN 256-code PQ (operators.pq256_book) + ADC over probed cells
+    only + exact cosine re-rank of the 50-deep shortlist — the FAISS
+    IVFPQ,refine composition a 10^9-vector deployment serves.
+    sim_ann_pq256 proved the production codebook size on a FULL
+    compressed scan; this entry adds the production scan budget: the
+    ADC reads nprobe/n_cells of the code table (partition pruning on
+    the wh_ivfpq_publish storage shape), so full-scan cost is paid by
+    neither the compressed stage nor the exact tail. Measured at sf0.1
+    (ANN_RECALL_AUDIT_r13.json, committed; 64 cells, nprobe 4, 32
+    queries): recall@5 0.925 scanning ~6% of the corpus — above the
+    full-scan 256-code+re-rank's 0.91, because the probe prunes
+    compression-noise false positives outside the query's
+    neighborhood before they can crowd the shortlist.
+
+    Every stage is in-hash: the Lloyd refine, the cell assignment, the
+    frozen-book encode, the probe choice, the DECIMAL ADC restricted
+    to probed candidates, the shortlist cut, and the re-rank
+    tie-breaks all shift (rnk, neighbor_id, adc_ip6, cos6). The coarse
+    quantizer comes from the shared built-once artifact
+    (_shared_full_index — identical seeds-then-Lloyd plan). Reference
+    analogue: none (beyond-reference LLM-pipeline tier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells, _, _ = _shared_full_index(spark, sf_dir)
+    return S.topk_ann_ivfpq256(emb, prebuilt_cells=cells)
+
+
+# ---------------------------------------------------------------------------
 # sim_pca_deflate: top-k principal components by deflated power iteration
 # (r12; VERDICT r11 ask #3 — consume sim_pca_power's rotation claim)
 # ---------------------------------------------------------------------------

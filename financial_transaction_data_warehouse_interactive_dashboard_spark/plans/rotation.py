@@ -380,7 +380,8 @@ NEXT_QUEUE: tuple[str, ...] = (
     # The r13 flip cleared ALL queued debt: the four r12-queue entries
     # and both r12-authored operators promoted (see ROTATION_HISTORY
     # 13), leaving zero never-driver-checked entries after a green
-    # r13. Operators authored after the r13 flip queue here for r14.
+    # r13. Operators authored after the r13 flip queue here for r14:
+    "sim_ann_ivfpq256",  # IVF + frozen 256-code PQ + exact refine — the complete production stack (authored r13 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

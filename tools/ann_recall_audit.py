@@ -79,6 +79,8 @@ def _interpret(results: dict) -> str:
         ("ivf_pq256", "256-code books"),
         ("ivf_pq256_rerank", "256-code + exact re-rank"),
         ("ivf_pq256_rotated", "256-code on PCA-rotated corpus"),
+        ("ivfpq256_probed_rerank",
+         "IVF-probed 256-code + exact re-rank (full production stack)"),
     ):
         if r(name) is not None:
             parts.append(f"{label}: {r(name):.2f}.")
@@ -289,6 +291,20 @@ def main() -> None:
     results["ivf_pq256_rotated"] = {
         "recall_at_5": recall(S.topk_ann_pq256(rot_emb, N_QUERIES, K)),
         "candidate_frac": 1.0,
+        "build_plus_query_s": round(time.perf_counter() - t0, 2),
+    }
+
+    # The complete production stack (sim_ann_ivfpq256, r13): IVF probe
+    # restricts the 256-code ADC to the probed cells, then exact
+    # re-rank — production codebook size AND production scan budget.
+    t0 = time.perf_counter()
+    results["ivfpq256_probed_rerank"] = {
+        "recall_at_5": recall(
+            S.topk_ann_ivfpq256(
+                emb, N_QUERIES, K, n_cells=N_CELLS, nprobe=NPROBE
+            )
+        ),
+        "candidate_frac": results["ivf_kmeans"]["candidate_frac"],
         "build_plus_query_s": round(time.perf_counter() - t0, 2),
     }
 
