@@ -1219,8 +1219,6 @@ def topk_ann_ivfpq256(
     lowest vec_id, final ties -> (cos6 DESC, neighbor_id ASC).
     Output: (query_id, rnk, neighbor_id, adc_ip6, cos6)."""
     spark = emb.sparkSession
-    from . import pq256_book as B
-
     vecs = _vecs(emb)
     if prebuilt_cells is not None:
         cells = prebuilt_cells
@@ -1229,12 +1227,27 @@ def topk_ann_ivfpq256(
             F.col("vec_id").alias("cell"), F.col("v").alias("cv")
         )
         cells = refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+    inv = build_ivfpq256_inv(emb, cells)
+    return ivfpq256_query(
+        emb, cells, pq256_books(spark), inv, n_queries, k, nprobe, shortlist
+    )
+
+
+def build_ivfpq256_inv(emb: DataFrame, cells: DataFrame) -> DataFrame:
+    """The 256-code inverted file (vec_id, cell, m, code): full-corpus
+    encode against the FROZEN books plus the coarse-cell assignment —
+    exactly what sim_ann_ivfpq256 scans in memory and
+    wh_ivfpq256_publish persists PARTITIONED BY cell. Single-pass
+    max_by encode (no sort over the corpus x 2048 book fan-out),
+    pre-computed 0.5*<cv,cv>, explicit repartition to defeat
+    single-split AQE coalescing on the fixture (no-op-shaped at
+    natural parallelism)."""
+    from . import pq256_book as B
+
+    spark = emb.sparkSession
+    vecs = _vecs(emb)
     assign = _assign_cells(vecs, cells).select("vec_id", "cell")
     books = pq256_books(spark)
-    # Full-corpus encode against the frozen books (the index build): the
-    # sim_ann_pq256 single-pass max_by assignment, pre-computed
-    # 0.5*<cv,cv>, explicit repartition to defeat single-split AQE
-    # coalescing on the fixture (no-op-shaped at natural parallelism).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     subs = _subvectors(vecs).repartition(n_part, "vec_id")
     booksn = books.withColumn(
@@ -1253,6 +1266,28 @@ def topk_ann_ivfpq256(
         .groupBy("vec_id", "m")
         .agg(F.expr("max_by(code, struct(sub_score, -code))").alias("code"))
     )
+    return codes.join(assign, "vec_id").select("vec_id", "cell", "m", "code")
+
+
+def ivfpq256_query(
+    emb: DataFrame,
+    cells: DataFrame,
+    books: DataFrame,
+    inv: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = PQ256_SHORTLIST,
+) -> DataFrame:
+    """The IVF+PQ256 QUERY path over already-built (or already-STORED)
+    index frames — probe the broadcast centroids, ADC-score ONLY the
+    probed cells' codes against the broadcast frozen books, shortlist,
+    exact-cosine re-rank. Identical whether the frames come fresh from
+    build_ivfpq256_inv or read back from the published layout — the
+    wh_ivfpq_publish twin discipline at the production codebook size."""
+    from . import pq256_book as B
+
+    vecs = _vecs(emb)
     # Probe: nprobe nearest cells per query by rounded cosine.
     q = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1272,8 +1307,7 @@ def topk_ann_ivfpq256(
     )
     # ADC over probed candidates only: the scan-budget step.
     cand = (
-        codes.join(assign, "vec_id")
-        .join(F.broadcast(probe), "cell")
+        inv.join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", "m", "code")
     )

@@ -105,6 +105,20 @@ def _shared_exact_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_artifact(spark, sf_dir, "exact_frontier", build)
 
 
+def _shared_ivfpq256_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-code inverted file (vec_id, cell, m, code) over the
+    shared coarse quantizer — built once, checkpoint-pinned; scanned in
+    memory by sim_ann_ivfpq256 and persisted by wh_ivfpq256_publish
+    (their oracles share _sql_ivfpq256 verbatim)."""
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        cells, _, _ = _shared_full_index(spark, sf_dir)
+        return S.build_ivfpq256_inv(emb, cells).localCheckpoint(eager=True)
+
+    return _shared_artifact(spark, sf_dir, "ivfpq256_inv", build)
+
+
 def _shared_appended_prefix(spark: SparkSession, sf_dir: str) -> str:
     """The published-on-base + appended-new stored layout shared by
     wh_ivfpq_append and wh_ivfpq_compact (their oracles share
@@ -2167,12 +2181,72 @@ def sim_ann_ivfpq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen-book encode, the probe choice, the DECIMAL ADC restricted
     to probed candidates, the shortlist cut, and the re-rank
     tie-breaks all shift (rnk, neighbor_id, adc_ip6, cos6). The coarse
-    quantizer comes from the shared built-once artifact
-    (_shared_full_index — identical seeds-then-Lloyd plan). Reference
-    analogue: none (beyond-reference LLM-pipeline tier)."""
+    quantizer and the 256-code inverted file come from the shared
+    built-once artifacts (_shared_full_index / _shared_ivfpq256_inv —
+    identical plans). Reference analogue: none (beyond-reference
+    LLM-pipeline tier)."""
     emb = _t(spark, sf_dir, "embeddings")
     cells, _, _ = _shared_full_index(spark, sf_dir)
-    return S.topk_ann_ivfpq256(emb, prebuilt_cells=cells)
+    return S.ivfpq256_query(
+        emb,
+        cells,
+        S.pq256_books(spark),
+        _shared_ivfpq256_inv(spark, sf_dir),
+    )
+
+
+@query(
+    "wh_ivfpq256_publish",
+    # Shares sim_ann_ivfpq256's oracle STRING VERBATIM (the
+    # wh_ivfpq_publish twin discipline at the production codebook
+    # size): the persisted 256-code index must answer exactly like the
+    # in-memory one.
+    _sql_ivfpq256(),
+    # Authored r13 AFTER the flip commit (the landing-checklist
+    # discipline): three-scale verified at authoring time, queued in
+    # NEXT_QUEUE for the r14 surface.
+    driver=False,
+)
+def wh_ivfpq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH-then-SERVE the production-sized IVF+PQ256 index
+    (sources.warehouse.publish_ivfpq256_layout): the 256-code inverted
+    file is written PARTITIONED BY cell (probing the stored layout is
+    partition pruning; 64-bit codes -> a 32x smaller stored table than
+    the fp32 corpus), centroids AND the frozen books as broadcast-sized
+    sidecars; the query then runs operators.similarity.ivfpq256_query
+    over the READ-BACK tables — including the books, so the serve path
+    answers from STORED codebooks and a lossy sidecar write or a
+    books/constant drift shifts the top-5 and fails the hash.
+
+    Shares sim_ann_ivfpq256's oracle verbatim: stored == in-memory is
+    the checked contract, now at the production codebook size — the
+    layout the sim_ann_ivfpq256 docstring's 100 TB claim assumes is
+    hereby the layout actually written and served. Eager
+    maintenance-JOB posture (fresh publish per invocation). Reference
+    analogue: none (beyond-reference LLM-pipeline tier)."""
+    from ..sources.warehouse import publish_ivfpq256_layout
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells, _, _ = _shared_full_index(spark, sf_dir)
+    publish_ivfpq256_layout(
+        emb,
+        "ivfpq256_idx",
+        cells=cells,
+        inv=_shared_ivfpq256_inv(spark, sf_dir),
+    )
+    # Defensive bigint pin on the partition column (the wh_ivfpq_publish
+    # ADVICE r9 lesson): the serve path must not depend on
+    # partition-type inference config; Catalyst eliminates the
+    # same-type cast, so DPP on the probe join is unaffected.
+    inv = spark.table("ivfpq256_idx_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    return S.ivfpq256_query(
+        emb,
+        spark.table("ivfpq256_idx_centroids"),
+        spark.table("ivfpq256_idx_books"),
+        inv,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,54 @@ def publish_ivfpq_layout(
     )
 
 
+def publish_ivfpq256_layout(
+    emb: DataFrame, prefix: str, cells=None, inv=None
+) -> None:
+    """Persist the PRODUCTION-sized IVF+PQ256 index
+    (operators.similarity.build_ivfpq256_inv) as the warehouse layout a
+    10^9-vector deployment serves from — the publish_ivfpq_layout
+    discipline at the production codebook size:
+
+    - ``<prefix>_codes``: the 256-code inverted file (vec_id, m, code)
+      PARTITIONED BY cell (probing = partition pruning; 8 bytes of
+      codes per vector vs 256 bytes fp32 — 32x smaller stored table);
+    - ``<prefix>_centroids`` / ``<prefix>_books``: the broadcast-sized
+      sidecars a query needs. The books are the frozen public constant
+      (operators.pq256_book) — persisting them pins the sidecar
+      round-trip: a serve must answer from the STORED books, so a
+      lossy write or a books/constant drift fails the twin oracle.
+
+    ``cells`` / ``inv``: optional pre-built frames (the shared
+    built-once bench artifacts); the writes and the stored layout are
+    identical either way."""
+    from ..operators.similarity import (
+        _vecs,
+        build_ivfpq256_inv,
+        pq256_books,
+        refine_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    spark = emb.sparkSession
+    if cells is None:
+        vecs = _vecs(emb)
+        seeds = vecs.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        cells = refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+    if inv is None:
+        inv = build_ivfpq256_inv(emb, cells)
+    write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
+    _drop_stale(spark, f"{prefix}_centroids")
+    cells.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_centroids"
+    )
+    _drop_stale(spark, f"{prefix}_books")
+    pq256_books(spark).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_books"
+    )
+
+
 def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     """INCREMENTAL index maintenance — the freshness path a production
     vector store runs between full retrains: new vectors are assigned

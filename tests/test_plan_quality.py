@@ -432,6 +432,42 @@ def test_ivfpq_stored_probe_plans_dynamic_pruning(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivfpq256_stored_probe_plans_dynamic_pruning(spark):
+    """wh_ivfpq256_publish's serve path — the same three pins as the
+    8-code layout, at the production codebook size: the stored
+    partition column keeps the in-memory dtype, the layout holds one
+    file per occupied cell, and probing the published 256-code table
+    plans dynamic partition pruning (no SortMergeJoin on the serve)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.warehouse import (
+        publish_ivfpq256_layout,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    publish_ivfpq256_layout(emb, "ivfpq256_planq")
+    codes = spark.table("ivfpq256_planq_codes")
+    cells = spark.table("ivfpq256_planq_centroids")
+
+    inv_mem = S.build_ivfpq256_inv(emb, cells)
+    assert codes.schema["cell"].dataType == inv_mem.schema["cell"].dataType
+
+    occupied = codes.select("cell").distinct().count()
+    files = codes.select(F.input_file_name()).distinct().count()
+    assert files == occupied, (files, occupied)
+
+    served = S.ivfpq256_query(
+        emb,
+        cells,
+        spark.table("ivfpq256_planq_books"),
+        codes.withColumn("cell", F.col("cell").cast("bigint")),
+    )
+    plan = plan_of(served)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
 def test_aqe_splits_skewed_join(spark):
     """The OTHER skew defense (operators/skew.py salts deterministically
     at plan time; this pins the runtime one): with AQE skew-join
