@@ -1278,18 +1278,31 @@ def ivfpq256_query(
     k: int = 5,
     nprobe: int = 2,
     shortlist: int = PQ256_SHORTLIST,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF+PQ256 QUERY path over already-built (or already-STORED)
     index frames — probe the broadcast centroids, ADC-score ONLY the
     probed cells' codes against the broadcast frozen books, shortlist,
     exact-cosine re-rank. Identical whether the frames come fresh from
     build_ivfpq256_inv or read back from the published layout — the
-    wh_ivfpq_publish twin discipline at the production codebook size."""
+    wh_ivfpq_publish twin discipline at the production codebook size.
+
+    ``queries``: optional (vec_id, v) frame of query vectors — the
+    serve-at-ingest path (st_ivfpq256_serve) passes each ARRIVING
+    microbatch here; the default is the deterministic
+    vec_id < n_queries convention. Per-query results are independent,
+    so a union of per-batch outputs equals the all-queries batch
+    output row-for-row — the stream == batch contract."""
     from . import pq256_book as B
 
     vecs = _vecs(emb)
+    qsrc = (
+        queries.select("vec_id", "v")
+        if queries is not None
+        else vecs.filter(F.col("vec_id") < n_queries)
+    )
     # Probe: nprobe nearest cells per query by rounded cosine.
-    q = vecs.filter(F.col("vec_id") < n_queries).select(
+    q = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -1302,7 +1315,7 @@ def ivfpq256_query(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "cell")
     )
-    qsub = _subvectors(vecs.filter(F.col("vec_id") < n_queries)).select(
+    qsub = _subvectors(qsrc).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
     # ADC over probed candidates only: the scan-budget step.
@@ -1334,7 +1347,7 @@ def ivfpq256_query(
         .filter(F.col("rn") <= shortlist)
         .select("query_id", "vec_id", "approx_ip")
     )
-    qv = vecs.filter(F.col("vec_id") < n_queries).select(
+    qv = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     rer = (

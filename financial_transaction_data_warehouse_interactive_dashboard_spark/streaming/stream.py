@@ -1300,3 +1300,98 @@ def run_ivfpq_monitor_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+def run_ivfpq256_serve_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: DataFrame,
+    books: DataFrame,
+    inv: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """ANN SERVE-AT-INGEST at the production index configuration
+    (st_ivfpq256_serve): queries ARRIVE as a stream (two genuinely
+    separate microbatches — maxFilesPerTrigger=1 over two files holding
+    query ids 0..n/2-1 and n/2..n-1) and each microbatch is answered by
+    the full IVF+PQ256 serve path (operators.similarity.ivfpq256_query)
+    against the passed-in index frames — the caller hands the READ-BACK
+    published tables, so this is the stored-index online-serving
+    pattern: broadcast centroid/book sidecars, partition-prunable code
+    table, stream of queries folded per batch via foreachBatch into an
+    exactly-once parquet sink.
+
+    Stream == batch is the checked contract: per-query results are
+    independent, so the union of per-batch outputs equals the
+    all-queries batch run row-for-row, and the batch oracle
+    (_sql_ivfpq256, shared VERBATIM by the registry entry) pins every
+    stage of every microbatch — a dropped/doubled batch or a
+    cross-batch contamination changes the row set and fails the hash.
+
+    At 100 TB: this is one broadcast-probe + pruned-ADC pass per
+    arriving query batch — state-free (the index IS the state, owned by
+    the warehouse), so the stream scales with query rate, not corpus
+    size."""
+    from ..operators.similarity import PQ256_SHORTLIST, _vecs, ivfpq256_query
+
+    if shortlist is None:
+        shortlist = PQ256_SHORTLIST
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(path)
+    vecs = _vecs(emb)
+
+    key = f"{path}::ivfpq256-serve"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-annserve-")
+        qs = vecs.filter(F.col("vec_id") < n_queries)
+        half = n_queries // 2
+        _write_single_parquet(
+            qs.filter(F.col("vec_id") < half), d, "0-first.parquet"
+        )
+        _write_single_parquet(
+            qs.filter(F.col("vec_id") >= half), d, "1-second.parquet"
+        )
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    sink_key = f"{path}::ivfpq256-serve-sink"
+    if sink_key not in _SINK_DIRS:
+        _SINK_DIRS[sink_key] = (
+            tempfile.mkdtemp(prefix="ftdw-annserve-sink-"),
+            tempfile.mkdtemp(prefix="ftdw-annserve-chk-"),
+        )
+    sink_dir, chk_dir = _SINK_DIRS[sink_key]
+
+    src = (
+        spark.readStream.schema("vec_id bigint, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+
+    def serve_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = ivfpq256_query(
+            emb,
+            cells,
+            books,
+            inv,
+            n_queries=n_queries,
+            k=k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            queries=batch_df,
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    q = (
+        src.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).orderBy("query_id", "rnk")

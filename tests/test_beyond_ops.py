@@ -2741,6 +2741,49 @@ def test_st_ivfpq_monitor_flags_only_the_spike_in(spark):
     assert by["new_iid"]["n"] == by["new_shifted"]["n"]
 
 
+def test_st_ivfpq256_serve_two_microbatches(spark):
+    """st_ivfpq256_serve's streaming claim: the two query halves arrive
+    in two genuinely SEPARATE microbatches, each appended to the sink
+    by its own foreachBatch write — so the sink files holding query
+    ids 0..3 must be disjoint from those holding 4..7 (one serve pass
+    per arriving batch, exactly-once) — and every query carries its
+    full ranked top-5. The value-level stream == batch contract is the
+    shared VERBATIM oracle (tests/test_oracle_parity.py)."""
+    from collections import Counter
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.streaming import (
+        stream as ST,
+    )
+
+    rows = R["st_ivfpq256_serve"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 40  # 8 queries x k=5
+    counts = Counter(r["query_id"] for r in rows)
+    assert set(counts) == set(range(8))
+    assert all(v == 5 for v in counts.values())
+    # Per-batch write provenance: read the exactly-once sink DIRECTLY
+    # (the entry's orderBy exchange erases input_file_name) — files
+    # holding the first half's queries must be disjoint from the
+    # second half's.
+    sink_dir, _ = ST._SINK_DIRS[
+        os.path.join(SF_SMOKE, "embeddings.parquet") + "::ivfpq256-serve-sink"
+    ]
+    raw = (
+        spark.read.parquet(sink_dir)
+        .withColumn("f", F.input_file_name())
+        .collect()
+    )
+    by_q: dict[int, set] = {}
+    for r in raw:
+        by_q.setdefault(r["query_id"], set()).add(r["f"])
+    first = set().union(*(by_q[q] for q in range(4)))
+    second = set().union(*(by_q[q] for q in range(4, 8)))
+    assert first and second and not (first & second), (first, second)
+
+
 def test_ivfpq_retrain_spike_in(spark):
     """wh_ivfpq_retrain's planted contract: the concentrated batch's
     quantizer fit must be RESTORED by retraining (fit ~0.2 -> ~1.0,
