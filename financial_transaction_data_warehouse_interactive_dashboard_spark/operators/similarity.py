@@ -1182,6 +1182,43 @@ def topk_ann_pq256(
     )
 
 
+def rot64_frame(spark) -> DataFrame:
+    """The FROZEN OPQ-lite rotation (operators.rot64 — trained once
+    offline by tools/train_rotation.py from the sim_pca_deflate
+    principal components, Gram-Schmidt-completed, committed as integer
+    millionths) as a broadcast-sized (pos, rv) frame: row ``pos`` is
+    the rotated axis, v_rot[pos] = <rv, v>. Decode is int / 1000000.0
+    — exact IEEE parity with the oracle's CAST(x AS DOUBLE) /
+    1000000.0."""
+    from . import rot64 as RT
+
+    return spark.createDataFrame(RT.rows(), "pos int, rv array<double>")
+
+
+def rotate_corpus(emb: DataFrame, rot: DataFrame) -> DataFrame:
+    """Apply the frozen rotation to every vector: one corpus x d
+    fan-out against the broadcast axis frame, exact in-order dot per
+    output coordinate (portable.dot == list_dot_product), rebuilt into
+    an array by the refine_centroids list-assembly pattern. Output
+    (vec_id, embedding) — drop-in corpus for any downstream index
+    build. At 10^9 vectors this is one map-side broadcast join + one
+    aggregation shuffle; a production deployment folds the
+    matrix-multiply into the encode map stage, same plan shape."""
+    vecs = _vecs(emb)
+    x = vecs.crossJoin(F.broadcast(rot)).select(
+        "vec_id", "pos", P.dot("rv", "v").alias("x")
+    )
+    return (
+        x.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("pc")
+        )
+        .select(
+            "vec_id", F.expr("transform(pc, s -> s.x)").alias("embedding")
+        )
+    )
+
+
 def topk_ann_ivfpq256(
     emb: DataFrame,
     n_queries: int = 8,

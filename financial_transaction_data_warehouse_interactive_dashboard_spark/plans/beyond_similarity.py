@@ -1945,7 +1945,11 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pq256(
-    n_queries: int = 8, k: int = 5, shortlist: int | None = None
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int | None = None,
+    extra_ctes: str = "",
+    corpus_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
 ) -> str:
     """DuckDB oracle for sim_ann_pq256: the frozen 256-code books
     (operators.pq256_book, integer thousandths decoded as
@@ -1965,7 +1969,7 @@ def _sql_pq256(
     )
     sd = B.SUBDIM
     return f"""
-    WITH braw AS (SELECT * FROM (VALUES {vals}) b(m, s)),
+    WITH {extra_ctes}braw AS (SELECT * FROM (VALUES {vals}) b(m, s)),
     bsplit AS (SELECT m, string_split(s, '|') AS cs FROM braw),
     bk AS (SELECT m, (u.p - 1) // {sd} AS code, (u.p - 1) % {sd} AS pos,
                   CAST(u.c AS DOUBLE) / 1000.0 AS bv
@@ -1974,7 +1978,7 @@ def _sql_pq256(
     books AS (SELECT CAST(m AS INTEGER) AS m, CAST(code AS INTEGER) AS code,
                      list(bv ORDER BY pos) AS cv
               FROM bk GROUP BY 1, 2),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS ({corpus_sql}),
     sub AS (SELECT vec_id, r.range AS m,
                    v[r.range * {sd} + 1 : r.range * {sd} + {sd}] AS sv
             FROM e, range(0, {B.M}) r),
@@ -2305,6 +2309,72 @@ def st_ivfpq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell", F.col("cell").cast("bigint")
         ),
     )
+
+
+def _sql_pq256_rotated(
+    n_queries: int = 8, k: int = 5, shortlist: int | None = None
+) -> str:
+    """DuckDB oracle for sim_ann_pq256_rotated: _sql_pq256 with the
+    corpus replaced by its FROZEN-rotation image — the committed
+    64 x 64 matrix (operators.rot64, integer millionths) replayed as a
+    static VALUES table, each rotated coordinate an exact
+    list_dot_product (== portable.dot's in-order fold), reassembled in
+    pos order. Training cost to the oracle: zero (rotation AND books
+    are frozen constants; tools/train_rotation.py ran once offline)."""
+    from ..operators import rot64 as RT
+
+    rvals = ",\n      ".join(
+        f"({i}, '{s}')" for i, s in enumerate(RT.ROT64_PACKED)
+    )
+    extra = f"""rraw AS (SELECT * FROM (VALUES {rvals}) r(pos, s)),
+    rk AS (SELECT pos, list_transform(string_split(s, '|'),
+                x -> CAST(x AS DOUBLE) / 1000000.0) AS rv FROM rraw),
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """
+    corpus = (
+        "SELECT vec_id, list(list_dot_product(rv, v) ORDER BY pos) AS v "
+        "FROM e0, rk GROUP BY vec_id"
+    )
+    return _sql_pq256(
+        n_queries, k, shortlist, extra_ctes=extra, corpus_sql=corpus
+    )
+
+
+@query(
+    "sim_ann_pq256_rotated",
+    _sql_pq256_rotated(),
+    # Authored r13 AFTER the flip commit (the landing-checklist
+    # discipline): three-scale verified at authoring time, queued in
+    # NEXT_QUEUE for the r14 surface.
+    driver=False,
+)
+def sim_ann_pq256_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite END TO END, Spark-native: the corpus is rotated by the
+    FROZEN orthonormal matrix (operators.rot64 — its first three axes
+    are the sim_pca_deflate principal components, Gram-Schmidt-
+    completed offline by tools/train_rotation.py; the leading variance
+    directions land on subspace boundaries, the OPQ intuition), then
+    encoded/served by the UNCHANGED frozen 256-code pipeline
+    (topk_ann_pq256: ADC scan + exact re-rank on the rotated frame).
+    This pins Spark-side the composition the recall audit measured
+    tool-side (ANN_RECALL_AUDIT_r13.json: rotated 0.84 vs unrotated
+    0.91 recall@5 — on the isotropic fixture with books trained
+    unrotated, rotation honestly buys nothing; the MECHANICS —
+    rotate -> encode -> ADC -> re-rank, every stage replayed by the
+    oracle — are what the entry pins, and they are exactly what an
+    OPQ deployment runs with books retrained post-rotation).
+
+    The rotation apply is one broadcast join + one aggregation shuffle
+    (rotate_corpus); the rotated frame is checkpoint-pinned here
+    because the PQ pipeline references it from several branches — at
+    10^9 vectors a deployment persists the rotated (or fused
+    rotate-encode) corpus instead. Reference analogue: none
+    (beyond-reference LLM-pipeline tier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rotated = S.rotate_corpus(emb, S.rot64_frame(spark)).localCheckpoint(
+        eager=True
+    )
+    return S.topk_ann_pq256(rotated)
 
 
 # ---------------------------------------------------------------------------

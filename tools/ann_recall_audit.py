@@ -246,48 +246,21 @@ def main() -> None:
         "build_plus_query_s": round(time.perf_counter() - t0, 2),
     }
 
-    # Rotated variant (the sim_pca_deflate consumption claim): apply a
-    # deterministic orthogonal rotation whose first three axes are the
-    # deflated-power-iteration principal components (OPQ-lite — align
-    # the leading variance directions with subspace boundaries), then
-    # re-encode with the SAME frozen books. Cosine is invariant under
-    # an orthogonal map, so the exact frontier is unchanged and recall
-    # is comparable row-for-row with the unrotated entries. numpy is
-    # tool-side only (same license as tools/train_pq256.py); the
-    # rotation matrix is a bounded 64x64 constant and the corpus here
-    # is the audit fixture — a production deployment applies R as a
-    # broadcast matrix inside the encode map stage.
+    # Rotated variant (the sim_pca_deflate consumption claim): apply
+    # the FROZEN orthonormal rotation the repo ships
+    # (operators.rot64 — sim_pca_deflate's principal components
+    # Gram-Schmidt-completed offline by tools/train_rotation.py; the
+    # OPQ-lite alignment of leading variance directions with subspace
+    # boundaries), then re-encode with the SAME frozen books — exactly
+    # the sim_ann_pq256_rotated registry entry's pipeline, so the
+    # audit row measures the shipped operator, not a tool-side
+    # re-derivation. An orthonormal map preserves cosine (to the
+    # matrix's ~1e-6 quantization), so the exact frontier is unchanged
+    # and recall is comparable row-for-row with the unrotated entries.
     t0 = time.perf_counter()
-    import numpy as np
-
-    comp_rows = S.pca_power_topk(emb, n_components=3, iterations=3).collect()
-    d = 1 + max(r["pos"] for r in comp_rows)
-    comps = np.zeros((3, d))
-    for r in comp_rows:
-        comps[r["comp"], r["pos"]] = r["pc_9"]
-    # Complete the 3 components to a full orthonormal basis by
-    # Gram-Schmidt over [v1, v2, v3, e_0..e_{d-1}] (deterministic), then
-    # R = Q^T maps component j onto axis j.
-    basis: list[np.ndarray] = []
-    for cand in list(comps) + list(np.eye(d)):
-        w = cand.astype(float)
-        for b in basis:
-            w = w - np.dot(w, b) * b
-        n = float(np.linalg.norm(w))
-        if n > 1e-9:
-            basis.append(w / n)
-        if len(basis) == d:
-            break
-    R = np.stack(basis)  # rows are the new axes; v_rot = R @ v
-    raw = vecs.orderBy("vec_id").collect()
-    rot_rows = [
-        (int(r["vec_id"]), (R @ np.asarray(r["v"], dtype=float)).tolist())
-        for r in raw
-    ]
-    rot_emb = spark.createDataFrame(
-        rot_rows, "vec_id bigint, embedding array<double>"
+    rot_emb = S.rotate_corpus(emb, S.rot64_frame(spark)).localCheckpoint(
+        eager=True
     )
-    rot_emb.cache().count()
     results["ivf_pq256_rotated"] = {
         "recall_at_5": recall(S.topk_ann_pq256(rot_emb, N_QUERIES, K)),
         "candidate_frac": 1.0,
