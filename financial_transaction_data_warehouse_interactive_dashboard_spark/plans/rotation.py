@@ -385,6 +385,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "wh_ivfpq256_publish",  # the stored form of the production stack, oracle shared VERBATIM (authored r13 post-flip, three-scale verified)
     "st_ivfpq256_serve",  # queries served at ingest from the stored production index, stream == batch (authored r13 post-flip, three-scale verified)
     "sim_ann_pq256_rotated",  # OPQ-lite end to end: frozen PCA-basis rotation -> frozen 256-code encode/serve (authored r13 post-flip, three-scale verified)
+    "qa_psi_embedding_drift",  # per-dimension PSI drift monitor on embeddings, iid/shifted spike-in (authored r13 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

@@ -2784,6 +2784,32 @@ def test_st_ivfpq256_serve_two_microbatches(spark):
     assert first and second and not (first & second), (first, second)
 
 
+def test_qa_psi_embedding_drift_spike_in(spark):
+    """qa_psi_embedding_drift's planted contract (the spike-in
+    discipline): per cohort exactly the top-5 ranked dims; the iid
+    candidate must NOT flag on any of them (same distribution as the
+    reference — its PSI is pure sampling noise, comfortably under the
+    0.25 industry threshold), and the x*0.05+1 plant MUST flag on all
+    five (every coordinate collapses into one bin)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+
+    rows = R["qa_psi_embedding_drift"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    by = {}
+    for r in rows:
+        by.setdefault(r["cohort"], []).append(r)
+    assert set(by) == {"new_iid", "new_shifted"}
+    for cohort, rs in by.items():
+        assert [r["rnk"] for r in rs] == [1, 2, 3, 4, 5]
+    assert all(not r["drifted"] for r in by["new_iid"])
+    assert all(r["psi6"] < 0.25 for r in by["new_iid"])
+    assert all(r["drifted"] for r in by["new_shifted"])
+    # the plant is not merely over threshold — it is catastrophic
+    assert all(r["psi6"] > 2.0 for r in by["new_shifted"])
+
+
 def test_ivfpq_retrain_spike_in(spark):
     """wh_ivfpq_retrain's planted contract: the concentrated batch's
     quantizer fit must be RESTORED by retraining (fit ~0.2 -> ~1.0,
