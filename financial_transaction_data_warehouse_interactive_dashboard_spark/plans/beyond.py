@@ -331,7 +331,7 @@ _PII_PHONE = r"\+?\d[\d-]{7,}\d"
            CAST(ntile(4)     OVER (ORDER BY n DESC, nation) AS INTEGER) AS quartile
     FROM counts ORDER BY rnk
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def w5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile over grouped counts (SURVEY.md section 2.5
@@ -432,7 +432,7 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'regular' END AS segment
     FROM scored ORDER BY custkey
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a16_rfm_segmentation(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -546,7 +546,7 @@ def a16_rfm_segmentation(
                 ELSE 'C' END AS abc_class
     FROM c ORDER BY cum_share, custkey
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a17_pareto_customers(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -795,7 +795,7 @@ _CDC_ORACLE = """
     FROM probe JOIN build USING (uid)
     GROUP BY 1 ORDER BY segment
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def sk_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation salted join under the correctness gate: the probe

@@ -58,7 +58,7 @@ def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, range(0, 4) AS r(k)
     GROUP BY 1 ORDER BY 1
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def ev_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/15m windows (each event in 4 windows; the oracle expands
@@ -748,7 +748,7 @@ def ev_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY event_id
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: views in the hour before each purchase,

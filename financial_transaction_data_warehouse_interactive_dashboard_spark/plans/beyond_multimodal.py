@@ -38,7 +38,7 @@ from .queries import _t, query
     # Promoted r5 into the driver surface: the decode stage now parses a
     # REAL format (BMP header round-trip) instead of the md5 stand-in,
     # which mm_features_resize still pins driver-side.
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline over a REAL format: per document a
@@ -167,7 +167,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM x GROUP BY doc_id ORDER BY doc_id
     """,
     # Promoted r6 (rotation: first driver row for the decoder tier).
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio feature extraction end-to-end (operators.multimodal.

@@ -348,7 +348,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 5
     ORDER BY query_id, cosine DESC, neighbor_id
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 within the query's sign-LSH bucket (the scale path)."""
@@ -528,7 +528,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3), driver=True)  # REFRESH r13 (evidence-age re-earn; plans/rotation.py)
+@query("sim_ann_ivf_kmeans_iter3", _sql_ivf_kmeans(3), driver=False)  # demoted r14 (rotation; driver-green, plans/rotation.py)
 def sim_ann_ivf_kmeans_iter3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration Lloyd refinement (3 iterations, each materialized
     once and decimal-exact): the converged-quantizer path. The oracle SQL
@@ -731,7 +731,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from r11 as a wh_* lifecycle harness (snapshot/state-dependent,
     # the r8 second-row policy). Defined here (not beyond_warehouse) to
     # share _sql_ivf_pq and the recall composition.
-    driver=True,  # keep-set since r11 (wh_* lifecycle harness; plans/rotation.py)
+    driver=False,  # aged out of keep-set r14 (cap policy; driver-green, plans/rotation.py)
 )
 def wh_ivfpq_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the IVFPQ index (sources.warehouse.
@@ -1230,7 +1230,7 @@ def sim_ann_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s ORDER BY vec_id
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (operators.similarity.quantize_int8):
@@ -1779,7 +1779,7 @@ def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Authored r11 (after the r11 flip); queued for r12, whose
     # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files COMPACTION on the live index layout — the standing
@@ -1908,7 +1908,7 @@ def _sql_pca_power(iterations: int = PCA_POWER_ITERATIONS) -> str:
     # Authored r11 (after the r11 flip); queued for r12, whose
     # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top PRINCIPAL COMPONENT of the embedding corpus by distributed
@@ -2025,7 +2025,7 @@ def _sql_pq256(
     # scales before the r13 flip). The r12 landing was interrupted
     # before promotion/audit could be committed (VERDICT r12 "what's
     # wrong" #2) — promoted r13 with the committed recall audit.
-    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_pq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k at the PRODUCTION PQ configuration (VERDICT
@@ -2162,7 +2162,7 @@ def _sql_ivfpq256(
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=False,
+    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
 )
 def sim_ann_ivfpq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE production retrieval stack (operators.similarity.
@@ -2209,7 +2209,7 @@ def sim_ann_ivfpq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=False,
+    driver=True,  # promoted r14 (first driver row); keep-set admission r14 (cap policy, plans/rotation.py)
 )
 def wh_ivfpq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the production-sized IVF+PQ256 index
@@ -2266,7 +2266,7 @@ def wh_ivfpq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=False,
+    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
 )
 def st_ivfpq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN queries SERVED AT INGEST from the STORED production index
@@ -2346,7 +2346,7 @@ def _sql_pq256_rotated(
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=False,
+    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
 )
 def sim_ann_pq256_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-lite END TO END, Spark-native: the corpus is rotated by the
@@ -2502,7 +2502,7 @@ def _sql_pca_deflate(
     # scales before the r13 flip). The r12 landing was interrupted
     # before promotion could be committed (VERDICT r12 "what's wrong"
     # #2) — promoted r13.
-    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def sim_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 PRINCIPAL COMPONENTS by power iteration WITH DEFLATION

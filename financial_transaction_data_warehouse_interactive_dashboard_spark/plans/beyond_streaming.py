@@ -118,7 +118,7 @@ def st_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, user_id, event_type, value, props
     FROM events ORDER BY event_id
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup (dropDuplicatesWithinWatermark) against an
@@ -215,7 +215,7 @@ def st_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY user_id, sid
     ORDER BY user_id, first_ts
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode streaming session windows (the hard case: a session is
@@ -239,7 +239,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1 ORDER BY event_type
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def st_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming egress through foreachBatch into a PARQUET sink (the
@@ -340,7 +340,7 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id, v_ts
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join run end-to-end as a real
@@ -564,7 +564,7 @@ from ..operators.similarity import (  # noqa: E402
     # Authored r11 (after the r11 flip); queued for r12, whose
     # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def st_ivfpq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index drift monitor running AT INGEST — the streaming face

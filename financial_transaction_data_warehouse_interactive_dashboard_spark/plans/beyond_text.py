@@ -120,7 +120,7 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
     # promoted r6 (rotation: first driver row)
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/test split: a document's split is decided by
@@ -204,7 +204,7 @@ def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h JOIN hw USING (doc_id)
     ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def tx_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document text-analysis profile in ONE driver row:
@@ -451,7 +451,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 3
     ORDER BY doc_id, tfidf DESC, term
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF, top-3 terms per document.
@@ -492,7 +492,7 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY 1, 2 ORDER BY split, lang
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by key hash
@@ -536,7 +536,7 @@ def tx_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_shared DESC, doc_id ASC
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination report
@@ -861,7 +861,7 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM injected ORDER BY doc_id
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every LLM training pipeline

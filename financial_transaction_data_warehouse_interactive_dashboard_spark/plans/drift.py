@@ -67,7 +67,7 @@ from .queries import _t, query
                          * least(nr - 1, nc - 1))), 6) AS cramers_v
     FROM dims
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_chi_square_segment_status(
     spark: SparkSession, sf_dir: str
@@ -190,7 +190,7 @@ PSI_WIDTH = 60000  # fixed-width bins over o_totalprice (~850..530k)
            (SELECT round(CAST(sum(x) AS DOUBLE), 6) FROM contrib) AS psi_total
     FROM contrib ORDER BY bin
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the order-price distribution, 1995
@@ -298,7 +298,7 @@ def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum, n) AS ks_d
     FROM n
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_ks_two_sample(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -650,7 +650,7 @@ def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
     FROM w
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t statistic (+ Welch-Satterthwaite df)
@@ -756,7 +756,7 @@ def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS z
     FROM u
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_mann_whitney(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -1371,7 +1371,7 @@ def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / pow(r2 - mu * mu, 2) - 3, 6) AS kurtosis_excess
     FROM c ORDER BY event_type
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact POPULATION skewness and excess kurtosis of event values per
@@ -1834,7 +1834,7 @@ _STOREY_THR = f"round(bh_rank * {_BH_Q} / (m * pi0_6), 6)"
     # Authored r11 (after the r11 flip); queued for r12, whose
     # interrupted landing never flipped the rotation (VERDICT r12) —
     # locally oracle-pinned at all three scales meanwhile.
-    driver=True,  # promoted r13 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def qa_fdr_storey_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storey's ADAPTIVE FDR (q-value procedure, Storey 2002) over the
@@ -1972,7 +1972,7 @@ _EMB_PSI_BIN_SQL = (
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=False,
+    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
 )
 def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DIMENSION Population Stability Index on the embedding

@@ -215,7 +215,7 @@ BENFORD_EXP = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
     FROM counts JOIN exp USING (digit) CROSS JOIN tot
     ORDER BY digit
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a19_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit on order amounts — the classic
@@ -478,7 +478,7 @@ ATTR_LOOKBACK_S = 7 * 86400
     FROM m GROUP BY 1 ORDER BY channel
     """,
     # promoted r6 (rotation: first driver row)
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: each purchase is credited to the
@@ -906,7 +906,7 @@ FX_MONTHS = 80  # 1995-01 .. 2001-08 covers the orders fixture
     """,
     # New r5 (locally pinned; r6 rotation candidate).
     # promoted r6 (rotation: first driver row)
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency conversion through an AS-OF rate lookup — the canonical
@@ -1006,7 +1006,7 @@ def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r5 (locally pinned; r6 rotation candidate).
     # promoted r6 (rotation: first driver row)
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand triangle participation in the co-purchase graph — the
@@ -1060,7 +1060,7 @@ def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r5 (locally pinned; r6 rotation candidate).
     # promoted r6 (rotation: first driver row)
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a24_revenue_gini(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -1326,7 +1326,7 @@ def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t WHERE n > 1 ORDER BY segment
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a25_spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman with CLASSICAL average-rank tie handling (the statistical
@@ -1640,7 +1640,7 @@ def _lpa_iter_cte(i: int) -> str:
     SELECT node AS brand, lbl AS community
     FROM l{LPA_ITER} ORDER BY brand
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a26_brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the brand co-purchase graph — the FOURTH
@@ -2047,7 +2047,7 @@ def _ppr_iter_cte(i: int) -> str:
            END AS is_seed
     FROM p{PR_ITER} ORDER BY rank DESC, brand
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the Brand#1x seed family over the
@@ -2124,7 +2124,7 @@ def _khop_cte(i: int) -> str:
     {", ".join(_khop_cte(i) for i in range(1, KHOP_MAX + 1))}
     SELECT node AS brand, hops FROM d3 ORDER BY hops, brand
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a31_brand_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS distances from the lexicographically-first brand over
@@ -2213,7 +2213,7 @@ def _bf_iter_cte(i: int) -> str:
     SELECT node AS brand, CAST(dist AS DOUBLE) AS cost
     FROM b4 ORDER BY cost, brand
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest-path costs from the lexicographically-first brand over
@@ -2275,7 +2275,7 @@ def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (b.spend > a.spend OR b.c_acctbal > a.c_acctbal))
     ORDER BY segment, custkey
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a33_segment_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment Pareto frontier (2-D SKYLINE): customers no other
@@ -2391,7 +2391,7 @@ def _cc_round_cte(i: int) -> str:
              AS harmonic
     FROM cnt ORDER BY harmonic DESC, brand
     """,
-    driver=False,  # rotated OUT r8 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARMONIC closeness centrality of every brand in the

@@ -135,7 +135,7 @@ def dsum_expr(expr, scale: int = 6):
     ORDER BY n DESC, segment ASC
     LIMIT 5
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def q1_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 shape — 2-predicate filter -> group count -> top-5 with tie-break.
@@ -327,7 +327,7 @@ def a6_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN focus f ON t.qnum = f.qnum
     ORDER BY quarter
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def w1_quarter_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarterly trend — two aggregates outer-joined, share-of-total, LAG QoQ.
@@ -413,7 +413,7 @@ def w4_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     ORDER BY o_orderkey
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact build — chained inner FK-resolution joins (J1/J2).
@@ -460,7 +460,7 @@ def j1_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
     ORDER BY o_orderkey
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold denormalization — star-join the fact back to all dims (J3).
@@ -511,7 +511,7 @@ def j3_gold_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ORDER BY p_partkey
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join — keys absent from the other side (J5/F3/X1): parts never
@@ -546,7 +546,7 @@ def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY segment, status
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def j6_topk_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k semi-join — restrict detail rows to the top-k groups (J6 + O2).
@@ -688,7 +688,7 @@ def o2_top5_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY segment_total DESC, segment ASC, status ASC
     """,
-    driver=True,  # REFRESH r13 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r14 (rotation; driver-green, plans/rotation.py)
 )
 def o4_group_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groups ordered by their total — stacked-bar display order (O4/A3/W3).
@@ -1155,7 +1155,7 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT custkey FROM big_buyers UNION SELECT custkey FROM urgent_buyers)
     ORDER BY set_op
     """,
-    driver=False,  # demoted r7 (rotation; multiply driver-green r1-r6)
+    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) / INTERSECT / EXCEPT over key sets — the whole

@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 13
+CURRENT_ROUND = 14
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -353,6 +353,51 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "st_tumbling_hourly", "w4_surrogate_keys",
         ),
     },
+    14: {
+        # Steady-state round on a zero-debt ledger: FIVE first-timers —
+        # the r13-authored NEXT_QUEUE (sim_ann_ivfpq256,
+        # wh_ivfpq256_publish, st_ivfpq256_serve, sim_ann_pq256_rotated,
+        # qa_psi_embedding_drift — each three-scale verified when
+        # authored AND re-swept on the final r13 tree, commit fde001e).
+        # A green r14 leaves 214/214 entries with a driver row. The
+        # keep-set applies the cap policy's FIRST actual age-out
+        # (VERDICT r13 ask #7): wh_ivfpq256_publish is admitted as the
+        # ivfpq-lifecycle representative (newest production-sized
+        # harness) and wh_ivfpq_publish — the 8-code twin, multiply
+        # green r9-r13 — ages out to the refresh pool; the set stays at
+        # KEEP_SET_CAP. The remaining 28 slots are REFRESH promotions —
+        # the age-ordered prefix of REFRESH_QUEUE (the last two r6-tail
+        # names, the full 24-name r7 vintage, and the first two r8
+        # names, through a25_spearman_avg_rank).
+        "in": (
+            # r13-authored queue (first driver rows; plans/rotation.py
+            # NEXT_QUEUE at the r13 close)
+            "sim_ann_ivfpq256", "wh_ivfpq256_publish",
+            "st_ivfpq256_serve", "sim_ann_pq256_rotated",
+            "qa_psi_embedding_drift",
+        ),
+        "out": (
+            # r13 first-timers retire on their green r13 rows (the r8
+            # second-row policy; none admitted to the keep-set)
+            "st_ivfpq_monitor", "qa_fdr_storey_spike_in",
+            "wh_ivfpq_compact", "sim_pca_power", "sim_ann_pq256",
+            "sim_pca_deflate",
+            # the first keep-set age-out under the cap policy (replaced
+            # by wh_ivfpq256_publish, its production-sized successor)
+            "wh_ivfpq_publish",
+            # r13 REFRESH entries rotate off on their re-earned rows
+            "ev_range_views_before_purchase", "ev_sliding_1h_15m",
+            "j1_fact_build", "j3_gold_denorm", "j5_anti_join",
+            "j6_topk_semi", "mm_blob_meta", "o4_group_total_order",
+            "q1_top_segments", "sim_ann_ivf_kmeans_iter3",
+            "sim_ann_signlsh", "sim_quantize_int8", "sk_salted_hot_join",
+            "st_dedup", "st_foreach_batch_sink", "st_sessionize",
+            "st_stream_stream_join", "tx_decontaminate", "tx_hash_split",
+            "tx_pii_scrub", "tx_text_profile", "tx_tfidf_top_terms",
+            "w1_quarter_trend", "w5_rank_functions", "wh_expectations",
+            "wh_gold_maintenance",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -377,15 +422,10 @@ RE_PROMOTED: dict[str, int] = {
 #: authored AFTER the flip; first-timers always outrank refresh slots.
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
-    # The r13 flip cleared ALL queued debt: the four r12-queue entries
-    # and both r12-authored operators promoted (see ROTATION_HISTORY
-    # 13), leaving zero never-driver-checked entries after a green
-    # r13. Operators authored after the r13 flip queue here for r14:
-    "sim_ann_ivfpq256",  # IVF + frozen 256-code PQ + exact refine — the complete production stack (authored r13 post-flip, three-scale verified)
-    "wh_ivfpq256_publish",  # the stored form of the production stack, oracle shared VERBATIM (authored r13 post-flip, three-scale verified)
-    "st_ivfpq256_serve",  # queries served at ingest from the stored production index, stream == batch (authored r13 post-flip, three-scale verified)
-    "sim_ann_pq256_rotated",  # OPQ-lite end to end: frozen PCA-basis rotation -> frozen 256-code encode/serve (authored r13 post-flip, three-scale verified)
-    "qa_psi_embedding_drift",  # per-dimension PSI drift monitor on embeddings, iid/shifted spike-in (authored r13 post-flip, three-scale verified)
+    # The r14 flip promoted the full five-entry r13 queue (see
+    # ROTATION_HISTORY 14), leaving zero never-driver-checked entries
+    # after a green r14 — 214/214 driver-row coverage. Operators
+    # authored after the r14 flip queue here for r15.
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
@@ -413,27 +453,13 @@ NEXT_QUEUE: tuple[str, ...] = (
 #: freshness is the point — so they are not declared in the history's
 #: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
 REFRESH_QUEUE: tuple[str, ...] = (
-    # The round-13 flip consumed the previous queue's 26-name prefix
-    # (the r6-vintage tail through wh_gold_maintenance); what remains
-    # is the last two r6-tail names followed by the full r7 vintage
-    # and the head of the r8 vintage (alphabetical within a vintage =
-    # the ties-by-name rule). Recomputed this round from the committed
-    # CORRECTNESS files, as every round.
-    # r6 tail
-    "wh_table_profile", "x2_union_intersect",
-    # r7
-    "a16_rfm_segmentation", "a17_pareto_customers",
-    "a23_brand_triangles", "a24_revenue_gini", "a26_brand_communities",
-    "a30_brand_ppr", "a31_brand_khop", "a32_brand_cheapest_path",
-    "a33_segment_skyline", "a34_brand_closeness",
-    "ev_attribution_last_touch", "j8_fx_convert", "mm_wav_features",
-    "qa_chi_square_segment_status", "qa_higher_moments",
-    "qa_ks_two_sample", "qa_mann_whitney", "qa_psi_price_drift",
-    "qa_welch_t", "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume", "tx_split_by_cluster",
-    "wh_scd2_history", "wh_zorder_skipping",
-    # r8 head
-    "a19_benford_first_digit", "a25_spearman_avg_rank",
+    # The round-14 flip consumed the previous queue's 28-name prefix
+    # (the r6 tail, the full r7 vintage, and the first two r8 names
+    # through a25_spearman_avg_rank); what remains is the rest of the
+    # r8 vintage followed by the head of the r9 vintage (alphabetical
+    # within a vintage = the ties-by-name rule). Recomputed this round
+    # from the committed CORRECTNESS files, as every round.
+    # r8 rest
     "a25_spearman_freq_spend", "a28_customer_kmeans", "a35_survival_km",
     "dd_incremental_dedup", "dd_incremental_minhash",
     "dd_passage_dupes", "dd_qgram_edit_join", "dd_segment_dedup",
@@ -442,7 +468,22 @@ REFRESH_QUEUE: tuple[str, ...] = (
     "ev_cusum_daily", "ev_ewma_daily", "ev_forecast_backtest",
     "ev_mad_outliers", "ev_peak_concurrency", "ev_seasonal_decompose",
     "ev_time_to_convert", "ev_trend_regression", "ev_wau_stickiness",
-    "ev_winsorized_stats", "mm_avi_frames",
+    "ev_winsorized_stats", "mm_avi_frames", "mm_bmp_pixels",
+    "qa_anova_segments", "qa_wilson_ci", "sim_ann_pq_adc",
+    "sim_recall_at_k", "tpch_q16_supplier_cnt",
+    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+    "tx_curriculum_order", "tx_span_corruption", "tx_stratified_sample",
+    # r9 head
+    "a15_hll_mergeable", "a18_zscore_outliers", "a20_basket_pair_lift",
+    "a21_order_reconciliation", "a27_dow_seasonal_outliers",
+    "a29_cohort_ltv", "dd_containment_pairs", "dd_er_blocked_pairs",
+    "dd_normalized_dedup", "dd_novelty_fractions",
+    "ev_asof_nearest_error", "ev_asof_view_purchase",
+    "ev_cumulative_uniques", "ev_equidepth_histogram", "ev_top_paths",
+    "ev_transition_matrix", "sim_ann_ivf_pq",
+    "sim_embedding_covariance", "sim_hybrid_rrf", "sim_ndcg_at_k",
+    "sim_random_projection", "tx_bigram_logprob", "tx_bpe_apply",
+    "tx_bpe_pack", "tx_chunk_documents",
 )
 
 #: KEEP-SET CAP POLICY (r13; VERDICT r11 ask #8 / r12 ask #6). The
@@ -462,7 +503,22 @@ REFRESH_QUEUE: tuple[str, ...] = (
 #: cadence). Applied at r13: wh_ivfpq_compact and st_ivfpq_monitor were
 #: NOT admitted — the ivfpq index lifecycle is already represented by
 #: wh_ivfpq_publish; they rotate like deterministic entries.
+#: Applied at r14 — the rule's first actual age-out (VERDICT r13 ask
+#: #7): wh_ivfpq256_publish (the production-sized lifecycle harness)
+#: REPLACES wh_ivfpq_publish as the family's seat; the 8-code twin —
+#: multiply green r9-r13 — moves to the refresh pool and re-earns
+#: freshness on the normal cadence. The set stays at the cap.
 KEEP_SET_CAP = 18
+
+#: Keep-set admissions ledger (name -> round admitted). A member
+#: admitted in CURRENT_ROUND may simultaneously be a first-timer (it
+#: earns its FIRST row the same round it takes its family's seat —
+#: the r14 wh_ivfpq256_publish case); tests/test_rotation.py allows
+#: the first-timer/keep-set overlap exactly for names admitted this
+#: round and forbids it otherwise.
+KEEP_SET_ADMISSIONS: dict[str, int] = {
+    "wh_ivfpq256_publish": 14,
+}
 
 #: The standing keep-set (r8 second-row policy; membership pinned by
 #: tests/test_rotation.py to <= KEEP_SET_CAP and to being on every
@@ -473,7 +529,7 @@ KEEP_SET: tuple[str, ...] = (
     "st_stream_merge_rollup", "st_stream_static_enrich",
     "wh_bloom_prune", "wh_bucketed_join", "wh_cdc_apply",
     "wh_compaction", "wh_incremental_join", "wh_incremental_rollup",
-    "wh_ivfpq_publish", "wh_orphan_audit", "wh_scd2_lookup",
+    "wh_ivfpq256_publish", "wh_orphan_audit", "wh_scd2_lookup",
     "wh_schema_evolution", "wh_time_travel", "wh_vacuum_retention",
 )
 

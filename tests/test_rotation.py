@@ -174,4 +174,15 @@ def test_keep_set_capped_and_on_surface():
     # from the refresh pool, i.e. hold a prior green row; the
     # green-or-first-timer test above already pins that).
     first = set(R.ROTATION_HISTORY[R.CURRENT_ROUND]["in"])
-    assert not first & set(keep), first & set(keep)
+    # A first-timer may sit in the keep-set ONLY if the admissions
+    # ledger declares it admitted THIS round (the r14
+    # wh_ivfpq256_publish case: it takes its family's seat the same
+    # round it earns its first row — cap policy, plans/rotation.py).
+    admitted_now = {
+        n for n, rnd in R.KEEP_SET_ADMISSIONS.items()
+        if rnd == R.CURRENT_ROUND
+    }
+    assert not (first & set(keep)) - admitted_now, (
+        (first & set(keep)) - admitted_now
+    )
+    assert admitted_now <= set(keep), admitted_now - set(keep)
