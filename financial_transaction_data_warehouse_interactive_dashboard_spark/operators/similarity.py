@@ -140,7 +140,19 @@ def _assign_cells(vecs: DataFrame, cells: DataFrame) -> DataFrame:
     the struct order (cell_cos, -cell) is exactly the window's
     (score DESC, cell ASC) total order, so assignments are identical
     row-for-row; the aggregation combines map-side instead of sorting
-    the fan-out, which is also the 10^9-vector plan."""
+    the fan-out, which is also the 10^9-vector plan.
+
+    Invariant (ADVICE r13): the ordering key must be non-NULL for at
+    least one candidate per vector — ``max_by`` SKIPS NULL ordering
+    keys, where the old row_number window ranked NULLS LAST, so a
+    vector whose cell_cos is NULL against EVERY centroid would get a
+    NULL cell here instead of a deterministic last-place assignment.
+    P.cosine returns NULL only for NULL or ragged input arrays (the
+    fixture has neither; a zero-norm vector yields NaN, not NULL, and
+    NaN sorts ABOVE every double in both the window and the max_by
+    struct order — same assignment either way), so the two
+    formulations coincide; revisit if a nullable vector source ever
+    feeds this path."""
     best = F.expr("max_by(struct(v, cell), struct(cell_cos, -cell))")
     return (
         vecs.crossJoin(F.broadcast(cells))

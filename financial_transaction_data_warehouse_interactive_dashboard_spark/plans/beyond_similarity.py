@@ -49,14 +49,17 @@ def _shared_artifact(spark: SparkSession, sf_dir: str, kind: str, builder):
     Keyed on applicationId so artifacts never leak across sessions
     (localCheckpointed frames die with their context) and on sf_dir so
     a session that touches several scales (the test suite does) never
-    serves one scale's index to another's query."""
+    serves one scale's index to another's query. Entries keyed by a
+    DEAD applicationId are evicted on every call (ADVICE r13): a
+    long-running process that cycles Spark sessions would otherwise
+    pin stale checkpointed-frame handles and table prefixes for its
+    whole lifetime."""
     import os as _os
 
-    key = (
-        spark.sparkContext.applicationId,
-        _os.path.normpath(sf_dir),
-        kind,
-    )
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _IVFPQ_SHARED if k[0] != app_id]:
+        del _IVFPQ_SHARED[stale]
+    key = (app_id, _os.path.normpath(sf_dir), kind)
     if key not in _IVFPQ_SHARED:
         _IVFPQ_SHARED[key] = builder()
     return _IVFPQ_SHARED[key]

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.similarity import IVFPQ_APPEND_BASE
 from ..operators.surrogate import resolve_scale_safe, two_phase_cumsum
 from .queries import _t, query
 
@@ -1921,10 +1922,10 @@ _EMB_PSI_BIN_SQL = (
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     refx AS (SELECT u.p - 1 AS dim, u.x AS val
-             FROM (SELECT * FROM e WHERE vec_id < 250),
+             FROM (SELECT * FROM e WHERE vec_id < {IVFPQ_APPEND_BASE}),
              unnest([{{'p': i, 'x': v[i]}}
                      for i in range(1, len(v) + 1)]) AS t(u)),
-    newv AS (SELECT vec_id, v FROM e WHERE vec_id >= 250),
+    newv AS (SELECT vec_id, v FROM e WHERE vec_id >= {IVFPQ_APPEND_BASE}),
     candx AS (
       SELECT 'new_iid' AS cohort, u.p - 1 AS dim, u.x AS val
       FROM newv, unnest([{{'p': i, 'x': v[i]}}
@@ -1979,7 +1980,9 @@ def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the DISTRIBUTIONAL drift monitor that complements
     sim_ivfpq_drift's quantizer-fit view: a production feature store
     tracks every embedding coordinate's distribution between the index
-    snapshot (reference = the wh_ivfpq_append base, vec_id < 250) and
+    snapshot (reference = the wh_ivfpq_append base, vec_id <
+    operators.similarity.IVFPQ_APPEND_BASE — single-sourced here AND in
+    the oracle so the stated coupling cannot silently drift) and
     the arriving batch, because a fit drop tells you THAT the index is
     stale while per-dim PSI tells you WHERE the distribution moved.
     Two candidate cohorts, the standing spike-in discipline: new_iid
@@ -2004,8 +2007,8 @@ def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ref = vecs.filter(F.col("vec_id") < 250)
-    new = vecs.filter(F.col("vec_id") >= 250)
+    ref = vecs.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+    new = vecs.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
     shifted = new.select(
         "vec_id",
         F.expr(
