@@ -1065,11 +1065,27 @@ def pq256_books(spark) -> DataFrame:
     )
 
 
+def pq256r_books(spark) -> DataFrame:
+    """The ROTATED-TRAINED sibling of :func:`pq256_books` (true-OPQ
+    books, VERDICT r13 ask #2): same m=8 x 256 x 8 shape, same integer-
+    thousandths freeze, but trained by ``tools/train_pq256.py
+    --rotated`` on the rot64-ROTATED sf0.1 corpus — the books an OPQ
+    deployment serves. Valid ONLY against :func:`rotate_corpus`
+    output; encoding the unrotated corpus with these books is the
+    mismatch the committed r13 audit measured (0.84 vs 0.91)."""
+    from . import pq256r_book as B
+
+    return spark.createDataFrame(
+        B.book_rows(), "m int, code int, cv array<double>"
+    )
+
+
 def topk_ann_pq256(
     emb: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     shortlist: int = PQ256_SHORTLIST,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k at the PRODUCTION PQ configuration (VERDICT r11
     ask #2): m=8 subspaces x 256 codes/subspace (64-bit codes — 32x
@@ -1096,9 +1112,15 @@ def topk_ann_pq256(
     Determinism: assignment score and ADC terms rounded to 6 dp, summed
     as exact DECIMAL(18,6); assignment ties -> lowest code; shortlist
     ties -> lowest vec_id; final ties -> (cos6 desc, neighbor_id asc).
-    Output: (query_id, rnk, neighbor_id, adc_ip6, cos6)."""
+    Output: (query_id, rnk, neighbor_id, adc_ip6, cos6).
+
+    ``books`` defaults to the frozen unrotated table; pass
+    :func:`pq256r_books` with a :func:`rotate_corpus` frame for the
+    true-OPQ configuration (sim_ann_opq256) — both book sets share the
+    m/SUBDIM/N_CODES geometry, so the plan is identical."""
     spark = emb.sparkSession
-    books = pq256_books(spark)
+    if books is None:
+        books = pq256_books(spark)
     vecs = _vecs(emb)
     # The encode join multiplies the corpus 256x (one row per candidate
     # code); spread the probe side across the cluster FIRST with an

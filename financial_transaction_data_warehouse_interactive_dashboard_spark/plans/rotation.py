@@ -425,7 +425,8 @@ NEXT_QUEUE: tuple[str, ...] = (
     # The r14 flip promoted the full five-entry r13 queue (see
     # ROTATION_HISTORY 14), leaving zero never-driver-checked entries
     # after a green r14 — 214/214 driver-row coverage. Operators
-    # authored after the r14 flip queue here for r15.
+    # authored after the r14 flip queue here for r15:
+    "sim_ann_opq256",  # TRUE OPQ: frozen rotation + books retrained on the rotated corpus; audit row 0.9375 recall@5 (authored r14 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

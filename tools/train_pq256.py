@@ -62,6 +62,14 @@ def train_subspace(x: np.ndarray) -> np.ndarray:
 def main() -> None:
     import duckdb
 
+    # --rotated (VERDICT r13 ask #2): train the SAME seeded Lloyd on
+    # the rot64-ROTATED corpus and emit the sibling module
+    # pq256r_book.py — the true-OPQ second half. The committed audit
+    # showed rotation alone LOSES recall (0.8375 vs 0.9125) because
+    # the original books were trained unrotated; books retrained in
+    # the rotated frame are what an OPQ deployment actually serves.
+    rotated = "--rotated" in sys.argv[1:]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rows = duckdb.sql(
         "SELECT embedding::DOUBLE[] FROM "
@@ -69,6 +77,21 @@ def main() -> None:
     ).fetchall()
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     print(f"corpus {mat.shape} from {sf_dir}")
+
+    if rotated:
+        from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (  # noqa: E501
+            rot64 as RT,
+        )
+
+        r = np.array(
+            [
+                [int(x) for x in s.split("|")]
+                for s in RT.ROT64_PACKED
+            ],
+            dtype=np.float64,
+        ) / float(RT.SCALE)
+        mat = mat @ r.T  # v_rot[i] = <ROW_i, v>, rows are the new axes
+        print(f"rotated by frozen rot64 (ortho err {np.abs(r @ r.T - np.eye(len(r))).max():.2e})")
 
     packed: list[str] = []
     for m in range(M):
@@ -82,19 +105,28 @@ def main() -> None:
         )
         packed.append("|".join(str(v) for v in q.reshape(-1)))
 
+    mod = "pq256r_book.py" if rotated else "pq256_book.py"
     out = os.path.join(
         HERE,
         "financial_transaction_data_warehouse_interactive_dashboard_spark",
         "operators",
-        "pq256_book.py",
+        mod,
     )
+    corpus_word = (
+        "rot64-ROTATED sf0.1 embedding corpus (true-OPQ books:\n"
+        "tools/train_pq256.py --rotated; serve ONLY on rotate_corpus\n"
+        "output)"
+        if rotated
+        else "sf0.1 embedding corpus"
+    )
+    entry = "sim_ann_opq256" if rotated else "sim_ann_pq256"
     with open(out, "w") as f:
         f.write(
             '"""FROZEN production-sized PQ codebooks (m=8 subspaces x 256\n'
             "codes/subspace x 8 dims), trained once by tools/train_pq256.py\n"
-            "(seeded numpy Lloyd on the sf0.1 embedding corpus) and frozen as\n"
+            f"(seeded numpy Lloyd on the {corpus_word}) and frozen as\n"
             "integer thousandths — the tx_bpe_apply64 frozen-constant pattern:\n"
-            "the sim_ann_pq256 entry and its DuckDB oracle both replay THIS\n"
+            f"the {entry} entry and its DuckDB oracle both replay THIS\n"
             "table statically (value = int / 1000.0, an exact-parity division\n"
             "in both engines), so the oracle never pays unrolled training.\n"
             "Regenerate only via the trainer; the committed table is the\n"
