@@ -359,6 +359,70 @@ def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     ).partitionBy("cell").saveAsTable(target)
 
 
+def append_ivfpq256_vectors(new_emb: DataFrame, prefix: str) -> None:
+    """INCREMENTAL maintenance at the PRODUCTION codebook size — the
+    append_ivfpq_vectors freshness path for the 256-code layout, and
+    the configuration where appends are CHEAPEST to keep honest: the
+    books are a frozen offline constant (operators.pq256_book), so the
+    only corpus-trained structure is the coarse quantizer; an append
+    needs zero retraining of any kind, just assignment + encode
+    against read-back frozen structures.
+
+    New vectors are assigned to the FROZEN coarse quantizer (read back
+    from ``<prefix>_centroids``, rounded-cosine / ties -> lowest cell
+    — operators.similarity._assign_cells, the exact serve-path
+    semantics), encoded against the FROZEN stored books (read back
+    from ``<prefix>_books``, the L2 MIPS-identity key
+    build_ivfpq256_inv uses: round(<sv,cv> - 0.5<cv,cv>, 6), max_by
+    ties -> lowest code), and their codes APPENDED into the
+    cell-partitioned ``<prefix>_codes`` table — existing partitions
+    untouched, one new file per touched cell, queries see the batch
+    immediately through the same probe/ADC path.
+
+    Checked contract (wh_ivfpq256_append): publish-on-base +
+    append-new must answer EXACTLY like encoding the whole corpus
+    against the same frozen structures in one batch. At 100 TB the
+    append is one pass over the new batch only; compact_partitions is
+    the standing repair as batches accumulate."""
+    from pyspark.sql import functions as F
+
+    from ..functions import portable as P
+    from ..operators import pq256_book as B
+    from ..operators.similarity import (
+        _assign_cells,
+        _subvectors,
+        _vecs,
+    )
+
+    spark = new_emb.sparkSession
+    cells = spark.table(f"{prefix}_centroids")
+    books = spark.table(f"{prefix}_books")
+    assign = _assign_cells(_vecs(new_emb), cells).select("vec_id", "cell")
+    booksn = books.withColumn(
+        "half_cvn", F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv")
+    )
+    codes = (
+        _subvectors(_vecs(new_emb))
+        .join(F.broadcast(booksn), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            F.round(
+                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
+            ).alias("sub_score"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.expr("max_by(code, struct(sub_score, -code))").alias("code"))
+    )
+    enc = codes.join(assign, "vec_id").select("vec_id", "cell", "m", "code")
+    target = f"{prefix}_codes"
+    cols = spark.table(target).columns  # align column order for append
+    enc.select(*cols).repartition("cell").write.mode("append").format(
+        "parquet"
+    ).partitionBy("cell").saveAsTable(target)
+
+
 def compact_partitions(
     spark: SparkSession,
     table: str,
