@@ -1917,9 +1917,13 @@ _EMB_PSI_BIN_SQL = (
 )
 
 
-@query(
-    "qa_psi_embedding_drift",
-    f"""
+def _sql_psi_embedding() -> str:
+    """DuckDB oracle for qa_psi_embedding_drift AND its ingest twin
+    st_psi_embedding_drift (shared STRING VERBATIM — stream == batch
+    is the checked contract: each cohort arrives in exactly one
+    microbatch and PSI is per-cohort, so the union of per-batch
+    reports equals this batch replay row-for-row)."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     refx AS (SELECT u.p - 1 AS dim, u.x AS val
              FROM (SELECT * FROM e WHERE vec_id < {IVFPQ_APPEND_BASE}),
@@ -1969,7 +1973,12 @@ _EMB_PSI_BIN_SQL = (
            psi6, psi6 > CAST('0.25' AS DOUBLE) AS drifted
     FROM ranked WHERE rnk <= 5
     ORDER BY cohort, rnk
-    """,
+    """
+
+
+@query(
+    "qa_psi_embedding_drift",
+    _sql_psi_embedding(),
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
@@ -2099,4 +2108,50 @@ def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cohort", "rnk")
+    )
+
+
+@query(
+    "st_psi_embedding_drift",
+    # Shares qa_psi_embedding_drift's oracle STRING VERBATIM: each
+    # cohort arrives in exactly one microbatch and PSI is per-cohort,
+    # so the union of per-batch reports must equal the batch replay
+    # row-for-row (stream == batch, the st_ivfpq_monitor discipline).
+    _sql_psi_embedding(),
+    # Authored r14 AFTER the flip commit (the landing-checklist
+    # discipline): queued in NEXT_QUEUE for the r15 surface.
+    driver=False,
+)
+def st_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-dimension PSI monitor LIFTED TO INGEST (VERDICT r13 ask
+    #5; streaming.stream.run_psi_embedding_stream) — the composition
+    of the two proven harnesses the ask names: st_ivfpq_monitor's
+    foreachBatch monitor shape and qa_psi_embedding_drift's fixed-bin
+    Laplace-smoothed PSI math. The reference per-(dim, bin) histogram
+    of the base corpus (vec_id < operators.similarity.
+    IVFPQ_APPEND_BASE) is computed once and PUBLISHED as a parquet
+    table; each ARRIVING microbatch (two genuine microbatches,
+    maxFilesPerTrigger=1: the iid remainder — must NOT flag — and the
+    x*0.05+1 plant — MUST flag) is binned, counted, and PSI-scored
+    against the READ-BACK published grid, emitting its cohort's top-5
+    drifted dims into an exactly-once parquet sink.
+
+    The oracle is the batch entry's VERBATIM: a dropped or doubled
+    microbatch, cross-batch contamination, a lossy reference publish,
+    or any drift in the bin edges / smoothing / DECIMAL term sum /
+    rank tie-break inside EITHER batch changes (cohort, rnk, dim,
+    psi6, drifted) and fails the hash. At 100 TB: one map-side-
+    combinable pass per arriving batch against a broadcast
+    literal-sized grid — the whole-distribution companion to
+    st_ivfpq_monitor's quantizer-fit guard at the same standing cost,
+    and the streaming half of the monitor -> retrain loop. Reference
+    analogue: none (beyond-reference LLM-pipeline tier)."""
+    from ..streaming import stream as ST
+
+    return ST.run_psi_embedding_stream(
+        spark,
+        sf_dir,
+        base=IVFPQ_APPEND_BASE,
+        n_dims=EMB_DIM,
+        n_bins=EMB_PSI_BINS,
     )

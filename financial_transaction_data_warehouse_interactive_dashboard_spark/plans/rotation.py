@@ -428,6 +428,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     # authored after the r14 flip queue here for r15:
     "sim_ann_opq256",  # TRUE OPQ: frozen rotation + books retrained on the rotated corpus; audit row 0.9375 recall@5 (authored r14 post-flip, three-scale verified)
     "wh_ivfpq256_append",  # publish-on-base + append-new at the production codebook size; zero retraining (frozen books), shared-artifact from day one (authored r14 post-flip, three-scale verified)
+    "st_psi_embedding_drift",  # the per-dim PSI monitor lifted to ingest: published reference histogram, per-microbatch PSI, stream == batch verbatim (authored r14 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

@@ -1395,3 +1395,210 @@ def run_ivfpq256_serve_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir).orderBy("query_id", "rnk")
+
+
+def run_psi_embedding_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    base: int,
+    n_dims: int,
+    n_bins: int,
+) -> DataFrame:
+    """The per-dimension PSI drift monitor (qa_psi_embedding_drift's
+    pass) run AT INGEST (VERDICT r13 ask #5) — one top-5-drifted-dims
+    report per ARRIVING microbatch instead of a nightly batch sweep,
+    composed from the two proven harnesses: st_ivfpq_monitor's
+    foreachBatch fit-monitor shape and qa_psi_embedding_drift's
+    fixed-bin Laplace-smoothed PSI math.
+
+    The REFERENCE histogram — per-(dim, bin) counts of the base corpus
+    (vec_id < ``base``, the index snapshot) — is computed batch-side
+    ONCE and PUBLISHED as a parquet table (the wh_ivfpq_publish sidecar
+    discipline); every microbatch monitors against the READ-BACK
+    published grid (n_dims x n_bins rows — broadcast-sized at any
+    corpus size), so a lossy publish or a stale-reference drift fails
+    the oracle hash. The stream delivers two genuinely separate
+    arriving batches (maxFilesPerTrigger=1): the iid batch (raw
+    remainder vectors — must NOT flag) and the planted concentrated
+    batch (x*0.05+1 — MUST flag; the standing spike-in discipline).
+    Each microbatch flows through foreachBatch: posexplode -> exact-
+    binary-edge bin -> (cohort, dim, bin) count -> PSI vs the published
+    reference -> per-cohort top-5 (psi6 DESC, dim ASC) -> APPEND to an
+    exactly-once parquet sink. Each cohort arrives in exactly one
+    microbatch and PSI is per-cohort, so the union of per-batch
+    reports equals the batch run row-for-row — stream == batch under
+    qa_psi_embedding_drift's oracle VERBATIM.
+
+    At 100 TB: one map-side-combinable pass per arriving batch against
+    a broadcast literal-sized grid — the whole-distribution companion
+    to st_ivfpq_monitor's quantizer-fit guard, at the same (cheapest
+    possible) standing cost."""
+    import hashlib
+
+    from ..operators.similarity import _vecs
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    vecs = _vecs(spark.read.parquet(path))
+
+    def _bin(col: str = "val"):
+        return F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(col) + F.lit(0.5)) / F.lit(0.125)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
+
+    # Publish the reference histogram (full dense grid incl. empty
+    # bins, so the read-back is the complete broadcast monitor state).
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:8]
+    ref_table = f"psi_ref_hist_{tag}"
+    refx = (
+        vecs.filter(F.col("vec_id") < base)
+        .select(F.posexplode("v").alias("dim", "val"))
+        .select("dim", _bin().alias("bin"))
+        .groupBy("dim", "bin")
+        .agg(F.count("*").alias("ca"))
+    )
+    ref_grid = (
+        spark.range(n_dims)
+        .select(F.col("id").alias("dim"))
+        .crossJoin(
+            spark.range(n_bins).select(F.col("id").alias("bin"))
+        )
+        .join(F.broadcast(refx), ["dim", "bin"], "left")
+        .select(
+            "dim", "bin", F.coalesce("ca", F.lit(0)).alias("ca")
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
+    ref_grid.write.mode("overwrite").format("parquet").saveAsTable(
+        ref_table
+    )
+    ref = spark.table(ref_table)
+
+    key = f"{path}::psi-monitor"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-psimon-")
+        new = vecs.filter(F.col("vec_id") >= base)
+        _write_single_parquet(
+            new.select(F.lit("new_iid").alias("cohort"), "vec_id", "v"),
+            d,
+            "0-iid.parquet",
+        )
+        shifted = F.expr(
+            "transform(v, x -> x * CAST('0.05' AS DOUBLE)"
+            " + CAST('1.0' AS DOUBLE))"
+        )
+        _write_single_parquet(
+            new.select(
+                F.lit("new_shifted").alias("cohort"),
+                "vec_id",
+                shifted.alias("v"),
+            ),
+            d,
+            "1-shifted.parquet",
+        )
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    sink_key = f"{path}::psi-monitor-sink"
+    if sink_key not in _SINK_DIRS:
+        _SINK_DIRS[sink_key] = (
+            tempfile.mkdtemp(prefix="ftdw-psimon-sink-"),
+            tempfile.mkdtemp(prefix="ftdw-psimon-chk-"),
+        )
+    sink_dir, chk_dir = _SINK_DIRS[sink_key]
+
+    src = (
+        spark.readStream.schema(
+            "cohort string, vec_id bigint, v array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+
+    def psi_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as W_
+
+        cc = (
+            batch_df.select(
+                "cohort", F.posexplode("v").alias("dim", "val")
+            )
+            .select("cohort", "dim", _bin().alias("bin"))
+            .groupBy("cohort", "dim", "bin")
+            .agg(F.count("*").alias("cb"))
+        )
+        grid = (
+            batch_df.select("cohort")
+            .distinct()
+            .crossJoin(F.broadcast(ref))
+        )
+        wide = grid.join(
+            F.broadcast(cc), ["cohort", "dim", "bin"], "left"
+        ).select(
+            "cohort",
+            "dim",
+            "bin",
+            "ca",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        tot = wide.groupBy("cohort", "dim").agg(
+            F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+        )
+        pq_ = wide.join(F.broadcast(tot), ["cohort", "dim"]).select(
+            "cohort",
+            "dim",
+            (
+                (F.col("ca") + F.lit(1)).cast("double")
+                / (F.col("na") + F.lit(n_bins)).cast("double")
+            ).alias("p"),
+            (
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("nb") + F.lit(n_bins)).cast("double")
+            ).alias("q"),
+        )
+        contrib = pq_.select(
+            "cohort",
+            "dim",
+            F.round(
+                (F.col("p") - F.col("q"))
+                * F.log(F.col("p") / F.col("q")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("x"),
+        )
+        psi = contrib.groupBy("cohort", "dim").agg(
+            F.round(F.sum("x").cast("double"), 6).alias("psi6")
+        )
+        w = W_.partitionBy("cohort").orderBy(
+            F.desc("psi6"), F.asc("dim")
+        )
+        out = (
+            psi.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select(
+                "cohort",
+                F.col("rnk").cast("int").alias("rnk"),
+                F.col("dim").cast("int").alias("dim"),
+                "psi6",
+                (
+                    F.col("psi6") > F.expr("CAST('0.25' AS DOUBLE)")
+                ).alias("drifted"),
+            )
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    q = (
+        src.writeStream.foreachBatch(psi_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).orderBy("cohort", "rnk")
