@@ -315,6 +315,21 @@ def main() -> None:
     # the sub-second overhead class (the entry is ~15 tiny stages), not
     # a code regression. Adjudicated: carry, re-judge by flag-set
     # overlap if it moves again.
+    #
+    # r14 recheck of the dd-family creep (VERDICT r13 ask #4 —
+    # dd_neardup_components 3.12->4.28s, dd_corpus_clean 2.99->3.93s,
+    # dd_incremental_minhash 2.49->3.49s, dd_passage_dupes 2.29->3.27s
+    # raw r12->r13 on untouched code): idle-host (load ~3/32 cores)
+    # interleaved median-of-3 at sf0.1 reads 4.55s / 3.58s / 2.83s /
+    # 3.46s — the r13 driver readings reproduce on this host class
+    # (components and passage_dupes within noise of r13; clean and
+    # minhash land between r12 and r13), while the r12 levels do not.
+    # The same host-level shift ev_asof_nearest_error adjudicated in
+    # r13, now visible in the multi-stage iterative class too (all
+    # four entries are shuffle-round-bound: iterative components,
+    # banded LSH joins, span hashing — per-stage scheduling latency
+    # multiplies). Adjudicated: host, not code; carry and re-judge by
+    # flag-set overlap if it moves again on a quieter host.
     weak_ratios, weak_method = _pair_ratios((
         ("sim_topk_bruteforce_vs_ivf",
          "sim_topk_bruteforce", "sim_ann_ivf_kmeans_iter3"),
