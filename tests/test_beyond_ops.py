@@ -2993,3 +2993,66 @@ def test_ivfpq_drift_monitor_separates_cohorts(spark):
     assert (
         rows["base_insample"]["mean_cos6"] > rows["base_holdout"]["mean_cos6"]
     )
+
+
+def test_st_psi_embedding_drift_stream_equals_batch(spark):
+    """st_psi_embedding_drift's streaming claim: the two cohorts
+    arrive as two genuinely separate microbatches (distinct sink files
+    per cohort — exactly-once per batch), and the union of per-batch
+    PSI reports equals the batch entry row-for-row (the entries share
+    one oracle string, but this pins the equality engine-side too)."""
+    import os
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY as R,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.streaming import (
+        stream as ST,
+    )
+
+    st_rows = R["st_psi_embedding_drift"].spark(spark, SF_SMOKE).collect()
+    qa_rows = R["qa_psi_embedding_drift"].spark(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, st_rows)) == sorted(map(tuple, qa_rows))
+    # two microbatches -> per-cohort rows come from disjoint sink files
+    sink_dir, _ = ST._SINK_DIRS[
+        os.path.join(SF_SMOKE, "embeddings.parquet") + "::psi-monitor-sink"
+    ]
+    raw = (
+        spark.read.parquet(sink_dir)
+        .select("cohort", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_c: dict[str, set] = {}
+    for r in raw:
+        by_c.setdefault(r["cohort"], set()).add(r["f"])
+    assert set(by_c) == {"new_iid", "new_shifted"}
+    assert not (by_c["new_iid"] & by_c["new_shifted"])
+
+
+def test_pq256r_books_are_rotated_trained_siblings(spark):
+    """The true-OPQ book table (operators.pq256r_book) must be a real
+    sibling of the unrotated table — same frozen geometry (m=8 x 256
+    codes x 8 dims, integer thousandths), but trained on a DIFFERENT
+    (rotated) corpus, so the tables must not be identical (guards a
+    regeneration that silently trained unrotated)."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        pq256_book as B,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        pq256r_book as BR,
+    )
+
+    assert (BR.M, BR.SUBDIM, BR.N_CODES, BR.SCALE) == (
+        B.M,
+        B.SUBDIM,
+        B.N_CODES,
+        B.SCALE,
+    )
+    rows_b, rows_r = B.book_rows(), BR.book_rows()
+    assert len(rows_b) == len(rows_r) == B.M * B.N_CODES
+    assert rows_b != rows_r
+    # unit-normalized corpus -> every centroid well inside the ball
+    import math
+
+    for _, _, cv in rows_r[:256]:
+        assert math.sqrt(sum(x * x for x in cv)) < 2.0

@@ -590,3 +590,57 @@ def test_ivfpq_append_leaves_base_partitions_untouched(spark):
         .count()
         > 0
     )
+
+
+def test_ivfpq256_append_leaves_base_partitions_untouched(spark):
+    """wh_ivfpq256_append's layout claim at the production codebook
+    size: appending a batch must not rewrite existing partitions —
+    every parquet file present after publish is still present after
+    append, and each cell touched by the new batch gains exactly ONE
+    new file. The ORACLE checks answers; this checks the physical
+    write pattern (the 8-code twin's test, at 256 codes)."""
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.warehouse import (
+        append_ivfpq256_vectors,
+        publish_ivfpq256_layout,
+    )
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    publish_ivfpq256_layout(base, "ivfpq256_appt")
+
+    def files_by_cell():
+        rows = (
+            spark.table("ivfpq256_appt_codes")
+            .select("cell", F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r["cell"], set()).add(r["f"])
+        return out
+
+    before = files_by_cell()
+    append_ivfpq256_vectors(new, "ivfpq256_appt")
+    after = files_by_cell()
+    for cell, fs in before.items():
+        assert fs <= after[cell], f"base files rewritten in cell {cell}"
+        extra = len(after[cell]) - len(fs)
+        assert extra in (0, 1), (cell, extra)
+    n_before = sum(len(v) for v in before.values())
+    n_after = sum(len(v) for v in after.values())
+    assert n_after > n_before  # the batch actually landed
+    # appended rows visible through the standard read path, fully coded
+    appended = spark.table("ivfpq256_appt_codes").filter(
+        F.col("vec_id") >= 250
+    )
+    assert appended.count() > 0
+    assert appended.select("m").distinct().count() == 8
