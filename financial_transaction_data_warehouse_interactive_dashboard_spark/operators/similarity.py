@@ -1304,7 +1304,9 @@ def topk_ann_ivfpq256(
     )
 
 
-def build_ivfpq256_inv(emb: DataFrame, cells: DataFrame) -> DataFrame:
+def build_ivfpq256_inv(
+    emb: DataFrame, cells: DataFrame, books: DataFrame | None = None
+) -> DataFrame:
     """The 256-code inverted file (vec_id, cell, m, code): full-corpus
     encode against the FROZEN books plus the coarse-cell assignment —
     exactly what sim_ann_ivfpq256 scans in memory and
@@ -1312,13 +1314,18 @@ def build_ivfpq256_inv(emb: DataFrame, cells: DataFrame) -> DataFrame:
     max_by encode (no sort over the corpus x 2048 book fan-out),
     pre-computed 0.5*<cv,cv>, explicit repartition to defeat
     single-split AQE coalescing on the fixture (no-op-shaped at
-    natural parallelism)."""
+    natural parallelism). ``books`` defaults to the frozen constant;
+    wh_ivfpq256_retrain passes the sidecar read BACK from the
+    published store (bit-identical — parquet round-trips
+    array<double> exactly; the production frozen-quantizer-in-the-
+    store pattern)."""
     from . import pq256_book as B
 
     spark = emb.sparkSession
     vecs = _vecs(emb)
     assign = _assign_cells(vecs, cells).select("vec_id", "cell")
-    books = pq256_books(spark)
+    if books is None:
+        books = pq256_books(spark)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     subs = _subvectors(vecs).repartition(n_part, "vec_id")
     booksn = books.withColumn(

@@ -2546,6 +2546,117 @@ def wh_ivfpq256_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wh_ivfpq256_compact",
+    # wh_ivfpq256_append's oracle shared VERBATIM: compaction must
+    # change NOTHING the serve path can see.
+    _sql_ivfpq256(train_base=IVFPQ_APPEND_BASE),
+    # Authored r14 AFTER the flip commit (the landing-checklist
+    # discipline): queued in NEXT_QUEUE for the r15 surface.
+    driver=False,
+)
+def wh_ivfpq256_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION on the production-sized live layout —
+    the wh_ivfpq_compact claim at 256 codes, on the SAME shared
+    appended artifact wh_ivfpq256_append built (day-one memo): publish
+    wrote one file per occupied cell, the append added one more per
+    touched cell, compact_partitions rewrites the fragmented cells
+    back to one file each (file-listing victim pick, partition-pruned
+    read, dynamic partition overwrite — healthy cells untouched). The
+    query then serves from the COMPACTED layout and the shared oracle
+    pins that compaction changed NOTHING: a dropped/doubled row or a
+    misplaced partition shifts the top-5 and fails the hash.
+    Re-entry (already compacted this session): victims=[] and the
+    serve proves the same changed-nothing contract; the
+    fragmentation-then-one-file file-count claim is asserted test-side
+    on a private prefix (test_warehouse).
+
+    At 100 TB: victims from a file LISTING, reads partition-pruned to
+    fragmented cells only, one rewrite task per cell — maintenance
+    scales with fragmentation, not corpus size. Reference analogue:
+    none (beyond-reference LLM-pipeline tier)."""
+    from ..sources.warehouse import compact_partitions
+
+    emb = _t(spark, sf_dir, "embeddings")
+    prefix = _shared_appended256_prefix(spark, sf_dir)
+    compact_partitions(spark, f"{prefix}_codes", "cell", min_files=2)
+    inv = spark.table(f"{prefix}_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    return S.ivfpq256_query(
+        emb,
+        spark.table(f"{prefix}_centroids"),
+        spark.table(f"{prefix}_books"),
+        inv,
+    )
+
+
+@query(
+    "wh_ivfpq256_retrain",
+    # sim_ann_ivfpq256's oracle shared VERBATIM (the full-corpus-
+    # trained quantizer): retraining the appended base-trained layout
+    # must land EXACTLY on the fresh full-trained index.
+    _sql_ivfpq256(),
+    # Authored r14 AFTER the flip commit (the landing-checklist
+    # discipline): queued in NEXT_QUEUE for the r15 surface.
+    driver=False,
+)
+def wh_ivfpq256_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RETRAIN at the production codebook size — the action
+    st_psi_embedding_drift / st_ivfpq_monitor's flags demand, and the
+    step that closes the 256-code lifecycle (build -> publish -> serve
+    -> append -> monitor -> compact -> RETRAIN): starting from the
+    APPENDED layout (coarse quantizer trained on base only — the
+    drifted state), refresh the coarse quantizer over the FULL corpus
+    (seeds < 16 + one decimal-exact Lloyd), re-encode every vector
+    against the FROZEN books read BACK from the published sidecar (the
+    r13 production pattern: the quantizer constants live in the store,
+    not the code), and REPUBLISH the cell-partitioned layout; then
+    serve from the read-back retrained tables.
+
+    The checked contract makes the 256-code retrain argument explicit:
+    because the books are frozen, a retrain refreshes ONLY the coarse
+    quantizer + assignments — so retrain(appended layout) must land
+    bit-exactly on the fresh full-trained index, which is why the
+    oracle is sim_ann_ivfpq256's VERBATIM. (The 8-code twin
+    wh_ivfpq_retrain also re-Lloyds its corpus-trained codebooks — the
+    expensive half the production configuration deletes.) Unlike the
+    append/compact siblings this entry pays its full action per
+    invocation — the retrain IS the claim — but the heavy stages are
+    one Lloyd + one single-pass max_by encode, ~the publish cost, not
+    the 8-code retrain's double-Lloyd. At 100 TB: retrain is one
+    corpus pass per structure, and serving stays on the old layout
+    until the republish swaps in (eager-job posture here). Reference
+    analogue: none (beyond-reference LLM-pipeline tier)."""
+    from ..sources.warehouse import publish_ivfpq256_layout
+
+    emb = _t(spark, sf_dir, "embeddings")
+    app_prefix = _shared_appended256_prefix(spark, sf_dir)
+    # the drifted state this entry repairs: base-trained quantizer +
+    # appended codes (read back; the retrain's input, not its output)
+    stale_books = spark.table(f"{app_prefix}_books")
+    vecs = S._vecs(emb)
+    seeds = vecs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = S.refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+    # re-encode against the frozen books from the STORE (bit-identical
+    # to the constant — parquet round-trips array<double> exactly; the
+    # publish pins that), then republish to a fresh prefix
+    prefix = f"ivfpq256_rt_{_sf_tag(sf_dir)}"
+    inv = S.build_ivfpq256_inv(emb, cells, books=stale_books)
+    publish_ivfpq256_layout(emb, prefix, cells=cells, inv=inv)
+    codes = spark.table(f"{prefix}_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    return S.ivfpq256_query(
+        emb,
+        spark.table(f"{prefix}_centroids"),
+        spark.table(f"{prefix}_books"),
+        codes,
+    )
+
+
 # ---------------------------------------------------------------------------
 # sim_pca_deflate: top-k principal components by deflated power iteration
 # (r12; VERDICT r11 ask #3 — consume sim_pca_power's rotation claim)

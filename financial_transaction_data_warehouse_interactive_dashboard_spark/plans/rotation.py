@@ -429,6 +429,8 @@ NEXT_QUEUE: tuple[str, ...] = (
     "sim_ann_opq256",  # TRUE OPQ: frozen rotation + books retrained on the rotated corpus; audit row 0.9375 recall@5 (authored r14 post-flip, three-scale verified)
     "wh_ivfpq256_append",  # publish-on-base + append-new at the production codebook size; zero retraining (frozen books), shared-artifact from day one (authored r14 post-flip, three-scale verified)
     "st_psi_embedding_drift",  # the per-dim PSI monitor lifted to ingest: published reference histogram, per-microbatch PSI, stream == batch verbatim (authored r14 post-flip, three-scale verified)
+    "wh_ivfpq256_compact",  # compaction on the shared appended 256-code layout; changed-NOTHING pinned by the append oracle verbatim (authored r14 post-flip, three-scale verified)
+    "wh_ivfpq256_retrain",  # retrain-from-appended lands bit-exactly on the fresh full-trained index (frozen books read back from the store); publish oracle verbatim (authored r14 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

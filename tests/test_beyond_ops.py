@@ -3056,3 +3056,54 @@ def test_pq256r_books_are_rotated_trained_siblings(spark):
 
     for _, _, cv in rows_r[:256]:
         assert math.sqrt(sum(x * x for x in cv)) < 2.0
+
+
+def test_ivfpq256_compact_defragments_without_changing_rows(spark):
+    """wh_ivfpq256_compact's file-level claim (the part its verbatim
+    oracle cannot see), at the production codebook size: publish +
+    append fragments touched cells to >= 2 files, compaction brings
+    every cell back to one file, and the 256-code table's rows are
+    byte-identical across the rewrite."""
+    import glob as _glob
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.beyond_similarity import (
+        IVFPQ_APPEND_BASE,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.registry import (
+        load_table,
+    )
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.sources.warehouse import (
+        append_ivfpq256_vectors,
+        compact_partitions,
+        publish_ivfpq256_layout,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+    new = emb.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
+    publish_ivfpq256_layout(base, "ivfpq256_fragchk")
+    append_ivfpq256_vectors(new, "ivfpq256_fragchk")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def counts():
+        return {
+            d.rsplit("=", 1)[1]: len(_glob.glob(f"{d}/*.parquet"))
+            for d in _glob.glob(f"{wh}/ivfpq256_fragchk_codes/cell=*")
+        }
+
+    before = counts()
+    assert max(before.values()) >= 2, before
+    rows_before = sorted(
+        tuple(r) for r in spark.table("ivfpq256_fragchk_codes").collect()
+    )
+    victims = compact_partitions(
+        spark, "ivfpq256_fragchk_codes", "cell", min_files=2
+    )
+    assert victims, "compaction found no fragmented cells"
+    after = counts()
+    assert set(after) == set(before)
+    assert max(after.values()) == 1, after
+    rows_after = sorted(
+        tuple(r) for r in spark.table("ivfpq256_fragchk_codes").collect()
+    )
+    assert rows_before == rows_after
