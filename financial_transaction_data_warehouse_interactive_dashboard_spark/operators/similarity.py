@@ -1080,12 +1080,47 @@ def pq256r_books(spark) -> DataFrame:
     )
 
 
+def pq256_codes(vecs: DataFrame, books: DataFrame) -> DataFrame:
+    """Full-corpus 256-code PQ encode (vec_id, m, code) against a
+    frozen book frame — the encode half of :func:`topk_ann_pq256`,
+    factored out so wh_opq256_publish can persist exactly the codes
+    the in-memory path scans. Single-pass max_by (ties -> lowest code
+    via the (sub_score, -code) struct order), pre-computed
+    0.5*<cv,cv>, explicit repartition to defeat single-split AQE
+    coalescing on the fixture."""
+    from . import pq256_book as B
+
+    spark = vecs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    subs = _subvectors(vecs).repartition(n_part, "vec_id")
+    booksn = books.withColumn(
+        "half_cvn",
+        F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv"),
+    )
+    return (
+        subs.join(F.broadcast(booksn), "m")
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            F.round(
+                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
+            ).alias("sub_score"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("max_by(code, struct(sub_score, -code))").alias("code")
+        )
+    )
+
+
 def topk_ann_pq256(
     emb: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     shortlist: int = PQ256_SHORTLIST,
     books: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k at the PRODUCTION PQ configuration (VERDICT r11
     ask #2): m=8 subspaces x 256 codes/subspace (64-bit codes — 32x
@@ -1117,52 +1152,30 @@ def topk_ann_pq256(
     ``books`` defaults to the frozen unrotated table; pass
     :func:`pq256r_books` with a :func:`rotate_corpus` frame for the
     true-OPQ configuration (sim_ann_opq256) — both book sets share the
-    m/SUBDIM/N_CODES geometry, so the plan is identical."""
+    m/SUBDIM/N_CODES geometry, so the plan is identical. ``codes``
+    skips the encode and scans the caller's code table instead (the
+    wh_opq256_publish stored-serve path).
+
+    Encode notes (now in :func:`pq256_codes`): the encode join
+    multiplies the corpus 256x, so the probe side is spread with an
+    explicit partition count first (the fixture corpus is one parquet
+    split and AQE coalesces a count-less repartition back to one task
+    — measured 4.9s -> ~1.0s at sf0.1; no-op-shaped at natural
+    parallelism). Assignment is single-pass max_by, NOT a row_number
+    window: at 256 codes the candidate frame is corpus x 2048 rows
+    and the sort measures 12-14s at sf0.1 vs ~0.7s for the
+    partial-aggregating max_by (identical codes, verified
+    row-for-row; ties still lowest-code via the (sub_score, -code)
+    struct order). The 0.5*<cv,cv> half of the MIPS identity is
+    precomputed once per book row instead of per candidate pair."""
     spark = emb.sparkSession
     if books is None:
         books = pq256_books(spark)
     vecs = _vecs(emb)
-    # The encode join multiplies the corpus 256x (one row per candidate
-    # code); spread the probe side across the cluster FIRST with an
-    # explicit partition count — without it the fixture corpus is one
-    # parquet split (and AQE coalesces a count-less repartition right
-    # back to one task), so the whole fan-out ran single-threaded
-    # (measured 4.9s -> ~1.0s at sf0.1). At 10^9 vectors the scan has
-    # natural parallelism and this is a no-op-shaped cheap shuffle of
-    # the narrow (vec_id, m, sv) frame.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    subs = _subvectors(vecs).repartition(n_part, "vec_id")
-    # Assignment by single-pass max_by aggregation, NOT the shared
-    # window-based _pq_assign: at 256 codes the candidate frame is
-    # corpus x 2048 rows, and a row_number sort over it measures
-    # 12-14s at sf0.1 vs ~0.7s for the partial-aggregating max_by
-    # (identical codes, verified row-for-row; ties still break to the
-    # lowest code via the (sub_score, -code) struct order — the
-    # oracle's rounded-score-DESC, code-ASC total order). The 0.5 *
-    # <cv, cv> half of the MIPS identity is precomputed once per book
-    # row (256 values per subspace) instead of per candidate pair —
-    # same doubles, same parenthesization, just not recomputed 2000x.
-    booksn = books.withColumn(
-        "half_cvn",
-        F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv"),
-    )
     from . import pq256_book as B
 
-    codes = (
-        subs.join(F.broadcast(booksn), "m")
-        .select(
-            "vec_id",
-            "m",
-            "code",
-            F.round(
-                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
-            ).alias("sub_score"),
-        )
-        .groupBy("vec_id", "m")
-        .agg(
-            F.expr("max_by(code, struct(sub_score, -code))").alias("code")
-        )
-    )
+    if codes is None:
+        codes = pq256_codes(vecs, books)
     q = _subvectors(vecs.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
@@ -1319,31 +1332,12 @@ def build_ivfpq256_inv(
     published store (bit-identical — parquet round-trips
     array<double> exactly; the production frozen-quantizer-in-the-
     store pattern)."""
-    from . import pq256_book as B
-
     spark = emb.sparkSession
     vecs = _vecs(emb)
     assign = _assign_cells(vecs, cells).select("vec_id", "cell")
     if books is None:
         books = pq256_books(spark)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    subs = _subvectors(vecs).repartition(n_part, "vec_id")
-    booksn = books.withColumn(
-        "half_cvn", F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv")
-    )
-    codes = (
-        subs.join(F.broadcast(booksn), "m")
-        .select(
-            "vec_id",
-            "m",
-            "code",
-            F.round(
-                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
-            ).alias("sub_score"),
-        )
-        .groupBy("vec_id", "m")
-        .agg(F.expr("max_by(code, struct(sub_score, -code))").alias("code"))
-    )
+    codes = pq256_codes(vecs, books)
     return codes.join(assign, "vec_id").select("vec_id", "cell", "m", "code")
 
 

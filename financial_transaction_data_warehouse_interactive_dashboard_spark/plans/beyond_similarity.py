@@ -2496,6 +2496,51 @@ def sim_ann_opq256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wh_opq256_publish",
+    # sim_ann_opq256's oracle shared VERBATIM: stored == in-memory for
+    # the full OPQ stack, rotation included.
+    _sql_opq256(),
+    # Authored r14 AFTER the flip commit (the landing-checklist
+    # discipline): queued in NEXT_QUEUE for the r15 surface.
+    driver=False,
+)
+def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH-then-SERVE the true-OPQ stack (sources.warehouse.
+    publish_opq256_layout) — the stored form of sim_ann_opq256, and
+    the first published layout that carries the ROTATION itself as a
+    sidecar: ``_rot`` (the frozen 64x64 matrix as its row frame),
+    ``_books`` (the rotated-TRAINED frozen books), ``_codes`` (the
+    256-code table of the rotated corpus — 32x smaller than fp32;
+    full-scan ADC posture, no cell partitioning: the compression IS
+    the scan budget here). The serve path then runs ENTIRELY from
+    read-back tables: queries are rotated by the STORED matrix,
+    ADC-scored against the STORED codes with the STORED books, and
+    exact-re-ranked on the stored-rotation frame — so a lossy write
+    of ANY of the three (including the rotation, which no other
+    layout exercises) shifts the top-5 and fails the shared oracle
+    hash.
+
+    At 10^9 vectors this is the OPQ deployment shape: rotation and
+    books are broadcast-sized store constants, the codes table is the
+    only corpus-sized artifact, and a serve touches raw (rotated)
+    vectors for only queries x shortlist rows. Eager maintenance-JOB
+    posture (fresh publish per invocation). Reference analogue: none
+    (beyond-reference LLM-pipeline tier)."""
+    from ..sources.warehouse import publish_opq256_layout
+
+    emb = _t(spark, sf_dir, "embeddings")
+    publish_opq256_layout(emb, "opq256_idx")
+    rotated = S.rotate_corpus(
+        emb, spark.table("opq256_idx_rot")
+    ).localCheckpoint(eager=True)
+    return S.topk_ann_pq256(
+        rotated,
+        books=spark.table("opq256_idx_books"),
+        codes=spark.table("opq256_idx_codes"),
+    )
+
+
+@query(
     "wh_ivfpq256_append",
     # The sim_ann_ivfpq256 oracle with the coarse quantizer trained on
     # the base split only — the publish-on-base + append-new contract

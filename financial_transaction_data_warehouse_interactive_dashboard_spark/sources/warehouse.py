@@ -359,6 +359,53 @@ def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     ).partitionBy("cell").saveAsTable(target)
 
 
+def publish_opq256_layout(emb: DataFrame, prefix: str) -> None:
+    """Persist the TRUE-OPQ serving layout (sim_ann_opq256's stack) —
+    three tables, every serve-time constant in the STORE:
+
+    - ``<prefix>_rot``: the frozen 64x64 rotation as its (pos, rv)
+      row frame — the OPQ half no other published layout carries; a
+      query must be rotated by the STORED matrix before encode, so a
+      lossy sidecar write of the rotation itself fails the twin
+      oracle;
+    - ``<prefix>_books``: the rotated-TRAINED frozen books
+      (operators.pq256r_book);
+    - ``<prefix>_codes``: the 256-code table (vec_id, m, code) of the
+      ROTATED corpus — 64-bit codes, 32x smaller than fp32. Full-scan
+      ADC layout (no cell partitioning): the compressed scan IS the
+      budget, the sim_ann_pq256 posture.
+
+    parquet round-trips ints and array<double> exactly, so serving
+    from the read-back tables is bit-identical to the in-memory
+    pipeline — the claim wh_opq256_publish puts under the oracle
+    hash."""
+    from ..operators.similarity import (
+        _vecs,
+        pq256_codes,
+        pq256r_books,
+        rot64_frame,
+        rotate_corpus,
+    )
+
+    spark = emb.sparkSession
+    rot = rot64_frame(spark)
+    books = pq256r_books(spark)
+    rotated = rotate_corpus(emb, rot)
+    codes = pq256_codes(_vecs(rotated), books)
+    _drop_stale(spark, f"{prefix}_rot")
+    rot.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_rot"
+    )
+    _drop_stale(spark, f"{prefix}_books")
+    books.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_books"
+    )
+    _drop_stale(spark, f"{prefix}_codes")
+    codes.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_codes"
+    )
+
+
 def append_ivfpq256_vectors(new_emb: DataFrame, prefix: str) -> None:
     """INCREMENTAL maintenance at the PRODUCTION codebook size — the
     append_ivfpq_vectors freshness path for the 256-code layout, and

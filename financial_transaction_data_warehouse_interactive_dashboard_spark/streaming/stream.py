@@ -1473,7 +1473,14 @@ def run_psi_embedding_stream(
             "dim", "bin", F.coalesce("ca", F.lit(0)).alias("ca")
         )
     )
-    spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
+    from ..sources.warehouse import _drop_stale
+
+    # _drop_stale, not bare DROP TABLE: the shared warehouse dir
+    # outlives the session, and a location orphaned by a previous
+    # process fails saveAsTable with LOCATION_ALREADY_EXISTS even in
+    # overwrite mode (bit the r14 bench, whose fresh process followed
+    # a sweep process).
+    _drop_stale(spark, ref_table)
     ref_grid.write.mode("overwrite").format("parquet").saveAsTable(
         ref_table
     )
