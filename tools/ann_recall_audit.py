@@ -102,14 +102,22 @@ def _interpret(results: dict, scaling: list | None = None) -> str:
         )
     if scaling:
         pts = ", ".join(
-            f"(cells={p['n_cells']}, nprobe={p['nprobe']}: "
-            f"recall {p['recall_at_5']:.2f} @ "
+            f"(cells={p['n_cells']}, nprobe={p['nprobe']}"
+            + (
+                f", shortlist={p['shortlist']}"
+                if p.get("shortlist", 50) != 50
+                else ""
+            )
+            + f": recall {p['recall_at_5']:.2f} @ "
             f"{p['candidate_frac'] * 100:.1f}% scan)"
             for p in scaling
         )
         parts.append(f"Scaling law on the ~10x seeded corpus: {pts}.")
-        by = {(p["n_cells"], p["nprobe"]): p for p in scaling}
-        lo, hi = by.get((64, 2)), by.get((64, 8))
+        by = {
+            (p["n_cells"], p["nprobe"], p.get("shortlist", 50)): p
+            for p in scaling
+        }
+        lo, hi = by.get((64, 2, 50)), by.get((64, 8, 50))
         if lo and hi and hi["recall_at_5"] < lo["recall_at_5"]:
             parts.append(
                 "Recall FALLS as nprobe rises at fixed n_cells "
@@ -122,7 +130,22 @@ def _interpret(results: dict, scaling: list | None = None) -> str:
                 "scales the shortlist with the scanned candidate "
                 "count."
             )
-        a, b = by.get((64, 4)), by.get((256, 4))
+            ctrl = by.get((64, 8, 200))
+            if ctrl:
+                parts.append(
+                    "The dilution mechanism is confirmed by the "
+                    "control: the SAME nprobe-8 scan with the "
+                    "shortlist scaled 50 -> 200 moves recall "
+                    f"{hi['recall_at_5']:.2f} -> "
+                    f"{ctrl['recall_at_5']:.2f}"
+                    + (
+                        " — above the nprobe-2 level, so the scan was "
+                        "never the problem, the fixed shortlist was."
+                        if ctrl["recall_at_5"] >= lo["recall_at_5"]
+                        else "."
+                    )
+                )
+        a, b = by.get((64, 4, 50)), by.get((256, 4, 50))
         if a and b:
             parts.append(
                 "At fixed nprobe=4, going 64 -> 256 cells moves the "
@@ -400,7 +423,15 @@ def main() -> None:
         cents = cells_b.collect()
         import math
 
-        for sweep_nprobe in (2, 4, 8):
+        # The (nprobe=8, shortlist=200) control at 64 cells tests the
+        # dilution mechanism directly: if recall falls with nprobe
+        # because the FIXED 50-deep shortlist drowns in ADC noise,
+        # scaling the shortlist with the scanned candidate count must
+        # recover it.
+        configs = [(p, None) for p in (2, 4, 8)]
+        if sweep_cells == 64:
+            configs.append((8, 200))
+        for sweep_nprobe, sweep_shortlist in configs:
             t0 = time.perf_counter()
             ann = S.ivfpq256_query(
                 big,
@@ -410,6 +441,7 @@ def main() -> None:
                 SWEEP_QUERIES,
                 K,
                 sweep_nprobe,
+                shortlist=sweep_shortlist or S.PQ256_SHORTLIST,
             )
             rows = ann.collect()
             hits = sum(
@@ -440,16 +472,16 @@ def main() -> None:
                 tot += (
                     sum(occ.get(cell, 0) for _, cell in sims) / SCALE_N
                 )
-            scaling.append(
-                {
-                    "n_cells": sweep_cells,
-                    "nprobe": sweep_nprobe,
-                    "recall_at_5": round(hits / len(exact_big), 4),
-                    "candidate_frac": round(tot / len(qrows), 4),
-                    "query_s": round(time.perf_counter() - t0, 2),
-                }
-            )
-            print(f"scaling {scaling[-1]}")
+            point = {
+                "n_cells": sweep_cells,
+                "nprobe": sweep_nprobe,
+                "shortlist": sweep_shortlist or S.PQ256_SHORTLIST,
+                "recall_at_5": round(hits / len(exact_big), 4),
+                "candidate_frac": round(tot / len(qrows), 4),
+                "query_s": round(time.perf_counter() - t0, 2),
+            }
+            scaling.append(point)
+            print(f"scaling {point}")
 
     out = {
         "sf_dir": sf_dir,
