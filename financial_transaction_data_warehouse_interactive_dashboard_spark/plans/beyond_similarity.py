@@ -147,6 +147,40 @@ def _shared_appended_prefix(spark: SparkSession, sf_dir: str) -> str:
     return _shared_artifact(spark, sf_dir, "appended_prefix", build)
 
 
+def _shared_rot_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rot64-rotated corpus (vec_id, embedding), built once and
+    checkpoint-pinned — the deterministic input shared by the OPQ
+    family (sim_ann_pq256_rotated, sim_ann_opq256, wh_opq256_publish's
+    write side). The rotation apply itself still executes (whichever
+    consumer builds first pays it); each consumer then runs its OWN
+    claim — encode, serve, or publish — against the shared frame, the
+    r13 shared-artifact discipline."""
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        return S.rotate_corpus(emb, S.rot64_frame(spark)).localCheckpoint(
+            eager=True
+        )
+
+    return _shared_artifact(spark, sf_dir, "rot_corpus", build)
+
+
+def _shared_opq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rotated corpus's 256-code table against the rotated-TRAINED
+    books (vec_id, m, code) — built once, checkpoint-pinned; scanned
+    in memory by sim_ann_opq256 and persisted by wh_opq256_publish
+    (their oracles share _sql_opq256 verbatim) — the
+    _shared_ivfpq256_inv precedent at the OPQ configuration."""
+
+    def build():
+        rotated = _shared_rot_corpus(spark, sf_dir)
+        return S.pq256_codes(
+            S._vecs(rotated), S.pq256r_books(spark)
+        ).localCheckpoint(eager=True)
+
+    return _shared_artifact(spark, sf_dir, "opq_codes", build)
+
+
 def _shared_appended256_prefix(spark: SparkSession, sf_dir: str) -> str:
     """The published-on-base + appended-new stored layout at the
     PRODUCTION codebook size (wh_ivfpq256_append) — built on the
@@ -2429,16 +2463,14 @@ def sim_ann_pq256_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPQ deployment runs with books retrained post-rotation).
 
     The rotation apply is one broadcast join + one aggregation shuffle
-    (rotate_corpus); the rotated frame is checkpoint-pinned here
-    because the PQ pipeline references it from several branches — at
-    10^9 vectors a deployment persists the rotated (or fused
-    rotate-encode) corpus instead. Reference analogue: none
-    (beyond-reference LLM-pipeline tier)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    rotated = S.rotate_corpus(emb, S.rot64_frame(spark)).localCheckpoint(
-        eager=True
-    )
-    return S.topk_ann_pq256(rotated)
+    (rotate_corpus); the rotated frame is the shared built-once
+    artifact (_shared_rot_corpus — whichever OPQ-family entry builds
+    first pays the apply; this entry's OWN claim, the unrotated-books
+    encode/serve over it, runs per invocation) — at 10^9 vectors a
+    deployment persists the rotated (or fused rotate-encode) corpus
+    instead. Reference analogue: none (beyond-reference LLM-pipeline
+    tier)."""
+    return S.topk_ann_pq256(_shared_rot_corpus(spark, sf_dir))
 
 
 def _sql_opq256(
@@ -2486,13 +2518,17 @@ def sim_ann_opq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     books-frame effect: same rotation, same corpus, same scan budget,
     different quantizer training frame. At 10^9 vectors both variants
     cost the same — which is the point: true OPQ is free at serve time
-    once the books are retrained offline. Reference analogue: none
-    (beyond-reference LLM-pipeline tier)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    rotated = S.rotate_corpus(emb, S.rot64_frame(spark)).localCheckpoint(
-        eager=True
+    once the books are retrained offline. Rotated corpus and
+    rotated-books codes are the shared built-once artifacts
+    (_shared_rot_corpus / _shared_opq_codes — the sim_ann_ivfpq256
+    precedent); the ADC scan and exact re-rank, this entry's claim,
+    run per invocation. Reference analogue: none (beyond-reference
+    LLM-pipeline tier)."""
+    return S.topk_ann_pq256(
+        _shared_rot_corpus(spark, sf_dir),
+        books=S.pq256r_books(spark),
+        codes=_shared_opq_codes(spark, sf_dir),
     )
-    return S.topk_ann_pq256(rotated, books=S.pq256r_books(spark))
 
 
 @query(
@@ -2529,7 +2565,16 @@ def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.warehouse import publish_opq256_layout
 
     emb = _t(spark, sf_dir, "embeddings")
-    publish_opq256_layout(emb, "opq256_idx")
+    # write side from the shared built-once frames (day-one memo); the
+    # entry's OWN claim — the three sidecar writes and the fully
+    # read-back serve, including the rotate-by-STORED-matrix — runs
+    # per invocation
+    publish_opq256_layout(
+        emb,
+        "opq256_idx",
+        rotated=_shared_rot_corpus(spark, sf_dir),
+        codes=_shared_opq_codes(spark, sf_dir),
+    )
     rotated = S.rotate_corpus(
         emb, spark.table("opq256_idx_rot")
     ).localCheckpoint(eager=True)

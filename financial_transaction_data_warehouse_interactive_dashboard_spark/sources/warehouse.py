@@ -359,7 +359,9 @@ def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     ).partitionBy("cell").saveAsTable(target)
 
 
-def publish_opq256_layout(emb: DataFrame, prefix: str) -> None:
+def publish_opq256_layout(
+    emb: DataFrame, prefix: str, rotated=None, codes=None
+) -> None:
     """Persist the TRUE-OPQ serving layout (sim_ann_opq256's stack) —
     three tables, every serve-time constant in the STORE:
 
@@ -378,7 +380,12 @@ def publish_opq256_layout(emb: DataFrame, prefix: str) -> None:
     parquet round-trips ints and array<double> exactly, so serving
     from the read-back tables is bit-identical to the in-memory
     pipeline — the claim wh_opq256_publish puts under the oracle
-    hash."""
+    hash.
+
+    ``rotated`` / ``codes``: optional pre-built frames (the shared
+    built-once bench artifacts — the publish_ivfpq256_layout
+    discipline); the writes and the stored layout are identical
+    either way."""
     from ..operators.similarity import (
         _vecs,
         pq256_codes,
@@ -390,8 +397,10 @@ def publish_opq256_layout(emb: DataFrame, prefix: str) -> None:
     spark = emb.sparkSession
     rot = rot64_frame(spark)
     books = pq256r_books(spark)
-    rotated = rotate_corpus(emb, rot)
-    codes = pq256_codes(_vecs(rotated), books)
+    if rotated is None:
+        rotated = rotate_corpus(emb, rot)
+    if codes is None:
+        codes = pq256_codes(_vecs(rotated), books)
     _drop_stale(spark, f"{prefix}_rot")
     rot.write.mode("overwrite").format("parquet").saveAsTable(
         f"{prefix}_rot"
