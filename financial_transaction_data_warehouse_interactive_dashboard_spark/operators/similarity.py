@@ -1121,6 +1121,7 @@ def topk_ann_pq256(
     shortlist: int = PQ256_SHORTLIST,
     books: DataFrame | None = None,
     codes: DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k at the PRODUCTION PQ configuration (VERDICT r11
     ask #2): m=8 subspaces x 256 codes/subspace (64-bit codes — 32x
@@ -1154,7 +1155,12 @@ def topk_ann_pq256(
     true-OPQ configuration (sim_ann_opq256) — both book sets share the
     m/SUBDIM/N_CODES geometry, so the plan is identical. ``codes``
     skips the encode and scans the caller's code table instead (the
-    wh_opq256_publish stored-serve path).
+    wh_opq256_publish stored-serve path). ``queries``: optional
+    (vec_id, v) frame of query vectors — the serve-at-ingest path
+    (st_opq256_serve) passes each ARRIVING microbatch here, already
+    rotated by the stored matrix; per-query results are independent,
+    so a union of per-batch outputs equals the all-queries batch
+    output row-for-row (the ivfpq256_query contract).
 
     Encode notes (now in :func:`pq256_codes`): the encode join
     multiplies the corpus 256x, so the probe side is spread with an
@@ -1176,7 +1182,12 @@ def topk_ann_pq256(
 
     if codes is None:
         codes = pq256_codes(vecs, books)
-    q = _subvectors(vecs.filter(F.col("vec_id") < n_queries)).select(
+    qsrc = (
+        queries.select("vec_id", "v")
+        if queries is not None
+        else vecs.filter(F.col("vec_id") < n_queries)
+    )
+    q = _subvectors(qsrc).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )
     terms = (
@@ -1203,7 +1214,7 @@ def topk_ann_pq256(
         .filter(F.col("rn") <= shortlist)
         .select("query_id", "vec_id", "approx_ip")
     )
-    qv = vecs.filter(F.col("vec_id") < n_queries).select(
+    qv = qsrc.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     rer = (

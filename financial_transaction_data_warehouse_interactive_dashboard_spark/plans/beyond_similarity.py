@@ -2586,6 +2586,61 @@ def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_opq256_serve",
+    # Shares sim_ann_opq256's oracle STRING VERBATIM: the union of
+    # per-microbatch serve outputs must equal the all-queries batch
+    # run row-for-row (stream == batch, the st_ivfpq256_serve
+    # discipline at the OPQ configuration). Defined here to share
+    # _sql_opq256 and the shared OPQ artifacts; the streaming harness
+    # lives in streaming/stream.py.
+    _sql_opq256(),
+    # Authored r14 AFTER the flip commit (the landing-checklist
+    # discipline): queued in NEXT_QUEUE for the r15 surface.
+    driver=False,
+)
+def st_opq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ queries SERVED AT INGEST from the STORED index
+    (streaming.stream.run_opq256_serve_stream) — the online half of
+    the OPQ story, mirroring st_ivfpq256_serve at the rotated
+    configuration: the true-OPQ layout is published (rotation +
+    rotated-trained books + rotated-corpus codes, the
+    wh_opq256_publish write from the shared built-once frames), then
+    the queries arrive RAW as two genuinely separate microbatches and
+    each is first ROTATED by the matrix read BACK from the stored
+    ``_rot`` sidecar — the OPQ server's defining first move — before
+    the full-scan ADC + exact re-rank against the read-back codes and
+    books, into an exactly-once parquet sink.
+
+    The oracle is sim_ann_opq256's VERBATIM: a dropped or doubled
+    microbatch, cross-batch contamination, a stale rotation sidecar,
+    or any drift in rotate/ADC/re-rank inside EITHER batch changes
+    the row set and fails the hash. State-free at 100 TB — the
+    published index (rotation included) is the state; the stream
+    scales with query rate, not corpus size. Reference analogue: none
+    (beyond-reference LLM-pipeline tier)."""
+    from ..sources.warehouse import publish_opq256_layout
+    from ..streaming import stream as ST
+
+    emb = _t(spark, sf_dir, "embeddings")
+    publish_opq256_layout(
+        emb,
+        "opq256_srv",
+        rotated=_shared_rot_corpus(spark, sf_dir),
+        codes=_shared_opq_codes(spark, sf_dir),
+    )
+    rot = spark.table("opq256_srv_rot")
+    rotated = S.rotate_corpus(emb, rot).localCheckpoint(eager=True)
+    return ST.run_opq256_serve_stream(
+        spark,
+        sf_dir,
+        rotated_emb=rotated,
+        rot=rot,
+        books=spark.table("opq256_srv_books"),
+        codes=spark.table("opq256_srv_codes"),
+    )
+
+
+@query(
     "wh_ivfpq256_append",
     # The sim_ann_ivfpq256 oracle with the coarse quantizer trained on
     # the base split only — the publish-on-base + append-new contract

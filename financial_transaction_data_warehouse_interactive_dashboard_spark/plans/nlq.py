@@ -269,6 +269,7 @@ NO_ROUTE: frozenset[str] = frozenset({
     "wh_ivfpq256_compact",        # wh_compaction is the routed face (256-code layout twin)
     "wh_ivfpq256_retrain",        # wh_ivfpq_retrain is the routed face (256-code twin)
     "wh_opq256_publish",          # wh_ivfpq_publish is the routed face (stored-OPQ twin)
+    "st_opq256_serve",            # sim_ann_ivf_pq is the routed face (OPQ stream-serve twin)
     "qa_psi_embedding_drift",     # qa_psi_price_drift is the routed face (embedding-domain twin)
     "sim_pca_deflate",            # sim_pca_power is the routed face (top-k deflation variant)
     "st_sessionize_stateful",     # st_sessionize is the routed face

@@ -432,6 +432,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "wh_ivfpq256_compact",  # compaction on the shared appended 256-code layout; changed-NOTHING pinned by the append oracle verbatim (authored r14 post-flip, three-scale verified)
     "wh_ivfpq256_retrain",  # retrain-from-appended lands bit-exactly on the fresh full-trained index (frozen books read back from the store); publish oracle verbatim (authored r14 post-flip, three-scale verified)
     "wh_opq256_publish",  # the stored true-OPQ stack: rotation + rotated-trained books + rotated-corpus codes all served from read-back tables; opq oracle verbatim (authored r14 post-flip, three-scale verified)
+    "st_opq256_serve",  # OPQ serve-at-ingest: raw queries rotated per microbatch by the STORED matrix, ADC on read-back codes/books; stream == batch, opq oracle verbatim (authored r14 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

@@ -1609,3 +1609,99 @@ def run_psi_embedding_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir).orderBy("cohort", "rnk")
+
+
+def run_opq256_serve_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    rotated_emb: DataFrame,
+    rot: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """OPQ SERVE-AT-INGEST (st_opq256_serve): queries ARRIVE as a
+    stream of RAW (unrotated) vectors — two genuinely separate
+    microbatches, maxFilesPerTrigger=1 over two files holding query
+    ids 0..n/2-1 and n/2..n-1 — and each microbatch is first ROTATED
+    by the caller's rot frame (the STORED matrix, read back from the
+    published ``_rot`` sidecar: the OPQ server's first move on every
+    arriving query), then answered by the full-scan ADC + exact
+    re-rank path (operators.similarity.topk_ann_pq256) against the
+    caller's rotated corpus / stored books / stored codes, into an
+    exactly-once parquet sink.
+
+    Stream == batch is the checked contract: rotation is per-row and
+    per-query results are independent, so the union of per-batch
+    outputs equals the all-queries batch run row-for-row, and the
+    batch oracle (_sql_opq256, shared VERBATIM by the registry entry)
+    pins every stage of every microbatch — a dropped/doubled batch, a
+    cross-batch contamination, or a stale rotation sidecar changes
+    the row set and fails the hash.
+
+    At 100 TB: one broadcast 64x64 rotate + one compressed ADC scan
+    per arriving query batch — state-free (the published index IS the
+    state), so the stream scales with query rate, not corpus size."""
+    from ..operators.similarity import _vecs, rotate_corpus, topk_ann_pq256
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    vecs = _vecs(spark.read.parquet(path))
+
+    key = f"{path}::opq256-serve"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ftdw-stream-opqserve-")
+        qs = vecs.filter(F.col("vec_id") < n_queries)
+        half = n_queries // 2
+        _write_single_parquet(
+            qs.filter(F.col("vec_id") < half), d, "0-first.parquet"
+        )
+        _write_single_parquet(
+            qs.filter(F.col("vec_id") >= half), d, "1-second.parquet"
+        )
+        now = int(__import__("time").time())
+        for i, f in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+        _STREAM_DIRS[key] = d
+
+    sink_key = f"{path}::opq256-serve-sink"
+    if sink_key not in _SINK_DIRS:
+        _SINK_DIRS[sink_key] = (
+            tempfile.mkdtemp(prefix="ftdw-opqserve-sink-"),
+            tempfile.mkdtemp(prefix="ftdw-opqserve-chk-"),
+        )
+    sink_dir, chk_dir = _SINK_DIRS[sink_key]
+
+    src = (
+        spark.readStream.schema("vec_id bigint, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STREAM_DIRS[key])
+    )
+
+    def serve_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rq = _vecs(
+            rotate_corpus(
+                batch_df.select(
+                    "vec_id", F.col("v").alias("embedding")
+                ),
+                rot,
+            )
+        )
+        out = topk_ann_pq256(
+            rotated_emb,
+            n_queries=n_queries,
+            k=k,
+            books=books,
+            codes=codes,
+            queries=rq,
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    q = (
+        src.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", chk_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).orderBy("query_id", "rnk")
