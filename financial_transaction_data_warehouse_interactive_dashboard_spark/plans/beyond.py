@@ -432,7 +432,7 @@ def a5_unique_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'regular' END AS segment
     FROM scored ORDER BY custkey
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a16_rfm_segmentation(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -546,7 +546,7 @@ def a16_rfm_segmentation(
                 ELSE 'C' END AS abc_class
     FROM c ORDER BY cum_share, custkey
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a17_pareto_customers(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False

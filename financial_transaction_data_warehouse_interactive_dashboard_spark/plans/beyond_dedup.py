@@ -410,7 +410,7 @@ def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE h NOT IN (SELECT h FROM ch)
     ORDER BY doc_id
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators.dedup.incremental_dedup):
@@ -470,7 +470,7 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {SQL_JACCARD} >= 0.3
     ORDER BY id_a, id_b
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup (operators.dedup.incremental_minhash_lsh):
@@ -514,7 +514,7 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ph JOIN df USING (h)
     GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-passage report (operators.dedup.passage_dup_report):
@@ -562,7 +562,7 @@ def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY seg_idx), '') AS clean_text
     FROM k GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's line-level dedup (Raffel et al. 2020 §2.2 — drop every
@@ -637,7 +637,7 @@ def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE levenshtein(s_a, s_b) <= {EDJ_K}
     ORDER BY s_a, s_b
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide edit-distance similarity JOIN (all pairs of distinct

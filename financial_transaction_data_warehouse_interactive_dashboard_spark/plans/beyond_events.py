@@ -266,7 +266,7 @@ def ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle — users grouped by first-active
@@ -874,7 +874,7 @@ def ev_equidepth_histogram(
              AS n_session_days
     FROM c GROUP BY day ORDER BY day
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily PEAK concurrent sessions — the sweep-line / interval-overlap
@@ -970,7 +970,7 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d.dau::DOUBLE / w.wau, 6) AS stickiness
     FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
@@ -1039,7 +1039,7 @@ def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS hll_within_tol
     FROM days d JOIN mau m ON d.day = m.day ORDER BY day
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 14-day active users two ways: EXACT (the
@@ -1158,7 +1158,7 @@ def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 6) AS p90_s
     FROM r GROUP BY day ORDER BY day
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View-to-purchase conversion LATENCY per day (lower median and

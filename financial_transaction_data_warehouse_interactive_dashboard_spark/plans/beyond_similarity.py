@@ -2252,7 +2252,7 @@ def _sql_ivfpq256(
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_ivfpq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE production retrieval stack (operators.similarity.
@@ -2356,7 +2356,7 @@ def wh_ivfpq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def st_ivfpq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN queries SERVED AT INGEST from the STORED production index
@@ -2444,7 +2444,7 @@ def _sql_pq256_rotated(
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_pq256_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-lite END TO END, Spark-native: the corpus is rotated by the
@@ -2493,7 +2493,7 @@ def _sql_opq256(
     _sql_opq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def sim_ann_opq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE OPQ, both halves (VERDICT r13 ask #2): the frozen rot64
@@ -2538,7 +2538,7 @@ def sim_ann_opq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_opq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the true-OPQ stack (sources.warehouse.
@@ -2596,7 +2596,7 @@ def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_opq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def st_opq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ queries SERVED AT INGEST from the STORED index
@@ -2648,7 +2648,7 @@ def st_opq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivfpq256(train_base=IVFPQ_APPEND_BASE),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def wh_ivfpq256_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance at the PRODUCTION codebook size
@@ -2698,7 +2698,7 @@ def wh_ivfpq256_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivfpq256(train_base=IVFPQ_APPEND_BASE),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def wh_ivfpq256_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files COMPACTION on the production-sized live layout —
@@ -2744,7 +2744,7 @@ def wh_ivfpq256_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivfpq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def wh_ivfpq256_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full RETRAIN at the production codebook size — the action

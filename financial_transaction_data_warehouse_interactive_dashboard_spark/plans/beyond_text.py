@@ -120,7 +120,7 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
     # promoted r6 (rotation: first driver row)
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def tx_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/test split: a document's split is decided by

@@ -73,7 +73,7 @@ from .queries import _t, query
     ) ORDER BY col_name
     """,
     # Promoted r5 into the driver surface (rotation: first driver row).
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def wh_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table profile (operators.quality.profile): counts,
@@ -190,7 +190,7 @@ def wh_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v ORDER BY custkey, version
     """,
     # Promoted r6 (rotation: first driver row).
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def wh_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history (operators.scd.scd2_from_changes):
@@ -796,7 +796,7 @@ def wh_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r6 (driver-facing from birth — VERDICT r5 ask #5: put the
     # Z-order storage-layout claim under the hard signal).
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def wh_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Z-order/file-skipping proof as a DRIVER query (r5 verdict ask

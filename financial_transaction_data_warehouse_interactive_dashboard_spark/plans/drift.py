@@ -68,7 +68,7 @@ from .queries import _t, query
                          * least(nr - 1, nc - 1))), 6) AS cramers_v
     FROM dims
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_chi_square_segment_status(
     spark: SparkSession, sf_dir: str
@@ -191,7 +191,7 @@ PSI_WIDTH = 60000  # fixed-width bins over o_totalprice (~850..530k)
            (SELECT round(CAST(sum(x) AS DOUBLE), 6) FROM contrib) AS psi_total
     FROM contrib ORDER BY bin
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the order-price distribution, 1995
@@ -299,7 +299,7 @@ def qa_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum, n) AS ks_d
     FROM n
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_ks_two_sample(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -394,7 +394,7 @@ def qa_ks_two_sample(
                  6) AS autocorr_lag1
     FROM m
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of daily event revenue: Pearson r over
@@ -477,7 +477,7 @@ EWMA_WEIGHTS = [0.5**k for k in range(EWMA_K)]
     FROM e ORDER BY day
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event revenue with
@@ -568,7 +568,7 @@ def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS trend of daily event revenue — slope (revenue change per
@@ -651,7 +651,7 @@ def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
     FROM w
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t statistic (+ Welch-Satterthwaite df)
@@ -757,7 +757,7 @@ def qa_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS z
     FROM u
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_mann_whitney(
     spark: SparkSession, sf_dir: str, scale_safe: bool = False
@@ -871,7 +871,7 @@ def qa_mann_whitney(
            round(CAST(cum - runmin AS DOUBLE) / n, 6) AS cusum_pos
     FROM r ORDER BY day
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection on daily revenue: the classic
@@ -1072,7 +1072,7 @@ def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev JOIN se USING (dow) CROSS JOIN ctr
     ORDER BY day
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of daily revenue into trend
@@ -1189,7 +1189,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape
     FROM t GROUP BY model ORDER BY model
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead forecast BACKTEST of the daily revenue series for
@@ -1372,7 +1372,7 @@ def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / pow(r2 - mu * mu, 2) - 3, 6) AS kurtosis_excess
     FROM c ORDER BY event_type
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact POPULATION skewness and excess kurtosis of event values per
@@ -1982,7 +1982,7 @@ def _sql_psi_embedding() -> str:
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=True,  # promoted r14 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DIMENSION Population Stability Index on the embedding
@@ -2120,7 +2120,7 @@ def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_psi_embedding(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=False,
+    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
 )
 def st_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-dimension PSI monitor LIFTED TO INGEST (VERDICT r13 ask

@@ -215,7 +215,7 @@ BENFORD_EXP = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
     FROM counts JOIN exp USING (digit) CROSS JOIN tot
     ORDER BY digit
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a19_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit on order amounts — the classic
@@ -478,7 +478,7 @@ ATTR_LOOKBACK_S = 7 * 86400
     FROM m GROUP BY 1 ORDER BY channel
     """,
     # promoted r6 (rotation: first driver row)
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: each purchase is credited to the
@@ -744,7 +744,7 @@ def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS attributed_value
     FROM a GROUP BY 1 ORDER BY channel
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST-touch attribution: each purchase is credited to the EARLIEST
@@ -820,7 +820,7 @@ _MAD_K = "0.6745"
     ORDER BY user_id
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST anomaly screen — the median/MAD sibling of the z-score
@@ -906,7 +906,7 @@ FX_MONTHS = 80  # 1995-01 .. 2001-08 covers the orders fixture
     """,
     # New r5 (locally pinned; r6 rotation candidate).
     # promoted r6 (rotation: first driver row)
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Currency conversion through an AS-OF rate lookup — the canonical
@@ -1006,7 +1006,7 @@ def j8_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r5 (locally pinned; r6 rotation candidate).
     # promoted r6 (rotation: first driver row)
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand triangle participation in the co-purchase graph — the
@@ -1060,7 +1060,7 @@ def a23_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # New r5 (locally pinned; r6 rotation candidate).
     # promoted r6 (rotation: first driver row)
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a24_revenue_gini(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -1216,7 +1216,7 @@ def a24_revenue_gini_scale_safe(
     FROM t WHERE n > 1 ORDER BY segment
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order frequency and total spend
@@ -1326,7 +1326,7 @@ def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t WHERE n > 1 ORDER BY segment
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a25_spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman with CLASSICAL average-rank tie handling (the statistical
@@ -1453,7 +1453,7 @@ def a25_spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY channel
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR multi-touch attribution — the third member of the
@@ -1546,7 +1546,7 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a ORDER BY event_type
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized moments per event type: clip the value at its exact
@@ -1640,7 +1640,7 @@ def _lpa_iter_cte(i: int) -> str:
     SELECT node AS brand, lbl AS community
     FROM l{LPA_ITER} ORDER BY brand
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a26_brand_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the brand co-purchase graph — the FOURTH
@@ -1808,7 +1808,7 @@ def _km_centroid_cte(i: int) -> str:
     FROM a{KM_ITER - 1} GROUP BY 1 ORDER BY 1
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a28_customer_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABULAR k-means — customer segmentation by (order frequency,
@@ -2047,7 +2047,7 @@ def _ppr_iter_cte(i: int) -> str:
            END AS is_seed
     FROM p{PR_ITER} ORDER BY rank DESC, brand
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a30_brand_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the Brand#1x seed family over the
@@ -2124,7 +2124,7 @@ def _khop_cte(i: int) -> str:
     {", ".join(_khop_cte(i) for i in range(1, KHOP_MAX + 1))}
     SELECT node AS brand, hops FROM d3 ORDER BY hops, brand
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a31_brand_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop BFS distances from the lexicographically-first brand over
@@ -2213,7 +2213,7 @@ def _bf_iter_cte(i: int) -> str:
     SELECT node AS brand, CAST(dist AS DOUBLE) AS cost
     FROM b4 ORDER BY cost, brand
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest-path costs from the lexicographically-first brand over
@@ -2275,7 +2275,7 @@ def a32_brand_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND (b.spend > a.spend OR b.c_acctbal > a.c_acctbal))
     ORDER BY segment, custkey
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a33_segment_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment Pareto frontier (2-D SKYLINE): customers no other
@@ -2391,7 +2391,7 @@ def _cc_round_cte(i: int) -> str:
              AS harmonic
     FROM cnt ORDER BY harmonic DESC, brand
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def a34_brand_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARMONIC closeness centrality of every brand in the
@@ -2483,7 +2483,7 @@ KM_BUCKET_DAYS = 30  # lifetime granularity (months)
     FROM arr, unnest(range(1, len(fl) + 1)) AS r(i)
     ORDER BY t_months
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a35_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER customer survival curve: S(t) = prod over lifetime

@@ -1155,7 +1155,7 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT custkey FROM big_buyers UNION SELECT custkey FROM urgent_buyers)
     ORDER BY set_op
     """,
-    driver=True,  # REFRESH r14 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r15 (rotation; driver-green, plans/rotation.py)
 )
 def x2_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) / INTERSECT / EXCEPT over key sets — the whole

@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 14
+CURRENT_ROUND = 15
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -398,6 +398,50 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "wh_gold_maintenance",
         ),
     },
+    15: {
+        # Steady-state round, zero-debt ledger again: SEVEN first-timers
+        # — the full r14-authored NEXT_QUEUE (sim_ann_opq256 and the
+        # stored-OPQ pair, the 256-code lifecycle completions, and the
+        # at-ingest PSI monitor), each three-scale verified when
+        # authored AND re-swept on the final r14 tree (commit 85c592f).
+        # A green r15 leaves 221/221 entries with a driver row. No
+        # keep-set admissions: the ivfpq-lifecycle family seat is held
+        # by wh_ivfpq256_publish (append/compact/retrain rotate like
+        # deterministic entries — the r13 wh_ivfpq_compact precedent),
+        # and the stream-harness families are already seated. The
+        # remaining 25 slots are REFRESH promotions — the age-ordered
+        # prefix of REFRESH_QUEUE (the rest of the r8 vintage through
+        # tx_stratified_sample's cohort, then the r9 head through
+        # mm_bmp_pixels).
+        "in": (
+            # r14-authored queue (first driver rows; plans/rotation.py
+            # NEXT_QUEUE at the r14 close)
+            "sim_ann_opq256", "wh_ivfpq256_append",
+            "st_psi_embedding_drift", "wh_ivfpq256_compact",
+            "wh_ivfpq256_retrain", "wh_opq256_publish",
+            "st_opq256_serve",
+        ),
+        "out": (
+            # r14 first-timers retire on their green r14 rows (the r8
+            # second-row policy; none admitted to the keep-set)
+            "sim_ann_ivfpq256", "sim_ann_pq256_rotated",
+            "st_ivfpq256_serve", "qa_psi_embedding_drift",
+            # r14 REFRESH entries rotate off on their re-earned rows
+            "a16_rfm_segmentation", "a17_pareto_customers",
+            "a19_benford_first_digit", "a23_brand_triangles",
+            "a24_revenue_gini", "a25_spearman_avg_rank",
+            "a26_brand_communities", "a30_brand_ppr", "a31_brand_khop",
+            "a32_brand_cheapest_path", "a33_segment_skyline",
+            "a34_brand_closeness", "ev_attribution_last_touch",
+            "j8_fx_convert", "mm_wav_features",
+            "qa_chi_square_segment_status", "qa_higher_moments",
+            "qa_ks_two_sample", "qa_mann_whitney", "qa_psi_price_drift",
+            "qa_welch_t", "tpch_q1_pricing_summary",
+            "tpch_q5_local_supplier_volume", "tx_split_by_cluster",
+            "wh_scd2_history", "wh_table_profile", "wh_zorder_skipping",
+            "x2_union_intersect",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -422,17 +466,10 @@ RE_PROMOTED: dict[str, int] = {
 #: authored AFTER the flip; first-timers always outrank refresh slots.
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
-    # The r14 flip promoted the full five-entry r13 queue (see
-    # ROTATION_HISTORY 14), leaving zero never-driver-checked entries
-    # after a green r14 — 214/214 driver-row coverage. Operators
-    # authored after the r14 flip queue here for r15:
-    "sim_ann_opq256",  # TRUE OPQ: frozen rotation + books retrained on the rotated corpus; audit row 0.9375 recall@5 (authored r14 post-flip, three-scale verified)
-    "wh_ivfpq256_append",  # publish-on-base + append-new at the production codebook size; zero retraining (frozen books), shared-artifact from day one (authored r14 post-flip, three-scale verified)
-    "st_psi_embedding_drift",  # the per-dim PSI monitor lifted to ingest: published reference histogram, per-microbatch PSI, stream == batch verbatim (authored r14 post-flip, three-scale verified)
-    "wh_ivfpq256_compact",  # compaction on the shared appended 256-code layout; changed-NOTHING pinned by the append oracle verbatim (authored r14 post-flip, three-scale verified)
-    "wh_ivfpq256_retrain",  # retrain-from-appended lands bit-exactly on the fresh full-trained index (frozen books read back from the store); publish oracle verbatim (authored r14 post-flip, three-scale verified)
-    "wh_opq256_publish",  # the stored true-OPQ stack: rotation + rotated-trained books + rotated-corpus codes all served from read-back tables; opq oracle verbatim (authored r14 post-flip, three-scale verified)
-    "st_opq256_serve",  # OPQ serve-at-ingest: raw queries rotated per microbatch by the STORED matrix, ADC on read-back codes/books; stream == batch, opq oracle verbatim (authored r14 post-flip, three-scale verified)
+    # The r15 flip promoted the full seven-entry r14 queue (see
+    # ROTATION_HISTORY 15), leaving zero never-driver-checked entries
+    # after a green r15 — 221/221 driver-row coverage. Operators
+    # authored after the r15 flip queue here for r16.
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
@@ -460,27 +497,19 @@ NEXT_QUEUE: tuple[str, ...] = (
 #: freshness is the point — so they are not declared in the history's
 #: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
 REFRESH_QUEUE: tuple[str, ...] = (
-    # The round-14 flip consumed the previous queue's 28-name prefix
-    # (the r6 tail, the full r7 vintage, and the first two r8 names
-    # through a25_spearman_avg_rank); what remains is the rest of the
-    # r8 vintage followed by the head of the r9 vintage (alphabetical
-    # within a vintage = the ties-by-name rule). Recomputed this round
-    # from the committed CORRECTNESS files, as every round.
+    # The round-15 flip consumed the previous queue's 25-name prefix
+    # (the r8-rest names through ev_winsorized_stats, plus
+    # mm_avi_frames / mm_bmp_pixels); what remains is the tail of the
+    # r8 vintage followed by the full r9 vintage and the head of the
+    # r10 vintage (alphabetical within a vintage = the ties-by-name
+    # rule). Recomputed this round from the committed CORRECTNESS
+    # files, as every round.
     # r8 rest
-    "a25_spearman_freq_spend", "a28_customer_kmeans", "a35_survival_km",
-    "dd_incremental_dedup", "dd_incremental_minhash",
-    "dd_passage_dupes", "dd_qgram_edit_join", "dd_segment_dedup",
-    "ev_active_users_hll", "ev_attribution_first_touch",
-    "ev_attribution_linear", "ev_autocorr_daily", "ev_cohort_retention",
-    "ev_cusum_daily", "ev_ewma_daily", "ev_forecast_backtest",
-    "ev_mad_outliers", "ev_peak_concurrency", "ev_seasonal_decompose",
-    "ev_time_to_convert", "ev_trend_regression", "ev_wau_stickiness",
-    "ev_winsorized_stats", "mm_avi_frames", "mm_bmp_pixels",
     "qa_anova_segments", "qa_wilson_ci", "sim_ann_pq_adc",
     "sim_recall_at_k", "tpch_q16_supplier_cnt",
     "tpch_q3_shipping_priority", "tpch_q4_late_orders",
     "tx_curriculum_order", "tx_span_corruption", "tx_stratified_sample",
-    # r9 head
+    # r9 vintage
     "a15_hll_mergeable", "a18_zscore_outliers", "a20_basket_pair_lift",
     "a21_order_reconciliation", "a27_dow_seasonal_outliers",
     "a29_cohort_ltv", "dd_containment_pairs", "dd_er_blocked_pairs",
@@ -490,7 +519,20 @@ REFRESH_QUEUE: tuple[str, ...] = (
     "ev_transition_matrix", "sim_ann_ivf_pq",
     "sim_embedding_covariance", "sim_hybrid_rrf", "sim_ndcg_at_k",
     "sim_random_projection", "tx_bigram_logprob", "tx_bpe_apply",
-    "tx_bpe_pack", "tx_chunk_documents",
+    "tx_bpe_pack", "tx_chunk_documents", "tx_heavy_collocations",
+    "tx_mixture_weights", "tx_negative_sampling", "tx_pack_sequences",
+    "tx_repetition_ratio", "tx_unigram_logprob", "tx_weighted_sample",
+    "w6_user_day_gapfill",
+    # r10 head
+    "a10_value_stats", "a1_count_by_segment",
+    "a2_quarter_status_matrix", "a8_rollup_region_nation",
+    "a9_cube_status_quarter", "c1_timestamp_roundtrip",
+    "dd_embedding_neardup", "dd_simhash", "dd_simhash_pairs",
+    "ev_props_extract", "ev_sessionize", "ev_tumbling_hourly",
+    "ev_value_histogram", "f4_contains", "j7_name_remap",
+    "mm_ahash_clusters", "mm_ahash_neardups", "mm_frame_sample",
+    "o2_top5_types", "qa_fdr_bh_segments", "qa_fdr_bh_spike_in",
+    "sim_ann_ivf", "sim_ann_ivf_kmeans",
 )
 
 #: KEEP-SET CAP POLICY (r13; VERDICT r11 ask #8 / r12 ask #6). The
