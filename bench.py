@@ -19,6 +19,24 @@ Methodology:
   a few rows); large-result queries (fact build / gold denorm) are timed
   to a ``noop`` sink so we measure distributed compute + write path, not
   single-threaded driver materialization.
+
+Bench-weight budget (r15 policy; VERDICT r14 ask #7). The suite grows
+~6%/round (221 entries / 251.7s at the r14 driver pass; pytest 790s);
+unbounded, the per-round evidence cost eventually crowds out building.
+Policy: the suite total at sf0.1 is budgeted at <= 300s on the r14
+reference host, allocated per FAMILY — each family's budget is its r14
+spend plus one median entry (~1.2s), i.e. sim 43s (r14: 40.9s/21),
+wh 40s (38.4s/25), tx 35s (33.7s/29), st 30s (28.4s/17), dd 28s
+(26.1s/18), ev 18s (16.7s/31), qa 10s (8.8s/12), mm 9s (7.9s/8),
+tpch 6s (4.0s/5), core analytics a*/q*/w*/j*/o*/x*/c*/f*/sk* 50s
+(46.8s/~72). A NEW entry in a family at budget must ride the family's
+shared built-once artifacts (the ``_shared_artifact`` memo — r13 IVFPQ
+29.7->13.4s, r14 OPQ 17.4->7.3s prove the tool) or the family retires/
+cheapens a sitting entry first; entries whose CLAIM is the work (a
+retrain proving the Lloyd, a publish proving the write path) charge
+their family like any other. Enforced at authoring time by the landing
+checklist, audited per round against BENCH_DETAIL_r{N}.json's
+per-family sums.
 """
 
 from __future__ import annotations

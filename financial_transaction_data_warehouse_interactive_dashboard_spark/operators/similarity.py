@@ -1049,6 +1049,18 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
 #: two-stage shape (compressed scan, tiny exact tail).
 PQ256_SHORTLIST = 50
 
+#: Scaled-shortlist coefficient (VERDICT r14 ask #3): the r14 audit's
+#: control isolates FIXED-shortlist dilution as the recall limiter —
+#: at nprobe 8 / 64 cells on the ~10x corpus the same 12.4% scan moves
+#: recall@5 0.64 -> 0.89 when the shortlist scales 50 -> 200
+#: (ANN_RECALL_AUDIT_r14.json). 200 = 0.081 x scanned candidates at
+#: that point, and the tuned base config (nprobe 2 / 64 cells, 620
+#: scanned) sits at 50 = 0.081 x scanned — one coefficient fits both,
+#: so the scaled default keeps shortlist depth a CONSTANT FRACTION of
+#: the ADC scan instead of a constant absolute count. Used by
+#: ivfpq256_query when shortlist=None.
+PQ256_SHORTLIST_PER_SCANNED = 0.08
+
 
 def pq256_books(spark) -> DataFrame:
     """The FROZEN production-sized codebooks (m=8 x 256 codes x 8 dims)
@@ -1080,19 +1092,30 @@ def pq256r_books(spark) -> DataFrame:
     )
 
 
-def pq256_codes(vecs: DataFrame, books: DataFrame) -> DataFrame:
+def pq256_codes(
+    vecs: DataFrame,
+    books: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+) -> DataFrame:
     """Full-corpus 256-code PQ encode (vec_id, m, code) against a
     frozen book frame — the encode half of :func:`topk_ann_pq256`,
     factored out so wh_opq256_publish can persist exactly the codes
     the in-memory path scans. Single-pass max_by (ties -> lowest code
     via the (sub_score, -code) struct order), pre-computed
     0.5*<cv,cv>, explicit repartition to defeat single-split AQE
-    coalescing on the fixture."""
-    from . import pq256_book as B
+    coalescing on the fixture.
 
+    ``(m, subdim)`` is the slicing geometry and MUST match the passed
+    ``books`` frame — the two frozen frames this repo ships
+    (:func:`pq256_books`, :func:`pq256r_books`) both use the module
+    default (8 x 8 over 64 dims; ``pq256_book.SUBDIM ==
+    pq256r_book.SUBDIM``), but a sibling book with different geometry
+    must pass its own values or it would silently encode against
+    misaligned subvectors (ADVICE r14)."""
     spark = vecs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    subs = _subvectors(vecs).repartition(n_part, "vec_id")
+    subs = _subvectors(vecs, m, subdim).repartition(n_part, "vec_id")
     booksn = books.withColumn(
         "half_cvn",
         F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv"),
@@ -1104,7 +1127,7 @@ def pq256_codes(vecs: DataFrame, books: DataFrame) -> DataFrame:
             "m",
             "code",
             F.round(
-                P.dot_fixed("sv", "cv", B.SUBDIM) - F.col("half_cvn"), 6
+                P.dot_fixed("sv", "cv", subdim) - F.col("half_cvn"), 6
             ).alias("sub_score"),
         )
         .groupBy("vec_id", "m")
@@ -1360,7 +1383,7 @@ def ivfpq256_query(
     n_queries: int = 8,
     k: int = 5,
     nprobe: int = 2,
-    shortlist: int = PQ256_SHORTLIST,
+    shortlist: int | None = PQ256_SHORTLIST,
     queries: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF+PQ256 QUERY path over already-built (or already-STORED)
@@ -1375,10 +1398,35 @@ def ivfpq256_query(
     microbatch here; the default is the deterministic
     vec_id < n_queries convention. Per-query results are independent,
     so a union of per-batch outputs equals the all-queries batch
-    output row-for-row — the stream == batch contract."""
+    output row-for-row — the stream == batch contract.
+
+    ``shortlist=None`` selects the SCALED default (VERDICT r14 ask #3
+    — the r14 audit's own recommendation made executable):
+    ``max(PQ256_SHORTLIST, ceil(PQ256_SHORTLIST_PER_SCANNED * nprobe /
+    n_cells * corpus))``, so raising nprobe deepens the re-rank pool
+    proportionally instead of silently diluting it — the committed
+    control showed the fixed 50-deep shortlist costs 0.25 recall at
+    nprobe 8 that scaling recovers (ANN_RECALL_AUDIT_r14.json). The
+    oracle-pinned registry entries pass/keep the pinned constant (at
+    fixture scales the two coincide: 0.08 x scanned < 50 up to ~600
+    scanned candidates). Sizing costs two count() jobs here; a 100 TB
+    deployment passes the catalog's row counts as an explicit
+    ``shortlist`` instead of re-counting the corpus per query batch."""
+    import math
+
     from . import pq256_book as B
 
     vecs = _vecs(emb)
+    if shortlist is None:
+        shortlist = max(
+            PQ256_SHORTLIST,
+            math.ceil(
+                PQ256_SHORTLIST_PER_SCANNED
+                * nprobe
+                / max(cells.count(), 1)
+                * vecs.count()
+            ),
+        )
     qsrc = (
         queries.select("vec_id", "v")
         if queries is not None

@@ -1003,10 +1003,12 @@ from .beyond_events import *  # noqa: E402,F401,F403
 from .beyond_multimodal import *  # noqa: E402,F401,F403
 from .beyond_streaming import *  # noqa: E402,F401,F403
 from .beyond_warehouse import *  # noqa: E402,F401,F403
+from .beyond_pipeline import *  # noqa: E402,F401,F403
 
 _TIER_MODULES = (
     "beyond_dedup", "beyond_similarity", "beyond_text", "beyond_events",
     "beyond_multimodal", "beyond_streaming", "beyond_warehouse",
+    "beyond_pipeline",
 )
 
 

@@ -1,0 +1,315 @@
+"""Pipeline-fusion tier (pl_*) — whole-pipeline compositions of the
+engine's proven families in the order a production training-data run
+actually executes them (round 15; VERDICT r14 ask #6: the ANN
+lifecycle is closed, the next capstone is chosen deliberately).
+
+First family member: dedup-BEFORE-index. Every real retrieval corpus
+is deduplicated before the ANN index is built — indexing duplicates
+wastes index space AND poisons every shortlist with copies of the same
+neighbor, so k effective results cost more than k slots. The engine
+has both halves oracle-checked separately (dd_minhash_lsh /
+dd_neardup_components and the sim_ann_ivfpq256 stack); this tier pins
+their COMPOSITION: the index is built over exactly the canonical
+corpus the dedup stage keeps, and the served results prove it (no
+duplicate doc can appear as a neighbor because it was never encoded).
+
+Reference analogue: none (beyond-reference LLM-pipeline tier; the
+reference dashboard has no documents/embeddings surface —
+streamlit.py:1-559 is transaction analytics only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.graph import connected_components
+from .beyond import SQL_DOCS_SHINGLES, SQL_JACCARD
+from .beyond_similarity import _shared_artifact, _sql_ivfpq256
+from .queries import _t, query
+
+
+def _shared_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup DROP set (every doc whose connected
+    component has a smaller member — the canonical-keeps-the-min-id
+    policy of dd_neardup_components), built once per dataset and
+    checkpoint-pinned: a tiny id frame with huge lineage (shingle ->
+    minhash -> banded LSH -> verify -> iterative components), exactly
+    the localCheckpoint pattern dd_corpus_clean documents — downstream
+    consumers broadcast the ids instead of re-running the LSH
+    shuffles."""
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+        comp = connected_components(pairs)
+        return (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("vec_id"))
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared_artifact(spark, sf_dir, "pl_dedup_drop", build)
+
+
+def _shared_canonical_index(spark: SparkSession, sf_dir: str):
+    """(kept_corpus, cells, inv) for the CANONICAL corpus: embeddings
+    anti-joined against the broadcast drop set (vec_id == doc_id in
+    the fixture's row-aligned tables), then the standard production
+    index build — seeds < 16 of the surviving ids, one decimal-exact
+    Lloyd refine, frozen 256-code encode restricted to the kept rows.
+    Built once (the day-one shared-artifact discipline) so future pl_*
+    siblings re-prove their OWN claim, not this build."""
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        kept = emb.join(
+            F.broadcast(_shared_dedup_drop(spark, sf_dir)),
+            "vec_id",
+            "left_anti",
+        )
+        vecs = S._vecs(kept)
+        seeds = vecs.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        cells = S.refine_centroids(vecs, seeds).localCheckpoint(
+            eager=True
+        )
+        inv = S.build_ivfpq256_inv(kept, cells).localCheckpoint(
+            eager=True
+        )
+        return kept, cells, inv
+
+    return _shared_artifact(spark, sf_dir, "pl_canonical_index", build)
+
+
+def _sql_dedup_before_index() -> str:
+    """DuckDB oracle for pl_dedup_before_index: dd_neardup_components'
+    recursive transitive closure (VERBATIM math: shingle -> double-hash
+    minhash -> banded LSH -> jaccard >= 0.5 verify -> min-label
+    components) computes the drop set, then _sql_ivfpq256's replay runs
+    with its corpus CTE ``e`` restricted to the survivors — the
+    composition is by construction the two committed oracles, so the
+    fused entry is pinned by exactly the math its halves were.
+
+    Built by targeted substitution on the _sql_ivfpq256 string: the
+    injected CTE names are dd_-prefixed (dd_cand, dd_edge) because the
+    host oracle already uses ``cand``/``e``; the substitution anchors
+    are exact unique substrings of the generated SQL and are asserted
+    present (a silent no-op substitution would quietly un-fuse the
+    oracle)."""
+    from ..functions import portable as _P
+
+    dedup_ctes = f"""{SQL_DOCS_SHINGLES},
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(
+                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
+                  AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    dd_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM dd_cand JOIN sh sa ON dd_cand.id_a = sa.doc_id
+                        JOIN sh sb ON dd_cand.id_b = sb.doc_id
+              WHERE {SQL_JACCARD} >= 0.5),
+    dd_edge AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM dd_edge),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, dd_edge.dst AS m FROM reach r JOIN dd_edge
+        ON dd_edge.src = r.m
+    ),
+    dd_drop AS (SELECT n AS doc_id FROM reach GROUP BY n
+                HAVING CAST(min(m) AS BIGINT) != n)"""
+
+    base = _sql_ivfpq256()
+    with_anchor = "WITH braw AS"
+    e_anchor = (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    assert with_anchor in base and e_anchor in base, (
+        "oracle substitution anchors missing — _sql_ivfpq256 changed"
+    )
+    return base.replace(
+        with_anchor,
+        f"WITH RECURSIVE {dedup_ctes},\n    braw AS",
+        1,
+    ).replace(
+        e_anchor,
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "\n          WHERE vec_id NOT IN (SELECT doc_id FROM dd_drop))",
+        1,
+    )
+
+
+@query(
+    "pl_dedup_before_index",
+    _sql_dedup_before_index(),
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def pl_dedup_before_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-BEFORE-index, the real pipeline order, fused end to end
+    (VERDICT r14 ask #6 option b): MinHash-LSH near-dup components over
+    ``documents`` pick the canonical corpus (min-id per component —
+    dd_neardup_components' policy), the production IVF+PQ256 index is
+    built over ONLY the surviving embeddings (the fixture's tables are
+    row-aligned: vec_id == doc_id), and the standard 8 queries are
+    served from it. Results differ from sim_ann_ivfpq256's exactly
+    where they should: a duplicate can never be a neighbor because it
+    was never encoded, and the canonical member represents its cluster.
+
+    At 100 TB this order is not a nicety, it is the budget: every
+    duplicate indexed is wasted code storage (64-bit/vector here, but
+    x billions), wasted ADC scan in every probe that hits its cell,
+    and a shortlist slot that crowds out a DISTINCT true neighbor —
+    the same dilution mechanism the r14 audit measured for noise
+    distractors, caused by redundancy instead. The drop set is a tiny
+    broadcast id frame (dupes are a small fraction); the anti-join
+    prunes the corpus BEFORE the encode fan-out, so the expensive
+    stages (subvector explode, ADC terms) run only on canonical rows.
+
+    Oracle: dd_neardup_components' recursive-closure SQL composed with
+    _sql_ivfpq256's replay, corpus CTE restricted to survivors — both
+    committed oracles VERBATIM in their math (see
+    _sql_dedup_before_index)."""
+    kept, cells, inv = _shared_canonical_index(spark, sf_dir)
+    return S.ivfpq256_query(kept, cells, S.pq256_books(spark), inv)
+
+
+def _sql_hybrid_rerank() -> str:
+    """DuckDB oracle for pl_hybrid_rerank: the fused dedup-before-index
+    oracle up through its ``rer`` CTE (the full 50-deep shortlist with
+    exact cosines), then the HYBRID tail — token-set jaccard between
+    the query document and each candidate document, blended
+    0.8*cos6 + 0.2*jacc6, re-ranked. Substitution anchor is the host
+    oracle's final SELECT (asserted present)."""
+    base = _sql_dedup_before_index()
+    tail_anchor = "SELECT query_id,\n           CAST(row_number()"
+    assert tail_anchor in base, (
+        "oracle tail anchor missing — _sql_ivfpq256 changed"
+    )
+    head = base[: base.index(tail_anchor)]
+    return (
+        head
+        + """, docw AS (SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+    hyb AS (SELECT query_id, neighbor_id, cos6,
+              round(len(list_intersect(qw.w, nw.w))::DOUBLE
+                    / len(list_distinct(list_concat(qw.w, nw.w))), 6)
+                AS jacc6
+            FROM rer
+            JOIN docw qw ON rer.query_id = qw.doc_id
+            JOIN docw nw ON rer.neighbor_id = nw.doc_id),
+    blend AS (SELECT *,
+                round(CAST('0.8' AS DOUBLE) * cos6
+                      + CAST('0.2' AS DOUBLE) * jacc6, 6) AS blend6
+              FROM hyb)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY blend6 DESC, neighbor_id ASC) AS INTEGER) AS rnk,
+           neighbor_id, cos6, jacc6, blend6
+    FROM blend
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+@query(
+    "pl_hybrid_rerank",
+    _sql_hybrid_rerank(),
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def pl_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid reranker stage composed ONTO the canonical ANN shortlist
+    (VERDICT r14 ask #6 option a, fused with option b's index): the
+    dedup-before-index stack produces the 50-deep shortlist (ADC scan +
+    exact cosine over survivors), then a second-stage reranker blends
+    the dense score with a LEXICAL signal — token-set jaccard between
+    the query's document and each candidate's document —
+    0.8*cos6 + 0.2*jacc6, deterministic tie-break (blend DESC,
+    neighbor_id ASC), top-5.
+
+    This is the production retrieval shape: a cheap compressed ANN
+    stage proposes, an expensive pairwise stage disposes — here the
+    pairwise scorer is a deterministic lexical-overlap feature (the
+    cross-encoder SLOT; a learned model would replace the jaccard
+    column, and the plan shape — broadcast the O(queries x 50)
+    shortlist against the document payloads, score pairwise, window
+    re-rank — is exactly what it would run). Pairwise work touches
+    ONLY n_queries x 50 rows, never the corpus: the shortlist frame is
+    broadcast to the documents scan, so full-text I/O stays
+    O(shortlist), and the blend/window run on 400 rows.
+
+    Oracle: the fused dedup+index oracle through its shortlist-with-
+    cosines CTE, then the jaccard/blend tail in DuckDB list algebra
+    (see _sql_hybrid_rerank)."""
+    kept, cells, inv = _shared_canonical_index(spark, sf_dir)
+    short = S.ivfpq256_query(
+        kept, cells, S.pq256_books(spark), inv, k=S.PQ256_SHORTLIST
+    ).select("query_id", "neighbor_id", "cos6")
+    docs = _t(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    # Both payload attachments broadcast the SMALL side (the shortlist
+    # frame, O(queries x 50)) against the documents scan — full-text
+    # I/O stays one corpus scan per side, never a corpus broadcast.
+    cand = docw.join(
+        F.broadcast(short), docw.doc_id == short.neighbor_id
+    ).select(
+        "query_id", "neighbor_id", "cos6", F.col("w").alias("nw")
+    )
+    hyb = (
+        docw.select(
+            F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+        )
+        .join(F.broadcast(cand), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos6",
+            F.round(
+                F.size(F.array_intersect("qw", "nw")).cast("double")
+                / F.size(F.array_distinct(F.concat("qw", "nw"))),
+                6,
+            ).alias("jacc6"),
+        )
+    )
+    blend = hyb.withColumn(
+        "blend6",
+        F.round(
+            F.expr("CAST('0.8' AS DOUBLE)") * F.col("cos6")
+            + F.expr("CAST('0.2' AS DOUBLE)") * F.col("jacc6"),
+            6,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("blend6"), F.asc("neighbor_id")
+    )
+    return (
+        blend.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id", "rnk", "neighbor_id", "cos6", "jacc6", "blend6"
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -1911,8 +1911,17 @@ def qa_fdr_storey_spike_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bit-identical across engines.
 EMB_PSI_BINS = 8
 EMB_DIM = 64
+#: The span the bins tile: [-EMB_PSI_GRID_SPAN/2, +EMB_PSI_GRID_SPAN/2),
+#: clamped at both ends. Width and offset are DERIVED from this pair
+#: everywhere (batch _bin, the stream's _bin via explicit parameters,
+#: and the oracle SQL below), so the three implementations cannot
+#: drift independently (ADVICE r14). 1.0/8 = 0.125 stays an exact
+#: binary double.
+EMB_PSI_GRID_SPAN = 1.0
+EMB_PSI_BIN_WIDTH = EMB_PSI_GRID_SPAN / EMB_PSI_BINS
 _EMB_PSI_BIN_SQL = (
-    "least(greatest(CAST(floor((val + 0.5) / 0.125) AS BIGINT), 0), "
+    f"least(greatest(CAST(floor((val + {EMB_PSI_GRID_SPAN / 2!r}) / "
+    f"{EMB_PSI_BIN_WIDTH!r}) AS BIGINT), 0), "
     f"{EMB_PSI_BINS - 1})"
 )
 
@@ -2032,9 +2041,10 @@ def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _bin(col: str = "val") -> F.Column:
         return F.least(
             F.greatest(
-                F.floor((F.col(col) + F.lit(0.5)) / F.lit(0.125)).cast(
-                    "bigint"
-                ),
+                F.floor(
+                    (F.col(col) + F.lit(EMB_PSI_GRID_SPAN / 2))
+                    / F.lit(EMB_PSI_BIN_WIDTH)
+                ).cast("bigint"),
                 F.lit(0).cast("bigint"),
             ),
             F.lit(EMB_PSI_BINS - 1).cast("bigint"),
@@ -2154,4 +2164,5 @@ def st_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         base=IVFPQ_APPEND_BASE,
         n_dims=EMB_DIM,
         n_bins=EMB_PSI_BINS,
+        grid_span=EMB_PSI_GRID_SPAN,
     )

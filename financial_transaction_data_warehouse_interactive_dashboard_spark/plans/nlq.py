@@ -225,6 +225,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "a35_survival_km": ("survival", "churn", "churned", "kaplan", "meier", "censored"),
     "tx_curriculum_order": ("curriculum", "ordering", "easy", "hard", "difficulty", "training", "schedule"),
     "wh_orphan_audit": ("orphans", "orphan", "referential", "foreign", "broken", "keys"),
+    # Round-15 batch (pipeline-fusion tier).
+    "pl_dedup_before_index": ("dedup", "deduplicate", "canonical", "before", "indexing", "pipeline"),
+    "pl_hybrid_rerank": ("rerank", "reranker", "hybrid", "lexical", "blend", "second", "stage"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

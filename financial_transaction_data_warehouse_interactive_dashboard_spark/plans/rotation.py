@@ -469,7 +469,9 @@ NEXT_QUEUE: tuple[str, ...] = (
     # The r15 flip promoted the full seven-entry r14 queue (see
     # ROTATION_HISTORY 15), leaving zero never-driver-checked entries
     # after a green r15 — 221/221 driver-row coverage. Operators
-    # authored after the r15 flip queue here for r16.
+    # authored after the r15 flip queue here for r16:
+    "pl_dedup_before_index",  # pipeline-fusion capstone (VERDICT r14 ask #6b): MinHash-LSH components -> canonical corpus -> IVF+PQ256 build+serve over survivors only; composed oracle (authored r15 post-flip, three-scale verified)
+    "pl_hybrid_rerank",  # second-stage hybrid reranker ONTO the canonical shortlist (ask #6a fused with #6b): 0.8*cos + 0.2*token-jaccard blend, pairwise work O(queries x 50) only (authored r15 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

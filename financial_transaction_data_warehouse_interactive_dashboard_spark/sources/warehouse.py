@@ -385,7 +385,15 @@ def publish_opq256_layout(
     ``rotated`` / ``codes``: optional pre-built frames (the shared
     built-once bench artifacts — the publish_ivfpq256_layout
     discipline); the writes and the stored layout are identical
-    either way."""
+    either way. INVARIANT (ADVICE r14): the sidecars written are
+    always the repo's frozen constants (rot64_frame / pq256r_books),
+    so a caller-supplied ``rotated`` MUST be rotate_corpus(emb,
+    rot64_frame) output and ``codes`` MUST be pq256_codes of that
+    rotated corpus against pq256r_books — frames built from any other
+    rotation or books would publish an internally inconsistent layout.
+    Both call sites (the entry and the shared-artifact memo) build
+    them exactly that way; pass nothing to let this function build
+    them from the constants itself."""
     from ..operators.similarity import (
         _vecs,
         pq256_codes,

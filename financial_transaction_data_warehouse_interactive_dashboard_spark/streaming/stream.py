@@ -1403,6 +1403,7 @@ def run_psi_embedding_stream(
     base: int,
     n_dims: int,
     n_bins: int,
+    grid_span: float,
 ) -> DataFrame:
     """The per-dimension PSI drift monitor (qa_psi_embedding_drift's
     pass) run AT INGEST (VERDICT r13 ask #5) — one top-5-drifted-dims
@@ -1441,10 +1442,15 @@ def run_psi_embedding_stream(
     vecs = _vecs(spark.read.parquet(path))
 
     def _bin(col: str = "val"):
+        # Width/offset DERIVED from (grid_span, n_bins) — the caller
+        # passes both from the single constant pair next to
+        # _EMB_PSI_BIN_SQL in plans/drift.py, so this histogram cannot
+        # drift from the batch entry or the shared oracle (ADVICE r14).
         return F.least(
             F.greatest(
                 F.floor(
-                    (F.col(col) + F.lit(0.5)) / F.lit(0.125)
+                    (F.col(col) + F.lit(grid_span / 2))
+                    / F.lit(grid_span / n_bins)
                 ).cast("bigint"),
                 F.lit(0).cast("bigint"),
             ),
