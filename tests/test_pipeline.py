@@ -1,0 +1,117 @@
+"""Pipeline-fusion tier (pl_*) invariants — the properties the fused
+oracle pins only implicitly. Bit-exact oracle parity itself is covered
+by tests/test_oracle_parity.py's full-registry sweep; these tests pin
+the SEMANTIC claims of the composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
+    beyond_pipeline as PL,
+)
+from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+    REGISTRY,
+    _t,
+)
+
+from conftest import SF_ORACLE
+
+
+def test_dedup_drop_set_is_nonempty_and_dropped_ids_never_served(spark):
+    """The fixture corpus contains near-dups at sf0.01 (the dd_* family
+    depends on that), so the drop set must be non-empty — and no
+    dropped id may ever appear in the served results, as a query OR a
+    neighbor: it was never encoded into the index. This is the entry's
+    whole claim stated directly."""
+    drop = {
+        r["vec_id"]
+        for r in PL._shared_dedup_drop(spark, SF_ORACLE).collect()
+    }
+    assert drop, "fixture should contain near-duplicates at sf0.01"
+    served = REGISTRY["pl_dedup_before_index"].spark(
+        spark, SF_ORACLE
+    ).collect()
+    assert served, "served results should be non-empty"
+    touched = {r["neighbor_id"] for r in served} | {
+        r["query_id"] for r in served
+    }
+    assert not touched & drop, touched & drop
+
+
+def test_canonical_index_is_strictly_smaller(spark):
+    """Dedup-before-index must actually shrink the index: the kept
+    corpus row count is the raw corpus minus the drop set, exactly."""
+    kept, _, inv = PL._shared_canonical_index(spark, SF_ORACLE)
+    n_raw = _t(spark, SF_ORACLE, "embeddings").count()
+    n_drop = PL._shared_dedup_drop(spark, SF_ORACLE).count()
+    n_kept = kept.count()
+    assert n_kept == n_raw - n_drop
+    assert n_kept < n_raw
+    # the inverted file encodes exactly the kept rows (m=8 codes each)
+    assert inv.select("vec_id").distinct().count() == n_kept
+
+
+def test_hybrid_rerank_is_a_permutation_of_the_shortlist(spark):
+    """The reranker may only REORDER the ANN shortlist, never inject a
+    candidate the first stage did not propose — every (query_id,
+    neighbor_id) it returns must be in the 50-deep first-stage
+    shortlist, and blend6 must equal the committed 0.8/0.2 formula of
+    its own columns."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+
+    out = REGISTRY["pl_hybrid_rerank"].spark(spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows
+    kept, cells, inv = PL._shared_canonical_index(spark, SF_ORACLE)
+    short = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivfpq256_query(
+            kept, cells, S.pq256_books(spark), inv, k=S.PQ256_SHORTLIST
+        ).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} <= short
+    for r in rows:
+        assert abs(
+            r["blend6"] - round(0.8 * r["cos6"] + 0.2 * r["jacc6"], 6)
+        ) < 1e-9, r
+
+
+def test_scaled_shortlist_default_matches_formula(spark):
+    """ivfpq256_query(shortlist=None) must size the shortlist as
+    max(PQ256_SHORTLIST, ceil(rho * nprobe / n_cells * corpus)) — at
+    fixture scale that floors to the pinned constant, so the scaled
+    default and the pinned default must return IDENTICAL rows (the
+    oracle-pinned entries rely on exactly this coincidence; the audit
+    proves the scaled branch at 20k corpus where it realizes 200)."""
+    import math
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    vecs = S._vecs(emb)
+    seeds = vecs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = S.refine_centroids(vecs, seeds).localCheckpoint(eager=True)
+    inv = S.build_ivfpq256_inv(emb, cells).localCheckpoint(eager=True)
+    books = S.pq256_books(spark)
+    n_corpus = vecs.count()
+    realized = max(
+        S.PQ256_SHORTLIST,
+        math.ceil(
+            S.PQ256_SHORTLIST_PER_SCANNED * 2 / cells.count() * n_corpus
+        ),
+    )
+    assert realized == S.PQ256_SHORTLIST, (
+        "fixture scale should floor to the pinned constant"
+    )
+    pinned = S.ivfpq256_query(emb, cells, books, inv).collect()
+    scaled = S.ivfpq256_query(
+        emb, cells, books, inv, shortlist=None
+    ).collect()
+    assert pinned == scaled
