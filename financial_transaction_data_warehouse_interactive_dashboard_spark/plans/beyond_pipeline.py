@@ -27,8 +27,19 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators.graph import connected_components
 from .beyond import SQL_DOCS_SHINGLES, SQL_JACCARD
-from .beyond_similarity import _shared_artifact, _sql_ivfpq256
+from .pq_oracles import _sql_ivfpq256
 from .queries import _t, query
+
+# NOTE no module-level import of beyond_similarity: any beyond-tier
+# module may legally be imported FIRST (the PEP 562 contract pinned by
+# tests/test_source_hygiene.py::test_beyond_tier_first_import_order),
+# and a tier-to-tier module-level import breaks exactly that order —
+# when beyond_similarity is the first import, plans.beyond's tier
+# star-imports run while it is mid-init and its helpers don't exist
+# yet. The oracle builder comes from the leaf module pq_oracles (split
+# out in r15 for this reason); _shared_artifact is imported lazily
+# inside the builders below (by first runtime call, every tier is
+# fully initialized).
 
 
 def _shared_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,6 +51,8 @@ def _shared_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the localCheckpoint pattern dd_corpus_clean documents — downstream
     consumers broadcast the ids instead of re-running the LSH
     shuffles."""
+
+    from .beyond_similarity import _shared_artifact
 
     def build() -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
@@ -62,6 +75,8 @@ def _shared_canonical_index(spark: SparkSession, sf_dir: str):
     Lloyd refine, frozen 256-code encode restricted to the kept rows.
     Built once (the day-one shared-artifact discipline) so future pl_*
     siblings re-prove their OWN claim, not this build."""
+
+    from .beyond_similarity import _shared_artifact
 
     def build():
         emb = _t(spark, sf_dir, "embeddings")

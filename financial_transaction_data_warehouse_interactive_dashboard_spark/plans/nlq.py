@@ -228,6 +228,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     # Round-15 batch (pipeline-fusion tier).
     "pl_dedup_before_index": ("dedup", "deduplicate", "canonical", "before", "indexing", "pipeline"),
     "pl_hybrid_rerank": ("rerank", "reranker", "hybrid", "lexical", "blend", "second", "stage"),
+    "tpch_q7_volume_shipping": ("shipping", "volume", "between", "nations", "bilateral", "trade"),
+    "tpch_q8_market_share": ("market", "share", "national", "promo", "america"),
+    "tpch_q9_product_profit": ("profit", "product", "line", "nation", "yearly"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

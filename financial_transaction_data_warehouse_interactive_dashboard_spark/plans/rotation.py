@@ -472,6 +472,9 @@ NEXT_QUEUE: tuple[str, ...] = (
     # authored after the r15 flip queue here for r16:
     "pl_dedup_before_index",  # pipeline-fusion capstone (VERDICT r14 ask #6b): MinHash-LSH components -> canonical corpus -> IVF+PQ256 build+serve over survivors only; composed oracle (authored r15 post-flip, three-scale verified)
     "pl_hybrid_rerank",  # second-stage hybrid reranker ONTO the canonical shortlist (ask #6a fused with #6b): 0.8*cos + 0.2*token-jaccard blend, pairwise work O(queries x 50) only (authored r15 post-flip, three-scale verified)
+    "tpch_q7_volume_shipping",  # TPC-H widening: disjunctive cross-dimension geography pair, nation-pair x year grain (authored r15 post-flip, three-scale verified)
+    "tpch_q8_market_share",  # TPC-H widening: share-of-total via conditional aggregation in one grouped pass (authored r15 post-flip, three-scale verified)
+    "tpch_q9_product_profit",  # TPC-H widening: widest unselective multi-level agg, (nation, year) grain, desc-year order (authored r15 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

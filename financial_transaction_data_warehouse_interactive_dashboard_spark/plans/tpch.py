@@ -343,3 +343,259 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_name", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping — the two-geography bidirectional join with a
+# disjunctive cross-dimension predicate (r15 widening, VERDICT r14
+# ask #6 option c alongside the chosen pipeline tier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {SQL_DISC_PRICE} AS volume
+      FROM supplier, lineitem, orders, customer,
+           nation n1, nation n2, region r1, region r2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND n1.n_regionkey = r1.r_regionkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND ((r1.r_name = 'AFRICA' AND r2.r_name = 'AMERICA')
+             OR (r1.r_name = 'AMERICA' AND r2.r_name = 'AFRICA'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two geographies, by nation
+    pair and year — the benchmark's disjunctive cross-dimension
+    predicate ((supp in A AND cust in B) OR (supp in B AND cust in A)),
+    which a planner must NOT turn into a cross product: both nation
+    chains broadcast, the disjunction evaluates as a residual on the
+    single fact-fact shuffle. Dialect deviation (documented, both
+    sides): the fixture's 25 synthetic nations make a single nation
+    pair empty at sf0.001, so the pair is lifted one level to REGIONS
+    (AFRICA <-> AMERICA) with the group-by kept at Q7's nation-pair
+    grain. Exact-decimal revenue, year cast to INTEGER on both sides."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ndim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(ndim),
+        F.col("s_nationkey") == ndim.n_nationkey,
+    ).select(
+        "s_suppkey",
+        F.col("n_name").alias("supp_nation"),
+        F.col("r_name").alias("supp_region"),
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(ndim),
+        F.col("c_nationkey") == ndim.n_nationkey,
+    ).select(
+        "c_custkey",
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_region") == "AFRICA")
+                & (F.col("cust_region") == "AMERICA")
+            )
+            | (
+                (F.col("supp_region") == "AMERICA")
+                & (F.col("cust_region") == "AFRICA")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share — conditional aggregation as share-of-total
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE CAST(0 AS DECIMAL(20,4))
+                          END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS supp_nation
+      FROM part, lineitem, supplier, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_1's share of AMERICA's PROMO-part order volume
+    per year — the benchmark's share-of-total via CONDITIONAL
+    aggregation (sum(CASE)/sum over one grouped pass; no self-join, no
+    second scan). Customer-side region restricts the denominator;
+    supplier-side nation labels the numerator. Dialect deviations
+    (documented, both sides): fixture part types / 1996-97 span;
+    supplier nation replaces the spec's ps/supplier chain 1:1 (no
+    partsupp table in the fixture). Exact-decimal volumes; the share
+    divides two exact sums as doubles, round-6 at the boundary."""
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cnat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    snat = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    vol = _disc_price()
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_1",
+                        F.col("volume"),
+                    ).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-type profit — every-dimension join grouped by
+# (nation, year), descending-year output
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {SQL_DISC_PRICE} AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_type = 'STANDARD'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on a product line by supplier nation and year,
+    every year unfiltered — the benchmark's widest unselective
+    multi-level aggregation (part/supplier/nation broadcast, one
+    fact-fact shuffle, then a (nation, year) re-aggregation) with the
+    descending-year presentation order. Dialect deviation (documented,
+    both sides): the fixture has no partsupp, so profit is the
+    discounted extended price (the spec's revenue term) and the
+    product line is p_type = 'STANDARD' instead of the p_name LIKE
+    scan. Exact-decimal amounts, year cast to INTEGER on both sides."""
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "nation")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        joined.select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _disc_price().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )

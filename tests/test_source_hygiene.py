@@ -108,8 +108,8 @@ def test_beyond_tier_first_import_order():
     # beyond_similarity-first while CI stayed green).
     tiers = [
         "beyond_dedup", "beyond_events", "beyond_multimodal",
-        "beyond_similarity", "beyond_streaming", "beyond_text",
-        "beyond_warehouse",
+        "beyond_pipeline", "beyond_similarity", "beyond_streaming",
+        "beyond_text", "beyond_warehouse",
     ]
     pkg = "financial_transaction_data_warehouse_interactive_dashboard_spark"
     # The expected count is the NORMAL-order registry size, read from
