@@ -37,6 +37,19 @@ retrain proving the Lloyd, a publish proving the write path) charge
 their family like any other. Enforced at authoring time by the landing
 checklist, audited per round against BENCH_DETAIL_r{N}.json's
 per-family sums.
+
+r15 audit of the policy against its first round in force: suite total
+255.9s over 226 entries, 0 errors — 44s under the 300s ceiling. The
+six r15 additions cost 5.8s total: the new pl tier enters at 2.8s for
+TWO fused end-to-end entries (the day-one _shared_dedup_drop /
+_shared_canonical_index memos amortize the LSH+components+index build
+exactly as designed), st_canonical_serve rides the same memo, and the
+TPC-H widening charged 2.4s against tpch's 2.0s allowance — over
+allocation, covered by global headroom and recorded here per the
+policy's own audit clause; tpch's base resets to the 6.7s r15 spend
+and the family adds nothing further without retiring. The GLOBAL 300s
+ceiling is the binding brake; per-family allowances are the
+allocation ledger that names who spent the headroom.
 """
 
 from __future__ import annotations

@@ -328,3 +328,42 @@ def pl_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "st_canonical_serve",
+    # Shares pl_dedup_before_index's oracle STRING VERBATIM: per-query
+    # results are independent, each query id arrives in exactly one
+    # microbatch, so the union of per-batch serve outputs equals the
+    # batch run row-for-row — stream == batch is the checked contract
+    # (the st_ivfpq256_serve discipline, on the CANONICAL index).
+    _sql_dedup_before_index(),
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def st_canonical_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused pipeline's streaming closure: queries served AT INGEST
+    from the dedup-before-index CANONICAL index. Two genuine
+    microbatches of query vectors (drawn from the canonical pool — the
+    fused oracle's qv convention) flow through foreachBatch into the
+    full probe/ADC/re-rank serve path against the shared canonical
+    index frames, appending to an exactly-once parquet sink.
+
+    This completes the pl-tier story batch AND stream: curate once
+    (dedup), index the survivors once, then serve continuously — the
+    index is the state, the stream scales with query rate, and no
+    duplicate can ever be served because it was never encoded.
+
+    Oracle: pl_dedup_before_index's fused SQL VERBATIM (stream ==
+    batch)."""
+    from ..streaming import stream as ST
+
+    kept, cells, inv = _shared_canonical_index(spark, sf_dir)
+    return ST.run_ivfpq256_serve_stream(
+        spark,
+        sf_dir,
+        cells,
+        S.pq256_books(spark),
+        inv,
+        emb=kept,
+        key_tag="canonical-serve",
+    )

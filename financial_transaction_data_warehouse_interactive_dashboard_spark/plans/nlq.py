@@ -231,6 +231,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q7_volume_shipping": ("shipping", "volume", "between", "nations", "bilateral", "trade"),
     "tpch_q8_market_share": ("market", "share", "national", "promo", "america"),
     "tpch_q9_product_profit": ("profit", "product", "line", "nation", "yearly"),
+    "st_canonical_serve": ("serve", "serving", "online", "queries", "deduplicated"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

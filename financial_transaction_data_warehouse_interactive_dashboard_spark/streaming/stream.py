@@ -1312,6 +1312,8 @@ def run_ivfpq256_serve_stream(
     k: int = 5,
     nprobe: int = 2,
     shortlist: int | None = None,
+    emb: DataFrame | None = None,
+    key_tag: str = "ivfpq256-serve",
 ) -> DataFrame:
     """ANN SERVE-AT-INGEST at the production index configuration
     (st_ivfpq256_serve): queries ARRIVE as a stream (two genuinely
@@ -1340,10 +1342,18 @@ def run_ivfpq256_serve_stream(
     if shortlist is None:
         shortlist = PQ256_SHORTLIST
     path = os.path.join(sf_dir, "embeddings.parquet")
-    emb = spark.read.parquet(path)
+    # ``emb``/``key_tag`` (r15, st_canonical_serve): the served CORPUS
+    # may be an already-curated frame (the dedup-before-index canonical
+    # corpus) instead of the raw table — queries then draw from the
+    # same curated pool (vec_id < n_queries of the survivors, the
+    # fused oracle's qv convention), and the tag keeps the per-variant
+    # stream/sink dirs separate. Defaults preserve st_ivfpq256_serve
+    # byte-for-byte.
+    if emb is None:
+        emb = spark.read.parquet(path)
     vecs = _vecs(emb)
 
-    key = f"{path}::ivfpq256-serve"
+    key = f"{path}::{key_tag}"
     if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="ftdw-stream-annserve-")
         qs = vecs.filter(F.col("vec_id") < n_queries)
@@ -1359,7 +1369,7 @@ def run_ivfpq256_serve_stream(
             os.utime(os.path.join(d, f), (now + i, now + i))
         _STREAM_DIRS[key] = d
 
-    sink_key = f"{path}::ivfpq256-serve-sink"
+    sink_key = f"{path}::{key_tag}-sink"
     if sink_key not in _SINK_DIRS:
         _SINK_DIRS[sink_key] = (
             tempfile.mkdtemp(prefix="ftdw-annserve-sink-"),
