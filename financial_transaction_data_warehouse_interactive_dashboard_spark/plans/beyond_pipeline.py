@@ -367,3 +367,49 @@ def st_canonical_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb=kept,
         key_tag="canonical-serve",
     )
+
+
+@query(
+    "wh_canonical_publish",
+    # Shares pl_dedup_before_index's oracle STRING VERBATIM (the
+    # wh_ivfpq256_publish twin discipline on the CURATED corpus): the
+    # persisted canonical index must answer exactly like the in-memory
+    # fused pipeline.
+    _sql_dedup_before_index(),
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def wh_canonical_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUBLISH-then-SERVE the CANONICAL (dedup-before-index) index —
+    the pl tier's storage lifecycle member, completing curate -> index
+    -> publish -> serve batch/stream: the canonical corpus's 256-code
+    inverted file is written PARTITIONED BY cell with centroid/book
+    sidecars (sources.warehouse.publish_ivfpq256_layout, unchanged —
+    the layout does not care that the corpus was curated; that is the
+    point), then queries are answered from the READ-BACK tables with
+    exact re-rank against the canonical corpus.
+
+    At 100 TB the stored layout is where dedup-before-index pays
+    permanently: every duplicate kept out of the published codes table
+    is storage, scan, and shortlist budget saved on EVERY query for
+    the life of the index, not once. Eager maintenance-JOB posture
+    (fresh publish per invocation); the curation inputs ride the
+    shared memos, the publish write is THIS entry's claim.
+
+    Oracle: pl_dedup_before_index's fused SQL VERBATIM (stored ==
+    in-memory)."""
+    from ..sources.warehouse import publish_ivfpq256_layout
+
+    kept, cells, inv = _shared_canonical_index(spark, sf_dir)
+    publish_ivfpq256_layout(kept, "canon_idx", cells=cells, inv=inv)
+    # Defensive bigint pin on the partition column (the
+    # wh_ivfpq_publish ADVICE r9 lesson); Catalyst eliminates the
+    # same-type cast, so DPP on the probe join is unaffected.
+    stored_inv = spark.table("canon_idx_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    return S.ivfpq256_query(
+        kept,
+        spark.table("canon_idx_centroids"),
+        spark.table("canon_idx_books"),
+        stored_inv,
+    )

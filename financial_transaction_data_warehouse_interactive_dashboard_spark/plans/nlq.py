@@ -232,6 +232,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q8_market_share": ("market", "share", "national", "promo", "america"),
     "tpch_q9_product_profit": ("profit", "product", "line", "nation", "yearly"),
     "st_canonical_serve": ("serve", "serving", "online", "queries", "deduplicated"),
+    "wh_canonical_publish": ("store", "stored", "curated", "index", "warehouse"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -476,6 +476,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "tpch_q8_market_share",  # TPC-H widening: share-of-total via conditional aggregation in one grouped pass (authored r15 post-flip, three-scale verified)
     "tpch_q9_product_profit",  # TPC-H widening: widest unselective multi-level agg, (nation, year) grain, desc-year order (authored r15 post-flip, three-scale verified)
     "st_canonical_serve",  # the fused pipeline's streaming closure: serve-at-ingest from the CANONICAL index; stream == batch under pl_dedup_before_index's oracle verbatim (authored r15 post-flip, three-scale verified)
+    "wh_canonical_publish",  # the pl tier's storage member: publish the canonical index partitioned by cell, serve from read-back tables; stored == in-memory under the fused oracle verbatim (authored r15 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
