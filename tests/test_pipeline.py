@@ -115,3 +115,19 @@ def test_scaled_shortlist_default_matches_formula(spark):
         emb, cells, books, inv, shortlist=None
     ).collect()
     assert pinned == scaled
+
+
+def test_pl_dedup_before_index_plan_shape(spark):
+    """Scale posture of the fused pipeline (the test_plan_quality
+    discipline): the drop set must meet the corpus as a BROADCAST
+    anti-join (a tiny id frame must never shuffle the corpus), and the
+    plan must contain no CartesianProduct. The corpus-side joins
+    (probe/ADC) may shuffle — that is their job."""
+    from test_plan_quality import plan_of
+
+    plan = plan_of(
+        REGISTRY["pl_dedup_before_index"].spark(spark, SF_ORACLE)
+    )
+    assert "CartesianProduct" not in plan
+    # the anti-join against the broadcast drop set
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
