@@ -201,7 +201,13 @@ def pl_dedup_before_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: dd_neardup_components' recursive-closure SQL composed with
     _sql_ivfpq256's replay, corpus CTE restricted to survivors — both
     committed oracles VERBATIM in their math (see
-    _sql_dedup_before_index)."""
+    _sql_dedup_before_index). Measured (tools/pipeline_audit.py ->
+    PIPELINE_AUDIT_r15.json, sf0.1): 12.2% of the corpus is
+    non-canonical — that fraction of vectors and stored code rows is
+    kept out of the index permanently — and over 32 queries x top-5
+    the RAW index serves 3 dropped-duplicate neighbors (the exact
+    frontier serves 4: the contamination is in the data, not an index
+    artifact) while the canonical index serves 0 by construction."""
     kept, cells, inv = _shared_canonical_index(spark, sf_dir)
     return S.ivfpq256_query(kept, cells, S.pq256_books(spark), inv)
 
