@@ -419,3 +419,143 @@ def wh_canonical_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("canon_idx_books"),
         stored_inv,
     )
+
+
+def _sql_incremental_curate() -> str:
+    """DuckDB oracle for pl_incremental_curate: the greedy keep-first-
+    seen near-dup policy (dd_corpus_clean's documented standard: from
+    each LSH-verified pair the HIGHER doc_id drops — pair-at-a-time,
+    no transitive closure) restricted onto _sql_ivfpq256's
+    train_base replay (coarse quantizer trained on the canonical BASE
+    only; assignment/encode replayed over ALL survivors against the
+    frozen result — the publish-on-base + append-new contract of
+    wh_ivfpq256_append, now with curation fused in front). Same
+    anchored-substitution discipline as _sql_dedup_before_index."""
+    from ..functions import portable as _P
+    from ..operators.similarity import IVFPQ_APPEND_BASE
+
+    greedy_ctes = f"""{SQL_DOCS_SHINGLES},
+    ab AS (SELECT doc_id,
+             [{_P.sql_md5_long('s', 15, 1)} % {_P.ROLL_MOD} for s in sh] AS ha,
+             [{_P.sql_md5_long('s', 15, 16)} % {_P.ROLL_MOD} for s in sh] AS hb
+           FROM sh),
+    sig AS (SELECT doc_id,
+              [list_min([(ha[i] + j * hb[i]) % {_P.ROLL_MOD}
+                         for i in range(1, len(ha) + 1)])
+               for j in range(0, {D.MINHASH_N})] AS sig
+            FROM ab),
+    bands AS (SELECT doc_id, b AS band,
+                array_to_string(
+                  sig[b*{D.LSH_ROWS}+1 : b*{D.LSH_ROWS}+{D.LSH_ROWS}], ',')
+                  AS key
+              FROM sig, range(0, {D.LSH_BANDS}) AS r(b)),
+    dd_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.key = b.key
+                         AND a.doc_id < b.doc_id),
+    dd_drop AS (SELECT DISTINCT id_b AS doc_id
+              FROM dd_cand JOIN sh sa ON dd_cand.id_a = sa.doc_id
+                        JOIN sh sb ON dd_cand.id_b = sb.doc_id
+              WHERE {SQL_JACCARD} >= 0.5)"""
+
+    base = _sql_ivfpq256(train_base=IVFPQ_APPEND_BASE)
+    with_anchor = "WITH braw AS"
+    e_anchor = (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    assert with_anchor in base and e_anchor in base, (
+        "oracle substitution anchors missing — _sql_ivfpq256 changed"
+    )
+    return base.replace(
+        with_anchor,
+        f"WITH {greedy_ctes},\n    braw AS",
+        1,
+    ).replace(
+        e_anchor,
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        "\n          WHERE vec_id NOT IN (SELECT doc_id FROM dd_drop))",
+        1,
+    )
+
+
+def _shared_canon_appended_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """The curated publish-on-base + append-new STORED layout —
+    publish the canonical base's index once, append the canonical new
+    batch once (the _shared_appended256_prefix discipline; a second
+    append would double the codes, so the memo is correctness, not
+    just bench hygiene)."""
+    from .beyond_similarity import _shared_artifact, _sf_tag
+
+    def build() -> str:
+        from ..operators.similarity import IVFPQ_APPEND_BASE
+        from ..sources.warehouse import (
+            append_ivfpq256_vectors,
+            publish_ivfpq256_layout,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+        dropg = (
+            pairs.select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        emb = _t(spark, sf_dir, "embeddings")
+        kept = emb.join(F.broadcast(dropg), "vec_id", "left_anti")
+        base = kept.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
+        new = kept.filter(F.col("vec_id") >= IVFPQ_APPEND_BASE)
+        prefix = f"canon_inc_{_sf_tag(sf_dir)}"
+        publish_ivfpq256_layout(base, prefix)
+        append_ivfpq256_vectors(new, prefix)
+        return prefix
+
+    return _shared_artifact(spark, sf_dir, "canon_appended_prefix", build)
+
+
+@query(
+    "pl_incremental_curate",
+    _sql_incremental_curate(),
+    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+)
+def pl_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL production loop, fused: a new document batch
+    (vec_id >= IVFPQ_APPEND_BASE, the wh_ivfpq256_append boundary)
+    arrives against a standing curated index — near-dups are dropped
+    by the greedy keep-first-seen policy (dd_corpus_clean's documented
+    standard: the higher id of every LSH-verified pair drops, so a new
+    doc duplicating ANYTHING earlier — base or batch — never enters),
+    the canonical base's index was published with the coarse quantizer
+    trained on the BASE ONLY, and the canonical new vectors are
+    APPENDED with zero retraining (frozen books, frozen centroids —
+    the wh_ivfpq256_append economics with curation fused in front).
+    Queries are then served from the stored layout.
+
+    Checked contract: curate -> publish-on-base -> append-new must
+    answer EXACTLY like curating and encoding the whole corpus in one
+    batch against the same frozen structures — the oracle replays
+    greedy-dedup + train-on-base + encode-all (see
+    _sql_incremental_curate). At 100 TB this is THE standing loop: per
+    arriving batch, one LSH pass over the batch (the band index makes
+    candidates an equi-join), one assign+encode pass over its
+    survivors, zero touching of the standing corpus or books.
+
+    Oracle: the fused greedy-curate + train_base SQL (stored ==
+    one-batch replay)."""
+    prefix = _shared_canon_appended_prefix(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    dropg = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = emb.join(F.broadcast(dropg), "vec_id", "left_anti")
+    stored_inv = spark.table(f"{prefix}_codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    return S.ivfpq256_query(
+        kept,
+        spark.table(f"{prefix}_centroids"),
+        spark.table(f"{prefix}_books"),
+        stored_inv,
+    )

@@ -233,6 +233,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q9_product_profit": ("profit", "product", "line", "nation", "yearly"),
     "st_canonical_serve": ("serve", "serving", "online", "queries", "deduplicated"),
     "wh_canonical_publish": ("store", "stored", "curated", "index", "warehouse"),
+    "pl_incremental_curate": ("arriving", "batch", "curate", "incrementally", "freshness", "loop"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -477,6 +477,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "tpch_q9_product_profit",  # TPC-H widening: widest unselective multi-level agg, (nation, year) grain, desc-year order (authored r15 post-flip, three-scale verified)
     "st_canonical_serve",  # the fused pipeline's streaming closure: serve-at-ingest from the CANONICAL index; stream == batch under pl_dedup_before_index's oracle verbatim (authored r15 post-flip, three-scale verified)
     "wh_canonical_publish",  # the pl tier's storage member: publish the canonical index partitioned by cell, serve from read-back tables; stored == in-memory under the fused oracle verbatim (authored r15 post-flip, three-scale verified)
+    "pl_incremental_curate",  # the INCREMENTAL production loop fused: greedy curate -> publish-on-canonical-base -> append canonical new (zero retraining) -> serve stored; oracle = greedy-dedup + train_base replay (authored r15 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
