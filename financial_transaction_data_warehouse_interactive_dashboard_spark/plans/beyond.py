@@ -627,7 +627,7 @@ def a17_pareto_customers(
     ORDER BY quarter
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a15_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE sketch architecture — the reason sketches matter at

@@ -356,7 +356,7 @@ def dd_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h GROUP BY h.h ORDER BY doc_id
     """,
     # New r5 batch (locally pinned; r6 driver-rotation candidate).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style normalization dedup (operators.dedup.
@@ -410,7 +410,7 @@ def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE h NOT IN (SELECT h FROM ch)
     ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators.dedup.incremental_dedup):
@@ -470,7 +470,7 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {SQL_JACCARD} >= 0.3
     ORDER BY id_a, id_b
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dedup (operators.dedup.incremental_minhash_lsh):
@@ -514,7 +514,7 @@ def dd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ph JOIN df USING (h)
     GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-passage report (operators.dedup.passage_dup_report):
@@ -562,7 +562,7 @@ def dd_passage_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY seg_idx), '') AS clean_text
     FROM k GROUP BY doc_id ORDER BY doc_id
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's line-level dedup (Raffel et al. 2020 §2.2 — drop every
@@ -595,7 +595,7 @@ def dd_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
     ORDER BY 1, 2, 3
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs over the part-name vocabulary:
@@ -637,7 +637,7 @@ def dd_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand WHERE levenshtein(s_a, s_b) <= {EDJ_K}
     ORDER BY s_a, s_b
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide edit-distance similarity JOIN (all pairs of distinct
@@ -743,7 +743,7 @@ def dd_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(common::DOUBLE / least(sa.sz, sb.sz), 6) >= 0.8
     ORDER BY id_a, id_b
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by shingle CONTAINMENT >= 0.8 — |A n B| over the
@@ -783,7 +783,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex JOIN fo ON ex.s = fo.s
     GROUP BY 1 ORDER BY 1
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def dd_novelty_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal-novelty curve per document: what fraction of each doc's

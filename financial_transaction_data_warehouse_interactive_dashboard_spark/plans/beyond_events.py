@@ -219,7 +219,7 @@ def ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily ORDER BY day
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new + cumulative distinct users via the FIRST-SEEN
@@ -266,7 +266,7 @@ def ev_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset
     """,
     # New r5 (locally pinned; rotation candidate for r6's driver swap).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle — users grouped by first-active
@@ -441,7 +441,7 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY 1 ORDER BY n DESC, path LIMIT 10
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top event PATHS — sequence mining over per-user journeys: the ten
@@ -541,7 +541,7 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     ORDER BY event_id
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase to the user's latest prior-or-equal view
@@ -603,7 +603,7 @@ def ev_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b JOIN f USING (event_id)
     ORDER BY event_id
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-direction as-of join: each purchase to the user's closest
@@ -809,7 +809,7 @@ def ev_range_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     # New r5 (locally pinned; distribution-summary family's driver row is
     # a13_percentile_sketch).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def ev_equidepth_histogram(
     spark: SparkSession, sf_dir: str, *, scale_safe: bool = False
@@ -874,7 +874,7 @@ def ev_equidepth_histogram(
              AS n_session_days
     FROM c GROUP BY day ORDER BY day
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily PEAK concurrent sessions — the sweep-line / interval-overlap
@@ -970,7 +970,7 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d.dau::DOUBLE / w.wau, 6) AS stickiness
     FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
@@ -1039,7 +1039,7 @@ def ev_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS hll_within_tol
     FROM days d JOIN mau m ON d.day = m.day ORDER BY day
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 14-day active users two ways: EXACT (the
@@ -1158,7 +1158,7 @@ def ev_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 6) AS p90_s
     FROM r GROUP BY day ORDER BY day
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View-to-purchase conversion LATENCY per day (lower median and

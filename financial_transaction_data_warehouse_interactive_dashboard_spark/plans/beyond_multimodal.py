@@ -204,7 +204,7 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p GROUP BY doc_id ORDER BY doc_id
     """,
     # New r5 (locally pinned; r6 rotation candidate for the mm family).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image payload decode end-to-end (operators.multimodal.
@@ -245,7 +245,7 @@ def mm_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p GROUP BY doc_id, f ORDER BY doc_id, frame_idx
     """,
     # New r5 (locally pinned; r6 rotation candidate for the mm family).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real video container parsing end-to-end (operators.multimodal.

@@ -175,7 +175,7 @@ def _sql_dedup_before_index() -> str:
 @query(
     "pl_dedup_before_index",
     _sql_dedup_before_index(),
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def pl_dedup_before_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-BEFORE-index, the real pipeline order, fused end to end
@@ -255,7 +255,7 @@ def _sql_hybrid_rerank() -> str:
 @query(
     "pl_hybrid_rerank",
     _sql_hybrid_rerank(),
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def pl_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid reranker stage composed ONTO the canonical ANN shortlist
@@ -344,7 +344,7 @@ def pl_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch run row-for-row — stream == batch is the checked contract
     # (the st_ivfpq256_serve discipline, on the CANONICAL index).
     _sql_dedup_before_index(),
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def st_canonical_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused pipeline's streaming closure: queries served AT INGEST
@@ -382,7 +382,7 @@ def st_canonical_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted canonical index must answer exactly like the in-memory
     # fused pipeline.
     _sql_dedup_before_index(),
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first row r16 + keep-set seat (canonical-publish admission; plans/rotation.py)
 )
 def wh_canonical_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the CANONICAL (dedup-before-index) index —
@@ -515,7 +515,7 @@ def _shared_canon_appended_prefix(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "pl_incremental_curate",
     _sql_incremental_curate(),
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def pl_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL production loop, fused: a new document batch

@@ -471,7 +471,7 @@ def sim_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY measurement — recall@5 of the sign-LSH bucket path
@@ -565,7 +565,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_pq_adc",
     _sql_pq_adc(),
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization + asymmetric distance (operators.similarity
@@ -2188,7 +2188,7 @@ def sim_ann_ivfpq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Authored r13 AFTER the flip commit (the landing-checklist
     # discipline): three-scale verified at authoring time, queued in
     # NEXT_QUEUE for the r14 surface.
-    driver=True,  # promoted r14 (first driver row); keep-set admission r14 (cap policy, plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the production-sized IVF+PQ256 index
@@ -2382,7 +2382,7 @@ def _sql_opq256(
     _sql_opq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def sim_ann_opq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE OPQ, both halves (VERDICT r13 ask #2): the frozen rot64
@@ -2427,7 +2427,7 @@ def sim_ann_opq256(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_opq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PUBLISH-then-SERVE the true-OPQ stack (sources.warehouse.
@@ -2485,7 +2485,7 @@ def wh_opq256_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_opq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def st_opq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ queries SERVED AT INGEST from the STORED index
@@ -2537,7 +2537,7 @@ def st_opq256_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivfpq256(train_base=IVFPQ_APPEND_BASE),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq256_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance at the PRODUCTION codebook size
@@ -2587,7 +2587,7 @@ def wh_ivfpq256_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivfpq256(train_base=IVFPQ_APPEND_BASE),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq256_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files COMPACTION on the production-sized live layout —
@@ -2633,7 +2633,7 @@ def wh_ivfpq256_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_ivfpq256(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def wh_ivfpq256_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full RETRAIN at the production codebook size — the action

@@ -571,7 +571,7 @@ def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Locally-pinned (driver surface capped at 50): same portable-md5
     # determinism family as tx_hash_split, which is driver-green.
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-20-docs-per-language stratified sample
@@ -1185,7 +1185,7 @@ def tx_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corrupted c LEFT JOIN target tg ON c.doc_id = tg.doc_id
     ORDER BY doc_id
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): mask
@@ -1326,7 +1326,7 @@ def tx_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS curriculum_pos
     FROM q ORDER BY curriculum_pos
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering of the training corpus: every document gets a

@@ -394,7 +394,7 @@ def qa_ks_two_sample(
                  6) AS autocorr_lag1
     FROM m
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of daily event revenue: Pearson r over
@@ -477,7 +477,7 @@ EWMA_WEIGHTS = [0.5**k for k in range(EWMA_K)]
     FROM e ORDER BY day
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event revenue with
@@ -568,7 +568,7 @@ def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS trend of daily event revenue — slope (revenue change per
@@ -871,7 +871,7 @@ def qa_mann_whitney(
            round(CAST(cum - runmin AS DOUBLE) / n, 6) AS cusum_pos
     FROM r ORDER BY day
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection on daily revenue: the classic
@@ -972,7 +972,7 @@ def ev_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order value across the five market segments —
@@ -1072,7 +1072,7 @@ def qa_anova_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev JOIN se USING (dow) CROSS JOIN ctr
     ORDER BY day
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of daily revenue into trend
@@ -1189,7 +1189,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape
     FROM t GROUP BY model ORDER BY model
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-step-ahead forecast BACKTEST of the daily revenue series for
@@ -1285,7 +1285,7 @@ WILSON_Z = 1.959963984540054  # 97.5th normal quantile, repr-exact
                  / (1 + z * z / n), 6) AS ci_hi
     FROM m ORDER BY segment
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def qa_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% WILSON score interval for the finalized-order share per
@@ -2130,7 +2130,7 @@ def qa_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sql_psi_embedding(),
     # Authored r14 AFTER the flip commit (the landing-checklist
     # discipline): queued in NEXT_QUEUE for the r15 surface.
-    driver=True,  # promoted r15 (first driver row; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def st_psi_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-dimension PSI monitor LIFTED TO INGEST (VERDICT r13 ask

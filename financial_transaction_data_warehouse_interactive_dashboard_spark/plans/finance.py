@@ -107,7 +107,7 @@ Z_CUT = 2.5
     ORDER BY c_custkey
     """,
     # New r5 batch (locally pinned; r6 driver-rotation candidate).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a18_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-relative anomaly screen: customers whose total spend sits
@@ -289,7 +289,7 @@ PAIR_TOP_K = 50
     ORDER BY lift DESC, brand_a, brand_b
     LIMIT {PAIR_TOP_K}
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a20_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: brand pairs co-purchased in one order,
@@ -564,7 +564,7 @@ RECON_TOL_MICROS = 1_000_000  # micro-dollars of |header - detail| tolerated
              AS max_abs_delta
     FROM d GROUP BY 1 ORDER BY status
     """,
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-vs-detail reconciliation: recompute each order's total from
@@ -744,7 +744,7 @@ def a22_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS attributed_value
     FROM a GROUP BY 1 ORDER BY channel
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST-touch attribution: each purchase is credited to the EARLIEST
@@ -820,7 +820,7 @@ _MAD_K = "0.6745"
     ORDER BY user_id
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST anomaly screen — the median/MAD sibling of the z-score
@@ -1216,7 +1216,7 @@ def a24_revenue_gini_scale_safe(
     FROM t WHERE n > 1 ORDER BY segment
     """,
     # New r5 (locally pinned; r6 rotation candidate).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def a25_spearman_freq_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order frequency and total spend
@@ -1453,7 +1453,7 @@ def a25_spearman_avg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY channel
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR multi-touch attribution — the third member of the
@@ -1546,7 +1546,7 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a ORDER BY event_type
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def ev_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized moments per event type: clip the value at its exact
@@ -1702,7 +1702,7 @@ DOW_Z_CUT = 2.0
     ORDER BY day
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a27_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEASONAL anomaly screen: daily revenue compared against its own
@@ -1808,7 +1808,7 @@ def _km_centroid_cte(i: int) -> str:
     FROM a{KM_ITER - 1} GROUP BY 1 ORDER BY 1
     """,
     # New r6 (locally pinned; future rotation candidate).
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def a28_customer_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABULAR k-means — customer segmentation by (order frequency,
@@ -1934,7 +1934,7 @@ def a28_customer_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cohort_year, cohort_quarter, age_quarters
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,  # rotated OUT r10 (driver-green; plans/rotation.py)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def a29_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime value: customers are grouped by acquisition
@@ -2483,7 +2483,7 @@ KM_BUCKET_DAYS = 30  # lifetime granularity (months)
     FROM arr, unnest(range(1, len(fl) + 1)) AS r(i)
     ORDER BY t_months
     """,
-    driver=True,  # REFRESH r15 (evidence-age re-earn, not a first-timer; plans/rotation.py)
+    driver=False,  # demoted r16 (rotation; driver-green, plans/rotation.py)
 )
 def a35_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KAPLAN-MEIER customer survival curve: S(t) = prod over lifetime

@@ -23,7 +23,7 @@ SURFACE_SIZE = 50
 
 #: The round whose rotation is in flight (CORRECTNESS_r{CURRENT_ROUND}
 #: does not exist yet when this round's code is committed).
-CURRENT_ROUND = 15
+CURRENT_ROUND = 16
 
 #: Per-round promotions/demotions. Rounds 1-4 predate the protocol: the
 #: surface was the initial 50 picks with ad-hoc swaps recorded only in
@@ -442,6 +442,59 @@ ROTATION_HISTORY: dict[int, dict[str, tuple[str, ...]]] = {
             "x2_union_intersect",
         ),
     },
+    16: {
+        # Steady-state round, zero-debt ledger: EIGHT first-timers —
+        # the full r15-authored NEXT_QUEUE (the pipeline-fusion tier's
+        # batch/rerank/stream/storage/incremental members plus the
+        # TPC-H Q7/Q8/Q9 widening), each three-scale verified when
+        # authored AND re-swept on the final r15 tree (commit 10dfdf1;
+        # note that commit's message miscounts the queue as nine — the
+        # machine ledger here has always held eight, see ROTATION.md).
+        # A green r16 leaves 229/229 entries with a driver row. ONE
+        # keep-set admission under the cap policy's age-out rule (the
+        # r14 precedent, second use): wh_canonical_publish — the fused
+        # pipeline's storage harness, the newest production-sized
+        # lifecycle (IVF+PQ256 over dedup survivors, cell-partitioned
+        # publish, read-back serve) — REPLACES wh_ivfpq256_publish as
+        # the index-lifecycle family seat; the raw-corpus twin (green
+        # r14, r15) ages out to the refresh pool. The remaining 25
+        # slots are REFRESH promotions — the age-ordered prefix of
+        # REFRESH_QUEUE (the rest of the r8 vintage through
+        # tx_stratified_sample, then the r9 vintage head through
+        # ev_top_paths).
+        "in": (
+            # r15-authored queue (first driver rows; plans/rotation.py
+            # NEXT_QUEUE at the r15 close)
+            "pl_dedup_before_index", "pl_hybrid_rerank",
+            "tpch_q7_volume_shipping", "tpch_q8_market_share",
+            "tpch_q9_product_profit", "st_canonical_serve",
+            "wh_canonical_publish", "pl_incremental_curate",
+        ),
+        "out": (
+            # r15 first-timers retire on their green r15 rows (the r8
+            # second-row policy; none admitted to the keep-set)
+            "sim_ann_opq256", "wh_ivfpq256_append",
+            "st_psi_embedding_drift", "wh_ivfpq256_compact",
+            "wh_ivfpq256_retrain", "wh_opq256_publish",
+            "st_opq256_serve",
+            # the cap policy's second age-out (replaced by
+            # wh_canonical_publish, the fused-pipeline successor)
+            "wh_ivfpq256_publish",
+            # r15 REFRESH entries rotate off on their re-earned rows
+            "a25_spearman_freq_spend", "a28_customer_kmeans",
+            "a35_survival_km", "dd_incremental_dedup",
+            "dd_incremental_minhash", "dd_passage_dupes",
+            "dd_qgram_edit_join", "dd_segment_dedup",
+            "ev_active_users_hll", "ev_attribution_first_touch",
+            "ev_attribution_linear", "ev_autocorr_daily",
+            "ev_cohort_retention", "ev_cusum_daily", "ev_ewma_daily",
+            "ev_forecast_backtest", "ev_mad_outliers",
+            "ev_peak_concurrency", "ev_seasonal_decompose",
+            "ev_time_to_convert", "ev_trend_regression",
+            "ev_wau_stickiness", "ev_winsorized_stats",
+            "mm_avi_frames", "mm_bmp_pixels",
+        ),
+    },
 }
 
 #: Re-promotions: entries that already held a driver row but were
@@ -466,18 +519,10 @@ RE_PROMOTED: dict[str, int] = {
 #: authored AFTER the flip; first-timers always outrank refresh slots.
 #: Post-flip r10 additions queue here for the r11 surface.
 NEXT_QUEUE: tuple[str, ...] = (
-    # The r15 flip promoted the full seven-entry r14 queue (see
-    # ROTATION_HISTORY 15), leaving zero never-driver-checked entries
-    # after a green r15 — 221/221 driver-row coverage. Operators
-    # authored after the r15 flip queue here for r16:
-    "pl_dedup_before_index",  # pipeline-fusion capstone (VERDICT r14 ask #6b): MinHash-LSH components -> canonical corpus -> IVF+PQ256 build+serve over survivors only; composed oracle (authored r15 post-flip, three-scale verified)
-    "pl_hybrid_rerank",  # second-stage hybrid reranker ONTO the canonical shortlist (ask #6a fused with #6b): 0.8*cos + 0.2*token-jaccard blend, pairwise work O(queries x 50) only (authored r15 post-flip, three-scale verified)
-    "tpch_q7_volume_shipping",  # TPC-H widening: disjunctive cross-dimension geography pair, nation-pair x year grain (authored r15 post-flip, three-scale verified)
-    "tpch_q8_market_share",  # TPC-H widening: share-of-total via conditional aggregation in one grouped pass (authored r15 post-flip, three-scale verified)
-    "tpch_q9_product_profit",  # TPC-H widening: widest unselective multi-level agg, (nation, year) grain, desc-year order (authored r15 post-flip, three-scale verified)
-    "st_canonical_serve",  # the fused pipeline's streaming closure: serve-at-ingest from the CANONICAL index; stream == batch under pl_dedup_before_index's oracle verbatim (authored r15 post-flip, three-scale verified)
-    "wh_canonical_publish",  # the pl tier's storage member: publish the canonical index partitioned by cell, serve from read-back tables; stored == in-memory under the fused oracle verbatim (authored r15 post-flip, three-scale verified)
-    "pl_incremental_curate",  # the INCREMENTAL production loop fused: greedy curate -> publish-on-canonical-base -> append canonical new (zero retraining) -> serve stored; oracle = greedy-dedup + train_base replay (authored r15 post-flip, three-scale verified)
+    # The r16 flip promoted the full eight-entry r15 queue (see
+    # ROTATION_HISTORY 16), leaving zero never-driver-checked entries
+    # after a green r16 — 229/229 driver-row coverage. Operators
+    # authored after the r16 flip queue here for r17:
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
@@ -505,42 +550,44 @@ NEXT_QUEUE: tuple[str, ...] = (
 #: freshness is the point — so they are not declared in the history's
 #: "in" (which tests pin to genuine first-timers / RE_PROMOTED).
 REFRESH_QUEUE: tuple[str, ...] = (
-    # The round-15 flip consumed the previous queue's 25-name prefix
-    # (the r8-rest names through ev_winsorized_stats, plus
-    # mm_avi_frames / mm_bmp_pixels); what remains is the tail of the
-    # r8 vintage followed by the full r9 vintage and the head of the
-    # r10 vintage (alphabetical within a vintage = the ties-by-name
-    # rule). Recomputed this round from the committed CORRECTNESS
-    # files, as every round.
-    # r8 rest
-    "qa_anova_segments", "qa_wilson_ci", "sim_ann_pq_adc",
-    "sim_recall_at_k", "tpch_q16_supplier_cnt",
-    "tpch_q3_shipping_priority", "tpch_q4_late_orders",
-    "tx_curriculum_order", "tx_span_corruption", "tx_stratified_sample",
-    # r9 vintage
-    "a15_hll_mergeable", "a18_zscore_outliers", "a20_basket_pair_lift",
-    "a21_order_reconciliation", "a27_dow_seasonal_outliers",
-    "a29_cohort_ltv", "dd_containment_pairs", "dd_er_blocked_pairs",
-    "dd_normalized_dedup", "dd_novelty_fractions",
-    "ev_asof_nearest_error", "ev_asof_view_purchase",
-    "ev_cumulative_uniques", "ev_equidepth_histogram", "ev_top_paths",
-    "ev_transition_matrix", "sim_ann_ivf_pq",
-    "sim_embedding_covariance", "sim_hybrid_rrf", "sim_ndcg_at_k",
-    "sim_random_projection", "tx_bigram_logprob", "tx_bpe_apply",
-    "tx_bpe_pack", "tx_chunk_documents", "tx_heavy_collocations",
-    "tx_mixture_weights", "tx_negative_sampling", "tx_pack_sequences",
-    "tx_repetition_ratio", "tx_unigram_logprob", "tx_weighted_sample",
-    "w6_user_day_gapfill",
-    # r10 head
-    "a10_value_stats", "a1_count_by_segment",
-    "a2_quarter_status_matrix", "a8_rollup_region_nation",
-    "a9_cube_status_quarter", "c1_timestamp_roundtrip",
-    "dd_embedding_neardup", "dd_simhash", "dd_simhash_pairs",
-    "ev_props_extract", "ev_sessionize", "ev_tumbling_hourly",
-    "ev_value_histogram", "f4_contains", "j7_name_remap",
-    "mm_ahash_clusters", "mm_ahash_neardups", "mm_frame_sample",
-    "o2_top5_types", "qa_fdr_bh_segments", "qa_fdr_bh_spike_in",
-    "sim_ann_ivf", "sim_ann_ivf_kmeans",
+    # The round-16 flip consumed the previous queue's 25-name prefix
+    # (the r8-rest names through tx_stratified_sample, plus the r9
+    # vintage head through ev_top_paths); what remains is the tail of
+    # the r9 vintage followed by the full r10 and r12 vintages
+    # (alphabetical within a vintage = the ties-by-name rule).
+    # Recomputed this round from the committed CORRECTNESS files, as
+    # every round.
+    # r9 rest
+    "ev_transition_matrix", "sim_ann_ivf_pq", "sim_embedding_covariance",
+    "sim_hybrid_rrf", "sim_ndcg_at_k", "sim_random_projection",
+    "tx_bigram_logprob", "tx_bpe_apply", "tx_bpe_pack",
+    "tx_chunk_documents", "tx_heavy_collocations", "tx_mixture_weights",
+    "tx_negative_sampling", "tx_pack_sequences", "tx_repetition_ratio",
+    "tx_unigram_logprob", "tx_weighted_sample", "w6_user_day_gapfill",
+    # r10 vintage
+    "a10_value_stats", "a1_count_by_segment", "a2_quarter_status_matrix",
+    "a8_rollup_region_nation", "a9_cube_status_quarter",
+    "c1_timestamp_roundtrip", "dd_embedding_neardup", "dd_simhash",
+    "dd_simhash_pairs", "ev_props_extract", "ev_sessionize",
+    "ev_tumbling_hourly", "ev_value_histogram", "f4_contains",
+    "j7_name_remap", "mm_ahash_clusters", "mm_ahash_neardups",
+    "mm_frame_sample", "o2_top5_types", "qa_fdr_bh_segments",
+    "qa_fdr_bh_spike_in", "sim_ann_ivf", "sim_ann_ivf_kmeans",
+    "tx_bpe_apply_arrow", "tx_bpe_train", "tx_bpe_train_apply",
+    "tx_fingerprint", "tx_lang_id", "tx_quality_score", "tx_token_count",
+    "x1_except",
+    # r12 vintage
+    "a11_pivot_quarter_status", "a12_star_measures",
+    "a13_percentile_sketch", "a14_grouping_sets", "a22_brand_pagerank",
+    "a4_kpis", "a5_unique_customers_approx", "a6_distinct_dims",
+    "dd_corpus_clean", "dd_embedding_neardup_blocked", "dd_exact_dedup",
+    "dd_minhash_lsh", "dd_neardup_components", "dd_ngram_jaccard",
+    "ev_asof_purchase", "ev_funnel_vcp", "ev_rolling_7d",
+    "mm_features_resize", "q2_top_priorities_q4", "q3_quarter_ranking",
+    "sim_ann_ivfadc_residual", "sim_ivfpq_drift", "sim_topk_bruteforce",
+    "st_bpe_tokenize", "st_bpe_tokenize_learned", "st_sessionize_stateful",
+    "st_tumbling_hourly", "tx_bpe_apply64", "tx_bpe_fertility",
+    "w4_surrogate_keys", "wh_ivfpq_append",
 )
 
 #: KEEP-SET CAP POLICY (r13; VERDICT r11 ask #8 / r12 ask #6). The
@@ -565,6 +612,12 @@ REFRESH_QUEUE: tuple[str, ...] = (
 #: REPLACES wh_ivfpq_publish as the family's seat; the 8-code twin —
 #: multiply green r9-r13 — moves to the refresh pool and re-earns
 #: freshness on the normal cadence. The set stays at the cap.
+#: Applied at r16 — the rule's second age-out: wh_canonical_publish
+#: (the fused-pipeline storage harness — IVF+PQ256 over dedup
+#: SURVIVORS, cell-partitioned publish, read-back serve; the newest
+#: production-sized shape) REPLACES wh_ivfpq256_publish as the
+#: index-lifecycle seat; the raw-corpus twin — green r14/r15 — moves
+#: to the refresh pool. The set stays at the cap.
 KEEP_SET_CAP = 18
 
 #: Keep-set admissions ledger (name -> round admitted). A member
@@ -575,6 +628,7 @@ KEEP_SET_CAP = 18
 #: round and forbids it otherwise.
 KEEP_SET_ADMISSIONS: dict[str, int] = {
     "wh_ivfpq256_publish": 14,
+    "wh_canonical_publish": 16,
 }
 
 #: The standing keep-set (r8 second-row policy; membership pinned by
@@ -584,9 +638,9 @@ KEEP_SET: tuple[str, ...] = (
     "a24_revenue_gini_scale_safe",
     "st_cdc_apply", "st_daily_actives_hll", "st_late_data",
     "st_stream_merge_rollup", "st_stream_static_enrich",
-    "wh_bloom_prune", "wh_bucketed_join", "wh_cdc_apply",
-    "wh_compaction", "wh_incremental_join", "wh_incremental_rollup",
-    "wh_ivfpq256_publish", "wh_orphan_audit", "wh_scd2_lookup",
+    "wh_bloom_prune", "wh_bucketed_join", "wh_canonical_publish",
+    "wh_cdc_apply", "wh_compaction", "wh_incremental_join",
+    "wh_incremental_rollup", "wh_orphan_audit", "wh_scd2_lookup",
     "wh_schema_evolution", "wh_time_travel", "wh_vacuum_retention",
 )
 

@@ -144,7 +144,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     # New r6 (locally pinned; r7 rotation candidate).
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: top-10 highest-revenue unshipped BUILDING orders. The
@@ -269,7 +269,7 @@ Q4_LATE_DAYS = 90
         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
     GROUP BY 1 ORDER BY 1
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one LATE lineitem
@@ -315,7 +315,7 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY supplier_cnt DESC, p_name, p_size
     """,
-    driver=False,  # demoted r9 (rotation; driver-green r8)
+    driver=True,  # REFRESH r16 (evidence-age re-earn, not a first-timer; plans/rotation.py)
 )
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers can deliver each
@@ -375,7 +375,7 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: shipping volume between two geographies, by nation
@@ -471,7 +471,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) all_nations
     GROUP BY o_year ORDER BY o_year
     """,
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_1's share of AMERICA's PROMO-part order volume
@@ -559,7 +559,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
-    driver=False,  # authored r15 post-flip; queued in NEXT_QUEUE for r16
+    driver=True,  # first driver row r16 (promoted from NEXT_QUEUE; plans/rotation.py)
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9: profit on a product line by supplier nation and year,
