@@ -400,6 +400,20 @@ def main() -> None:
     # adjudications: host-level shift in the sub-3s scheduling-
     # latency class, not code. Carry; re-judge by flag-set overlap if
     # any of the five moves again on a quieter host.
+    # r16 adjudication of sim_ann_pq256_rotated (VERDICT r15 ask #2 —
+    # 1.86s r14 -> 2.69s r15 raw, above the sub-3s noise class, with
+    # beyond_similarity.py refactored in r15 so the flag-set-overlap
+    # re-trigger fired): dedicated fresh-session interleaved
+    # median-of-3 at sf0.1 (load 1.9->4.5 on 32 cores) reads 1.95s
+    # (10.21/1.90/1.95 — run 1 pays the rot_corpus shared-artifact
+    # build plus JIT warmup, excluded by the median) vs 2.36s for its
+    # unrotated twin, with rot_corpus the ONLY artifact built in the
+    # session. The r15 2.69s does NOT reproduce warm: the entry's
+    # warmed code-side cost sits at the r14 level, so the creep is
+    # suite-context/JVM-heat class (the sim_pca_deflate r14
+    # observation), not the pq_oracles refactor. Carry; re-judge by
+    # flag-set overlap if it moves again on the driver's canonical
+    # pass.
     weak_ratios, weak_method = _pair_ratios((
         ("sim_topk_bruteforce_vs_ivf",
          "sim_topk_bruteforce", "sim_ann_ivf_kmeans_iter3"),
