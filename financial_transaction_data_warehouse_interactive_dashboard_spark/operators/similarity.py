@@ -1401,32 +1401,29 @@ def ivfpq256_query(
     output row-for-row — the stream == batch contract.
 
     ``shortlist=None`` selects the SCALED default (VERDICT r14 ask #3
-    — the r14 audit's own recommendation made executable):
-    ``max(PQ256_SHORTLIST, ceil(PQ256_SHORTLIST_PER_SCANNED * nprobe /
-    n_cells * corpus))``, so raising nprobe deepens the re-rank pool
-    proportionally instead of silently diluting it — the committed
-    control showed the fixed 50-deep shortlist costs 0.25 recall at
-    nprobe 8 that scaling recovers (ANN_RECALL_AUDIT_r14.json). The
-    oracle-pinned registry entries pass/keep the pinned constant (at
-    fixture scales the two coincide: 0.08 x scanned < 50 up to ~600
-    scanned candidates). Sizing costs two count() jobs here; a 100 TB
-    deployment passes the catalog's row counts as an explicit
-    ``shortlist`` instead of re-counting the corpus per query batch."""
+    — the r14 audit's own recommendation made executable): the re-rank
+    pool is sized as ``max(PQ256_SHORTLIST,
+    ceil(PQ256_SHORTLIST_PER_SCANNED * max_per_query_scanned))`` where
+    ``max_per_query_scanned`` is the ACTUAL probed-cell occupancy of
+    the heaviest query (inverted-file cell counts joined to the probe
+    — ADVICE r15: the former uniform proxy ``nprobe / n_cells *
+    corpus`` understated the scan on skewed corpora, where the
+    constant-fraction claim matters most). Raising nprobe deepens the
+    pool proportionally instead of silently diluting it — the
+    committed control showed the fixed 50-deep shortlist costs 0.25
+    recall at nprobe 8 that scaling recovers
+    (ANN_RECALL_AUDIT_r14.json). The oracle-pinned registry entries
+    pass/keep the pinned constant (at fixture scales the two coincide:
+    0.08 x scanned < 50 below ~600 scanned candidates per query).
+    Sizing costs ONE bounded eager job here (probe x broadcast cell
+    counts -> one row); a 100 TB deployment passes catalog/sidecar
+    occupancy as an explicit ``shortlist`` instead of re-deriving it
+    per query batch."""
     import math
 
     from . import pq256_book as B
 
     vecs = _vecs(emb)
-    if shortlist is None:
-        shortlist = max(
-            PQ256_SHORTLIST,
-            math.ceil(
-                PQ256_SHORTLIST_PER_SCANNED
-                * nprobe
-                / max(cells.count(), 1)
-                * vecs.count()
-            ),
-        )
     qsrc = (
         queries.select("vec_id", "v")
         if queries is not None
@@ -1446,6 +1443,27 @@ def ivfpq256_query(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "cell")
     )
+    if shortlist is None:
+        # occupancy in VECTORS: inv carries m rows per vector, so count
+        # one deterministic subspace's rows (m == 0) per cell.
+        occ = (
+            inv.filter(F.col("m") == 0)
+            .groupBy("cell")
+            .agg(F.count("*").alias("occ"))
+        )
+        heaviest = (
+            probe.join(F.broadcast(occ), "cell")
+            .groupBy("query_id")
+            .agg(F.sum("occ").alias("sc"))
+            .agg(F.max("sc").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        shortlist = max(
+            PQ256_SHORTLIST,
+            math.ceil(
+                PQ256_SHORTLIST_PER_SCANNED * int(heaviest or 0)
+            ),
+        )
     qsub = _subvectors(qsrc).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv")
     )

@@ -100,6 +100,30 @@ def _shared_canonical_index(spark: SparkSession, sf_dir: str):
     return _shared_artifact(spark, sf_dir, "pl_canonical_index", build)
 
 
+def _shared_greedy_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GREEDY keep-first-seen near-dup drop set (dd_corpus_clean's
+    documented standard: from each LSH-verified pair the HIGHER doc_id
+    drops — pair-at-a-time, no transitive closure), built once per
+    dataset and checkpoint-pinned. ADVICE r15: pl_incremental_curate
+    and _shared_canon_appended_prefix used to derive this frame
+    independently — one memoized build keeps the greedy policy
+    single-sourced (a policy change cannot drift the two apart) and
+    pays the LSH shuffles once per session."""
+
+    from .beyond_similarity import _shared_artifact
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return (
+            D.minhash_lsh_pairs(docs, threshold=0.5)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return _shared_artifact(spark, sf_dir, "pl_greedy_drop", build)
+
+
 def _sql_dedup_before_index() -> str:
     """DuckDB oracle for pl_dedup_before_index: dd_neardup_components'
     recursive transitive closure (VERBATIM math: shingle -> double-hash
@@ -157,8 +181,11 @@ def _sql_dedup_before_index() -> str:
     e_anchor = (
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
     )
-    assert with_anchor in base and e_anchor in base, (
-        "oracle substitution anchors missing — _sql_ivfpq256 changed"
+    # Exactly-once (ADVICE r15): the .replace(..., 1) calls below would
+    # silently rewrite the WRONG occurrence if a host edit ever
+    # duplicated an anchor — fail loudly instead.
+    assert base.count(with_anchor) == 1 and base.count(e_anchor) == 1, (
+        "oracle substitution anchors not unique — _sql_ivfpq256 changed"
     )
     return base.replace(
         with_anchor,
@@ -221,8 +248,11 @@ def _sql_hybrid_rerank() -> str:
     oracle's final SELECT (asserted present)."""
     base = _sql_dedup_before_index()
     tail_anchor = "SELECT query_id,\n           CAST(row_number()"
-    assert tail_anchor in base, (
-        "oracle tail anchor missing — _sql_ivfpq256 changed"
+    # Exactly-once (ADVICE r15): a duplicated anchor introduced by a
+    # future host edit must fail loudly like a missing one — slicing at
+    # the first of two occurrences would silently truncate mid-oracle.
+    assert base.count(tail_anchor) == 1, (
+        "oracle tail anchor not unique — _sql_ivfpq256 changed"
     )
     head = base[: base.index(tail_anchor)]
     return (
@@ -249,6 +279,66 @@ def _sql_hybrid_rerank() -> str:
     QUALIFY rnk <= 5
     ORDER BY query_id, rnk
     """
+    )
+
+
+def hybrid_rerank_stage(
+    docw: DataFrame, short: DataFrame, k: int = 5
+) -> DataFrame:
+    """The second-stage hybrid scorer as a REUSABLE stage: blend the
+    shortlist's dense cos6 with token-set jaccard between the query's
+    and each candidate's document, 0.8/0.2, deterministic tie-break
+    (blend DESC, neighbor_id ASC), top-``k``. ``docw`` is (doc_id,
+    w: array<string>); ``short`` is (query_id, neighbor_id, cos6).
+
+    Factored out of pl_hybrid_rerank (VERDICT r15 ask #3) so
+    tools/pipeline_audit.py measures the SHIPPED stage on its planted
+    lexical corpus, not a tool-side re-derivation — the
+    ann_recall_audit discipline (measure through the operator). Both
+    payload attachments broadcast the SMALL side (the shortlist frame,
+    O(queries x k_shortlist)) against the documents scan — full-text
+    I/O stays one corpus scan per side, never a corpus broadcast."""
+    cand = docw.join(
+        F.broadcast(short), docw.doc_id == short.neighbor_id
+    ).select(
+        "query_id", "neighbor_id", "cos6", F.col("w").alias("nw")
+    )
+    hyb = (
+        docw.select(
+            F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+        )
+        .join(F.broadcast(cand), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos6",
+            F.round(
+                F.size(F.array_intersect("qw", "nw")).cast("double")
+                / F.size(F.array_distinct(F.concat("qw", "nw"))),
+                6,
+            ).alias("jacc6"),
+        )
+    )
+    blend = hyb.withColumn(
+        "blend6",
+        F.round(
+            F.expr("CAST('0.8' AS DOUBLE)") * F.col("cos6")
+            + F.expr("CAST('0.2' AS DOUBLE)") * F.col("jacc6"),
+            6,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("blend6"), F.asc("neighbor_id")
+    )
+    return (
+        blend.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "rnk", "neighbor_id", "cos6", "jacc6", "blend6"
+        )
+        .orderBy("query_id", "rnk")
     )
 
 
@@ -289,51 +379,7 @@ def pl_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
     )
-    # Both payload attachments broadcast the SMALL side (the shortlist
-    # frame, O(queries x 50)) against the documents scan — full-text
-    # I/O stays one corpus scan per side, never a corpus broadcast.
-    cand = docw.join(
-        F.broadcast(short), docw.doc_id == short.neighbor_id
-    ).select(
-        "query_id", "neighbor_id", "cos6", F.col("w").alias("nw")
-    )
-    hyb = (
-        docw.select(
-            F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
-        )
-        .join(F.broadcast(cand), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos6",
-            F.round(
-                F.size(F.array_intersect("qw", "nw")).cast("double")
-                / F.size(F.array_distinct(F.concat("qw", "nw"))),
-                6,
-            ).alias("jacc6"),
-        )
-    )
-    blend = hyb.withColumn(
-        "blend6",
-        F.round(
-            F.expr("CAST('0.8' AS DOUBLE)") * F.col("cos6")
-            + F.expr("CAST('0.2' AS DOUBLE)") * F.col("jacc6"),
-            6,
-        ),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("blend6"), F.asc("neighbor_id")
-    )
-    return (
-        blend.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "query_id", "rnk", "neighbor_id", "cos6", "jacc6", "blend6"
-        )
-        .orderBy("query_id", "rnk")
-    )
+    return hybrid_rerank_stage(docw, short)
 
 
 @query(
@@ -404,19 +450,25 @@ def wh_canonical_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: pl_dedup_before_index's fused SQL VERBATIM (stored ==
     in-memory)."""
     from ..sources.warehouse import publish_ivfpq256_layout
+    from .beyond_similarity import _sf_tag
 
     kept, cells, inv = _shared_canonical_index(spark, sf_dir)
-    publish_ivfpq256_layout(kept, "canon_idx", cells=cells, inv=inv)
+    # Scale-tagged prefix (ADVICE r15): table names are session-global,
+    # so two scales built before collection in one session must not
+    # serve each other's layout — the _shared_canon_appended_prefix
+    # convention applied here too.
+    prefix = f"canon_idx_{_sf_tag(sf_dir)}"
+    publish_ivfpq256_layout(kept, prefix, cells=cells, inv=inv)
     # Defensive bigint pin on the partition column (the
     # wh_ivfpq_publish ADVICE r9 lesson); Catalyst eliminates the
     # same-type cast, so DPP on the probe join is unaffected.
-    stored_inv = spark.table("canon_idx_codes").withColumn(
+    stored_inv = spark.table(f"{prefix}_codes").withColumn(
         "cell", F.col("cell").cast("bigint")
     )
     return S.ivfpq256_query(
         kept,
-        spark.table("canon_idx_centroids"),
-        spark.table("canon_idx_books"),
+        spark.table(f"{prefix}_centroids"),
+        spark.table(f"{prefix}_books"),
         stored_inv,
     )
 
@@ -463,8 +515,11 @@ def _sql_incremental_curate() -> str:
     e_anchor = (
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
     )
-    assert with_anchor in base and e_anchor in base, (
-        "oracle substitution anchors missing — _sql_ivfpq256 changed"
+    # Exactly-once (ADVICE r15): the .replace(..., 1) calls below would
+    # silently rewrite the WRONG occurrence if a host edit ever
+    # duplicated an anchor — fail loudly instead.
+    assert base.count(with_anchor) == 1 and base.count(e_anchor) == 1, (
+        "oracle substitution anchors not unique — _sql_ivfpq256 changed"
     )
     return base.replace(
         with_anchor,
@@ -493,13 +548,7 @@ def _shared_canon_appended_prefix(spark: SparkSession, sf_dir: str) -> str:
             publish_ivfpq256_layout,
         )
 
-        docs = _t(spark, sf_dir, "documents")
-        pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
-        dropg = (
-            pairs.select(F.col("id_b").alias("vec_id"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        dropg = _shared_greedy_drop(spark, sf_dir)
         emb = _t(spark, sf_dir, "embeddings")
         kept = emb.join(F.broadcast(dropg), "vec_id", "left_anti")
         base = kept.filter(F.col("vec_id") < IVFPQ_APPEND_BASE)
@@ -542,12 +591,7 @@ def pl_incremental_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the fused greedy-curate + train_base SQL (stored ==
     one-batch replay)."""
     prefix = _shared_canon_appended_prefix(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
-    dropg = (
-        D.minhash_lsh_pairs(docs, threshold=0.5)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+    dropg = _shared_greedy_drop(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     kept = emb.join(F.broadcast(dropg), "vec_id", "left_anti")
     stored_inv = spark.table(f"{prefix}_codes").withColumn(

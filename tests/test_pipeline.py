@@ -7,6 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+    portable as _P,
+)
 from financial_transaction_data_warehouse_interactive_dashboard_spark.plans import (
     beyond_pipeline as PL,
 )
@@ -81,11 +84,13 @@ def test_hybrid_rerank_is_a_permutation_of_the_shortlist(spark):
 
 def test_scaled_shortlist_default_matches_formula(spark):
     """ivfpq256_query(shortlist=None) must size the shortlist as
-    max(PQ256_SHORTLIST, ceil(rho * nprobe / n_cells * corpus)) — at
-    fixture scale that floors to the pinned constant, so the scaled
-    default and the pinned default must return IDENTICAL rows (the
-    oracle-pinned entries rely on exactly this coincidence; the audit
-    proves the scaled branch at 20k corpus where it realizes 200)."""
+    max(PQ256_SHORTLIST, ceil(rho * max_per_query_scanned)) where
+    max_per_query_scanned is the ACTUAL probed-cell occupancy of the
+    heaviest query (ADVICE r15: real occupancy, not the uniform
+    nprobe/n_cells proxy) — at fixture scale that floors to the pinned
+    constant, so the scaled default and the pinned default must return
+    IDENTICAL rows (the oracle-pinned entries rely on exactly this
+    coincidence; the audit proves the scaled branch at 20k corpus)."""
     import math
 
     from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
@@ -100,12 +105,34 @@ def test_scaled_shortlist_default_matches_formula(spark):
     cells = S.refine_centroids(vecs, seeds).localCheckpoint(eager=True)
     inv = S.build_ivfpq256_inv(emb, cells).localCheckpoint(eager=True)
     books = S.pq256_books(spark)
-    n_corpus = vecs.count()
+    # mirror the sizing: VECTOR occupancy (inv carries m rows/vector —
+    # count the m == 0 subspace) of each default query's probed cells
+    occ = {r["cell"]: r["n"] for r in
+           inv.filter(F.col("m") == 0)
+           .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.asc("cell")
+    )
+    probe_rows = (
+        vecs.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cells))
+        .withColumn("probe_cos", F.round(_P.cosine("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "cell")
+        .collect()
+    )
+    per_query: dict = {}
+    for r in probe_rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + occ.get(
+            r["cell"], 0
+        )
     realized = max(
         S.PQ256_SHORTLIST,
-        math.ceil(
-            S.PQ256_SHORTLIST_PER_SCANNED * 2 / cells.count() * n_corpus
-        ),
+        math.ceil(S.PQ256_SHORTLIST_PER_SCANNED * max(per_query.values())),
     )
     assert realized == S.PQ256_SHORTLIST, (
         "fixture scale should floor to the pinned constant"

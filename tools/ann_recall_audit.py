@@ -530,6 +530,7 @@ def main() -> None:
                 for r in rows
             )
             tot = 0.0
+            max_scanned = 0
             for row in qrows:
                 sims = sorted(
                     (
@@ -550,17 +551,17 @@ def main() -> None:
                         for c in cents
                     )
                 )[:sweep_nprobe]
-                tot += (
-                    sum(occ.get(cell, 0) for _, cell in sims) / SCALE_N
-                )
+                scanned_q = sum(occ.get(cell, 0) for _, cell in sims)
+                tot += scanned_q / SCALE_N
+                max_scanned = max(max_scanned, scanned_q)
             if sweep_shortlist == "scaled":
+                # Mirror of the shipped sizing (ADVICE r15): rho x the
+                # ACTUAL probed-cell occupancy of the heaviest query,
+                # not the uniform nprobe/n_cells proxy.
                 realized = max(
                     S.PQ256_SHORTLIST,
                     math.ceil(
-                        S.PQ256_SHORTLIST_PER_SCANNED
-                        * sweep_nprobe
-                        / sweep_cells
-                        * SCALE_N
+                        S.PQ256_SHORTLIST_PER_SCANNED * max_scanned
                     ),
                 )
             else:
