@@ -234,6 +234,9 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "st_canonical_serve": ("serve", "serving", "online", "queries", "deduplicated"),
     "wh_canonical_publish": ("store", "stored", "curated", "index", "warehouse"),
     "pl_incremental_curate": ("arriving", "batch", "curate", "incrementally", "freshness", "loop"),
+    # Round-16 batch.
+    "tpch_q17_small_qty_revenue": ("small", "quantity", "forgone", "lost", "below", "fifth"),
+    "pl_retrain_on_drift": ("react", "recover", "reseed", "adaptive", "detected", "automatically"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

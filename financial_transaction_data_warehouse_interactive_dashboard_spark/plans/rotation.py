@@ -523,6 +523,8 @@ NEXT_QUEUE: tuple[str, ...] = (
     # ROTATION_HISTORY 16), leaving zero never-driver-checked entries
     # after a green r16 — 229/229 driver-row coverage. Operators
     # authored after the r16 flip queue here for r17:
+    "tpch_q17_small_qty_revenue",  # the correlated SCALAR subquery decorrelated (VERDICT r15 ask #4): per-part avg-quantity aggregate-then-rejoin, exact integer predicate 5*cnt*qty < sum_qty (authored r16 post-flip, three-scale verified)
+    "pl_retrain_on_drift",  # the pl tier's deliberately-chosen lifecycle edge (VERDICT r15 ask #8 option a): curated monitor -> data-driven append/retrain decision -> re-seeded Lloyd recovery, 4-row phase x cohort proof (authored r16 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

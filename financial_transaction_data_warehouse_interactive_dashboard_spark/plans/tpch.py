@@ -599,3 +599,90 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("amount").cast("double").alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — the correlated SCALAR subquery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH bl AS (
+      SELECT l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13'
+    ),
+    pa AS (SELECT l_partkey,
+                  sum(qty) AS sum_qty, count(*) AS cnt
+           FROM bl GROUP BY l_partkey)
+    SELECT round(CAST(sum(bl.price) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM bl JOIN pa USING (l_partkey)
+    WHERE 5 * pa.cnt * bl.qty < pa.sum_qty
+    ORDER BY avg_yearly
+    """,
+    driver=False,  # authored r16 post-flip; queued in NEXT_QUEUE for r17
+)
+def tpch_q17_small_qty_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small-quantity orders were not
+    taken — the benchmark's canonical CORRELATED SCALAR SUBQUERY
+    (``l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)``), the one classic decorrelation
+    shape the registry lacked next to EXISTS (Q4) and NOT IN (Q16):
+    the subquery decorrelates to an aggregate-then-rejoin — per-part
+    averages computed ONCE over the brand-restricted fact, broadcast
+    back onto the same fact (the magic-set reduction: the brand filter
+    reaches the per-part aggregate too, because a filtered part's
+    lineitems are exactly the rows its average needs).
+
+    Exactness: the fixture's l_quantity is integral (1..50), so the
+    predicate ``qty < 0.2 * avg`` is evaluated in pure integer algebra
+    as ``5 * cnt * qty < sum_qty`` (avg = sum/cnt; multiply through by
+    5*cnt > 0) — no float division anywhere near the knife edge.
+    Revenue stays DECIMAL(12,2)-exact to the output boundary; the /7.0
+    and round(6) are the only double ops. Dialect deviations
+    (documented, both sides): the fixture part table has no
+    p_container, so the restriction is p_brand = 'Brand#13' alone
+    (~5% of parts — Q17's point is selectivity feeding a correlated
+    aggregate, which the brand filter preserves); n_small (the count
+    of qualifying small-quantity line items) is emitted beside
+    avg_yearly so the driver hash pins more than one scalar.
+
+    Scale: the brand filter broadcasts (~10 parts at sf0.001), the
+    fact is scanned once, the per-part aggregate combines map-side
+    onto ~|parts(brand)| groups, and the rejoin is a broadcast of the
+    tiny aggregate frame — no corpus-sized shuffle anywhere. At 100 TB
+    the same plan holds: the subquery cost is one partial-agg pass
+    over the SEMI-JOINED fact, never a per-row re-scan.
+
+    Reference analogue: none (beyond-reference TPC-H widening;
+    VERDICT r15 ask #4)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    bl = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "qty", "price"
+    )
+    pa = bl.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    small = bl.join(F.broadcast(pa), "l_partkey").filter(
+        F.lit(5) * F.col("cnt") * F.col("qty") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum("price").cast("double") / F.lit(7.0), 6
+        ).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_small"),
+    ).orderBy("avg_yearly")

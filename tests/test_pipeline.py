@@ -158,3 +158,59 @@ def test_pl_dedup_before_index_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the anti-join against the broadcast drop set
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pl_retrain_on_drift_semantics(spark):
+    """The retrain-on-drift composition's claims stated directly
+    (oracle parity is covered by the registry sweep): the iid cohort
+    must not trigger (action append) and its 'after' stats must be
+    BYTE-IDENTICAL to its monitor stats (the quantizer is frozen — the
+    zero-retraining proof); the planted shifted cohort must trigger
+    (action retrain) on the monitor's occupancy signal; and BOTH
+    after-rows must read recovered (fit >= the cohort's monitor fit,
+    with the shifted cohort's fit jumping to ~1.0: the retrained
+    centroids live inside the blob)."""
+    rows = {
+        (r["phase"], r["cohort"]): r
+        for r in REGISTRY["pl_retrain_on_drift"].spark(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert len(rows) == 4
+    for (_, cohort), r in rows.items():
+        assert r["action"] == (
+            "retrain" if cohort == "new_shifted" else "append"
+        ), r
+    assert rows[("monitor", "new_iid")]["drifted"] is False
+    assert rows[("monitor", "new_shifted")]["drifted"] is True
+    # frozen path: after == monitor, byte-identical stats
+    mi, ai = rows[("monitor", "new_iid")], rows[("after", "new_iid")]
+    assert (mi["n"], mi["mean_cos6"], mi["max_share6"]) == (
+        ai["n"], ai["mean_cos6"], ai["max_share6"]
+    )
+    # recovery is fit-judged and must hold for both after rows
+    assert ai["recovered"] is True
+    a_sh = rows[("after", "new_shifted")]
+    assert a_sh["recovered"] is True
+    assert a_sh["mean_cos6"] > 0.99, a_sh
+    assert rows[("monitor", "new_shifted")]["mean_cos6"] < 0.5
+    # monitor rows are never 'recovered'
+    assert rows[("monitor", "new_iid")]["recovered"] is False
+    assert rows[("monitor", "new_shifted")]["recovered"] is False
+
+
+def test_tpch_q17_decorrelated_plan_shape(spark):
+    """Q17's correlated scalar subquery must decorrelate to
+    aggregate-then-rejoin with BROADCAST joins on both the brand
+    filter and the per-part aggregate — no corpus-sized shuffle join,
+    no CartesianProduct — and the exact integer predicate must keep
+    the qualifying set non-empty at the oracle scale."""
+    from test_plan_quality import plan_of
+
+    df = REGISTRY["tpch_q17_small_qty_revenue"].spark(spark, SF_ORACLE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    row = df.collect()[0]
+    assert row["n_small"] > 0 and row["avg_yearly"] > 0
