@@ -64,6 +64,12 @@ COLLECT_ALLOWED: dict[str, int] = {
     # a production 50k-merge vocab is still MBs — bounded by Heaps'
     # law, never by corpus size) to feed the Arrow tokenizer.
     f"{PKG}/plans/beyond_text.py": 1,
+    # r16 (ADVICE r15): ivfpq256_query's shortlist=None sizing collects
+    # ONE row — the max per-query probed-cell occupancy (probe joined
+    # to broadcast per-cell counts, aggregated to a single max). Only
+    # the scaled-default branch pays it; registry entries pass the
+    # pinned constant and never hit this site.
+    f"{PKG}/operators/similarity.py": 1,
 }
 
 
