@@ -887,3 +887,213 @@ def pl_retrain_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "cohort")
     )
+
+
+def _sql_learned_rerank() -> str:
+    """DuckDB oracle for pl_learned_rerank: the fused dedup+index
+    oracle through its shortlist-with-cosines CTE (same anchored slice
+    as _sql_hybrid_rerank), then the LEARNED tail — a corpus-trained
+    IDF table (round-6 ln, the tx_tfidf discipline, cast
+    DECIMAL(18,6) so weight SUMS are exact and order-independent)
+    scores idf-weighted token overlap per pair, blended 0.8/0.2."""
+    base = _sql_dedup_before_index()
+    tail_anchor = "SELECT query_id,\n           CAST(row_number()"
+    assert base.count(tail_anchor) == 1, (
+        "oracle tail anchor not unique — _sql_ivfpq256 changed"
+    )
+    head = base[: base.index(tail_anchor)]
+    return (
+        head
+        + """, docw AS (SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+    ndoc AS (SELECT count(*) AS n FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM docw),
+    tdf AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+    idf AS (SELECT t,
+              CAST(round(ln((n - df + CAST('0.5' AS DOUBLE))
+                            / (df + CAST('0.5' AS DOUBLE))
+                            + CAST('1' AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS iw
+            FROM tdf, ndoc),
+    hy AS (SELECT query_id, neighbor_id, cos6,
+              list_intersect(qw.w, nw.w) AS il,
+              list_distinct(list_concat(qw.w, nw.w)) AS ul
+           FROM rer
+           JOIN docw qw ON rer.query_id = qw.doc_id
+           JOIN docw nw ON rer.neighbor_id = nw.doc_id),
+    ex AS (SELECT query_id, neighbor_id, cos6, u.t AS t,
+              CASE WHEN list_contains(il, u.t) THEN 1 ELSE 0 END
+                AS isect
+           FROM hy, unnest(ul) AS u(t)),
+    sc AS (SELECT query_id, neighbor_id, cos6,
+              round(CAST(sum(CASE WHEN isect = 1 THEN iw
+                                  ELSE CAST('0' AS DECIMAL(18,6)) END)
+                         AS DOUBLE)
+                    / CAST(sum(iw) AS DOUBLE), 6) AS wjacc6
+           FROM ex JOIN idf ON ex.t = idf.t
+           GROUP BY 1, 2, 3),
+    blend AS (SELECT *,
+                round(CAST('0.8' AS DOUBLE) * cos6
+                      + CAST('0.2' AS DOUBLE) * wjacc6, 6) AS blend6
+              FROM sc)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY blend6 DESC, neighbor_id ASC) AS INTEGER) AS rnk,
+           neighbor_id, cos6, wjacc6, blend6
+    FROM blend
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+def corpus_idf(docw: DataFrame) -> DataFrame:
+    """The LEARNED scoring table: token -> smoothed IDF
+    (round(ln((N - df + 0.5) / (df + 0.5) + 1), 6), the BM25 idf with
+    the tx_tfidf round-6 discipline), trained from the corpus's
+    distinct-token document frequencies in ONE grouped pass. Weights
+    are cast DECIMAL(18,6) so downstream SUMS of weights are exact and
+    summation-order-independent (the beyond_text logp convention) —
+    float sums would differ in final ulps between engines and
+    partitionings. Bounded by the VOCABULARY (Heaps' law), never the
+    corpus: broadcast at fixture scale; at 100 TB the same frame is a
+    bucketed map-side join table."""
+    tok = docw.select(F.explode("w").alias("t"))
+    tdf = tok.groupBy("t").agg(F.count("*").alias("df"))
+    ndoc = docw.agg(F.count("*").alias("n"))
+    half = F.expr("CAST('0.5' AS DOUBLE)")
+    one = F.expr("CAST('1' AS DOUBLE)")
+    return tdf.crossJoin(F.broadcast(ndoc)).select(
+        "t",
+        F.round(
+            F.log((F.col("n") - F.col("df") + half)
+                  / (F.col("df") + half) + one),
+            6,
+        ).cast("decimal(18,6)").alias("iw"),
+    )
+
+
+def weighted_rerank_stage(
+    docw: DataFrame, short: DataFrame, idf: DataFrame, k: int = 5
+) -> DataFrame:
+    """hybrid_rerank_stage's LEARNED twin: identical plan shape (the
+    shortlist frame broadcast to the documents scan, pairwise work
+    O(queries x k_shortlist), blend + window on the pair frame) with
+    the unweighted jaccard feature replaced by an IDF-WEIGHTED overlap
+    scored against the broadcast ``idf`` table — the 'learned
+    broadcast scoring table' upgrade of the cross-encoder slot: a
+    trained model's per-token weights would ride the same join. Shared
+    with tools/pipeline_audit.py so the learned-vs-plain comparison
+    measures the shipped stage."""
+    cand = docw.join(
+        F.broadcast(short), docw.doc_id == short.neighbor_id
+    ).select(
+        "query_id", "neighbor_id", "cos6", F.col("w").alias("nw")
+    )
+    hy = (
+        docw.select(
+            F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+        )
+        .join(F.broadcast(cand), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos6",
+            F.array_intersect("qw", "nw").alias("il"),
+            F.array_distinct(F.concat("qw", "nw")).alias("ul"),
+        )
+    )
+    ex = hy.select(
+        "query_id", "neighbor_id", "cos6", "il",
+        F.explode("ul").alias("t"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cos6",
+        "t",
+        F.when(F.array_contains("il", F.col("t")), 1)
+        .otherwise(0)
+        .alias("isect"),
+    )
+    zero = F.lit("0").cast("decimal(18,6)")
+    sc = (
+        ex.join(F.broadcast(idf), "t")
+        .groupBy("query_id", "neighbor_id", "cos6")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("isect") == 1, F.col("iw")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("iw").cast("double"),
+                6,
+            ).alias("wjacc6")
+        )
+    )
+    blend = sc.withColumn(
+        "blend6",
+        F.round(
+            F.expr("CAST('0.8' AS DOUBLE)") * F.col("cos6")
+            + F.expr("CAST('0.2' AS DOUBLE)") * F.col("wjacc6"),
+            6,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("blend6"), F.asc("neighbor_id")
+    )
+    return (
+        blend.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "rnk", "neighbor_id", "cos6", "wjacc6", "blend6"
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "pl_learned_rerank",
+    _sql_learned_rerank(),
+    driver=False,  # authored r16 post-flip; queued in NEXT_QUEUE for r17
+)
+def pl_learned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rerank slot upgraded from unweighted jaccard to a LEARNED
+    broadcast scoring table (VERDICT r15 ask #8 option b, taken as the
+    measured follow-through of ask #3: PIPELINE_AUDIT_r16 proved the
+    second stage pays; this entry ships the production feature the
+    slot was built for). The scorer is a corpus-trained smoothed-IDF
+    table (corpus_idf — one grouped pass over exploded distinct
+    tokens, vocabulary-bounded, broadcast); each canonical-shortlist
+    pair is scored by IDF-WEIGHTED token overlap (rare shared tokens
+    count, ubiquitous tokens barely do — exactly the signal the
+    unweighted jaccard dilutes when common tokens dominate), blended
+    0.8/0.2 with the dense cosine, deterministic tie-break, top-5.
+
+    Plan shape is hybrid_rerank_stage's VERBATIM with one extra
+    broadcast (the weight table): pairwise work touches only
+    queries x 50 rows, full-text I/O stays one corpus scan per side,
+    and the learned weights ride a map-side join — swap the IDF frame
+    for a distilled model's per-token weights and the plan does not
+    change. That is the point of the slot.
+
+    Exactness: idf = round(ln((N - df + 0.5)/(df + 0.5) + 1), 6) cast
+    DECIMAL(18,6) (the tx_tfidf round-6 ln discipline; decimal weights
+    make the pair-level weight SUMS exact and order-independent);
+    wjacc6 = round(sum_iw(intersection)/sum_iw(union), 6).
+
+    Oracle: the fused oracle through its shortlist CTE + the learned
+    tail in DuckDB (see _sql_learned_rerank).
+    Reference analogue: none (beyond-reference pipeline tier)."""
+    kept, cells, inv = _shared_canonical_index(spark, sf_dir)
+    short = S.ivfpq256_query(
+        kept, cells, S.pq256_books(spark), inv, k=S.PQ256_SHORTLIST
+    ).select("query_id", "neighbor_id", "cos6")
+    docs = _t(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    return weighted_rerank_stage(docw, short, corpus_idf(docw))

@@ -237,6 +237,8 @@ ROUTES: dict[str, tuple[str, ...]] = {
     # Round-16 batch.
     "tpch_q17_small_qty_revenue": ("small", "quantity", "forgone", "lost", "below", "fifth"),
     "pl_retrain_on_drift": ("react", "recover", "reseed", "adaptive", "detected", "automatically"),
+    "tpch_q18_large_volume_customer": ("biggest", "largest", "volume", "bulk", "customers", "placed"),
+    "pl_learned_rerank": ("learned", "weighted", "idf", "scoring", "weights", "informative"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -686,3 +686,96 @@ def tpch_q17_small_qty_revenue(
         ).alias("avg_yearly"),
         F.count("*").cast("bigint").alias("n_small"),
     ).orderBy("avg_yearly")
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers — aggregate-IN (HAVING) semi-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+    driver=False,  # authored r16 post-flip; queued in NEXT_QUEUE for r17
+)
+def tpch_q18_large_volume_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18: customers who placed large-volume orders — the
+    AGGREGATE-IN shape (``o_orderkey IN (SELECT l_orderkey ... GROUP
+    BY ... HAVING sum(l_quantity) > K)``) that completes the
+    registry's subquery matrix: EXISTS (Q4), NOT IN (Q16), correlated
+    scalar (Q17), and now the uncorrelated aggregate membership test.
+    The planner shape: the HAVING filter runs ONCE over one grouped
+    pass of the fact (map-side combinable), and the surviving ~2% key
+    set semi-joins back — never a per-row re-aggregation.
+
+    Exactness: quantities are integral in the fixture, so the HAVING
+    threshold and sum_qty are pure BIGINT; the top-100 ordering key is
+    (o_totalprice DESC, o_orderdate ASC, o_orderkey ASC) — the
+    orderkey tie-break makes the selected page engine-independent.
+    Dialect deviation (documented, both sides): threshold 250 instead
+    of the spec's 300 — the fixture's per-order quantity sums top out
+    near 380, and 250 keeps the qualifying set non-empty (~2% of
+    orders) at every scale.
+
+    Scale: one grouped pass over lineitem, broadcast semi-join of the
+    ~2% key set against orders (at 100 TB the same frame is a hash
+    semi-join one hint away — the key set scales with orders, not
+    lineitem), broadcast customer dimension, then the re-aggregation
+    runs only on qualifying orders' line items. TakeOrdered caps the
+    result at 100 rows.
+
+    Reference analogue: none (beyond-reference TPC-H widening)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big),
+        F.col("o_orderkey") == big.l_orderkey,
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(F.sum("qty").cast("bigint").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"),
+            F.asc("o_orderkey"),
+        )
+        .limit(100)
+    )

@@ -214,3 +214,66 @@ def test_tpch_q17_decorrelated_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     row = df.collect()[0]
     assert row["n_small"] > 0 and row["avg_yearly"] > 0
+
+
+def test_learned_rerank_is_a_permutation_with_informative_weights(spark):
+    """The learned twin may only REORDER the shortlist (the
+    hybrid_rerank permutation contract), its blend must equal the
+    committed 0.8/0.2 formula of its own columns, and the learned
+    table must actually be informative: rare tokens must outweigh
+    ubiquitous ones (idf strictly decreasing in document frequency),
+    with every weight positive."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators import (
+        similarity as S,
+    )
+
+    out = REGISTRY["pl_learned_rerank"].spark(spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows
+    kept, cells, inv = PL._shared_canonical_index(spark, SF_ORACLE)
+    short = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivfpq256_query(
+            kept, cells, S.pq256_books(spark), inv, k=S.PQ256_SHORTLIST
+        ).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} <= short
+    for r in rows:
+        assert abs(
+            r["blend6"] - round(0.8 * r["cos6"] + 0.2 * float(r["wjacc6"]), 6)
+        ) < 1e-9, r
+    docs = _t(spark, SF_ORACLE, "documents")
+    docw = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    idf = {
+        r["t"]: float(r["iw"]) for r in PL.corpus_idf(docw).collect()
+    }
+    tok = docw.select(F.explode("w").alias("t"))
+    df = {
+        r["t"]: r["n"]
+        for r in tok.groupBy("t").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(w > 0 for w in idf.values())
+    # idf must be strictly decreasing in df: pick the extreme tokens
+    rare = min(df, key=lambda t: (df[t], t))
+    common = max(df, key=lambda t: (df[t], t))
+    if df[rare] < df[common]:
+        assert idf[rare] > idf[common], (rare, common)
+
+
+def test_tpch_q18_semijoin_plan_and_threshold(spark):
+    """Q18's HAVING key set must meet orders as a broadcast LEFT SEMI
+    join (never a per-row re-aggregation or cartesian), and every
+    returned order's sum_qty must clear the 250 threshold."""
+    from test_plan_quality import plan_of
+
+    df = REGISTRY["tpch_q18_large_volume_customer"].spark(
+        spark, SF_ORACLE
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["sum_qty"] > 250 for r in rows)
