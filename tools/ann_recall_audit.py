@@ -168,14 +168,17 @@ def _interpret(
         sc = next((p for p in scaling if p.get("scaled_default")), None)
         if sc:
             parts.append(
-                "The SCALED shortlist default (VERDICT r14 ask #3: "
+                "The SCALED shortlist default (VERDICT r14 ask #3; "
+                "sizing upgraded per ADVICE r15: "
                 "ivfpq256_query(shortlist=None) -> max(50, ceil(0.08 x "
-                "nprobe/n_cells x corpus)) = "
+                "max-per-query probed-cell occupancy)) = "
                 f"{sc['shortlist']} at this point) executes the r14 "
                 "recommendation as default behavior: recall "
                 f"{sc['recall_at_5']:.2f} at the same "
                 f"{sc['candidate_frac'] * 100:.1f}% scan — raising "
-                "nprobe no longer silently dilutes the re-rank pool."
+                "nprobe no longer silently dilutes the re-rank pool, "
+                "and the pool now tracks the ACTUAL scan even on "
+                "skewed cell occupancies."
             )
     if aniso:
         base = aniso["results"]["pq256_rerank"]["recall_at_5"]
