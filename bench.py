@@ -59,22 +59,24 @@ host) — i.e. ~255s in quieter-host terms, matching the 255.9s the
 0.27s (st_canonical_serve) and 2.36s (wh_canonical_publish).
 
 r16 audit, written once against the final 233-entry tree (VERDICT r15
-ask #7): suite total 277.9s raw at sf0.1, 0 errors — raw is
-drift-flagged (host_drift_ratio 1.07 with the canary disagreeing at
-0.71; the run followed the full pytest + audit passes, the same
-pattern as the r15 close) and the honest figure is the normalized
-total_ratio_norm 1.007 vs r15, i.e. flat in real terms and ~42s under
-the 300s ceiling in quiet-host terms. The four r16 additions cost
-7.5s: tpch_q17 0.54s + tpch_q18 0.74s take the tpch family to 7.6s
-(base resets here per the r15 over-allocation note — the two entries
-complete the subquery matrix and the family again adds nothing further
-without retiring); pl_retrain_on_drift 3.77s pays two decimal-exact
-Lloyd replays plus four assignment passes (the claim IS the work —
-the monitor/retrain/recovery math is exactly what the entry proves)
-and pl_learned_rerank 2.44s rides the canonical-index memo, paying
-only the idf build and the weighted pair scoring; the pl family sits
-at 10.1s. No basis changes; vs_prev flags concentrate in the
-sub-second scheduling-latency class across unrelated families with
+ask #7), from the committed BENCH_DETAIL_r16 run: suite total 279.1s
+raw at sf0.1, 0 errors. Two back-to-back final-tree runs both read
+host_drift_ratio 1.07 vs the r15 baseline with the suspect flag up
+(277.9s then 279.1s; the second, quieter run — pre-load 0.11 —
+committed), i.e. this host class runs ~7% slower than the r15 close
+host and the honest figure is total_ratio_norm 1.01: flat in real
+terms, ~40s under the 300s ceiling quiet-host. The four r16 additions
+cost 6.6s: tpch_q17 0.43s + tpch_q18 0.83s land in the tpch family
+(9.1s this pass; the family's base resets here per the r15
+over-allocation note — the two entries complete the subquery matrix
+and the family again adds nothing further without retiring);
+pl_retrain_on_drift 3.17s pays two decimal-exact Lloyd replays plus
+four assignment passes (the claim IS the work — the
+monitor/retrain/recovery math is exactly what the entry proves) and
+pl_learned_rerank 2.15s rides the canonical-index memo, paying only
+the idf build and the weighted pair scoring; the pl family sits at
+9.1s. No basis changes; vs_prev raw flags (20, norm 11) concentrate in
+the sub-second scheduling-latency class across unrelated families with
 the drift flag up — the adjudication trigger stays flag-set overlap
 on the driver's canonical pass.
 """
