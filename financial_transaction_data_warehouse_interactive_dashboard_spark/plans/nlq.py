@@ -239,6 +239,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "pl_retrain_on_drift": ("react", "recover", "reseed", "adaptive", "detected", "automatically"),
     "tpch_q18_large_volume_customer": ("biggest", "largest", "volume", "bulk", "customers", "placed"),
     "pl_learned_rerank": ("learned", "weighted", "idf", "scoring", "weights", "informative"),
+    "tpch_q22_dormant_rich_customers": ("dormant", "inactive", "wealthy", "balance", "havent", "lapsed"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

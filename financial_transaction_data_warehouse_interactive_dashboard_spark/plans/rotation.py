@@ -527,6 +527,7 @@ NEXT_QUEUE: tuple[str, ...] = (
     "pl_retrain_on_drift",  # the pl tier's deliberately-chosen lifecycle edge (VERDICT r15 ask #8 option a): curated monitor -> data-driven append/retrain decision -> re-seeded Lloyd recovery, 4-row phase x cohort proof (authored r16 post-flip, three-scale verified)
     "tpch_q18_large_volume_customer",  # completes the subquery matrix: aggregate-IN (HAVING) semi-join next to EXISTS/NOT-IN/correlated-scalar; BIGINT-exact threshold, top-100 with orderkey tie-break (authored r16 post-flip, three-scale verified)
     "pl_learned_rerank",  # the rerank slot's LEARNED broadcast scoring table (ask #8 option b as ask #3's measured follow-through): corpus-trained round-6 IDF weights, decimal-exact pair sums, plan shape verbatim (authored r16 post-flip, three-scale verified)
+    "tpch_q22_dormant_rich_customers",  # the last subquery-bearing TPC-H form: uncorrelated scalar threshold (decimal-exact bal*cnt > sum) COMPOSED with NOT EXISTS (broadcast anti-join); recent-year deviation documented (authored r16 post-flip, three-scale verified)
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

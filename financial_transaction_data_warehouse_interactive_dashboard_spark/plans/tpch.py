@@ -779,3 +779,93 @@ def tpch_q18_large_volume_customer(
         )
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q22: dormant above-average-balance customers — scalar threshold + NOT EXISTS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q22_dormant_rich_customers",
+    """
+    WITH s AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sb,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, s
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > sb
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    driver=False,  # authored r16 post-flip; queued in NEXT_QUEUE for r17
+)
+def tpch_q22_dormant_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22: above-average-balance customers with no recent
+    orders — the benchmark's last subquery-bearing form and the one
+    COMPOSITE the matrix still lacked: an UNCORRELATED SCALAR subquery
+    used as a filter threshold (the positive-balance average) COMPOSED
+    with NOT EXISTS (the anti-join), in one query. The scalar
+    decorrelates to a single global aggregate broadcast as a 1-row
+    frame; the NOT EXISTS becomes a broadcast anti-join against the
+    distinct recent-orderer key set.
+
+    Exactness: the threshold ``c_acctbal > avg(positive balances)`` is
+    the Q17 integer-algebra trick in decimal — multiply through by the
+    count: ``acctbal * cnt > sum_bal`` with both sides exact
+    DECIMAL — so no float division sits near the knife edge;
+    totacctbal is an exact decimal sum cast to double at the output
+    boundary only. Dialect deviations (documented, both sides): the
+    fixture has no c_phone, so the spec's country-code grouping maps
+    to c_mktsegment; and nearly every fixture customer has SOME order,
+    so 'has no orders' (vacuous here) becomes 'has no orders since
+    2001-01-01' — the same anti-join shape with non-trivial membership
+    at every scale (29/285/2845 qualifying customers).
+
+    Scale: one aggregate pass over customer produces the broadcast
+    1-row threshold; one distinct pass over date-filtered orders
+    produces the anti-join key set (broadcast at fixture scale; the
+    recent-orderer set scales with one year of order keys — at 100 TB
+    it is a shuffle anti-join one hint away); the main pass is a
+    single customer scan with both small frames broadcast onto it.
+    Reference analogue: none (beyond-reference TPC-H widening)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    s = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sb"), F.count("*").alias("cnt")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(s))
+        .filter(F.col("bal") * F.col("cnt") > F.col("sb"))
+        .join(F.broadcast(recent), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

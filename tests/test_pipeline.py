@@ -277,3 +277,37 @@ def test_tpch_q18_semijoin_plan_and_threshold(spark):
     rows = df.collect()
     assert rows
     assert all(r["sum_qty"] > 250 for r in rows)
+
+
+def test_tpch_q22_composed_subquery_plan(spark):
+    """Q22's composite must decorrelate cleanly: the scalar threshold
+    arrives as a broadcast 1-row frame (BroadcastNestedLoopJoin over a
+    single-row aggregate is the legitimate physical form of a scalar
+    subquery), the NOT EXISTS as a broadcast LEFT ANTI join — and no
+    per-row re-aggregation anywhere (exactly one customer scan feeds
+    the filter)."""
+    from test_plan_quality import plan_of
+
+    df = REGISTRY["tpch_q22_dormant_rich_customers"].spark(
+        spark, SF_ORACLE
+    )
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    assert rows and all(r["numcust"] > 0 for r in rows)
+
+
+def test_pl_learned_rerank_plan_has_no_corpus_broadcast(spark):
+    """The learned stage's plan must keep the hybrid stage's scale
+    posture: no CartesianProduct, and the pairwise/weight joins ride
+    broadcasts (the shortlist and the vocabulary-bounded IDF table are
+    the broadcast sides — never the documents corpus as a shuffle-free
+    giant)."""
+    from test_plan_quality import plan_of
+
+    plan = plan_of(
+        REGISTRY["pl_learned_rerank"].spark(spark, SF_ORACLE)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
