@@ -240,6 +240,18 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q18_large_volume_customer": ("biggest", "largest", "volume", "bulk", "customers", "placed"),
     "pl_learned_rerank": ("learned", "weighted", "idf", "scoring", "weights", "informative"),
     "tpch_q22_dormant_rich_customers": ("dormant", "inactive", "wealthy", "balance", "havent", "lapsed"),
+    # Round-16 suite-completion batch (the remaining eleven TPC-H shapes).
+    "tpch_q2_min_cost_supplier": ("lowest", "cost", "offering", "minimum", "sourcing"),
+    "tpch_q6_forecast_revenue": ("discount", "discounts", "eliminating", "band", "increase"),
+    "tpch_q10_returned_items": ("returned", "returns", "refund", "complaints", "problem"),
+    "tpch_q11_important_stock": ("stock", "inventory", "significant", "holding", "important"),
+    "tpch_q12_shipmode_priority": ("shipmode", "ship", "modes", "critical", "lateness"),
+    "tpch_q13_customer_distribution": ("per", "count", "nonurgent", "never", "ordered"),
+    "tpch_q14_promo_revenue": ("promotional", "promotions", "percent", "percentage", "campaign"),
+    "tpch_q15_top_supplier": ("earning", "highest", "top", "supplier", "star"),
+    "tpch_q19_bracket_revenue": ("bracket", "brackets", "bands", "qualifying", "combinations"),
+    "tpch_q20_excess_stock_suppliers": ("excess", "overstock", "surplus", "stocked", "idle"),
+    "tpch_q21_waiting_suppliers": ("waiting", "held", "kept", "blocking", "bottleneck"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

@@ -528,6 +528,21 @@ NEXT_QUEUE: tuple[str, ...] = (
     "tpch_q18_large_volume_customer",  # completes the subquery matrix: aggregate-IN (HAVING) semi-join next to EXISTS/NOT-IN/correlated-scalar; BIGINT-exact threshold, top-100 with orderkey tie-break (authored r16 post-flip, three-scale verified)
     "pl_learned_rerank",  # the rerank slot's LEARNED broadcast scoring table (ask #8 option b as ask #3's measured follow-through): corpus-trained round-6 IDF weights, decimal-exact pair sums, plan shape verbatim (authored r16 post-flip, three-scale verified)
     "tpch_q22_dormant_rich_customers",  # the last subquery-bearing TPC-H form: uncorrelated scalar threshold (decimal-exact bal*cnt > sum) COMPOSED with NOT EXISTS (broadcast anti-join); recent-year deviation documented (authored r16 post-flip, three-scale verified)
+    # --- r16 suite completion: the remaining eleven spec queries, taking
+    # --- the registry to ALL 22 TPC-H shapes (each authored r16
+    # --- post-flip, three-scale verified; dialect deviations documented
+    # --- per entry in plans/tpch.py)
+    "tpch_q2_min_cost_supplier",  # correlated MIN decorrelated, exact-decimal equality rejoin, magic-set part-class reduction
+    "tpch_q6_forecast_revenue",  # the pure-scan pushdown query: 4 pushed predicates, one combined global sum
+    "tpch_q10_returned_items",  # customer-grain top-20, page ordered on the exact decimal with tie-break
+    "tpch_q11_important_stock",  # grouped sum vs fraction-of-own-total, scale-invariant 1.5x-mean exact threshold
+    "tpch_q12_shipmode_priority",  # conditional-count pivot over a cross-table date residual
+    "tpch_q13_customer_distribution",  # predicate-in-ON left join + histogram-of-histogram
+    "tpch_q14_promo_revenue",  # conditional-share scalar, both sums one grouped pass
+    "tpch_q15_top_supplier",  # view reused twice: derived frame joined AND filtered vs its own broadcast max
+    "tpch_q19_bracket_revenue",  # disjunction-of-conjunctions residual, derived brand-IN pushdown
+    "tpch_q20_excess_stock_suppliers",  # nested-IN chain, conditional year sum in the same aggregate, BIGINT-exact
+    "tpch_q21_waiting_suppliers",  # double EXISTS/NOT-EXISTS decorrelated to grain+counts, no fact self-join
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in
