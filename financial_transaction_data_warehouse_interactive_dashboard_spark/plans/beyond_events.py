@@ -1220,3 +1220,115 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# ev_session_overlap_pairs: the RANGE JOIN (bucketed interval-overlap
+# self-join) — r16; operators/rangejoin.py holds the generic operator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_session_overlap_pairs",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL '30 minutes'
+             THEN 0 ELSE 1 END AS brk
+      FROM events),
+    si AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+    s AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+          FROM si GROUP BY user_id, sid)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(date_diff('microsecond',
+                              greatest(a.f, b.f),
+                              least(a.l, b.l))) AS BIGINT) AS overlap_us
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id AND a.f <= b.l AND b.f <= a.l
+    GROUP BY 1, 2
+    ORDER BY overlap_us DESC, n_overlaps DESC, user_a, user_b
+    LIMIT 20
+    """,
+    driver=False,  # authored r16 (range join); queued in NEXT_QUEUE for r17
+)
+def ev_session_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top user pairs by concurrent-session time — the RANGE JOIN
+    (interval-overlap join), the one custom-operator slot next to the
+    as-of join family: which users are online together, and for how
+    long. The oracle states the textbook quadratic formulation (a
+    pure-inequality self-join DuckDB runs as IEJoin); the Spark plan
+    is the bucketed linear one from operators/rangejoin.py — sessions
+    exploded to covered 15-min buckets, hash self-join on the bucket
+    with user_a < user_b inside the join condition, exactly-once
+    retention at the first shared bucket, exact-overlap residual.
+    A naive translation of the oracle would plan
+    BroadcastNestedLoopJoin — quadratic the moment sessions outgrow a
+    broadcast; the bucketed plan's join is a plain hash equi-join
+    (CartesianProduct/BNLJ-free, pinned in test_plan_quality).
+
+    Exactness: overlap duration is pure BIGINT microsecond arithmetic
+    (unix_micros of the exact session bounds — no float time math);
+    the top-20 page orders by (overlap_us DESC, n_overlaps DESC,
+    user_a, user_b) — fully deterministic. Session derivation is
+    ev_sessionize's: F.session_window against the gaps-and-islands
+    CTE, the committed strict-'<' equivalence.
+
+    Scale: explode amplification is ceil(span/900s)+1 per session
+    (sessions are gap-bounded, so spans are short); per-bucket pair
+    density is |concurrent sessions|^2 per bucket — the quantity the
+    query MEASURES, so dense buckets are signal, and AQE's skew join
+    splits them; the aggregate combines map-side onto user-pair keys;
+    TakeOrdered caps the page. At 100 TB nothing is quadratic in the
+    corpus: cost scales with sum of per-bucket densities, the same
+    frontier a native IEJoin walks.
+
+    Reference analogue: none (beyond-reference; task-brief custom
+    operator)."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    sess = W.sessionize(_t(spark, sf_dir, "events"), "30 minutes").select(
+        "user_id", "first_ts", "last_ts"
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("first_ts").alias("a_first"),
+        F.col("last_ts").alias("a_last"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("first_ts").alias("b_first"),
+        F.col("last_ts").alias("b_last"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        "a_first",
+        "a_last",
+        "b_first",
+        "b_last",
+        bucket_seconds=900,
+        extra_on=F.col("user_a") < F.col("user_b"),
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum(
+                F.unix_micros(F.least("a_last", "b_last"))
+                - F.unix_micros(F.greatest("a_first", "b_first"))
+            )
+            .cast("bigint")
+            .alias("overlap_us"),
+        )
+        .orderBy(
+            F.desc("overlap_us"), F.desc("n_overlaps"), "user_a", "user_b"
+        )
+        .limit(20)
+    )

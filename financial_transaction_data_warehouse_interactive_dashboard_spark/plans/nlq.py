@@ -252,6 +252,7 @@ ROUTES: dict[str, tuple[str, ...]] = {
     "tpch_q19_bracket_revenue": ("bracket", "brackets", "bands", "qualifying", "combinations"),
     "tpch_q20_excess_stock_suppliers": ("excess", "overstock", "surplus", "stocked", "idle"),
     "tpch_q21_waiting_suppliers": ("waiting", "held", "kept", "blocking", "bottleneck"),
+    "ev_session_overlap_pairs": ("overlapping", "overlap", "together", "jointly", "copresence"),
 }
 
 # Entries deliberately WITHOUT an NL route — operator-shape parity

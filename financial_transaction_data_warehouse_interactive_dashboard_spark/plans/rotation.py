@@ -543,6 +543,11 @@ NEXT_QUEUE: tuple[str, ...] = (
     "tpch_q19_bracket_revenue",  # disjunction-of-conjunctions residual, derived brand-IN pushdown
     "tpch_q20_excess_stock_suppliers",  # nested-IN chain, conditional year sum in the same aggregate, BIGINT-exact
     "tpch_q21_waiting_suppliers",  # double EXISTS/NOT-EXISTS decorrelated to grain+counts, no fact self-join
+    # --- r16: the RANGE JOIN (the task brief's named custom-operator
+    # --- slot next to as-of): bucketed interval-overlap join in
+    # --- operators/rangejoin.py, exercised by the concurrent-session
+    # --- pairs entry (authored r16 post-flip, three-scale verified)
+    "ev_session_overlap_pairs",  # quadratic-oracle vs bucketed-linear plan; exactly-once retention + closed-interval residual pinned by unit test
 )
 
 #: STEADY-STATE EVIDENCE-FRESHNESS POLICY (r9, VERDICT r8 ask #4) — in

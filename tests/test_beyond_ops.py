@@ -3107,3 +3107,83 @@ def test_ivfpq256_compact_defragments_without_changing_rows(spark):
         tuple(r) for r in spark.table("ivfpq256_fragchk_codes").collect()
     )
     assert rows_before == rows_after
+
+
+def test_interval_overlap_join_matches_naive_and_is_exactly_once(spark):
+    """The bucketed range join must return EXACTLY the pairs the naive
+    quadratic overlap join returns — once each — across the edge cases
+    that break binning schemes: intervals spanning many buckets,
+    zero-length (point) intervals, touching endpoints (closed-interval
+    semantics: equal endpoints DO overlap), disjoint neighbors in the
+    same bucket, and pairs whose first shared bucket is not either
+    side's first bucket."""
+    import datetime as dt
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(i, s_min, e_min):
+        return (
+            i,
+            t0 + dt.timedelta(minutes=s_min),
+            t0 + dt.timedelta(minutes=e_min),
+        )
+
+    rows = [
+        mk(1, 0, 120),     # long: spans 9 15-min buckets
+        mk(2, 115, 130),   # overlaps 1's tail
+        mk(3, 120, 120),   # point interval AT 1's closed end -> overlaps 1
+        mk(4, 121, 125),   # inside 1's... no: 1 ends at 120 -> disjoint
+        mk(5, 50, 55),     # inside 1
+        mk(6, 200, 210),   # disjoint from all
+        mk(7, 55, 50),     # NOTE: kept well-formed below; replaced
+    ]
+    rows[-1] = mk(7, 54, 56)  # overlaps 1 and 5
+    left = spark.createDataFrame(
+        [(i, s, e) for i, s, e in rows], "lid INT, ls TIMESTAMP, le TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(i, s, e) for i, s, e in rows], "rid INT, rs TIMESTAMP, re TIMESTAMP"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=900,
+            extra_on=F.col("lid") < F.col("rid"),
+        ).collect()
+    )
+    naive = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
+    )
+    assert got == naive
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert (1, 3) in got and (1, 4) not in got  # closed-endpoint semantics
+
+
+def test_session_overlap_plan_is_equi_join_not_nested_loop(spark):
+    """The range-join entry's defining claim: the pure-inequality
+    overlap predicate must NOT plan as BroadcastNestedLoopJoin or
+    CartesianProduct (the quadratic trap a naive translation hits) —
+    the bucket explode turns it into a hash equi-join, and the page
+    comes from TakeOrderedAndProject."""
+    from test_plan_quality import plan_of
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    df = REGISTRY["ev_session_overlap_pairs"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
