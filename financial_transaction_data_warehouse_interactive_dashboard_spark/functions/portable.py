@@ -101,17 +101,49 @@ def sql_jaccard(a: str, b: str) -> str:
     )
 
 
+def spark_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL fragment for the in-order fold dot product — usable
+    inside higher-order-function lambdas (where Column objects can't
+    reach); :func:`dot` / :func:`cosine` wrap it."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def spark_norm_sql(a: str) -> str:
+    """Spark-SQL fragment for the Euclidean norm of an array column —
+    the exact sub-expression :func:`cosine` computes per side, exposed
+    so callers can pre-compute a side's norm ONCE (e.g. per broadcast
+    centroid) and keep ``dot / (norm_a * norm_b)`` bit-identical to the
+    inline cosine (same IEEE ops in the same order)."""
+    return f"sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
+
+
+def spark_cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL fragment for :func:`cosine` (for HOF-lambda use)."""
+    return (
+        f"{spark_dot_sql(a, b)}"
+        f" / ({spark_norm_sql(a)} * {spark_norm_sql(b)})"
+    )
+
+
+def spark_cosine_prenorm_sql(a: str, b: str, na: str, nb: str) -> str:
+    """:func:`cosine` with both norms pre-computed (``na``/``nb`` must
+    hold exactly :func:`spark_norm_sql` of their side): the quotient
+    ``dot / (na * nb)`` is the identical IEEE expression tree, so the
+    result is bit-equal to the inline form while evaluating each norm
+    once instead of once per candidate pair."""
+    return f"{spark_dot_sql(a, b)} / ({na} * {nb})"
+
+
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side (no UDF):
     zip_with dot product + aggregate norms. Summation is in array order in
     both Spark and DuckDB, so results are bit-identical; outputs should
     still be rounded before crossing the oracle boundary (last-ulp hygiene
     for any future engine change)."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        f" / (sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x))"
-        f"    * sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x)))"
-    )
+    return F.expr(spark_cosine_sql(a, b))
 
 
 def sql_cosine(a: str, b: str) -> str:
@@ -122,10 +154,7 @@ def dot(a: str, b: str) -> Column:
     """Inner product of two array<double> columns, JVM-side — the
     numerator of :func:`cosine`, summed in array order (bit-identical to
     the DuckDB twin for the same reason)."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
-        " (acc, x) -> acc + x)"
-    )
+    return F.expr(spark_dot_sql(a, b))
 
 
 def sql_dot(a: str, b: str) -> str:

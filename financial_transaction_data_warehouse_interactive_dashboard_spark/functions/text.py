@@ -343,27 +343,44 @@ def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:
     engine from the same merge table and vocab (the _sql_ivf_kmeans
     discipline: one generator, two dialects, zero semantic drift).
 
-    Pipeline: lowercase -> non-alpha to space -> words -> per word,
-    delimiter-encode ('/t/h/e/'), apply the merge chain, split back to
-    symbols -> flatten to the doc's token stream -> vocab lookup. Every
-    stage is engine-portable string/array kernels; integer ids mean NO
-    float anywhere — the whole operator is exact by construction."""
+    Pipeline: lowercase -> non-alpha to space -> delimiter-encode the
+    WHOLE document in one pass ('/t/h/e/ /c/a/t/' — every character,
+    spaces included, gets its own '/'-bounded segment), apply the merge
+    chain to the one document string, split back to symbols, drop the
+    ''/' ' boundary segments -> the doc's token stream -> vocab lookup.
+    Every stage is engine-portable string/array kernels; integer ids
+    mean NO float anywhere — the whole operator is exact by
+    construction.
+
+    Whole-document encoding (r16) replaces the original per-word
+    form (encode each word inside a transform/list_transform lambda,
+    run the replace chain per word, flatten): a merge pattern
+    '/a/b/' has non-empty alphabetic a and b, so it can never match
+    across a '/ /' word boundary, and a replacement never erases a
+    boundary — per-word and whole-document chains therefore produce
+    the IDENTICAL symbol stream (pinned by
+    tests/test_beyond_ops.py::test_bpe_whole_doc_equals_per_word).
+    What changes is the physical cost: Spark evaluates lambda bodies
+    interpreted, so the old form paid |words| interpreted evaluations
+    of a (merges x BPE_PASSES)-deep replace chain per document; the
+    new chain is one top-level whole-stage-codegen expression over the
+    same total bytes (guide section 4.1: prefer built-in expressions
+    at the top level over per-element lambda work)."""
     vocab_case = bpe_vocab_case_sql()
-    words = bpe_words_sql(engine, text_col)
     if engine == "spark":
-        seed = "'/' || regexp_replace(w, '(.)', '$1/')"
+        spaced = f"regexp_replace(lower({text_col}), '[^a-z]+', ' ')"
+        enc = f"'/' || regexp_replace({spaced}, '(.)', '$1/')"
         toks = (
-            f"flatten(transform({words}, w -> "
-            f"filter(split({_bpe_replace_chain(seed)}, '/'),"
-            f" t -> t != '')))"
+            f"filter(split({_bpe_replace_chain(enc)}, '/'),"
+            f" t -> t != '' AND t != ' ')"
         )
         return f"transform({toks}, t -> {vocab_case})"
     if engine == "duckdb":
-        seed = r"'/' || regexp_replace(w, '(.)', '\1/', 'g')"
+        spaced = f"regexp_replace(lower({text_col}), '[^a-z]+', ' ', 'g')"
+        enc = rf"'/' || regexp_replace({spaced}, '(.)', '\1/', 'g')"
         toks = (
-            f"flatten(list_transform({words}, w -> "
-            f"list_filter(string_split({_bpe_replace_chain(seed)}, '/'),"
-            f" t -> t != '')))"
+            f"list_filter(string_split({_bpe_replace_chain(enc)}, '/'),"
+            f" t -> t != '' AND t != ' ')"
         )
         return f"list_transform({toks}, t -> {vocab_case})"
     raise ValueError(f"unknown engine: {engine}")

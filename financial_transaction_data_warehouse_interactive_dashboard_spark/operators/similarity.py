@@ -132,34 +132,122 @@ def topk_ann_ivf(
     )
 
 
+def _pin(df: DataFrame, name: str) -> DataFrame:
+    """Re-emit column ``name`` through a one-element explode so that
+    downstream higher-order-function lambdas referencing it see a plain
+    ATTRIBUTE. Without the Generate barrier, CollapseProject inlines
+    the column's defining expression into the lambda body and the
+    optimizer-inlined copy is re-evaluated PER ARRAY ELEMENT (measured:
+    a d-element norm fold re-run once per candidate centroid). The
+    explode of a one-element array is row-preserving and evaluates the
+    expression exactly once per row, below the barrier."""
+    return (
+        df.withColumn("_pin", F.explode(F.array(F.col(name))))
+        .drop(name)
+        .withColumnRenamed("_pin", name)
+    )
+
+
+def _cells_row(cells: DataFrame) -> DataFrame:
+    """All centroids as ONE broadcastable row: ``_cells`` =
+    array<struct<cell, cv, ncv>> sorted by cell id, with each
+    centroid's Euclidean norm pre-computed once (``ncv`` holds exactly
+    :func:`P.spark_norm_sql` of ``cv``, so downstream pre-normalized
+    cosines stay bit-identical to the inline form)."""
+    return cells.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"),
+                    F.col("cv"),
+                    F.expr(P.spark_norm_sql("cv")).alias("ncv"),
+                )
+            )
+        ).alias("_cells")
+    )
+
+
+def _best_cell_sql(vec: str = "v", nvec: str = "nv") -> str:
+    """Nearest-centroid argmax as a single map-side expression over the
+    broadcast ``_cells`` array (requires :func:`_cells_row` cross-joined
+    in and a pre-computed ``nvec`` norm column): returns a
+    struct<s, nc, cell> whose fields are the winning rounded cosine and
+    cell. ``array_max`` over struct(s, -cell, cell) realizes exactly the
+    (score DESC, cell ASC) total order the r13 ``max_by`` used — but as
+    a pure projection, so the corpus-wide Exchange that the
+    ``groupBy(vec_id).agg(max_by(...))`` formulation paid (shuffling
+    every vector's payload once per assignment — the dominant shuffle
+    of every Lloyd/IVF build at 10^9 vectors) disappears entirely
+    (guide section 2.4: remove shuffles outright)."""
+    score = f"round({P.spark_cosine_prenorm_sql(vec, 'c.cv', nvec, 'c.ncv')}, 6)"
+    return (
+        f"array_max(transform(_cells, c -> "
+        f"struct({score} AS s, -c.cell AS nc, c.cell AS cell)))"
+    )
+
+
+def nearest_cell_scored(
+    df: DataFrame, cells: DataFrame, keep: list[str], vec_col: str = "v"
+) -> DataFrame:
+    """``keep`` + (cell, cell_cos): each row's nearest centroid AND its
+    rounded cosine — the quantizer-fit monitor shape (drift monitors,
+    retrain verification) — computed shuffle-free against the broadcast
+    centroid row (:func:`_cells_row`). Replaces the
+    ``crossJoin -> row_number window -> rn = 1`` formulation, whose
+    window Exchange shuffled the corpus x n_cells fan-out (vector
+    payloads included) once per monitored cohort; scores and tie-breaks
+    are the window's exactly ((cell_cos DESC, cell ASC) == struct
+    (s, -cell) max), so the selected (cell, cell_cos) pairs are
+    identical row-for-row."""
+    pinned = _pin(
+        df.crossJoin(F.broadcast(_cells_row(cells))).withColumn(
+            "nv", F.expr(P.spark_norm_sql(vec_col))
+        ),
+        "nv",
+    )
+    best = _pin(
+        pinned.withColumn("_best", F.expr(_best_cell_sql(vec_col, "nv"))),
+        "_best",
+    )
+    return best.select(
+        *keep,
+        F.col("_best.cell").alias("cell"),
+        F.col("_best.s").alias("cell_cos"),
+    )
+
+
 def _assign_cells(vecs: DataFrame, cells: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (ties -> lowest
-    cell). Single-pass ``max_by`` partial aggregation instead of a
-    row_number window over the corpus x n_cells fan-out (r13 — the
-    sim_ann_pq256 assignment lesson applied to the coarse quantizer):
-    the struct order (cell_cos, -cell) is exactly the window's
-    (score DESC, cell ASC) total order, so assignments are identical
-    row-for-row; the aggregation combines map-side instead of sorting
-    the fan-out, which is also the 10^9-vector plan.
+    cell). Shuffle-FREE since r16: the centroid table is collapsed to a
+    single broadcast row (:func:`_cells_row`) and each vector picks its
+    argmax cell in one projection (:func:`_best_cell_sql`) — the r13
+    ``max_by`` partial aggregation still paid one full-corpus Exchange
+    (hash(vec_id), vector payload included) per assignment; this pays
+    none. The struct order (s, -cell) is the same (cell_cos DESC, cell
+    ASC) total order, so assignments are identical row-for-row.
 
-    Invariant (ADVICE r13): the ordering key must be non-NULL for at
-    least one candidate per vector — ``max_by`` SKIPS NULL ordering
-    keys, where the old row_number window ranked NULLS LAST, so a
-    vector whose cell_cos is NULL against EVERY centroid would get a
-    NULL cell here instead of a deterministic last-place assignment.
-    P.cosine returns NULL only for NULL or ragged input arrays (the
-    fixture has neither; a zero-norm vector yields NaN, not NULL, and
-    NaN sorts ABOVE every double in both the window and the max_by
-    struct order — same assignment either way), so the two
-    formulations coincide; revisit if a nullable vector source ever
-    feeds this path."""
-    best = F.expr("max_by(struct(v, cell), struct(cell_cos, -cell))")
+    Invariant (ADVICE r13, carried): the rounded cosine must be
+    non-NULL for at least one centroid per vector — a NULL score field
+    sorts LOWEST inside ``array_max``'s struct order (max_by SKIPPED
+    null keys; the old window ranked NULLS LAST), so the formulations
+    coincide unless EVERY centroid scores NULL, which P.cosine produces
+    only for NULL/ragged input arrays (the fixture has neither; a
+    zero-norm vector yields NaN, which sorts ABOVE every double in both
+    formulations — same assignment either way). An EMPTY ``cells``
+    frame now yields NULL cells instead of an empty result — no caller
+    builds one (Lloyd never empties its seed set)."""
     return (
-        vecs.crossJoin(F.broadcast(cells))
-        .withColumn("cell_cos", F.round(P.cosine("v", "cv"), 6))
-        .groupBy("vec_id")
-        .agg(best.alias("b"))
-        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+        _pin(
+            vecs.crossJoin(F.broadcast(_cells_row(cells))).withColumn(
+                "nv", F.expr(P.spark_norm_sql("v"))
+            ),
+            "nv",
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.expr(_best_cell_sql() + ".cell").alias("cell"),
+        )
     )
 
 
@@ -377,6 +465,50 @@ def _pq_metric(metric: str) -> F.Column:
     return P.cosine("sv", "cv")
 
 
+def _books_row(books: DataFrame, metric: str = "cosine") -> DataFrame:
+    """All PQ codebooks as ONE broadcastable row: ``_books`` =
+    map<m, array<struct<code, cv, aux>>> with each subspace's entries
+    sorted by code. ``aux`` pre-computes the per-codeword half of the
+    scoring metric ONCE (cosine: the codeword norm; l2: the MIPS
+    identity's 0.5*<cv,cv> term — exactly the sub-expressions the
+    inline metric evaluated per candidate pair, so pre-normalized
+    scores stay bit-identical)."""
+    if metric == "l2":
+        aux = F.expr("CAST('0.5' AS DOUBLE)") * P.dot("cv", "cv")
+    else:
+        aux = F.expr(P.spark_norm_sql("cv"))
+    per_m = books.withColumn("aux", aux).groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cv", "aux"))).alias(
+            "arr"
+        )
+    )
+    return per_m.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("m", "arr")))
+        ).alias("_books")
+    )
+
+
+def _best_code_sql(metric: str = "cosine", sv: str = "sv", m: str = "m",
+                   nsv: str = "nsv") -> str:
+    """Nearest-codeword argmax as a single map-side expression over the
+    broadcast ``_books`` map (requires :func:`_books_row`(metric)
+    cross-joined in; cosine additionally needs a pre-computed ``nsv``
+    subvector-norm column): returns struct<s, nc, code>. Same
+    zero-Exchange rationale as :func:`_best_cell_sql`."""
+    if metric == "l2":
+        score = f"round({P.spark_dot_sql(sv, 'c.cv')} - c.aux, 6)"
+    else:
+        score = (
+            f"round({P.spark_cosine_prenorm_sql(sv, 'c.cv', nsv, 'c.aux')},"
+            " 6)"
+        )
+    return (
+        f"array_max(transform(element_at(_books, {m}), c -> "
+        f"struct({score} AS s, -c.code AS nc, c.code AS code)))"
+    )
+
+
 def _pq_assign(
     subs: DataFrame, books: DataFrame, metric: str = "cosine"
 ) -> DataFrame:
@@ -387,21 +519,22 @@ def _pq_assign(
     required for RESIDUAL subvectors, which can be exactly the zero
     vector (cosine undefined there; the identity is well-defined and
     its tie-break total). Portable: every term is an in-order fold with
-    the identical parenthesization in the DuckDB twin. Single-pass
-    ``max_by`` partial aggregation (r13, the sim_ann_pq256 assignment
-    lesson): struct order (sub_score, -code) == the previous window's
-    (score DESC, code ASC), identical codes row-for-row, no sort over
-    the subvector x n_codes fan-out."""
-    best = F.expr("max_by(struct(sv, code), struct(sub_score, -code))")
-    return (
-        subs.join(F.broadcast(books), "m")
-        .withColumn("sub_score", F.round(_pq_metric(metric), 6))
-        .groupBy("vec_id", "m")
-        .agg(best.alias("b"))
-        .select(
-            "vec_id", "m", F.col("b.sv").alias("sv"),
-            F.col("b.code").alias("code"),
+    the identical parenthesization in the DuckDB twin. Shuffle-FREE
+    since r16 (the _assign_cells rewrite applied per subspace): the
+    codebooks collapse to one broadcast map row (:func:`_books_row`)
+    and each subvector picks its argmax code in one projection — the
+    r13 ``max_by`` partial aggregation still paid a corpus x m Exchange
+    (subvector payloads included) per encode. Struct order (s, -code)
+    == the window's (score DESC, code ASC); identical codes
+    row-for-row."""
+    out = subs.crossJoin(F.broadcast(_books_row(books, metric)))
+    if metric != "l2":
+        out = _pin(
+            out.withColumn("nsv", F.expr(P.spark_norm_sql("sv"))), "nsv"
         )
+    return out.select(
+        "vec_id", "m", "sv",
+        F.expr(_best_code_sql(metric) + ".code").alias("code"),
     )
 
 
@@ -569,14 +702,20 @@ def build_ivfpq_index(
     books = pq_codebooks(
         subs_c.select("vec_id", "m", "sv"), n_codes, pq_iterations
     )
-    # encode: max_by partial aggregation (r13), identical tie semantics
-    # to the previous (sub_cos DESC, code ASC) row_number window
+    # encode: zero-Exchange broadcast-map argmax (r16; previously a
+    # max_by partial aggregation whose exchange carried corpus x m
+    # subvector rows) — identical tie semantics, identical codes
     inv = (
-        subs_c.join(F.broadcast(books), "m")
-        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-        .groupBy("vec_id", "cell", "m")
-        .agg(F.expr("max_by(code, struct(sub_cos, -code))").alias("code"))
-        .select("vec_id", "cell", "m", "code")
+        _pin(
+            subs_c.crossJoin(F.broadcast(_books_row(books))).withColumn(
+                "nsv", F.expr(P.spark_norm_sql("sv"))
+            ),
+            "nsv",
+        )
+        .select(
+            "vec_id", "cell", "m",
+            F.expr(_best_code_sql() + ".code").alias("code"),
+        )
     )
     return cells, books, inv
 
@@ -829,14 +968,15 @@ def topk_ann_ivfadc_residual_vs_raw(
         rsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations,
         metric="l2",
     )
-    # encode: max_by partial aggregation (r13), identical tie semantics
-    # to the previous (sub_ip DESC, code ASC) row_number window
+    # encode: zero-Exchange broadcast-map argmax (r16; previously a
+    # max_by partial aggregation whose exchange carried corpus x m
+    # residual-subvector rows) — identical tie semantics and codes
     rinv = (
-        rsubs.join(F.broadcast(rbooks), "m")
-        .withColumn("sub_ip", F.round(_pq_metric("l2"), 6))
-        .groupBy("vec_id", "cell", "m")
-        .agg(F.expr("max_by(code, struct(sub_ip, -code))").alias("code"))
-        .select("vec_id", "cell", "m", "code")
+        rsubs.crossJoin(F.broadcast(_books_row(rbooks, "l2")))
+        .select(
+            "vec_id", "cell", "m",
+            F.expr(_best_code_sql("l2") + ".code").alias("code"),
+        )
     )
 
     # raw subvectors from the SAME assignment (published-variant
@@ -849,13 +989,16 @@ def topk_ann_ivfadc_residual_vs_raw(
             rawsubs.select("vec_id", "m", "sv"), n_codes, pq_iterations
         )
         rawinv = (
-            rawsubs.join(F.broadcast(rawbooks), "m")
-            .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-            .groupBy("vec_id", "cell", "m")
-            .agg(
-                F.expr("max_by(code, struct(sub_cos, -code))").alias("code")
+            _pin(
+                rawsubs.crossJoin(
+                    F.broadcast(_books_row(rawbooks))
+                ).withColumn("nsv", F.expr(P.spark_norm_sql("sv"))),
+                "nsv",
             )
-            .select("vec_id", "cell", "m", "code")
+            .select(
+                "vec_id", "cell", "m",
+                F.expr(_best_code_sql() + ".code").alias("code"),
+            )
         )
 
     # shared query side: probe by rounded cosine, keep the exact cell
@@ -966,74 +1109,148 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
         # ADVICE r11: with iterations=0 `lam` stays None and the final
         # crossJoin crashes opaquely — fail fast with the contract.
         raise ValueError("pca_power_top1 requires iterations >= 1")
-    ex = _vecs(emb).select(
-        "vec_id", F.posexplode("v").alias("pos", "val")
+    base = _vecs(emb)
+    mu_arr = _mu_row(base)
+    c = _centered(base, mu_arr)
+    x = mu_arr.select(
+        F.expr("transform(mu_arr, _m -> CAST('0.125' AS DOUBLE))").alias(
+            "x_arr"
+        )
     )
-    mu = ex.groupBy("pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-            / F.count("*")
-        ).alias("mu")
-    ).localCheckpoint(eager=True)
-    c = ex.join(F.broadcast(mu), "pos").select(
-        "vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv")
-    )
-    x = mu.select("pos", F.lit(0.125).cast("double").alias("x"))
-    w = Window.partitionBy("vec_id")
-    lam = None
     for _ in range(iterations):
-        prod = c.join(F.broadcast(x), "pos").select(
-            "vec_id",
-            "pos",
-            "cv",
-            (F.col("cv") * F.col("x")).cast("decimal(38,12)").alias("t"),
-        )
-        scored = prod.withColumn(
-            "s", F.sum("t").over(w).cast("double")
-        )
-        y = scored.groupBy("pos").agg(
-            F.sum((F.col("cv") * F.col("s")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("y")
-        )
-        nrm = y.agg(
-            F.sqrt(
-                F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
-                .cast("double")
-            ).alias("nrm")
-        )
-        lam = nrm
-        x = (
-            y.crossJoin(F.broadcast(nrm))
-            .select(
-                "pos", F.round(F.col("y") / F.col("nrm"), 9).alias("x")
-            )
-            .localCheckpoint(eager=True)
-        )
-    sgn = x.filter(F.col("pos") == 0).select(
-        F.when(F.col("x") < 0, F.lit(-1.0))
+        x = _power_step(c, x)
+    sgn = x.select(
+        F.when(F.element_at("x_arr", 1) < 0, F.lit(-1.0))
         .otherwise(F.lit(1.0))
         .alias("sgn")
     )
     # the loop applies n*C (the un-normalized scatter action — the 1/n
     # cancels out of the normalized iterate, so the component is
     # unaffected); the Rayleigh estimate divides it back out once
-    nn = _vecs(emb).agg(F.count("*").alias("n"))
+    nn = base.agg(F.count("*").alias("n"))
     lam9 = (
-        lam.crossJoin(F.broadcast(nn))
+        x.crossJoin(F.broadcast(nn))
         .select(F.round(F.col("nrm") / F.col("n"), 9).alias("lambda9"))
     )
     return (
-        x.crossJoin(F.broadcast(sgn))
-        .join(F.broadcast(mu), "pos")
+        x.crossJoin(F.broadcast(mu_arr))
+        .crossJoin(F.broadcast(sgn))
         .crossJoin(F.broadcast(lam9))
         .select(
+            F.posexplode(F.arrays_zip("mu_arr", "x_arr")).alias("pos", "z"),
+            "sgn", "lambda9",
+        )
+        .select(
             F.col("pos").cast("int").alias("pos"),
-            F.round("mu", 9).alias("mu9"),
-            F.round(F.col("x") * F.col("sgn"), 9).alias("pc1_9"),
+            F.round(F.col("z.mu_arr"), 9).alias("mu9"),
+            F.round(F.col("z.x_arr") * F.col("sgn"), 9).alias("pc1_9"),
             "lambda9",
         )
         .orderBy("pos")
+    )
+
+
+def _mu_row(base: DataFrame) -> DataFrame:
+    """Per-dimension corpus mean as ONE checkpointed row
+    (``mu_arr`` array<double>): the decimal-exact per-pos mean of
+    pca_power_top1's original 64-row ``mu`` frame, reassembled in pos
+    order. One tiny exchange (map-side-combined partial sums), one
+    materialize job."""
+    ex = base.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    mu = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    return (
+        mu.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm")
+        )
+        .select(F.expr("transform(pm, p -> p.mu)").alias("mu_arr"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _centered(base: DataFrame, mu_arr: DataFrame) -> DataFrame:
+    """(vec_id, cv array<double>): the centered corpus, one map-side
+    zip_with against the broadcast mean row — LAZY (re-evaluation is a
+    cached scan + projection; nothing here shuffles)."""
+    return base.crossJoin(F.broadcast(mu_arr)).select(
+        "vec_id",
+        F.zip_with("v", "mu_arr", lambda a, b: a - b).alias("cv"),
+    )
+
+
+def _dot_dec12_sql(a: str, b: str) -> str:
+    """The per-row <a, b> inner product with the DECIMAL term-cast
+    discipline: each product is rounded to 12 dp BEFORE accumulation
+    (the same HALF_UP decimal cast the old per-term DECIMAL(38,12)
+    columns used), so the in-order fold is exact and equals the old
+    vec_id-window decimal SUM bit-for-bit (decimal addition is
+    associative/commutative; a 12-dp-scale decimal holds the identical
+    value at ANY precision wide enough). Width choreography: Spark has
+    no type-stable decimal Add — (p,12)+(p,12) yields (p+1,12) until
+    the 38 cap, where the SCALE drops to 11 and the 12th digit would
+    round away — so the fold accumulates in (26,12), lets the add
+    produce (27,12) exactly, and casts back to (26,12), which changes
+    only the precision (no scale rounding, pure range check; values
+    here are inner products of centered unit-scale embeddings,
+    |sum| < 10^6 against 10^14 of headroom)."""
+    return (
+        f"CAST(aggregate(zip_with({a}, {b},"
+        " (p, q) -> CAST(p * q AS DECIMAL(26,12))),"
+        " CAST(0 AS DECIMAL(26,12)),"
+        " (acc, t) -> CAST(acc + t AS DECIMAL(26,12))) AS DOUBLE)"
+    )
+
+
+_S_DECIMAL_SQL = _dot_dec12_sql("cv", "x_arr")
+
+
+def _power_step(c: DataFrame, x: DataFrame) -> DataFrame:
+    """One power iteration y = (nC)x, renormalized — array-native since
+    r16: the per-vector inner product s = <cv, x> is a map-side decimal
+    fold (was: a full-corpus Exchange for the vec_id-partitioned window
+    sum — the shuffle that made every iteration corpus-wide, guide
+    section 2.4), the d-group y-aggregation is the only exchange left
+    (map-side-combined partial decimal sums, d x n_partitions tiny
+    rows), and y's norm rides the SAME single-row aggregate so the
+    iterate (x_arr, nrm) materializes in one job. All arithmetic is the
+    original's: term-cast DECIMAL(38,12) sums, double mult, round to
+    9 dp — bit-identical iterates.
+
+    The y-terms consume ``s`` BELOW the posexplode Generate on purpose:
+    a scalar referenced inside a higher-order-function lambda gets its
+    defining expression INLINED by CollapseProject and re-evaluated per
+    array element (measured: the d-element fold re-run d times per
+    row); past the Generate barrier it is a plain attribute, evaluated
+    once per vector."""
+    terms = (
+        c.crossJoin(F.broadcast(x.select("x_arr")))
+        .withColumn("s", F.expr(_S_DECIMAL_SQL))
+        .select("s", F.posexplode("cv").alias("pos", "a"))
+        .select(
+            "pos",
+            (F.col("a") * F.col("s")).cast("decimal(38,12)").alias("t"),
+        )
+    )
+    y = terms.groupBy("pos").agg(F.sum("t").cast("double").alias("y"))
+    return (
+        y.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "y"))).alias("py"),
+            F.sqrt(
+                F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+                .cast("double")
+            ).alias("nrm"),
+        )
+        .select(
+            F.expr("transform(py, p -> round(p.y / nrm, 9))").alias(
+                "x_arr"
+            ),
+            "nrm",
+        )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1545,94 +1762,61 @@ def pca_power_topk(
     comp 0)."""
     if iterations < 1 or n_components < 1:
         raise ValueError("pca_power_topk requires >= 1 component/iteration")
-    ex = _vecs(emb).select("vec_id", F.posexplode("v").alias("pos", "val"))
-    mu = (
-        ex.groupBy("pos")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                / F.count("*")
-            ).alias("mu")
-        )
-        .localCheckpoint(eager=True)
-    )
-    c = (
-        ex.join(F.broadcast(mu), "pos")
-        .select("vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv"))
-        .localCheckpoint(eager=True)
-    )
-    nn = _vecs(emb).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("vec_id")
+    base = _vecs(emb)
+    mu_arr = _mu_row(base)
+    # The deflation rewrites cv in place each component, so the centered
+    # corpus is materialized as ARRAY rows (vec_id, cv) — d x fewer rows
+    # than the old exploded (vec_id, pos, cv) checkpoint, same doubles.
+    c = _centered(base, mu_arr).localCheckpoint(eager=True)
+    nn = base.agg(F.count("*").alias("n"))
     out = None
     prev_v = None
     for comp in range(n_components):
-        x = mu.select("pos", F.lit(0.125).cast("double").alias("x"))
-        lam = None
+        x = mu_arr.select(
+            F.expr("transform(mu_arr, _m -> CAST('0.125' AS DOUBLE))")
+            .alias("x_arr")
+        )
         for _ in range(iterations):
-            prod = c.join(F.broadcast(x), "pos").select(
-                "vec_id",
-                "pos",
-                "cv",
-                (F.col("cv") * F.col("x")).cast("decimal(38,12)").alias("t"),
-            )
-            scored = prod.withColumn(
-                "s", F.sum("t").over(w).cast("double")
-            )
-            y = scored.groupBy("pos").agg(
-                F.sum((F.col("cv") * F.col("s")).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("y")
-            )
-            nrm = y.agg(
-                F.sqrt(
-                    F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
-                    .cast("double")
-                ).alias("nrm")
-            )
-            lam = nrm
-            x = (
-                y.crossJoin(F.broadcast(nrm))
-                .select(
-                    "pos", F.round(F.col("y") / F.col("nrm"), 9).alias("x")
-                )
-                .localCheckpoint(eager=True)
-            )
-        sgn = x.filter(F.col("pos") == 0).select(
-            F.when(F.col("x") < 0, F.lit(-1.0))
-            .otherwise(F.lit(1.0))
-            .alias("sgn")
+            x = _power_step(c, x)
+        # v: the sign-fixed component as one row (vx_arr); derived from
+        # the checkpointed iterate, so it stays a cheap lazy projection.
+        v = x.select(
+            F.expr(
+                "transform(x_arr, e -> round(e * (CASE WHEN x_arr[0] < 0"
+                " THEN CAST('-1.0' AS DOUBLE)"
+                " ELSE CAST('1.0' AS DOUBLE) END), 9))"
+            ).alias("vx_arr")
         )
-        v = (
-            x.crossJoin(F.broadcast(sgn))
-            .select("pos", F.round(F.col("x") * F.col("sgn"), 9).alias("vx"))
-            .localCheckpoint(eager=True)
-        )
-        lam9 = lam.crossJoin(F.broadcast(nn)).select(
+        lam9 = x.crossJoin(F.broadcast(nn)).select(
             F.round(F.col("nrm") / F.col("n"), 9).alias("lambda9")
         )
         if prev_v is None:
-            ortho = mu.sparkSession.range(1).select(
+            ortho = base.sparkSession.range(1).select(
                 F.lit(0.0).cast("double").alias("ortho_prev9")
             )
         else:
+            # <v, prev_v> as the same DECIMAL(38,12) term-cast fold the
+            # old 64-row sum computed — exact, so order-independent.
             ortho = (
-                v.join(
-                    F.broadcast(prev_v.select("pos", F.col("vx").alias("pv"))),
-                    "pos",
+                v.crossJoin(
+                    F.broadcast(prev_v.select(F.col("vx_arr").alias("pv")))
                 )
-                .agg(
+                .select(
                     F.round(
-                        F.sum(
-                            (F.col("vx") * F.col("pv")).cast("decimal(38,12)")
-                        ).cast("double"),
-                        9,
+                        F.expr(_dot_dec12_sql("vx_arr", "pv")), 9
                     ).alias("ortho_prev9")
                 )
             )
         rows = (
-            v.join(F.broadcast(mu), "pos")
+            v.crossJoin(F.broadcast(mu_arr))
             .crossJoin(F.broadcast(lam9))
             .crossJoin(F.broadcast(ortho))
+            .select(
+                F.posexplode(F.arrays_zip("mu_arr", "vx_arr")).alias(
+                    "pos", "z"
+                ),
+                "lambda9", "ortho_prev9",
+            )
             .select(
                 F.lit(comp).cast("int").alias("comp"),
                 F.col("pos").cast("int").alias("pos"),
@@ -1641,8 +1825,8 @@ def pca_power_topk(
                 # sign of zero, Spark's BigDecimal round does not, so
                 # a -0.0 anywhere in the output would split the
                 # driver's value hash on bit pattern alone.
-                (F.round("mu", 9) + F.lit(0.0)).alias("mu9"),
-                (F.col("vx") + F.lit(0.0)).alias("pc_9"),
+                (F.round(F.col("z.mu_arr"), 9) + F.lit(0.0)).alias("mu9"),
+                (F.col("z.vx_arr") + F.lit(0.0)).alias("pc_9"),
                 (F.col("lambda9") + F.lit(0.0)).alias("lambda9"),
                 (F.col("ortho_prev9") + F.lit(0.0)).alias("ortho_prev9"),
             )
@@ -1650,21 +1834,23 @@ def pca_power_topk(
         out = rows if out is None else out.unionByName(rows)
         prev_v = v
         if comp < n_components - 1:
-            prodd = c.join(F.broadcast(v), "pos").select(
-                "vec_id",
-                "pos",
-                "cv",
-                "vx",
-                (F.col("cv") * F.col("vx"))
-                .cast("decimal(38,12)")
-                .alias("t"),
+            # Deflate in place: cv <- cv - <cv, v> v. The projection
+            # coefficient s is the same map-side decimal fold as the
+            # power step's (was: one more corpus-wide window Exchange
+            # per component).
+            c = (
+                _pin(
+                    c.crossJoin(F.broadcast(v)).withColumn(
+                        "s", F.expr(_dot_dec12_sql("cv", "vx_arr"))
+                    ),
+                    "s",
+                )
+                .select(
+                    "vec_id",
+                    F.expr(
+                        "zip_with(cv, vx_arr, (a, b) -> a - s * b)"
+                    ).alias("cv"),
+                )
+                .localCheckpoint(eager=True)
             )
-            sd = prodd.withColumn(
-                "s", F.sum("t").over(w).cast("double")
-            )
-            c = sd.select(
-                "vec_id",
-                "pos",
-                (F.col("cv") - F.col("s") * F.col("vx")).alias("cv"),
-            ).localCheckpoint(eager=True)
     return out.orderBy("comp", "pos")

@@ -829,20 +829,14 @@ def pl_retrain_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     def fit(frame: DataFrame, cells: DataFrame, phase: str, cohort: str):
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cell_cos"), F.asc("cell")
-        )
-        return (
-            frame.crossJoin(F.broadcast(cells))
-            .withColumn("cell_cos", F.round(_P.cosine("v", "cv"), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.lit(phase).alias("phase"),
-                F.lit(cohort).alias("cohort"),
-                "cell",
-                F.col("cell_cos").cast("decimal(18,6)").alias("q"),
-            )
+        # shuffle-free nearest-cell + fit score (r16: was a corpus x
+        # cells crossJoin ranked by a row_number window — identical
+        # (cell, score) per row, zero Exchange per monitored cohort)
+        return S.nearest_cell_scored(frame, cells, []).select(
+            F.lit(phase).alias("phase"),
+            F.lit(cohort).alias("cohort"),
+            "cell",
+            F.col("cell_cos").cast("decimal(18,6)").alias("q"),
         )
 
     al = (

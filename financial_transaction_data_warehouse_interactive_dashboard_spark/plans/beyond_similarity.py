@@ -1581,19 +1581,13 @@ def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.partitionBy("cohort", "vec_id").orderBy(
-        F.desc("cell_cos"), F.asc("cell")
-    )
-    af = (
-        co.crossJoin(F.broadcast(cells))
-        .withColumn("cell_cos", F.round(_P.cosine("v", "cv"), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cohort",
-            "cell",
-            F.col("cell_cos").cast("decimal(18,6)").alias("q"),
-        )
+    # shuffle-free nearest-cell + fit score (r16: was a corpus x cells
+    # crossJoin ranked by a row_number window — one full Exchange per
+    # monitored cohort union; identical (cell, score) per row)
+    af = S.nearest_cell_scored(co, cells, ["cohort"]).select(
+        "cohort",
+        "cell",
+        F.col("cell_cos").cast("decimal(18,6)").alias("q"),
     )
     gc = af.groupBy("cohort", "cell").agg(
         F.count("*").alias("nc"), F.sum("q").alias("sq")
@@ -1793,19 +1787,13 @@ def wh_ivfpq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def monitor(cells: DataFrame, tag: str) -> DataFrame:
-        w = Window.partitionBy("cohort", "vec_id").orderBy(
-            F.desc("cell_cos"), F.asc("cell")
-        )
-        af = (
-            co.crossJoin(F.broadcast(cells))
-            .withColumn("cell_cos", F.round(_P.cosine("v", "cv"), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "cohort",
-                "cell",
-                F.col("cell_cos").cast("decimal(18,6)").alias("q"),
-            )
+        # shuffle-free nearest-cell + fit score (r16: was a corpus x
+        # cells crossJoin ranked by a row_number window — identical
+        # (cell, score) per row, zero Exchange)
+        af = S.nearest_cell_scored(co, cells, ["cohort"]).select(
+            "cohort",
+            "cell",
+            F.col("cell_cos").cast("decimal(18,6)").alias("q"),
         )
         gc = af.groupBy("cohort", "cell").agg(
             F.count("*").alias("nc"), F.sum("q").alias("sq")

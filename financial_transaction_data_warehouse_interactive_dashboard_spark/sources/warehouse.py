@@ -343,14 +343,22 @@ def append_ivfpq_vectors(new_emb: DataFrame, prefix: str) -> None:
     subs_c = assign.select("vec_id", "cell", sub_e.alias("e")).select(
         "vec_id", "cell", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")
     )
-    # encode: max_by partial aggregation (r13), identical tie semantics
-    # to the previous (sub_cos DESC, code ASC) row_number window
+    # encode: zero-Exchange broadcast-map argmax (r16; previously a
+    # max_by partial aggregation whose exchange carried batch x m
+    # subvector rows) — identical tie semantics, identical codes
+    from ..operators.similarity import _best_code_sql, _books_row, _pin
+
     enc = (
-        subs_c.join(F.broadcast(books), "m")
-        .withColumn("sub_cos", F.round(P.cosine("sv", "cv"), 6))
-        .groupBy("vec_id", "cell", "m")
-        .agg(F.expr("max_by(code, struct(sub_cos, -code))").alias("code"))
-        .select("vec_id", "cell", "m", "code")
+        _pin(
+            subs_c.crossJoin(F.broadcast(_books_row(books))).withColumn(
+                "nsv", F.expr(P.spark_norm_sql("sv"))
+            ),
+            "nsv",
+        )
+        .select(
+            "vec_id", "cell", "m",
+            F.expr(_best_code_sql() + ".code").alias("code"),
+        )
     )
     target = f"{prefix}_codes"
     cols = spark.table(target).columns  # align column order for append

@@ -1255,21 +1255,14 @@ def run_ivfpq_monitor_stream(
     )
 
     def monitor_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql.window import Window as W
+        from ..operators.similarity import nearest_cell_scored
 
-        w = W.partitionBy("cohort", "vec_id").orderBy(
-            F.desc("cell_cos"), F.asc("cell")
-        )
-        af = (
-            batch_df.crossJoin(F.broadcast(frozen))
-            .withColumn("cell_cos", F.round(P.cosine("v", "cv"), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "cohort",
-                "cell",
-                F.col("cell_cos").cast("decimal(18,6)").alias("q"),
-            )
+        # shuffle-free nearest-cell + fit score (r16: the batch-tier
+        # monitor rewrite applied verbatim — stream == batch plans)
+        af = nearest_cell_scored(batch_df, frozen, ["cohort"]).select(
+            "cohort",
+            "cell",
+            F.col("cell_cos").cast("decimal(18,6)").alias("q"),
         )
         gc_ = af.groupBy("cohort", "cell").agg(
             F.count("*").alias("nc"), F.sum("q").alias("sq")

@@ -301,6 +301,52 @@ def test_bpe_planted_merges(spark):
     assert v["the"] == T.BPE_BASE_ID + 1 and v["ble"] == T.BPE_BASE_ID + 11
 
 
+def test_bpe_whole_doc_equals_per_word(spark):
+    """The r16 whole-document replace chain must emit the identical
+    token-id stream as the original per-word formulation (encode each
+    word inside a transform lambda, chain per word, flatten) — the
+    boundary argument: every merge pattern '/a/b/' has non-empty
+    alphabetic symbols, so it can never match across the '/ /'
+    (or '//') segment a word boundary leaves, and no replacement ever
+    erases a boundary. Adversarial fixtures: boundary-sharing repeats
+    (ababab), a word ending where the next begins ('cat hat' around the
+    t/h merge), multi-char merges ('table'), punctuation runs, empty
+    and non-alpha-only docs."""
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.functions import (
+        text as T,
+    )
+
+    texts = [
+        "the table scan",
+        "cat hat that tthhe",  # t|h across a word boundary
+        "ababababababababab abab",  # same-pair runs (pass budget)
+        "THE,table!scan 123 ?!",
+        "",
+        "410 --- !!",
+        "ble bble thethe ant tant",
+        "a b c abc",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # The pre-r16 per-word generator, inlined verbatim.
+    words = T.bpe_words_sql("spark")
+    seed = "'/' || regexp_replace(w, '(.)', '$1/')"
+    old_toks = (
+        f"flatten(transform({words}, w -> "
+        f"filter(split({T._bpe_replace_chain(seed)}, '/'),"
+        f" t -> t != '')))"
+    )
+    old_ids = f"transform({old_toks}, t -> {T.bpe_vocab_case_sql()})"
+    got = df.select(
+        "doc_id",
+        F.expr(T.bpe_token_ids_sql("spark")).alias("new"),
+        F.expr(old_ids).alias("old"),
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["doc_id"], r["new"], r["old"])
+
+
 def test_bpe_train_matches_pure_python_reference(spark):
     """bpe_train on a planted corpus must equal an independent plain-
     Python implementation of the same spec (adjacent-pair counts
