@@ -161,6 +161,20 @@ def sql_dot(a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
+def spark_dot_fixed_sql(a: str, b: str, n: int) -> str:
+    """Spark-SQL fragment for :func:`dot_fixed`. NOTE for HOF-lambda
+    use: measured SLOWER than the :func:`spark_dot_sql` fold inside an
+    interpreted lambda (the unrolled chain pays one interpreted
+    element_at dispatch per term, which costs more than the fold's
+    primitive-array loop), so prefer the fold there; the unrolled form
+    wins only at the TOP level, where codegen compiles it."""
+    terms = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, n + 1)
+    )
+    return f"0D + {terms}"
+
+
 def dot_fixed(a: str, b: str, n: int) -> Column:
     """:func:`dot` unrolled for a KNOWN array length ``n`` — bitwise
     identical to the fold (left-associated additions seeded with 0D,
@@ -170,11 +184,7 @@ def dot_fixed(a: str, b: str, n: int) -> Column:
     intermediate array allocation — on a corpus x 2048-row candidate
     frame that is ~10x the cost of the unrolled expression (measured
     9s -> <1s on sim_ann_pq256's assignment at sf0.1)."""
-    terms = " + ".join(
-        f"element_at({a}, {i}) * element_at({b}, {i})"
-        for i in range(1, n + 1)
-    )
-    return F.expr(f"0D + {terms}")
+    return F.expr(spark_dot_fixed_sql(a, b, n))
 
 
 def rolling_hash(arr_expr: str, mod: int = ROLL_MOD) -> Column:

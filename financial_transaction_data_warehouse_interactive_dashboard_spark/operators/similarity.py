@@ -1087,58 +1087,62 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
     pipeline runs before ANN indexing or dimensionality reduction
     (PCA-rotating vectors before PQ is the classic OPQ-lite trick).
     The covariance matrix is never materialized: each iteration applies
-    C = (1/n) Σ (v-μ)(v-μ)ᵀ to the current iterate x as two grouped
-    passes over the exploded (vec_id, pos, val) frame —
-    s_i = <v_i - μ, x> as a vec_id-partitioned window sum, then
-    y = Σ_i (v_i - μ) s_i as a 64-group aggregation — so the plan is
-    one shuffle per iteration plus a broadcast of the 64-row iterate,
-    exactly the shape a 10^9-vector corpus needs (state = d doubles,
-    never d x d, never a collect).
+    C = (1/n) Sigma (v-mu)(v-mu)^T to the current iterate x as ONE pass
+    over the (vec_id, cv array) corpus — s_i = <v_i - mu, x> is a
+    map-side decimal fold per row, y = Sigma_i (v_i - mu) s_i a
+    d-group aggregation of map-side-combined partial sums — so the
+    plan per iteration is one corpus scan plus a d x n_partitions-row
+    exchange, and the iterate state is d doubles held on the DRIVER
+    (a bounded 1-row collect per iteration; re-embedded as exact
+    double literals — the classic iterative-algorithm shape, and the
+    10^9-vector plan: no corpus-sized shuffle anywhere). r16 rewrite:
+    the original exploded (vec_id, pos, val) formulation paid a
+    vec_id-partitioned window Exchange over the whole corpus per
+    iteration plus an eager localCheckpoint + broadcast build of the
+    iterate frame; this pays neither.
 
     Exactness (the Lloyd-refine discipline): the per-dimension mean and
-    every inner-product accumulation are DECIMAL(38,12) term-cast sums
-    (order-independent, bit-equal across engines and partitionings —
-    the refine_centroids idiom); each new iterate is rounded to 9 dp before it
-    re-enters the next pass; the start vector is the exact double
-    1/8 = 0.125 on all 64 positions. The sign convention flips the
-    final component so its pos-0 entry is non-negative. Returns
-    64 rows: (pos, mu9, pc1_9, lambda9) — the centering mean, the unit
-    top component, and the top-eigenvalue estimate (the final pre-
-    normalization norm divided back by n)."""
+    every inner-product accumulation are DECIMAL term-cast sums at
+    scale 12 (order-independent, bit-equal across engines and
+    partitionings — the refine_centroids idiom; see _dot_dec12_sql for
+    the fold's width choreography); each new iterate is rounded to 9 dp
+    before it re-enters the next pass; the start vector is the exact
+    double 1/8 = 0.125 on all 64 positions; the driver round-trip is
+    exact (doubles collect and re-embed bit-identically). The sign
+    convention flips the final component so its pos-0 entry is
+    non-negative. Returns 64 rows: (pos, mu9, pc1_9, lambda9) — the
+    centering mean, the unit top component, and the top-eigenvalue
+    estimate (the final pre-normalization norm divided back by n)."""
     if iterations < 1:
-        # ADVICE r11: with iterations=0 `lam` stays None and the final
-        # crossJoin crashes opaquely — fail fast with the contract.
+        # ADVICE r11: with iterations=0 `nrm` stays None and the final
+        # projection crashes opaquely — fail fast with the contract.
         raise ValueError("pca_power_top1 requires iterations >= 1")
+    spark = emb.sparkSession
     base = _vecs(emb)
-    mu_arr = _mu_row(base)
-    c = _centered(base, mu_arr)
-    x = mu_arr.select(
-        F.expr("transform(mu_arr, _m -> CAST('0.125' AS DOUBLE))").alias(
-            "x_arr"
-        )
-    )
+    mu, n = _mu_and_n(base)
+    c = _centered_lit(base, mu)
+    x = [0.125] * len(mu)
+    nrm = None
     for _ in range(iterations):
-        x = _power_step(c, x)
-    sgn = x.select(
-        F.when(F.element_at("x_arr", 1) < 0, F.lit(-1.0))
-        .otherwise(F.lit(1.0))
-        .alias("sgn")
-    )
+        x, _vx, nrm = _power_step_lit(c, x)
     # the loop applies n*C (the un-normalized scatter action — the 1/n
     # cancels out of the normalized iterate, so the component is
     # unaffected); the Rayleigh estimate divides it back out once
-    nn = base.agg(F.count("*").alias("n"))
-    lam9 = (
-        x.crossJoin(F.broadcast(nn))
-        .select(F.round(F.col("nrm") / F.col("n"), 9).alias("lambda9"))
-    )
     return (
-        x.crossJoin(F.broadcast(mu_arr))
-        .crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(lam9))
+        spark.range(1)
+        .select(
+            _lit_arr(mu).alias("mu_arr"),
+            _lit_arr(x).alias("x_arr"),
+            F.round(
+                F.lit(nrm) / F.lit(n).cast("bigint"), 9
+            ).alias("lambda9"),
+        )
         .select(
             F.posexplode(F.arrays_zip("mu_arr", "x_arr")).alias("pos", "z"),
-            "sgn", "lambda9",
+            F.when(F.element_at("x_arr", 1) < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("sgn"),
+            "lambda9",
         )
         .select(
             F.col("pos").cast("int").alias("pos"),
@@ -1150,35 +1154,42 @@ def pca_power_top1(emb: DataFrame, iterations: int = 3) -> DataFrame:
     )
 
 
-def _mu_row(base: DataFrame) -> DataFrame:
-    """Per-dimension corpus mean as ONE checkpointed row
-    (``mu_arr`` array<double>): the decimal-exact per-pos mean of
-    pca_power_top1's original 64-row ``mu`` frame, reassembled in pos
-    order. One tiny exchange (map-side-combined partial sums), one
-    materialize job."""
-    ex = base.select("vec_id", F.posexplode("v").alias("pos", "val"))
-    mu = ex.groupBy("pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-            / F.count("*")
-        ).alias("mu")
-    )
-    return (
-        mu.agg(
-            F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm")
+def _lit_arr(vals) -> F.Column:
+    """An array<double> literal from driver-held doubles — the exact
+    re-embedding half of the bounded iterate round-trip (F.lit of a
+    Python float is the identical IEEE double)."""
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _mu_and_n(base: DataFrame) -> tuple[list[float], int]:
+    """(per-dimension decimal-exact corpus mean, corpus count) in ONE
+    job — the d-row bounded collect that seeds the power iteration
+    (the same sum(DECIMAL)/count expression the original 64-row mu
+    frame held, plus the count that the old separate nn aggregate
+    re-scanned for)."""
+    rows = (
+        base.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("*")
+            ).alias("mu"),
+            F.count("*").alias("n"),
         )
-        .select(F.expr("transform(pm, p -> p.mu)").alias("mu_arr"))
-        .localCheckpoint(eager=True)
+        .orderBy("pos")
+        .collect()
     )
+    return [r["mu"] for r in rows], int(rows[0]["n"]) if rows else 0
 
 
-def _centered(base: DataFrame, mu_arr: DataFrame) -> DataFrame:
-    """(vec_id, cv array<double>): the centered corpus, one map-side
-    zip_with against the broadcast mean row — LAZY (re-evaluation is a
-    cached scan + projection; nothing here shuffles)."""
-    return base.crossJoin(F.broadcast(mu_arr)).select(
+def _centered_lit(base: DataFrame, mu: list[float]) -> DataFrame:
+    """(vec_id, cv array<double>): the centered corpus as a pure LAZY
+    projection against the literal mean — re-evaluation is a cached
+    scan + one zip_with; nothing here shuffles or materializes."""
+    return base.select(
         "vec_id",
-        F.zip_with("v", "mu_arr", lambda a, b: a - b).alias("cv"),
+        F.zip_with("v", _lit_arr(mu), lambda a, b: a - b).alias("cv"),
     )
 
 
@@ -1205,20 +1216,18 @@ def _dot_dec12_sql(a: str, b: str) -> str:
     )
 
 
-_S_DECIMAL_SQL = _dot_dec12_sql("cv", "x_arr")
-
-
-def _power_step(c: DataFrame, x: DataFrame) -> DataFrame:
-    """One power iteration y = (nC)x, renormalized — array-native since
-    r16: the per-vector inner product s = <cv, x> is a map-side decimal
-    fold (was: a full-corpus Exchange for the vec_id-partitioned window
-    sum — the shuffle that made every iteration corpus-wide, guide
-    section 2.4), the d-group y-aggregation is the only exchange left
-    (map-side-combined partial decimal sums, d x n_partitions tiny
-    rows), and y's norm rides the SAME single-row aggregate so the
-    iterate (x_arr, nrm) materializes in one job. All arithmetic is the
-    original's: term-cast DECIMAL(38,12) sums, double mult, round to
-    9 dp — bit-identical iterates.
+def _power_step_lit(
+    c: DataFrame, x: list[float]
+) -> tuple[list[float], list[float], float]:
+    """One power iteration y = (nC)x, renormalized — ONE job: the
+    per-vector inner product s = <cv, x> is a map-side decimal fold
+    against the literal iterate, the d-group y-aggregation is the only
+    exchange (map-side-combined partial decimal sums, d x n_partitions
+    tiny rows), and the norm, the 9-dp-rounded next iterate AND its
+    sign-fixed variant ride the same single-row aggregate, collected
+    to the driver (bounded: d doubles). All arithmetic is the
+    original's: term-cast DECIMAL sums, double mult, round to 9 dp —
+    bit-identical iterates.
 
     The y-terms consume ``s`` BELOW the posexplode Generate on purpose:
     a scalar referenced inside a higher-order-function lambda gets its
@@ -1227,8 +1236,8 @@ def _power_step(c: DataFrame, x: DataFrame) -> DataFrame:
     row); past the Generate barrier it is a plain attribute, evaluated
     once per vector."""
     terms = (
-        c.crossJoin(F.broadcast(x.select("x_arr")))
-        .withColumn("s", F.expr(_S_DECIMAL_SQL))
+        c.withColumn("x_arr", _lit_arr(x))
+        .withColumn("s", F.expr(_dot_dec12_sql("cv", "x_arr")))
         .select("s", F.posexplode("cv").alias("pos", "a"))
         .select(
             "pos",
@@ -1236,7 +1245,7 @@ def _power_step(c: DataFrame, x: DataFrame) -> DataFrame:
         )
     )
     y = terms.groupBy("pos").agg(F.sum("t").cast("double").alias("y"))
-    return (
+    row = (
         y.agg(
             F.array_sort(F.collect_list(F.struct("pos", "y"))).alias("py"),
             F.sqrt(
@@ -1250,8 +1259,22 @@ def _power_step(c: DataFrame, x: DataFrame) -> DataFrame:
             ),
             "nrm",
         )
-        .localCheckpoint(eager=True)
+        .select(
+            "x_arr",
+            "nrm",
+            # the component the iterate converges to, sign-fixed and
+            # re-rounded EXACTLY as the original (round(x * sgn, 9));
+            # computed engine-side so the rounding function is Spark's
+            F.expr(
+                "transform(x_arr, e -> round(e *"
+                " (CASE WHEN x_arr[0] < 0 THEN CAST('-1.0' AS DOUBLE)"
+                " ELSE CAST('1.0' AS DOUBLE) END), 9))"
+            ).alias("vx_arr"),
+        )
+        .collect()[0]
     )
+    return list(row["x_arr"]), list(row["vx_arr"]), float(row["nrm"])
+
 
 
 # ---------------------------------------------------------------------------
@@ -1743,75 +1766,59 @@ def pca_power_topk(
     """Top-``n_components`` principal components by power iteration WITH
     DEFLATION (VERDICT r11 ask #3 — consume pca_power_top1's rotation
     claim): after each component v_j converges, the centered frame is
-    deflated in place (cv <- cv - <cv, v_j> v_j, one vec_id-partitioned
-    window sum + one broadcast of the 64-row component) and the next
-    component runs the identical iteration on the residual — so the
-    covariance is STILL never materialized and per-component state
-    stays d doubles. Total plan: n_components x (iterations + 1)
-    shuffles over the exploded corpus, each a window-sum + 64-group
-    DECIMAL-exact aggregation, exactly pca_power_top1's per-iteration
-    shape.
+    deflated in place (cv <- cv - <cv, v_j> v_j — a map-side decimal
+    fold per row against the literal component, composed LAZILY onto
+    the centered projection) and the next component runs the identical
+    iteration on the residual — so the covariance is STILL never
+    materialized and per-component state stays d doubles on the
+    driver. Total plan: n_components x iterations single-job corpus
+    passes, each pca_power_top1's per-iteration shape (no corpus-sized
+    shuffle, no checkpoint: the deflation chain is a bounded stack of
+    per-row folds that re-evaluates from the cached base scan).
 
-    Exactness: same DECIMAL(38,12) term-cast discipline; each component
-    re-enters the deflation as its 9-dp-rounded SIGNED vector (sign
-    flip leaves <cv,v>v invariant, so using the signed vector keeps the
-    engines trivially identical); the start iterate is the exact double
-    1/8 every component. Output n_components x 64 rows:
+    Exactness: same DECIMAL term-cast discipline (_dot_dec12_sql);
+    each component re-enters the deflation as its 9-dp-rounded SIGNED
+    vector (sign flip leaves <cv,v>v invariant, so using the signed
+    vector keeps the engines trivially identical); the start iterate is
+    the exact double 1/8 every component; driver round-trips of
+    iterates are exact. Output n_components x 64 rows:
     (comp, pos, mu9, pc_9, lambda9, ortho_prev9) — ortho_prev9 pins
     near-orthogonality against the PREVIOUS component in-hash (0.0 for
     comp 0)."""
     if iterations < 1 or n_components < 1:
         raise ValueError("pca_power_topk requires >= 1 component/iteration")
+    spark = emb.sparkSession
     base = _vecs(emb)
-    mu_arr = _mu_row(base)
-    # The deflation rewrites cv in place each component, so the centered
-    # corpus is materialized as ARRAY rows (vec_id, cv) — d x fewer rows
-    # than the old exploded (vec_id, pos, cv) checkpoint, same doubles.
-    c = _centered(base, mu_arr).localCheckpoint(eager=True)
-    nn = base.agg(F.count("*").alias("n"))
+    mu, n = _mu_and_n(base)
+    c = _centered_lit(base, mu)
     out = None
-    prev_v = None
+    prev_vx = None
     for comp in range(n_components):
-        x = mu_arr.select(
-            F.expr("transform(mu_arr, _m -> CAST('0.125' AS DOUBLE))")
-            .alias("x_arr")
-        )
+        x = [0.125] * len(mu)
+        nrm = None
+        vx = None
         for _ in range(iterations):
-            x = _power_step(c, x)
-        # v: the sign-fixed component as one row (vx_arr); derived from
-        # the checkpointed iterate, so it stays a cheap lazy projection.
-        v = x.select(
-            F.expr(
-                "transform(x_arr, e -> round(e * (CASE WHEN x_arr[0] < 0"
-                " THEN CAST('-1.0' AS DOUBLE)"
-                " ELSE CAST('1.0' AS DOUBLE) END), 9))"
-            ).alias("vx_arr")
+            x, vx, nrm = _power_step_lit(c, x)
+        one = spark.range(1).select(
+            _lit_arr(mu).alias("mu_arr"),
+            _lit_arr(vx).alias("vx_arr"),
+            F.round(
+                F.lit(nrm) / F.lit(n).cast("bigint"), 9
+            ).alias("lambda9"),
         )
-        lam9 = x.crossJoin(F.broadcast(nn)).select(
-            F.round(F.col("nrm") / F.col("n"), 9).alias("lambda9")
-        )
-        if prev_v is None:
-            ortho = base.sparkSession.range(1).select(
-                F.lit(0.0).cast("double").alias("ortho_prev9")
+        if prev_vx is None:
+            one = one.withColumn(
+                "ortho_prev9", F.lit(0.0).cast("double")
             )
         else:
-            # <v, prev_v> as the same DECIMAL(38,12) term-cast fold the
-            # old 64-row sum computed — exact, so order-independent.
-            ortho = (
-                v.crossJoin(
-                    F.broadcast(prev_v.select(F.col("vx_arr").alias("pv")))
-                )
-                .select(
-                    F.round(
-                        F.expr(_dot_dec12_sql("vx_arr", "pv")), 9
-                    ).alias("ortho_prev9")
-                )
+            # <v, prev_v> as the same DECIMAL term-cast fold the old
+            # 64-row sum computed — exact, so order-independent.
+            one = one.withColumn("pv_arr", _lit_arr(prev_vx)).withColumn(
+                "ortho_prev9",
+                F.round(F.expr(_dot_dec12_sql("vx_arr", "pv_arr")), 9),
             )
         rows = (
-            v.crossJoin(F.broadcast(mu_arr))
-            .crossJoin(F.broadcast(lam9))
-            .crossJoin(F.broadcast(ortho))
-            .select(
+            one.select(
                 F.posexplode(F.arrays_zip("mu_arr", "vx_arr")).alias(
                     "pos", "z"
                 ),
@@ -1832,15 +1839,16 @@ def pca_power_topk(
             )
         )
         out = rows if out is None else out.unionByName(rows)
-        prev_v = v
+        prev_vx = vx
         if comp < n_components - 1:
             # Deflate in place: cv <- cv - <cv, v> v. The projection
             # coefficient s is the same map-side decimal fold as the
-            # power step's (was: one more corpus-wide window Exchange
-            # per component).
+            # power step's, against the LITERAL component — the chain
+            # stays a lazy projection (bounded depth: n_components-1
+            # folds per row), so no checkpoint is needed.
             c = (
                 _pin(
-                    c.crossJoin(F.broadcast(v)).withColumn(
+                    c.withColumn("vx_arr", _lit_arr(vx)).withColumn(
                         "s", F.expr(_dot_dec12_sql("cv", "vx_arr"))
                     ),
                     "s",
@@ -1851,6 +1859,5 @@ def pca_power_topk(
                         "zip_with(cv, vx_arr, (a, b) -> a - s * b)"
                     ).alias("cv"),
                 )
-                .localCheckpoint(eager=True)
             )
     return out.orderBy("comp", "pos")

@@ -69,7 +69,15 @@ COLLECT_ALLOWED: dict[str, int] = {
     # to broadcast per-cell counts, aggregated to a single max). Only
     # the scaled-default branch pays it; registry entries pass the
     # pinned constant and never hit this site.
-    f"{PKG}/operators/similarity.py": 1,
+    # r16 optimization round adds the two power-iteration sites: the
+    # d-row (pos, mu, n) seed collect (_mu_and_n) and the 1-row
+    # (x_arr, vx_arr, nrm) iterate collect per power step
+    # (_power_step_lit) — both bounded by the embedding DIMENSION
+    # (d doubles), never by corpus size; this is the classic
+    # iterative-algorithm driver loop (graph.py's convergence count is
+    # the same shape) and it replaced a per-iteration corpus-wide
+    # window Exchange + eager checkpoint + broadcast build.
+    f"{PKG}/operators/similarity.py": 3,
 }
 
 
