@@ -187,25 +187,29 @@ def passage_dup_report(docs: DataFrame, n: int = 16) -> DataFrame:
 def shingle_rows(docs: DataFrame, n: int = N_SHINGLE) -> DataFrame:
     """Distinct (doc_id, shingle) rows — the workhorse shingle shape.
 
-    Physical: posexplode tokens -> per-doc window lead(1..n-1) -> concat.
-    One shuffle on doc_id (the window sort), all whole-stage codegen. The
-    equivalent higher-order expression (transform over sequence + slice +
-    concat_ws per element) is interpreted by Catalyst and measures ~4x
-    slower at sf0.1 — exactly the HOF-vs-codegen trade documented in
-    minhash_signatures/simhash. Values are identical to
+    Physical: posexplode tokens WITH the token array kept alongside ->
+    slice the array at the generated position -> concat. Shuffle-FREE up
+    to the final ``distinct`` (r16: was posexplode -> per-doc window
+    lead(1..n-1), whose sort paid a full Exchange of the exploded token
+    frame per shingle pass — a map-local operation, guide section 2.4;
+    ``slice``/``concat_ws`` are ordinary codegen expressions, NOT
+    interpreted higher-order lambdas, so this keeps the codegen-path
+    speed the old docstring's HOF comparison was about). lead(i) over
+    (doc_id, pos) == w[pos+i] by construction, so the emitted shingle
+    strings are identical. Values are identical to
     functions.portable.shingles (pinned by the DuckDB oracles).
     """
     tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("t", i).over(w).alias(f"l{i}") for i in range(1, n)]
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select("doc_id", "w", F.posexplode("w").alias("pos", "t"))
     return (
-        tok.select("doc_id", "t", *leads)
-        .filter(F.col(f"l{n - 1}").isNotNull())
+        tok.filter(F.col("pos") + n <= F.size("w"))
         .select(
             "doc_id",
-            F.concat_ws(" ", "t", *[f"l{i}" for i in range(1, n)]).alias("s"),
+            F.concat_ws(
+                " ", F.slice("w", F.col("pos") + 1, n)
+            ).alias("s"),
         )
         .distinct()
     )
@@ -218,26 +222,24 @@ def segment_rows(docs: DataFrame, seg_tokens: int = 12) -> DataFrame:
     delimited variant is the same pipeline with ``split(text, '\\n')`` and
     no width constant).
 
-    Physical: same codegen posexplode + window-lead pipeline as
-    :func:`shingle_rows`, but STRIDED — only rows at ``pos % seg_tokens
-    == 0`` survive as segment heads, and ``concat_ws`` (which skips the
-    NULL leads past the document end) assembles the possibly-short final
-    segment for free. One shuffle on doc_id, all whole-stage codegen."""
+    Physical: same shuffle-free posexplode + array-slice pipeline as
+    :func:`shingle_rows` (r16: was the window-lead formulation, one full
+    Exchange of the exploded token frame), but STRIDED — only rows at
+    ``pos % seg_tokens == 0`` survive as segment heads, and ``slice``
+    (which truncates at the array end exactly like concat_ws skipped
+    the NULL leads) assembles the possibly-short final segment for
+    free. Zero shuffles, all whole-stage codegen."""
     tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [
-        F.lead("t", i).over(w).alias(f"l{i}") for i in range(1, seg_tokens)
-    ]
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select("doc_id", "w", F.posexplode("w").alias("pos", "t"))
     return (
-        tok.select("doc_id", "pos", "t", *leads)
-        .filter(F.col("pos") % seg_tokens == 0)
+        tok.filter(F.col("pos") % seg_tokens == 0)
         .select(
             "doc_id",
             (F.col("pos") / seg_tokens).cast("long").alias("seg_idx"),
             F.concat_ws(
-                " ", "t", *[f"l{i}" for i in range(1, seg_tokens)]
+                " ", F.slice("w", F.col("pos") + 1, seg_tokens)
             ).alias("seg"),
         )
     )
