@@ -1517,26 +1517,29 @@ def rot64_frame(spark) -> DataFrame:
 
 
 def rotate_corpus(emb: DataFrame, rot: DataFrame) -> DataFrame:
-    """Apply the frozen rotation to every vector: one corpus x d
-    fan-out against the broadcast axis frame, exact in-order dot per
-    output coordinate (portable.dot == list_dot_product), rebuilt into
-    an array by the refine_centroids list-assembly pattern. Output
+    """Apply the frozen rotation to every vector: the d axes collapse
+    to ONE broadcast row (pos-sorted array of (pos, rv) structs) and
+    each vector computes its full rotated image in a single projection
+    — exact in-order dot per output coordinate (portable.dot ==
+    list_dot_product), emitted directly in pos order. Output
     (vec_id, embedding) — drop-in corpus for any downstream index
-    build. At 10^9 vectors this is one map-side broadcast join + one
-    aggregation shuffle; a production deployment folds the
-    matrix-multiply into the encode map stage, same plan shape."""
+    build. r16 rewrite: the original corpus x d fan-out paid a
+    groupBy(vec_id) Exchange (corpus-wide, d rows per vector) to
+    reassemble the rotated arrays; this is map-only — at 10^9 vectors
+    the rotation now rides the scan with zero shuffle, which is
+    exactly the fold-into-the-encode-stage plan the old docstring
+    deferred to production."""
     vecs = _vecs(emb)
-    x = vecs.crossJoin(F.broadcast(rot)).select(
-        "vec_id", "pos", P.dot("rv", "v").alias("x")
+    rot_row = rot.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "rv"))).alias(
+            "_rot"
+        )
     )
-    return (
-        x.groupBy("vec_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("pc")
-        )
-        .select(
-            "vec_id", F.expr("transform(pc, s -> s.x)").alias("embedding")
-        )
+    return vecs.crossJoin(F.broadcast(rot_row)).select(
+        "vec_id",
+        F.expr(
+            f"transform(_rot, r -> {P.spark_dot_sql('r.rv', 'v')})"
+        ).alias("embedding"),
     )
 
 
