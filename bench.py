@@ -81,6 +81,18 @@ five (norm eight) scattered across families in the sub-second class,
 and the r15-flagged sim_ann_pq256_rotated reads 0.55x — the
 adjudication's host-class verdict confirmed on the driver-comparable
 pass.
+
+r16 OPTIMIZATION-round note (this round changed PLANS, never results —
+every touched entry re-verified bit-exact against its oracle; see
+OPTIMIZATION_r16.md for the per-operator ledger). The committed
+detail file is the final-tree pass on a session where the host ran
+1.25-1.38x slower than the close pass above (canary 0.88 vs 0.69s;
+three same-tree runs read 352.8/302.8/324.5s raw — the same same-day
+drift band the r7 note documents), so judge this round by the
+NORMALIZED ratios: shared-set vs the 242.5s close pass 0.94-0.96
+across all three runs, and vs_prev total_ratio_norm 0.984 against
+the r15 baseline where the close pass read 1.01. No timing-basis
+changes; no entries added or removed by the optimization round.
 """
 
 from __future__ import annotations

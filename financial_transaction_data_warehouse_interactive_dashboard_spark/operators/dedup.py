@@ -763,8 +763,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Shingle ONLY the candidate docs (semi-join pushdown), then co-count
-    # shared shingles per candidate pair.
-    ex = shingle_rows(docs.join(F.broadcast(ids), "doc_id", "left_semi"), n)
+    # shared shingles per candidate pair. Materialized once (r16): the
+    # frame is CANDIDATE-bounded (LSH-bucketed docs only — small by the
+    # same design argument as cand above) and referenced three times
+    # below (sizes, both join sides); before r16 the window Exchange
+    # inside shingle_rows doubled as the shared reuse point, and its
+    # removal (the array-slice rewrite) would otherwise re-evaluate the
+    # semi-join + explode per reference.
+    ex = shingle_rows(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi"), n
+    ).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ra = ex.join(
         F.broadcast(cand), ex.doc_id == cand.id_a
