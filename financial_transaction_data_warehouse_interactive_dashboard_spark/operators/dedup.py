@@ -770,9 +770,26 @@ def minhash_lsh_pairs(
     # inside shingle_rows doubled as the shared reuse point, and its
     # removal (the array-slice rewrite) would otherwise re-evaluate the
     # semi-join + explode per reference.
-    ex = shingle_rows(
-        docs.join(F.broadcast(ids), "doc_id", "left_semi"), n
-    ).localCheckpoint(eager=True)
+    #
+    # PAYLOAD-FREE since r17 (guide sections 2.3/5 — shuffle keys, not
+    # payloads): downstream only ever tests shingle EQUALITY (sizes
+    # counts rows, the co-count joins on it), so the shingle string is
+    # hashed to one long BEFORE the materialization — the checkpointed
+    # bytes and the verify join's shuffle shrink from n-gram strings to
+    # 8 bytes/row. Equality on xxhash64 == string equality up to 64-bit
+    # collisions (~|shingles|^2 / 2^64 per doc pair — the same accepted
+    # odds as the 60-bit md5 keys the signature stage already keys on);
+    # oracle-verified bit-exact at sf0.01/sf0.1. Interleaved quiet-host
+    # A/B (r17): string-checkpoint 2.57/3.07/3.06/3.54 s vs hashed
+    # 2.18/2.68/2.98/3.10 s on dd_minhash_lsh / dd_corpus_clean /
+    # dd_neardup_components / tx_split_by_cluster; checkpoint-OFF
+    # re-measured worse on all consumers (3.71/4.25/4.36 s) — the r16
+    # reuse-point argument holds, the payload did not.
+    ex = (
+        shingle_rows(docs.join(F.broadcast(ids), "doc_id", "left_semi"), n)
+        .select("doc_id", F.xxhash64("s").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ra = ex.join(
         F.broadcast(cand), ex.doc_id == cand.id_a

@@ -1,4 +1,6 @@
-"""Capture .explain("formatted") for named registry entries -> plans/r16/.
+"""Capture .explain("formatted") for named registry entries -> plans/<round>/
+
+(round dir from $SPARK_GRAFT_PLANS_ROUND, default r17).
 
 Usage:
     python tools/explain_capture.py before sim_pca_deflate wh_ivfpq_retrain ...
@@ -33,7 +35,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r16")
+    out_dir = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("ftdw-explain-capture")
     spark.sparkContext.setLogLevel("ERROR")
