@@ -48,11 +48,15 @@ def connected_components(
     # (tiny: 2x|pairs| of two longs) or each round re-executes the entire
     # upstream pair-finding DAG (for LSH edges, the whole verify pipeline;
     # measured ~2x the query cost at sf0.1).
+    # LAZY checkpoint + the labels frame's eager one: the labels job
+    # computes (and therefore locally checkpoints) sym as a side effect,
+    # so initialization costs one scheduled job instead of two (r17,
+    # guide section 2.2/5 — fewer driver round-trips per iteration).
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -71,6 +75,14 @@ def connected_components(
         # Carry the previous label through the round frame so convergence
         # is a filter+count over the checkpoint we materialize anyway —
         # not an extra labels-vs-new join (one fewer shuffle per round).
+        # The checkpoint is LAZY (r17): the convergence count below is
+        # the first action on the frame, so ONE job per round both
+        # materializes the round's checkpoint (computing a partition
+        # locally checkpoints it as a side effect) and counts the
+        # changed labels — the eager variant paid a separate
+        # materialization job ahead of the count every round (VERDICT
+        # r16 ask #6; guide section 2.2 — amortize per-round driver
+        # actions).
         new = (
             labels.join(nbr, "node", "left")
             .select(
@@ -80,7 +92,7 @@ def connected_components(
                     F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("lbl") != F.col("_prev")).count()
         labels = new.select("node", "lbl")
@@ -182,8 +194,14 @@ def pagerank(
             joined = joined.crossJoin(F.broadcast(dang))
         else:
             rank_expr = F.lit(teleport) / F.col("n") + F.lit(damping) * flow
+        # LAZY checkpoint when this round's frame has a single downstream
+        # reference (next round's contribution join): the next action
+        # materializes it inside its own job, so the loop schedules one
+        # job per round instead of two (r17, guide section 2.2). The
+        # dangling branch references ranks twice per round (contribs +
+        # dangling mass), so it keeps the eager materialization.
         ranks = joined.select("node", rank_expr.alias("rank")).localCheckpoint(
-            eager=True
+            eager=redistribute_dangling
         )
     return ranks
 
@@ -421,7 +439,12 @@ def label_propagation(
             counts.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
+            # LAZY (r17): single downstream reference per round — the
+            # next round's join (or the caller's action) materializes
+            # the checkpoint inside its own job; plan lineage is still
+            # truncated at build time (LogicalRDD), so planning stays
+            # bounded and no per-round materialization job is paid.
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 
@@ -509,7 +532,9 @@ def personalized_pagerank(
                     F.lit(teleport) * F.col("s") + F.lit(damping) * flow
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY (r17): single reference per round, same rationale as
+            # pagerank's non-dangling branch.
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -557,9 +582,13 @@ def khop_distances(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
+            # LAZY + count (r17): one job both materializes the frontier
+            # checkpoint and answers the empty-frontier probe (the eager
+            # form paid a materialization job AND an isEmpty job per
+            # round).
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
@@ -667,9 +696,11 @@ def multi_source_khop(
             .distinct()
             .join(dist.select("root", "node"), ["root", "node"], "left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
+            # LAZY + count (r17): same fused materialize-and-probe as
+            # khop_distances.
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("root", "node")
