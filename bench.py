@@ -773,6 +773,28 @@ def main() -> None:
                 "host_drift_suspect"
             ]
 
+    # Widen the driver-visible per-query surface (VERDICT r16 ask #1):
+    # the full 246-entry map cannot ride the line — the driver's capture
+    # keeps only the LAST 2,000 stdout chars (r2/r4: full-map lines both
+    # recorded parsed=null), so a ~6 KB map would clip its own head and
+    # unparse the whole line. Instead, fill the remaining line budget
+    # with the MOST EXPENSIVE entries (descending seconds — the ones an
+    # optimization round is judged on), q1-q3 always kept, additive only
+    # (existing keys never removed or renamed; timing methodology
+    # untouched). The complete map stays in the committed detail file
+    # as before.
+    base_len = len(json.dumps(out))
+    budget = 1450 - base_len
+    for n in sorted(
+        (n for n in timings if n not in out["queries"]),
+        key=lambda n: -timings[n],
+    ):
+        cost = len(json.dumps({n: timings[n]})) + 1
+        if budget - cost < 0:
+            break
+        out["queries"][n] = timings[n]
+        budget -= cost
+
     # Emit the contract line LAST and flushed, after spark.stop(), so no
     # trailing JVM/log output can follow it on stdout (both r2 and r3
     # recorded parsed=null driver-side from interleaved console noise).
