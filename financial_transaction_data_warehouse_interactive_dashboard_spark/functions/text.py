@@ -330,12 +330,28 @@ def bpe_words_sql(engine: str, text_col: str = "text") -> str:
 
 
 def bpe_vocab_case_sql() -> str:
-    """The fixed-table symbol -> token-id CASE expression (identical
-    text in both dialects)."""
-    return "CASE t " + " ".join(
-        f"WHEN '{s}' THEN {i}"
-        for s, i in sorted(bpe_vocab().items(), key=lambda kv: kv[1])
+    """The fixed-table symbol -> token-id lookup expression (identical
+    text in both dialects — ``if``/``ascii``/``length``/``CASE`` parse
+    and evaluate the same in Spark SQL and DuckDB).
+
+    r17 shape (guide section 4.1 — cheapen the interpreted per-element
+    body): base symbols are SINGLE characters with ids 0..25 assigned
+    as ``chr(97+i) -> i``, so a 1-char token resolves arithmetically
+    (``ascii(t) - 97``) instead of walking up to 26 CASE comparisons;
+    only multi-char tokens (exactly the merge outputs — the replace
+    chain can only ever create '/ab/' segments for rules in the table)
+    fall through to a CASE over the |merges| rows. PRECONDITION: tokens
+    come from bpe_token_ids_sql's pipeline, whose '[^a-z]+ -> space'
+    pass guarantees every 1-char token is in [a-z] (an out-of-alphabet
+    single char would map arithmetically, not to the old form's -1).
+    Token ids are bit-identical to the full-table CASE on that domain;
+    ELSE -1 still covers impossible multi-char symbols. Measured
+    (sf0.1, interleaved quiet-host A/B): see OPTIMIZATION_r17.md."""
+    merge_case = "CASE t " + " ".join(
+        f"WHEN '{a + b}' THEN {BPE_BASE_ID + i}"
+        for i, (a, b) in enumerate(BPE_MERGES)
     ) + " ELSE -1 END"
+    return f"if(length(t) = 1, ascii(t) - 97, {merge_case})"
 
 
 def bpe_token_ids_sql(engine: str, text_col: str = "text") -> str:

@@ -1416,18 +1416,18 @@ def tx_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             # engines — Spark's array_join(NULL) is NULL, DuckDB's wrapped
             # form is md5('')).
             F.coalesce(
+                # cast(array<int> as array<string>) emits the identical
+                # digit strings as the old per-element transform-cast,
+                # without the interpreted lambda (r17, guide 4.1).
                 F.expr(
-                    "array_join(transform(slice(ids, 1, 12),"
-                    " i -> cast(i as string)), ',')"
+                    "array_join(cast(slice(ids, 1, 12) as array<string>),"
+                    " ',')"
                 ),
                 F.lit(""),
             ).alias("head_ids_csv"),
             F.md5(
                 F.coalesce(
-                    F.expr(
-                        "array_join(transform(ids, i -> cast(i as string)),"
-                        " ',')"
-                    ),
+                    F.expr("array_join(cast(ids as array<string>), ',')"),
                     F.lit(""),
                 )
             ).alias("tokens_md5"),
@@ -1566,18 +1566,18 @@ def tx_bpe_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_merged"),
             F.coalesce(
+                # cast(array<int> as array<string>) emits the identical
+                # digit strings as the old per-element transform-cast,
+                # without the interpreted lambda (r17, guide 4.1).
                 F.expr(
-                    "array_join(transform(slice(ids, 1, 12),"
-                    " i -> cast(i as string)), ',')"
+                    "array_join(cast(slice(ids, 1, 12) as array<string>),"
+                    " ',')"
                 ),
                 F.lit(""),
             ).alias("head_ids_csv"),
             F.md5(
                 F.coalesce(
-                    F.expr(
-                        "array_join(transform(ids, i -> cast(i as string)),"
-                        " ',')"
-                    ),
+                    F.expr("array_join(cast(ids as array<string>), ',')"),
                     F.lit(""),
                 )
             ).alias("tokens_md5"),
