@@ -192,7 +192,14 @@ def nearest_cell_scored(
     """``keep`` + (cell, cell_cos): each row's nearest centroid AND its
     rounded cosine — the quantizer-fit monitor shape (drift monitors,
     retrain verification) — computed shuffle-free against the broadcast
-    centroid row (:func:`_cells_row`). Replaces the
+    centroid row (:func:`_cells_row`).
+
+    PRECONDITION (ADVICE r16): this is a per-row PROJECTION — unlike
+    the old groupBy/max_by and row_number forms it does NOT collapse
+    duplicate keys, so a caller frame with duplicate (cohort, vec_id)
+    rows emits one output row per input row. Every caller feeds
+    unique-keyed frames (_vecs of the embeddings fixture / distinct
+    monitors); a future caller with non-unique keys must dedup first. Replaces the
     ``crossJoin -> row_number window -> rn = 1`` formulation, whose
     window Exchange shuffled the corpus x n_cells fan-out (vector
     payloads included) once per monitored cohort; scores and tie-breaks
@@ -218,7 +225,10 @@ def nearest_cell_scored(
 
 def _assign_cells(vecs: DataFrame, cells: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (ties -> lowest
-    cell). Shuffle-FREE since r16: the centroid table is collapsed to a
+    cell). PRECONDITION (ADVICE r16): per-row projection — duplicate
+    vec_id rows in ``vecs`` pass through un-collapsed (the replaced
+    max_by aggregation deduped per key); all callers feed unique-keyed
+    corpora. Shuffle-FREE since r16: the centroid table is collapsed to a
     single broadcast row (:func:`_cells_row`) and each vector picks its
     argmax cell in one projection (:func:`_best_cell_sql`) — the r13
     ``max_by`` partial aggregation still paid one full-corpus Exchange
@@ -513,7 +523,10 @@ def _pq_assign(
     subs: DataFrame, books: DataFrame, metric: str = "cosine"
 ) -> DataFrame:
     """Per (vec_id, m): nearest codebook entry by rounded cosine (ties ->
-    lowest code) — same determinism discipline as _assign_cells.
+    lowest code) — same determinism discipline as _assign_cells, and the
+    same per-row-projection PRECONDITION (ADVICE r16): duplicate
+    (vec_id, m) keys pass through un-collapsed; callers feed unique
+    subvector frames (_subvectors of a unique-keyed corpus).
     ``metric="l2"`` assigns by L2-nearest via the MIPS identity
     argmin ||x - c||^2 = argmax (<x, c> - 0.5 * <c, c>) instead —
     required for RESIDUAL subvectors, which can be exactly the zero
@@ -1167,6 +1180,12 @@ def _mu_and_n(base: DataFrame) -> tuple[list[float], int]:
     (the same sum(DECIMAL)/count expression the original 64-row mu
     frame held, plus the count that the old separate nn aggregate
     re-scanned for)."""
+    # PRECONDITION (ADVICE r16): every corpus vector must be non-empty
+    # and fixed-width — n is derived from the pos-0 group's count, so a
+    # row with an EMPTY embedding array would be excluded from n (the
+    # old corpus-level count included it), and an empty corpus returns
+    # (mu=[], n=0), whose _lit_arr([]) is an untyped empty array. The
+    # embeddings fixture is uniformly d=64; pca callers own the check.
     rows = (
         base.select(F.posexplode("v").alias("pos", "val"))
         .groupBy("pos")
@@ -1203,16 +1222,20 @@ def _dot_dec12_sql(a: str, b: str) -> str:
     value at ANY precision wide enough). Width choreography: Spark has
     no type-stable decimal Add — (p,12)+(p,12) yields (p+1,12) until
     the 38 cap, where the SCALE drops to 11 and the 12th digit would
-    round away — so the fold accumulates in (26,12), lets the add
-    produce (27,12) exactly, and casts back to (26,12), which changes
-    only the precision (no scale rounding, pure range check; values
-    here are inner products of centered unit-scale embeddings,
-    |sum| < 10^6 against 10^14 of headroom)."""
+    round away — so the fold accumulates in (32,12), lets the add
+    produce (33,12) exactly, and casts back to (32,12), which changes
+    only the precision (no scale rounding, pure range check). Widened
+    from (26,12) in r17 (ADVICE r16): same values for every in-range
+    sum — the scale (and therefore every digit) is unchanged, only the
+    overflow-to-NULL boundary moves from 10^14 to 10^20 of headroom
+    against the centered-unit-scale |sum| < 10^6 envelope; the
+    boundary itself is pinned by
+    tests/test_vectors.py::test_dot_dec12_overflow_envelope."""
     return (
         f"CAST(aggregate(zip_with({a}, {b},"
-        " (p, q) -> CAST(p * q AS DECIMAL(26,12))),"
-        " CAST(0 AS DECIMAL(26,12)),"
-        " (acc, t) -> CAST(acc + t AS DECIMAL(26,12))) AS DOUBLE)"
+        " (p, q) -> CAST(p * q AS DECIMAL(32,12))),"
+        " CAST(0 AS DECIMAL(32,12)),"
+        " (acc, t) -> CAST(acc + t AS DECIMAL(32,12))) AS DOUBLE)"
     )
 
 

@@ -81,3 +81,38 @@ def test_rademacher_matrix_is_balanced():
     for j in range(RP_K):
         col = sum(rademacher_sign(i, j) for i in range(EMB_DIM))
         assert abs(col) < EMB_DIM // 2
+
+
+def test_dot_dec12_overflow_envelope(spark):
+    """_dot_dec12_sql accumulates in DECIMAL(32,12) (widened r17 per
+    ADVICE r16). Pin the envelope: magnitudes far beyond any centered
+    unit-scale embedding still fold exactly (no silent NULL), and the
+    documented overflow-to-NULL boundary sits past 10^20 — so a future
+    narrowing that re-introduces the (26,12) 10^14 cliff fails here."""
+    from pyspark.sql import functions as F
+
+    from financial_transaction_data_warehouse_interactive_dashboard_spark.operators.similarity import (
+        _dot_dec12_sql,
+    )
+
+    def fold(vals):
+        df = spark.range(1).select(
+            F.array(*[F.lit(float(v)) for v in vals]).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+        )
+        return df.select(F.expr(_dot_dec12_sql("a", "b")).alias("s")).first()["s"]
+
+    # 1e6-per-coordinate vectors (1e12 per term, 6.4e13 total): 12 dp
+    # exact, far beyond the |sum| < 1e6 envelope, well inside (32,12).
+    assert fold([1e6] * 64) == 64 * 1e12
+    # The old (26,12) accumulator overflowed here (sum 5.76e14 > 1e14).
+    assert fold([3e6] * 64) == 64 * 9e12
+    # Past the (32,12) boundary (terms 1e20 exceed 20 integer digits)
+    # the fold fails LOUDLY (ArithmeticException from the decimal
+    # overflow) or degrades to NULL depending on the cast path — either
+    # way never a silently wrong number; pinned so the boundary moves
+    # only deliberately.
+    try:
+        assert fold([1e10] * 64) is None
+    except Exception as exc:  # noqa: BLE001 — loud overflow accepted
+        assert "Arithmetic" in type(exc).__name__ or "DECIMAL" in str(exc)
