@@ -56,7 +56,19 @@ def _state_partitions(spark: SparkSession, n: int | None):
     stream-stream join keeps four stores per partition. Sizing it to the
     key cardinality/throughput is the standard capacity knob; measured
     here: the sf0.1 stream-stream join runs 2x faster at 8 partitions
-    than at 32. ``None`` inherits the session setting unchanged."""
+    than at 32. ``None`` inherits the session setting unchanged.
+
+    ``SPARK_GRAFT_STATE_PARTITIONS`` (r17, VERDICT r16 ask #8)
+    overrides every caller's value — the scale-parameterized capacity
+    knob: a production deployment sizes state stores to its key
+    cardinality/core count without touching plan code, and the local
+    default stays the per-entry adjudicated values (r9: 16 for the
+    stream-stream join and the stateful sessionizer, 8 elsewhere; the
+    r17 quiet-host 4/8/16/32 sweep re-confirmed them — see
+    OPTIMIZATION_r17.md)."""
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        n = int(env)
     if n is None:
         yield
         return
