@@ -182,6 +182,29 @@ def upsert_partition_overwrite(
         )
 
 
+
+def _write_tables(spark: SparkSession, writes) -> None:
+    """Run independent table writes CONCURRENTLY (guide section 2.6 —
+    overlap independent jobs): each item is (table, thunk) where the
+    thunk performs the drop+saveAsTable for its own table. The publish
+    lifecycles write 2-3 INDEPENDENT tables (a big codes table plus
+    broadcast-sized sidecars); sequentially, each tiny sidecar pays its
+    full commit-protocol latency while the cluster idles — from a small
+    thread pool the sidecar commits hide inside the codes job's tail.
+    Thread-safety: different target tables, and Spark's scheduler is
+    explicitly designed for concurrent jobs from driver threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(writes) <= 1:
+        for _, thunk in writes:
+            thunk()
+        return
+    with ThreadPoolExecutor(max_workers=min(3, len(writes))) as pool:
+        futures = [pool.submit(thunk) for _, thunk in writes]
+        for f in futures:
+            f.result()
+
+
 def write_ivf_layout(emb: DataFrame, table: str, n_cells: int = 16) -> None:
     """Cell-partitioned ANN corpus: the IVF nearest-centroid assignment
     (operators.similarity._assign_cells) becomes the STORAGE partition
@@ -237,14 +260,25 @@ def publish_ivfpq_layout(
     cells, books, inv = (
         index if index is not None else build_ivfpq_index(emb, n_cells=n_cells)
     )
-    write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
-    _drop_stale(emb.sparkSession, f"{prefix}_centroids")
-    cells.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_centroids"
-    )
-    _drop_stale(emb.sparkSession, f"{prefix}_codebooks")
-    books.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_codebooks"
+
+    def _w_codes():
+        write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
+
+    def _w_cells():
+        _drop_stale(emb.sparkSession, f"{prefix}_centroids")
+        cells.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_centroids"
+        )
+
+    def _w_books():
+        _drop_stale(emb.sparkSession, f"{prefix}_codebooks")
+        books.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_codebooks"
+        )
+
+    _write_tables(
+        emb.sparkSession,
+        [("codes", _w_codes), ("centroids", _w_cells), ("books", _w_books)],
     )
 
 
@@ -285,14 +319,24 @@ def publish_ivfpq256_layout(
         cells = refine_centroids(vecs, seeds).localCheckpoint(eager=True)
     if inv is None:
         inv = build_ivfpq256_inv(emb, cells)
-    write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
-    _drop_stale(spark, f"{prefix}_centroids")
-    cells.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_centroids"
-    )
-    _drop_stale(spark, f"{prefix}_books")
-    pq256_books(spark).write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_books"
+    def _w_codes():
+        write_partitioned(inv.repartition("cell"), f"{prefix}_codes", ["cell"])
+
+    def _w_cells():
+        _drop_stale(spark, f"{prefix}_centroids")
+        cells.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_centroids"
+        )
+
+    def _w_books():
+        _drop_stale(spark, f"{prefix}_books")
+        pq256_books(spark).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(f"{prefix}_books")
+
+    _write_tables(
+        spark,
+        [("codes", _w_codes), ("centroids", _w_cells), ("books", _w_books)],
     )
 
 
@@ -417,17 +461,26 @@ def publish_opq256_layout(
         rotated = rotate_corpus(emb, rot)
     if codes is None:
         codes = pq256_codes(_vecs(rotated), books)
-    _drop_stale(spark, f"{prefix}_rot")
-    rot.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_rot"
-    )
-    _drop_stale(spark, f"{prefix}_books")
-    books.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_books"
-    )
-    _drop_stale(spark, f"{prefix}_codes")
-    codes.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_codes"
+    def _w_rot():
+        _drop_stale(spark, f"{prefix}_rot")
+        rot.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_rot"
+        )
+
+    def _w_books():
+        _drop_stale(spark, f"{prefix}_books")
+        books.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_books"
+        )
+
+    def _w_codes():
+        _drop_stale(spark, f"{prefix}_codes")
+        codes.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{prefix}_codes"
+        )
+
+    _write_tables(
+        spark, [("rot", _w_rot), ("books", _w_books), ("codes", _w_codes)]
     )
 
 
