@@ -431,7 +431,16 @@ def mm_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate without touching a byte. Reference analogue:
     none (beyond-reference LLM-pipeline tier)."""
     docs = _t(spark, sf_dir, "documents")
-    hashes = M.bmp_ahash(docs).select("doc_id", "ahash_hi", "ahash_lo")
+    # Materialize the hash frame once (r17): both union branches (the
+    # corpus side and the planted-twin derivation) reference it, and
+    # without truncation each branch re-runs the WHOLE Arrow image
+    # decode (the expensive stage). The frame is three longs per doc —
+    # exactly the materialize-small-frames policy shape.
+    hashes = (
+        M.bmp_ahash(docs)
+        .select("doc_id", "ahash_hi", "ahash_lo")
+        .localCheckpoint(eager=True)
+    )
     planted = hashes.filter(F.col("doc_id") % 100 == 0).selectExpr(
         f"doc_id + {_AHASH_TWIN_OFFSET} AS doc_id",
         "CASE WHEN (doc_id * 7) % 64 >= 32"
